@@ -1,0 +1,44 @@
+"""CLI parity with the reference: ``python -m mini_sql_engine_spark "<query>"``.
+
+The reference runs ``python main.py "SELECT ... ;"`` against
+``metadata.txt`` + CSV tables in the working directory (SURVEY.md §3.1).
+Same contract here: query string argv, CSV to stdout, error message +
+exit 1 on bad queries. ``--data`` picks the catalog directory
+(metadata.txt layout), ``--parquet`` a scale-factor parquet directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mini_sql_engine_spark")
+    p.add_argument("query", help="reference-dialect SQL, must end with ';'")
+    p.add_argument("--data", default=".", help="dir with metadata.txt + <table>.csv files")
+    p.add_argument("--parquet", default=None, help="scale-factor parquet dir instead of --data")
+    p.add_argument("--cpus", type=int, default=4, help="local parallelism for the CLI session")
+    args = p.parse_args(argv)
+
+    from mini_sql_engine_spark.engine import Engine
+    from mini_sql_engine_spark.plans.dialect import EngineError
+    from mini_sql_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="mini-sql-engine-cli", master=f"local[{args.cpus}]")
+    try:
+        if args.parquet:
+            eng = Engine.from_parquet_dir(spark, args.parquet)
+        else:
+            eng = Engine.from_metadata_dir(spark, args.data)
+        print(eng.execute(args.query))
+    except EngineError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""Catalog: map table names to DataFrames / temp views.
+
+The reference keeps an external catalog (``metadata.txt`` parsed by
+``load_metadata()`` in the reference's ``main.py`` — SURVEY.md §2.1 O1)
+and loads whole CSV tables into Python lists per query (O2, no pruning).
+Here the Spark session catalog replaces the dict, parquet replaces CSV,
+and scans are lazy: Catalyst prunes columns and pushes filters down to
+the parquet reader, so "load" costs nothing until an action runs.
+
+Scale note: at 100 TB each table would be a partitioned parquet/iceberg
+dataset; `register_sf_tables` takes any directory layout where
+``{dir}/{name}.parquet`` is a file OR a partitioned directory — Spark's
+reader handles both identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# The ten driver-generated tables (TESTDATA.md:13-15).
+SF_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region
+# and nation are fixed-size by construction — FIXTURES.md §1.1). Joins
+# against these should never shuffle the fact side.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily load one table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
+    no native type for (SPARK-40819): with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long
+    nanoseconds and is converted here to a microsecond TimestampType —
+    queries must bucket (``date_trunc``/``F.window``) rather than compare
+    raw ns values against ns-precision engines (FIXTURES.md §1.4).
+    """
+    if name not in SF_TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {', '.join(SF_TABLES)}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_sf_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = SF_TABLES
+) -> dict[str, DataFrame]:
+    """Register every table as a temp view; return name → DataFrame.
+
+    Registration is metadata-only (no data read); `spark.sql` queries can
+    then reference the names directly and Catalyst resolves them.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

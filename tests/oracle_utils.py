@@ -1,0 +1,55 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Mirrors __spark_entry__'s documented check: row-count + schema (column
+names, sorted) + order-insensitive value comparison. Used by
+tests/test_oracle.py so every queries() entry is validated before the
+driver ever runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from mini_sql_engine_spark.catalog import SF_TABLES
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in SF_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
+    assert len(spark_df) == len(oracle_df), (
+        f"{name}: row count {len(spark_df)} != oracle {len(oracle_df)}"
+    )
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+        f"{name}: columns {sorted(spark_df.columns)} != oracle {sorted(oracle_df.columns)}"
+    )
+    a, b = _canon(spark_df), _canon(oracle_df)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                ok = (
+                    (pd.isna(x) and pd.isna(y))
+                    or math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+                )
+            else:
+                ok = str(x) == str(y)
+            assert ok, f"{name}: col {col} row {i}: spark={x!r} oracle={y!r}"

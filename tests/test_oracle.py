@@ -1,0 +1,34 @@
+"""Oracle-differential tests: every queries() entry vs its DuckDB oracle.
+
+This is the same gate the driver runs at sf0.01 (SURVEY.md §5.2 item 1);
+locally it runs at sf0.001 by default for speed — set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to match the driver.
+Entries without an oracle (non-SQL-expressible) get a rows-only check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_utils import assert_frames_match, duckdb_run
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns  # stable schema
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name in ORACLES:
+        odf = duckdb_run(ORACLES[name], sf_dir)
+        assert_frames_match(sdf, odf, name)
+    else:
+        assert len(sdf) >= 0 and list(sdf.columns)
