@@ -11,9 +11,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from mini_sql_engine_spark.operators import parity
+from mini_sql_engine_spark.operators import joins_ext, parity, rollups, text
 
-_MODULES = [parity]
+_MODULES = [parity, rollups, joins_ext, text]
 
 ALL_QUERIES: dict[str, Callable] = {}
 ALL_ORACLES: dict[str, str] = {}

@@ -1,0 +1,195 @@
+"""Extended joins and set operations.
+
+The reference only has inner equi-join via cross+filter (SURVEY.md §2.1
+O6–O7). This module adds the join types a real pipeline needs — semi,
+anti, left/full outer — and the set operations (union / intersect /
+except). Semi/anti are first-class because dedup keeps/drops canonical
+rows with exactly these (operators/dedup.py).
+
+Scale notes:
+- semi/anti joins shuffle only the distinct keys of the probe side and
+  short-circuit on first match — strictly cheaper than inner join +
+  distinct; Catalyst broadcasts the smaller side when under threshold;
+- intersect/except compile to the same semi/anti machinery after a
+  distinct — at 100 TB prefer the explicit semi/anti-join form on the
+  key columns (shuffles keys, not whole rows), which is what these
+  operators do;
+- outer joins: null-safe downstream expressions required (coalesce on
+  aggregated counts below) — the testdata is NOT NULL but outer joins
+  reintroduce nulls (FIXTURES.md §1.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order in the 1-URGENT class."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1-URGENT order (non-empty at every sf — plain
+    'no orders at all' is empty in this data, a trivially-passing check)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per customer including zero-order customers (null-safe)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count(col) skips nulls
+    )
+
+
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two event-type slices keyed by user."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): high-balance ∪ BUILDING-segment customer keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct()
+
+
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with provenance tag — schema-aligned concatenation."""
+    customer = load_table(spark, sf_dir, "customer")
+    a = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", F.lit("high_bal").alias("src"))
+    )
+    b = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", F.lit("building").alias("src"))
+    )
+    return a.unionByName(b)
+
+
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users appearing in both orders and events (INTERSECT ≡ semi-join
+    on distinct keys — the form that scales)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey")
+    )
+    return orders.intersect(events)
+
+
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who ordered but never produced an event (EXCEPT)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey")
+    )
+    return orders.subtract(events)  # EXCEPT DISTINCT semantics
+
+
+QUERIES: dict[str, Callable] = {
+    "ext_semi_join": semi_join,
+    "ext_anti_join": anti_join,
+    "ext_left_outer_join": left_outer_join,
+    "ext_full_outer_join": full_outer_join,
+    "ext_union_distinct": union_distinct,
+    "ext_union_all": union_all,
+    "ext_intersect": intersect_keys,
+    "ext_except": except_keys,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    "ext_anti_join": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """,
+    "ext_left_outer_join": """
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "ext_full_outer_join": """
+        WITH clicks AS (
+            SELECT user_id, COUNT(*) AS n_clicks FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+        purchases AS (
+            SELECT user_id, COUNT(*) AS n_purchases FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_purchases, 0) AS n_purchases
+        FROM clicks c FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+    """,
+    "ext_union_distinct": """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "ext_union_all": """
+        SELECT c_custkey, 'high_bal' AS src FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT c_custkey, 'building' AS src FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    """,
+    "ext_intersect": """
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT
+        SELECT user_id AS custkey FROM events
+    """,
+    "ext_except": """
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT user_id AS custkey FROM events
+    """,
+}

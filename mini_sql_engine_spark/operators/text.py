@@ -1,0 +1,199 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data pipeline surface (driver mandate, BASELINE.json north
+star): token counting (whitespace + BPE-ish regex), per-language corpus
+stats, language-ID, quality scoring, content fingerprinting, token
+histograms. All expressions come from `functions.textfns` — JVM-side
+built-ins only, so the whole pipeline is one whole-stage-codegen scan.
+
+Scale notes (100 TB):
+- every per-doc operator is a pure projection — embarrassingly
+  parallel, no shuffle at all;
+- the token histogram explodes tokens (row multiplication ≈ tokens per
+  doc) then aggregates — Spark's partial aggregation collapses each
+  partition's counts before the shuffle, so shuffle volume is bounded by
+  |vocab| × partitions, not corpus size; the global top-k after the agg
+  is TakeOrderedAndProject;
+- fingerprint-based grouping shuffles only (hash, doc_id) pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import textfns
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: whitespace and BPE-ish regex tokenizations."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        textfns.n_tokens("text").alias("n_ws_tokens"),
+        textfns.n_bpe_tokens("text").alias("n_bpe_tokens"),
+        F.round(textfns.avg_token_len("text"), 4).alias("avg_tok_len"),
+    )
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_toks", textfns.n_tokens("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: argmax marker-token overlap per doc,
+    summarized as a (labelled lang × predicted lang) confusion matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textfns.language_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics + composite score."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.round(textfns.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(textfns.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        textfns.quality_score("text").alias("quality"),
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per doc (md5 over normalized text)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfns.fingerprint("text").alias("fp")
+    )
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens: explode → partial-agg count → top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textfns.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction: numeric id from 'Customer#000000014' names."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("name_id"),
+    )
+
+
+# ---- oracles ---------------------------------------------------------------
+
+_TOKS = "string_split_regex(text, '\\s+')"
+_STOPWORDS_SQL = "['the','a','an','of','and','or','to','in','is','for']"
+# language marker profiles — keep in sync with functions.textfns.LANG_MARKERS
+_MARKERS_SQL = {
+    "en": "['the','of','and','a','to']",
+    "fr": "['le','la','et','les','des']",
+    "es": "['el','los','las','y','en']",
+    "de": "['der','die','und','das','ein']",
+    "zh": "['de','shi','le','zai','he']",
+}
+_SCORES = ", ".join(
+    f"len(list_intersect(list_distinct({_TOKS}), {arr})) AS s_{lang}"
+    for lang, arr in _MARKERS_SQL.items()
+)
+# argmax with lexicographically-smallest-language tiebreak (matches the
+# Spark sort_array(struct(-score, lang)) encoding)
+_ARGMAX = """
+    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0
+         THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh
+         THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END
+"""
+
+QUERIES: dict[str, Callable] = {
+    "ext_text_token_stats": token_stats,
+    "ext_text_lang_stats": lang_stats,
+    "ext_text_language_id": language_id,
+    "ext_text_quality": quality,
+    "ext_text_fingerprint": fingerprints,
+    "ext_text_token_histogram": token_histogram,
+    "ext_regexp_extract": regexp_extract_ids,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_text_token_stats": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_bpe_tokens,
+               ROUND(list_sum(list_transform({_TOKS}, t -> len(t)))
+                     * 1.0 / greatest(len({_TOKS}), 1), 4) AS avg_tok_len
+        FROM documents
+    """,
+    "ext_text_lang_stats": f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               ROUND(AVG(len({_TOKS})), 4) AS avg_tokens,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    "ext_text_language_id": f"""
+        WITH scored AS (SELECT lang, {_SCORES} FROM documents)
+        SELECT lang, {_ARGMAX} AS pred_lang, COUNT(*) AS n_docs
+        FROM scored GROUP BY 1, 2
+    """,
+    "ext_text_quality": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(text) AS text_len,
+                   (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                       * 1.0 / greatest(len(text), 1) AS praw,
+                   len(list_filter({_TOKS},
+                                   t -> list_contains({_STOPWORDS_SQL}, t)))
+                       * 1.0 / greatest(len({_TOKS}), 1) AS sraw
+            FROM documents)
+        SELECT doc_id, text_len,
+               ROUND(praw, 6) AS punct_ratio,
+               ROUND(sraw, 6) AS stopword_ratio,
+               ROUND(0.4 * least(text_len / 200.0, 1.0)
+                   + 0.3 * (1.0 - least(praw * 5, 1.0))
+                   + 0.3 * least(sraw * 4, 1.0), 6) AS quality
+        FROM m
+    """,
+    "ext_text_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "ext_text_token_histogram": f"""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    "ext_regexp_extract": r"""
+        SELECT c_custkey,
+               CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
+                   AS name_id
+        FROM customer
+    """,
+}
