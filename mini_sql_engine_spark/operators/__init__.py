@@ -11,9 +11,17 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from mini_sql_engine_spark.operators import joins_ext, parity, rollups, text
+from mini_sql_engine_spark.operators import (
+    dedup,
+    joins_ext,
+    multimodal,
+    parity,
+    rollups,
+    similarity,
+    text,
+)
 
-_MODULES = [parity, rollups, joins_ext, text]
+_MODULES = [parity, rollups, joins_ext, text, dedup, similarity, multimodal]
 
 ALL_QUERIES: dict[str, Callable] = {}
 ALL_ORACLES: dict[str, str] = {}

@@ -1,0 +1,340 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+The LLM-training-data dedup surface (driver mandate). Every variant is
+oracle-checked: the hash primitives (functions.hashing) are md5-based
+specifically so DuckDB can recompute identical signatures — the oracle
+replays MinHash/SimHash/banding in SQL rather than settling for a
+rows-only check.
+
+Scale design (100 TB):
+- exact dedup = hash-groupBy on the fingerprint: one shuffle of (fp,
+  doc_id) pairs only;
+- Jaccard near-dup avoids O(n²): inverted-index self-join on shingles
+  emits only pairs sharing ≥1 shingle, then exact Jaccard on the
+  candidates. Hot shingles (stopword trigrams) can skew the join — the
+  shingle explode is a natural place for a frequency cap at scale
+  (drop shingles with df > threshold, standard practice);
+- MinHash+LSH bounds candidate generation further: the join key is a
+  16-value signature folded into 4 banded md5 keys, so shuffle volume
+  is 4 rows/doc regardless of doc length;
+- SimHash packs a doc into one long; banding (4×15 bits) is EXACT for
+  hamming ≤ 3 by pigeonhole, so the banded plan returns identical pairs
+  to the all-pairs oracle while shuffling only 4 (band, doc) rows/doc;
+- embedding near-dup at this sf uses blocked all-pairs (a<b) — the
+  scale path is LSH/IVF bucketing in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import textfns, vector
+from mini_sql_engine_spark.functions.hashing import (
+    SIMHASH_BITS,
+    hamming64,
+    lsh_bands,
+    md5_long,
+    minhash_signature,
+    simhash,
+    simhash_band,
+    simhash_from_votes,
+)
+
+SHINGLE_K = 3
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+JACCARD_T = 0.2
+SIMHASH_BAND_BITS = 15
+SIMHASH_N_BANDS = 4
+HAMMING_MAX = 3  # ≤ band count - 1 ⇒ banding is exact (pigeonhole)
+COSINE_T = 0.45
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct token-3-shingle array."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with injected duplicates (self-union —
+    the natural corpus has no exact dups, which would make the check
+    trivial): canonical keeper + multiplicity per fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs)
+    return (
+        doubled.select("doc_id", textfns.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based exact dedup (lang, source): keeper + group size."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_in_group"))
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via inverted-index join, verified by exact Jaccard."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+    )
+
+
+def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jacc") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+def canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy dedup: drop every doc Jaccard-similar to a smaller-id doc;
+    return the surviving doc ids (anti-join against the dropped set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = jaccard_dedup(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → banded LSH candidates → exact-Jaccard verify."""
+    sh = _shingled(spark, sf_dir)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(lsh_bands(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union_n = F.size("sha") + F.size("shb") - inter
+    return (
+        cand.withColumn("jacc", F.round(inter / union_n, 6))
+        .filter(F.col("jacc") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via exact 4×15-bit banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("t"))
+    votes = (
+        tok.withColumn("h", md5_long(F.col("t")))
+        .groupBy("doc_id")
+        .agg(*simhash(F.col("h")))
+    )
+    sims = votes.select("doc_id", simhash_from_votes().alias("sim"))
+    bands_arr = F.array(
+        *[
+            simhash_band(F.col("sim"), j, SIMHASH_BAND_BITS)
+            for j in range(SIMHASH_N_BANDS)
+        ]
+    )
+    bx = sims.select(
+        "doc_id", "sim", F.posexplode(bands_arr).alias("bpos", "bval")
+    )
+    a, b = bx.alias("a"), bx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bpos") == F.col("b.bpos"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine (= dot, unit-norm) ≥ threshold pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos_sim") >= COSINE_T)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ---- oracles (DuckDB replays of the same constructions) --------------------
+
+_TOKS = "string_split_regex(text, '\\s+')"
+_HEX = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_BASE = f"""
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ')
+                          for i in range(1, len(toks) - {SHINGLE_K - 2})]) AS sh
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
+
+_JACCARD_PAIRS = f"""
+    WITH base AS ({_BASE}),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM base),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+               COUNT(*) AS inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (na + nb - inter), 6) AS jacc
+    FROM pairs
+"""
+
+_SIG_EXPRS = ", ".join(
+    "list_min(list_transform(sh, s -> "
+    + _HEX.format(x=f"'{j}:' || s")
+    + f")) AS s{j}"
+    for j in range(MINHASH_K)
+)
+_BAND_EXPRS = ", ".join(
+    f"md5('{b}' || ',' || "
+    + " || ',' || ".join(
+        f"CAST(s{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+    )
+    + f") AS b{b}"
+    for b in range(MINHASH_BANDS)
+)
+_BANDS_LIST = "[" + ", ".join(f"b{b}" for b in range(MINHASH_BANDS)) + "]"
+
+_MINHASH_ORACLE = f"""
+    WITH base AS ({_BASE}),
+    sig AS (SELECT doc_id, sh, {_SIG_EXPRS} FROM base),
+    bands AS (SELECT doc_id, sh, {_BAND_EXPRS} FROM sig),
+    bx AS (SELECT doc_id, sh, unnest({_BANDS_LIST}) AS band FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bx a JOIN bx b
+               ON a.band = b.band AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(ba.sh, bb.sh)) AS inter,
+               len(ba.sh) AS na, len(bb.sh) AS nb
+        FROM cand JOIN base ba ON cand.doc_a = ba.doc_id
+                  JOIN base bb ON cand.doc_b = bb.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (na + nb - inter), 6) AS jacc
+    FROM verified
+    WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_T}
+"""
+
+_VOTE_EXPRS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIM_EXPR = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    h AS (SELECT doc_id, {_HEX.format(x='t')} AS h FROM tok),
+    votes AS (SELECT doc_id, {_VOTE_EXPRS} FROM h GROUP BY doc_id),
+    sims AS (SELECT doc_id, {_SIM_EXPR} AS sim FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
+"""
+
+QUERIES: dict[str, Callable] = {
+    "ext_dedup_exact": exact_dedup,
+    "ext_dedup_exact_by_key": exact_dedup_by_key,
+    "ext_dedup_jaccard": jaccard_dedup,
+    "ext_dedup_canonical_keep": canonical_keep,
+    "ext_dedup_minhash_lsh": minhash_lsh_dedup,
+    "ext_dedup_simhash": simhash_dedup,
+    "ext_dedup_embedding": embedding_dedup,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_dedup_exact": """
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) d
+        GROUP BY 1
+    """,
+    "ext_dedup_exact_by_key": """
+        SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_group
+        FROM documents GROUP BY lang, source
+    """,
+    "ext_dedup_jaccard": f"""
+        SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) p
+        WHERE jacc >= {JACCARD_T}
+    """,
+    "ext_dedup_canonical_keep": f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT doc_b FROM ({_JACCARD_PAIRS}) p WHERE jacc >= {JACCARD_T})
+    """,
+    "ext_dedup_minhash_lsh": _MINHASH_ORACLE,
+    "ext_dedup_simhash": _SIMHASH_ORACLE,
+    # CAST to DOUBLE[]: list_dot_product on FLOAT[] returns float32,
+    # whose ROUND(…, 4) widens to e.g. 0.45320001… in the comparison
+    "ext_dedup_embedding": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_T}
+    """,
+}

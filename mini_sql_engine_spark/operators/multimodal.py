@@ -1,0 +1,215 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched Pandas UDFs over `mapInPandas`. The decode itself is
+STUBBED: real codec libraries (PIL/librosa/av) are not in this
+container, so `decode_real` raises NotImplementedError and the pipeline
+uses a DETERMINISTIC FAKE — the payload's raw bytes are "pixels"
+(numpy frombuffer). Everything around the stub — binary schema, Arrow
+batch shape, mapInPandas signature, output schema, partition behavior —
+is real and oracle-checked: payloads are UTF-8 text bytes, so DuckDB
+can recompute the byte statistics character-wise.
+
+Scale notes (100 TB of media):
+- payloads stay opaque binary end-to-end: no base64 inflation, Arrow
+  moves them zero-copy into the Python worker;
+- mapInPandas streams batches (spark.sql.execution.arrow.
+  maxRecordsPerBatch) so executor memory is bounded by batch size ×
+  payload size, not partition size;
+- decode is a pure map — no shuffle; the downstream stats agg shuffles
+  only (media_type, partial-agg) rows;
+- at real scale the binary column would come from
+  `spark.read.format("binaryFile")` or parquet BYTE_ARRAY — same plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+
+FRAME_BYTES = 16  # fake "video": fixed-size frames inside the payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "mean_intensity double, max_intensity long"
+)
+FRAMES_SCHEMA = "doc_id long, n_frames long, n_sampled long, sampled_mean double"
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal table: binary payload + typed metadata.
+
+    Deterministic synthesis: payload = utf-8 bytes of text; media_type
+    cycles by doc_id; width/height metadata derived from doc_id.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.struct(
+            (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 12).cast("int").alias("height"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """Real decode hook — requires PIL/librosa/av, absent here."""
+    raise NotImplementedError(
+        "real media decode needs codec libraries not present in this "
+        "environment; the pipeline uses the deterministic fake decode"
+    )
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fake-decode each payload to byte 'pixels'."""
+    import numpy as np
+
+    for pdf in batches:
+        arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(a) for a in arrs],
+                "mean_intensity": [float(a.mean()) if len(a) else 0.0 for a in arrs],
+                "max_intensity": [int(a.max()) if len(a) else 0 for a in arrs],
+            }
+        )
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-size frame split + strided sampling."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "n_sampled": [], "sampled_mean": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            n_frames = len(arr) // FRAME_BYTES
+            frames = arr[: n_frames * FRAME_BYTES].reshape(n_frames, FRAME_BYTES)
+            sampled = frames[::FRAME_STRIDE]
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(n_frames)
+            out["n_sampled"].append(len(sampled))
+            out["sampled_mean"].append(
+                float(sampled.mean()) if sampled.size else 0.0
+            )
+        yield pd.DataFrame(out)
+
+
+def decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
+
+def decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode every payload, aggregate intensity stats by modality."""
+    return (
+        decoded(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+            F.max("max_intensity").alias("peak"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        )
+    )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-split + strided sampling for the 'video' slice."""
+    mm = attach_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    return mm.mapInPandas(_frame_batches, schema=FRAMES_SCHEMA)
+
+
+def resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level resize (halve dims, min 1) — pure column transform."""
+    mm = attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.greatest(F.floor(F.col("meta.width") / 2), F.lit(1))
+        .cast("int")
+        .alias("new_width"),
+        F.greatest(F.floor(F.col("meta.height") / 2), F.lit(1))
+        .cast("int")
+        .alias("new_height"),
+    )
+
+
+# ---- oracles ---------------------------------------------------------------
+# Payload bytes are the ASCII text's bytes, so DuckDB recomputes the
+# "decoded" statistics character-wise: ord(char) == byte value.
+
+_BYTES = "list_transform(range(1, len(text) + 1), i -> ord(substr(text, i, 1)))"
+_MEDIA = "list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT))"
+
+ORACLES: dict[str, str] = {
+    "ext_mm_decode_stats": f"""
+        WITH d AS (
+            SELECT doc_id, {_MEDIA} AS media_type,
+                   len(text) AS n_bytes,
+                   list_sum({_BYTES}) * 1.0 / len(text) AS mean_intensity,
+                   list_max({_BYTES}) AS max_intensity
+            FROM documents)
+        SELECT media_type, COUNT(*) AS n_items,
+               ROUND(AVG(mean_intensity), 4) AS avg_intensity,
+               MAX(max_intensity) AS peak,
+               ROUND(AVG(n_bytes), 4) AS avg_bytes
+        FROM d GROUP BY media_type
+    """,
+    "ext_mm_frame_sample": f"""
+        WITH v AS (
+            SELECT doc_id, {_BYTES} AS bytes, len(text) AS n
+            FROM documents
+            WHERE {_MEDIA} = 'video'),
+        f AS (
+            SELECT doc_id,
+                   n // {FRAME_BYTES} AS n_frames,
+                   CAST(ceil((n // {FRAME_BYTES}) * 1.0 / {FRAME_STRIDE}) AS BIGINT)
+                       AS n_sampled,
+                   bytes[1 : (n // {FRAME_BYTES}) * {FRAME_BYTES}] AS fb
+            FROM v)
+        SELECT doc_id, n_frames, n_sampled,
+               CASE WHEN n_frames = 0 THEN 0.0 ELSE
+                   list_sum(flatten(
+                       [fb[j * {FRAME_BYTES} + 1 : (j + 1) * {FRAME_BYTES}]
+                        for j in range(0, n_frames)
+                        if j % {FRAME_STRIDE} = 0])) * 1.0
+                   / (n_sampled * {FRAME_BYTES})
+               END AS sampled_mean
+        FROM f
+    """,
+    "ext_mm_resize_meta": """
+        SELECT doc_id,
+               list_extract(['image','audio','video'],
+                            CAST(doc_id % 3 + 1 AS INT)) AS media_type,
+               CAST(doc_id % 64 + 16 AS INT) AS width,
+               CAST(doc_id % 48 + 12 AS INT) AS height,
+               CAST(greatest((doc_id % 64 + 16) // 2, 1) AS INT) AS new_width,
+               CAST(greatest((doc_id % 48 + 12) // 2, 1) AS INT) AS new_height
+        FROM documents
+    """,
+}
+
+QUERIES: dict[str, Callable] = {
+    "ext_mm_decode_stats": decode_stats,
+    "ext_mm_frame_sample": frame_sample,
+    "ext_mm_resize_meta": resize_meta,
+}

@@ -1,0 +1,206 @@
+"""Similarity search over the `embeddings` table (64-dim unit-norm).
+
+Two paths, both oracle-checked:
+- brute-force top-k cosine: exact baseline — every (query, candidate)
+  pair scored, per-query window top-k;
+- LSH-bucketed ANN: random-hyperplane signatures partition vectors into
+  buckets; search only within the query's bucket. This is the scale
+  path: at 100 TB the bucket join replaces the all-pairs product, the
+  bucket id is a shuffle key, and recall/cost is tuned by N_PLANES
+  (more planes → smaller buckets) and multi-probe.
+
+Determinism: hyperplanes are pseudo-random constants derived from md5
+of "(plane,dim)" — computed once driver-side with hashlib (bit-identical
+to SQL md5) and inlined as literals into BOTH the Spark plan and the
+DuckDB oracle, so the two engines bucket identically. Cosine = plain
+dot product (unit-norm inputs, FIXTURES.md §1.2); accumulation is
+left-to-right in double on both engines, so scores match bit-for-bit
+before rounding.
+
+Scale notes: the query side is tiny (broadcast); brute force is a
+broadcast nested-loop scoring scan (no shuffle of the corpus); ANN
+shuffles (bucket, vec) pairs once. Window top-k keeps k rows per query
+per partition before the final merge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import vector
+
+DIM = 64
+N_PLANES = 4  # 16 buckets
+TOP_K = 10
+ANN_TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query points
+
+
+def _plane(p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1].
+
+    Same construction as SQL: int(md5("p,d")[:15], 16) % 2001 → scaled.
+    """
+    out = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+PLANES: list[list[float]] = [_plane(p) for p in range(N_PLANES)]
+
+
+def _dot_const(emb: Column, plane: list[float]) -> Column:
+    return vector.dot(emb, F.array(*[F.lit(v) for v in plane]))
+
+
+def bucket_expr(emb: Column) -> Column:
+    """Random-hyperplane LSH bucket id (sign-bit signature)."""
+    out = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        out = out + F.when(_dot_const(emb, plane) >= 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: score only candidates in the query's LSH bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", bucket_expr(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine within/between label classes — corpus-level
+    embedding-space diagnostics (intra vs inter class separation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .groupBy(
+            F.least("la", "lb").alias("label_a"),
+            F.greatest("la", "lb").alias("label_b"),
+        )
+        .agg(
+            F.round(F.avg(vector.dot(F.col("ea"), F.col("eb"))), 6).alias("avg_cos"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+# ---- oracles ---------------------------------------------------------------
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+_EMB = "CAST({t}.embedding AS DOUBLE[])"
+_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product({{e}}, {_plane_sql(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(PLANES)
+)
+
+_BRUTE_ORACLE = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product({_EMB.format(t='q')},
+                                      {_EMB.format(t='c')}), 4) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT q_id, n_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, n_id) AS rnk
+        FROM scored)
+    SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+_ANN_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_BUCKET.format(e='CAST(embedding AS DOUBLE[])')} AS bucket
+        FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM bucketed q JOIN bucketed c
+          ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT q_id, n_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, n_id) AS rnk
+        FROM scored)
+    SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= {ANN_TOP_K}
+"""
+
+_LABEL_ORACLE = """
+    SELECT least(a.label, b.label) AS label_a,
+           greatest(a.label, b.label) AS label_b,
+           ROUND(AVG(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))), 6) AS avg_cos,
+           COUNT(*) AS n_pairs
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    GROUP BY 1, 2
+"""
+
+QUERIES: dict[str, Callable] = {
+    "ext_sim_bruteforce_topk": brute_force_topk,
+    "ext_sim_ann_lsh_topk": ann_lsh_topk,
+    "ext_sim_label_pairs": label_centroid_similarity,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_sim_bruteforce_topk": _BRUTE_ORACLE,
+    "ext_sim_ann_lsh_topk": _ANN_ORACLE,
+    "ext_sim_label_pairs": _LABEL_ORACLE,
+}

@@ -1,0 +1,124 @@
+"""Algorithmic invariants for dedup / similarity / multimodal operators —
+properties the row-level oracle comparison doesn't capture."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mini_sql_engine_spark.functions import textfns, vector
+from mini_sql_engine_spark.functions.hashing import md5_long
+from mini_sql_engine_spark.operators import dedup, multimodal, similarity
+
+
+def test_md5_long_matches_hashlib(spark):
+    val = spark.range(1).select(md5_long(F.lit("abc"), "7").alias("h")).collect()[0].h
+    expect = int(hashlib.md5(b"7:abc").hexdigest()[:15], 16)
+    assert val == expect
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([Row(text="only two")])
+    out = df.select(textfns.shingles("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["only two"]  # < k tokens → single whole-text shingle
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([Row(text="a b c d e")])
+    out = df.select(textfns.shingles("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["a b c", "b c d", "c d e"]
+
+
+def test_minhash_lsh_is_subset_of_exact_jaccard(spark, sf_dir):
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.jaccard_dedup(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dedup(spark, sf_dir).collect()
+    }
+    assert lsh <= exact  # LSH verifies with exact Jaccard → never a superset
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+
+def test_simhash_banding_is_exact(spark, sf_dir):
+    """4 bands, hamming ≤ 3 ⇒ pigeonhole guarantees no missed pair."""
+    banded = dedup.simhash_dedup(spark, sf_dir)
+    assert banded.filter(F.col("hamming") > dedup.HAMMING_MAX).count() == 0
+    pairs = banded.collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_brute_force_topk_rank1_is_max(spark, sf_dir):
+    top = similarity.brute_force_topk(spark, sf_dir)
+    r1 = {r.q_id: r.cos_sim for r in top.filter("rnk = 1").collect()}
+    mx = {
+        r.q_id: r.mx
+        for r in top.groupBy("q_id").agg(F.max("cos_sim").alias("mx")).collect()
+    }
+    assert r1 == mx
+
+
+def test_ann_results_within_brute_force_universe(spark, sf_dir):
+    """Every ANN hit must appear in the exact all-pairs scores with the
+    same similarity value (ANN restricts candidates, never rescores)."""
+    brute = {
+        (r.q_id, r.n_id): r.cos_sim
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    ann = similarity.ann_lsh_topk(spark, sf_dir).collect()
+    for r in ann:
+        if (r.q_id, r.n_id) in brute:
+            assert brute[(r.q_id, r.n_id)] == r.cos_sim
+
+
+def test_lsh_bucket_range(spark, sf_dir):
+    from mini_sql_engine_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        similarity.bucket_expr(F.col("embedding")).alias("b")
+    )
+    stats = emb.agg(F.min("b"), F.max("b"), F.count_distinct("b")).collect()[0]
+    assert stats[0] >= 0 and stats[1] < (1 << similarity.N_PLANES)
+    assert stats[2] > 1  # hyperplanes actually split the space
+
+
+def test_vector_dot_unit_norm(spark, sf_dir):
+    from mini_sql_engine_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    norms = emb.select(vector.norm(F.col("embedding")).alias("n")).collect()
+    assert all(abs(r.n - 1.0) < 1e-5 for r in norms)
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x00", "image")
+
+
+def test_fake_decode_matches_manual(spark, sf_dir):
+    row = multimodal.decoded(spark, sf_dir).filter("doc_id = 0").collect()[0]
+    from mini_sql_engine_spark.catalog import load_table
+
+    text = (
+        load_table(spark, sf_dir, "documents").filter("doc_id = 0").collect()[0].text
+    )
+    raw = text.encode()
+    assert row.n_bytes == len(raw)
+    assert abs(row.mean_intensity - sum(raw) / len(raw)) < 1e-9
+    assert row.max_intensity == max(raw)
+
+
+def test_canonical_keep_drops_only_pair_members(spark, sf_dir):
+    from mini_sql_engine_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    kept = dedup.canonical_keep(spark, sf_dir).count()
+    n_dropped = (
+        dedup.jaccard_dedup(spark, sf_dir).select("doc_b").distinct().count()
+    )
+    assert kept == n_docs - n_dropped
