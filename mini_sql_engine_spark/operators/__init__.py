@@ -20,8 +20,18 @@ from mini_sql_engine_spark.operators import (
     similarity,
     text,
 )
+from mini_sql_engine_spark.streaming import windows as streaming_windows
 
-_MODULES = [parity, rollups, joins_ext, text, dedup, similarity, multimodal]
+_MODULES = [
+    parity,
+    rollups,
+    joins_ext,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    streaming_windows,
+]
 
 ALL_QUERIES: dict[str, Callable] = {}
 ALL_ORACLES: dict[str, str] = {}

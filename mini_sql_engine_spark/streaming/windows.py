@@ -1,0 +1,204 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.1); this is the
+`readStream → transform → writeStream` surface with watermarked
+windowed aggregation and a custom stateful operator
+(applyInPandasWithState). The batch/stream unification is the point:
+`stream_to_df` runs a streaming query to completion over the same
+parquet and returns a DataFrame — which the driver then checks against
+the SAME DuckDB oracle as the batch version (stream-batch parity).
+
+Scale notes:
+- watermark bounds state: the windowed agg keeps only windows newer
+  than max(ts) - delay; state store size is O(open windows × groups),
+  independent of stream length;
+- `applyInPandasWithState` state is per-group (user_id) — shuffled once
+  by the group key, Arrow-batched into Python;
+- file-source streaming with maxFilesPerTrigger gives deterministic
+  replay of a parquet directory — the pattern for backfill-then-tail
+  pipelines; memory sink is test-only, production would write
+  kafka/parquet sinks with checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from mini_sql_engine_spark.catalog import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, ts normalized like the batch
+    catalog (nanos long → microsecond timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    # the file stream source requires a DIRECTORY; stage a symlink (the
+    # testdata itself is read-only and must not be reorganized)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked hourly tumbling counts by event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("total", DoubleType()), StructField("n", LongType())]
+)
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _user_totals_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user event count + value sum."""
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in batches:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState: cumulative per-user totals across batches."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_df(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    output_mode: str,
+    dedupe_keys: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink; return the
+    result table. In update mode with multiple batches, keep only the
+    last emission per key (`dedupe_keys` + monotonic `order_col`)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    chk = os.path.join(tempfile.gettempdir(), f"chk_{name}")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    if dedupe_keys and order_col:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*dedupe_keys).orderBy(F.col(order_col).desc())
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+    return out
+
+
+# ---- driver-contract queries (stream-batch parity oracles) -----------------
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_to_df(
+        spark, tumbling_counts(events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_to_df(
+        spark, stateful_user_totals(events_stream(spark, sf_dir)), "update"
+    )
+
+
+def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the stateful operator — used in parity tests."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "stream_tumbling_counts": stream_tumbling,
+    "stream_stateful_user_totals": stream_user_totals,
+}
+
+ORACLES: dict[str, str] = {
+    "stream_tumbling_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+               event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_stateful_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+}

@@ -1,0 +1,117 @@
+"""Structured Streaming tests: stream-batch parity, stateful operator,
+watermark late-data dropping."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mini_sql_engine_spark.streaming import windows as W
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    streamed = W.stream_tumbling(spark, sf_dir)
+    from mini_sql_engine_spark.operators.rollups import tumbling_window  # noqa: F401
+    from mini_sql_engine_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    assert rows_set(streamed, cols) == rows_set(batch, cols)
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    streamed = W.stream_user_totals(spark, sf_dir)
+    batch = W.batch_user_totals(spark, sf_dir)
+    cols = ["user_id", "n_events", "total_value"]
+    assert rows_set(streamed, cols) == rows_set(batch, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than max(ts) - watermark must not update state."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(rows, n):
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{n}")
+        )
+
+    # batch 1: events 10:00-12:30 → watermark advances to 11:30
+    write_batch(
+        [
+            Row(ts="2024-03-01 10:15:00", event_type="click", value=1.0),
+            Row(ts="2024-03-01 12:30:00", event_type="click", value=1.0),
+        ],
+        1,
+    )
+    schema = "ts string, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n")
+    )
+    import uuid
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event and one LATE event (9:05 < 11:30 watermark)
+        write_batch(
+            [
+                Row(ts="2024-03-01 12:45:00", event_type="click", value=1.0),
+                Row(ts="2024-03-01 09:05:00", event_type="click", value=9.0),
+            ],
+            2,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            batches = {r.h for r in spark.table(name).collect()}
+            if "12:00" in batches:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = {r.h for r in spark.table(name).collect()}
+    assert "09:00" not in out, f"late event leaked into state: {out}"
+    assert {"10:00", "12:00"} <= out
+
+
+@pytest.mark.parametrize("name", ["stream_tumbling_counts", "stream_stateful_user_totals"])
+def test_stream_queries_registered(name):
+    import __spark_entry__ as e
+
+    assert name in e.queries() and name in e.oracle_sql()
