@@ -58,6 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan produced fewer partitions.
+
+    Small local parquet files arrive as ONE split, serializing every
+    downstream per-row computation (shingling, hashing, UDF batches) on
+    a single core. At production scale inputs are already many splits
+    and this is a no-op — the check costs a plan inspection, not a job.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_sf_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = SF_TABLES
 ) -> dict[str, DataFrame]:

@@ -31,7 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns, vector
 from mini_sql_engine_spark.functions.hashing import (
     SIMHASH_BITS,
@@ -56,8 +56,8 @@ COSINE_T = 0.45
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct token-3-shingle array."""
-    return load_table(spark, sf_dir, "documents").select(
+    """doc_id + distinct token-3-shingle array (parallelized scan)."""
+    return ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
     )
@@ -131,12 +131,16 @@ def canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures → banded LSH candidates → exact-Jaccard verify."""
+    """MinHash signatures → banded LSH candidates → exact-Jaccard verify.
+
+    The banded self-join shuffles only (band, doc_id) pairs — 4 thin
+    rows per doc regardless of doc length; the heavy shingle arrays are
+    joined back onto the (small) deduplicated candidate set afterwards,
+    so array bytes never ride the candidate-generation shuffle."""
     sh = _shingled(spark, sf_dir)
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
     banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(lsh_bands(F.col("sig"), MINHASH_BANDS, MINHASH_ROWS)).alias("band"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -149,15 +153,16 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = cand.join(sha, "doc_a").join(shb, "doc_b")
     inter = F.size(F.array_intersect("sha", "shb"))
     union_n = F.size("sha") + F.size("shb") - inter
     return (
-        cand.withColumn("jacc", F.round(inter / union_n, 6))
+        verified.withColumn("jacc", F.round(inter / union_n, 6))
         .filter(F.col("jacc") >= JACCARD_T)
         .select("doc_a", "doc_b", "jacc")
     )
@@ -165,7 +170,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 via exact 4×15-bit banding."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("t"))
     votes = (
         tok.withColumn("h", md5_long(F.col("t")))
@@ -201,15 +206,21 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine (= dot, unit-norm) ≥ threshold pairs."""
+    """Embedding near-dup: cosine (= dot, unit-norm) ≥ threshold pairs.
+
+    Blocked-matmul all-pairs (functions.vector.allpairs_cosine): each
+    block pair is one Arrow-batched numpy matmul task, so cost is one
+    bounded-memory pass instead of an interpreted per-pair aggregate —
+    the O(n²) scale path. Emitted scores are sequentially re-accumulated
+    so they hash-match DuckDB's list_dot_product exactly.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(vector.dot(F.col("ea"), F.col("eb")), 4))
-        .filter(F.col("cos_sim") >= COSINE_T)
-        .select("vec_a", "vec_b", "cos_sim")
+    return vector.allpairs_cosine(
+        emb, "vec_id", "embedding", COSINE_T, n_blocks=8
+    ).select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        "cos_sim",
     )
 
 

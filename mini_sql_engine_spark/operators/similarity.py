@@ -114,23 +114,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean pairwise cosine within/between label classes — corpus-level
-    embedding-space diagnostics (intra vs inter class separation)."""
+    embedding-space diagnostics (intra vs inter class separation).
+
+    Blocked matmul with map-side partial (sum, count) per label pair
+    (functions.vector.allpairs_grouped_sums): the final shuffle carries
+    one row per (block pair × label pair) instead of one per vector
+    pair. Rounding at 1e-6 absorbs the matmul's accumulation-order
+    drift (≤1e-12 on a mean of ~1e6 pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    partial = vector.allpairs_grouped_sums(
+        emb, "vec_id", "embedding", ["label"], n_blocks=8
     )
     return (
-        a.join(b, F.col("va") < F.col("vb"))
-        .groupBy(
-            F.least("la", "lb").alias("label_a"),
-            F.greatest("la", "lb").alias("label_b"),
+        partial.groupBy(
+            F.col("ga_label").alias("label_a"), F.col("gb_label").alias("label_b")
         )
         .agg(
-            F.round(F.avg(vector.dot(F.col("ea"), F.col("eb"))), 6).alias("avg_cos"),
-            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("part_sum") / F.sum("part_n"), 6).alias("avg_cos"),
+            F.sum("part_n").alias("n_pairs"),
         )
     )
 
