@@ -12,6 +12,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from mini_sql_engine_spark.operators import (
+    analytics,
+    asof,
     dedup,
     joins_ext,
     multimodal,
@@ -26,6 +28,8 @@ _MODULES = [
     parity,
     rollups,
     joins_ext,
+    analytics,
+    asof,
     text,
     dedup,
     similarity,

@@ -1,0 +1,332 @@
+"""OLAP analytics operators beyond the reference's surface.
+
+The reference caps out at whole-table aggregates (SURVEY.md §2.1
+O9–O13, "no GROUP BY anywhere in the spec"); this module covers the
+OLAP staples a Spark engine gets from Catalyst: multi-dimensional
+aggregation (ROLLUP / CUBE / GROUPING SETS), pivot, statistical
+aggregates, scalar expression coverage (string/date/math), subqueries
+(scalar / IN / correlated), deterministic hash-sampling, and
+approx_count_distinct.
+
+Scale notes (100 TB):
+- rollup/cube expand each input row to its grouping-set combinations
+  BEFORE the shuffle, but partial aggregation collapses per-partition
+  groups first, so shuffle volume is bounded by (groups × partitions),
+  not rows × sets;
+- pivot with an explicit value list is one groupBy shuffle; never call
+  pivot without values at scale (it runs a distinct scan first);
+- hash-sampling (md5 % 100 < p) is stateless per row — pushes to the
+  scan, no shuffle, reproducible across engines and runs, and stable
+  under repartitioning (unlike TABLESAMPLE / rand());
+- correlated subqueries decorrelate in Catalyst to joins — the plans
+  below all become broadcast or shuffled joins, never per-row lookups;
+- approx_count_distinct is the HLL++ sketch: constant memory per
+  group vs. the exact count's full key shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table, register_sf_tables
+from mini_sql_engine_spark.functions.hashing import md5_long
+
+ALL = "(all)"  # marker for super-aggregate rows (testdata is NOT NULL,
+# so coalescing grouped NULLs to a marker is unambiguous)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SAMPLE_PCT = 5  # md5-hash sampling keeps ~5% of rows
+
+
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (priority, status): hierarchy of subtotals + grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit(ALL)).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit(ALL)).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit(ALL)).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit(ALL)).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (type), (user), () — SQL form."""
+    register_sf_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        f"""
+        SELECT coalesce(event_type, '{ALL}') AS event_type,
+               coalesce(CAST(user_id AS STRING), '{ALL}') AS user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts pivoted to one column per event type.
+
+    Explicit value list → single shuffle, stable schema at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(t, F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+    )
+
+
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar coverage in one projection —
+    the entire category is absent from the reference (SURVEY §2.1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("prio_name"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 2).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.floor(F.col("o_totalprice") / 100).alias("price_bucket"),
+        F.when(F.col("o_totalprice") > 1000, "big").otherwise("small").alias("size_tag"),
+    )
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample of lineitem keyed on (orderkey,
+    linenumber) — reproducible across engines, runs, and partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", "l_orderkey", "l_linenumber")
+    return li.filter(md5_long(key) % 100 < SAMPLE_PCT).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the global average balance (scalar subquery)."""
+    register_sf_tables(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )
+
+
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in nations that have >= 50 customers (IN subquery)."""
+    register_sf_tables(spark, sf_dir, ("supplier", "customer"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (SELECT c_nationkey FROM customer
+                              GROUP BY c_nationkey HAVING COUNT(*) >= 50)
+        """
+    )
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance (correlated scalar
+    subquery — Catalyst decorrelates to an aggregate + join)."""
+    register_sf_tables(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch per event type, with exact count and
+    relative error alongside. No oracle-value check (sketches are
+    engine-specific); the pytest asserts rsd bounds instead."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ),
+        )
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "ext_rollup": rollup_priority_status,
+    "ext_cube": cube_returnflag_linestatus,
+    "ext_grouping_sets": grouping_sets_events,
+    "ext_pivot": pivot_event_types,
+    "ext_stats_by_group": stats_by_segment,
+    "ext_corr_covar": corr_price_quantity,
+    "ext_scalar_funcs": scalar_functions,
+    "ext_hash_sample": hash_sample,
+    "ext_scalar_subquery": scalar_subquery,
+    "ext_in_subquery": in_subquery,
+    "ext_correlated_subquery": correlated_subquery,
+    "ext_approx_count_distinct": approx_count_distinct,
+}
+
+_SAMPLE_HASH = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || "
+    "CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+ORACLES: dict[str, str] = {
+    "ext_rollup": f"""
+        SELECT coalesce(o_orderpriority, '{ALL}') AS priority,
+               coalesce(o_orderstatus, '{ALL}') AS status,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "ext_cube": f"""
+        SELECT coalesce(l_returnflag, '{ALL}') AS returnflag,
+               coalesce(l_linestatus, '{ALL}') AS linestatus,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "ext_grouping_sets": f"""
+        SELECT coalesce(event_type, '{ALL}') AS event_type,
+               coalesce(CAST(user_id AS VARCHAR), '{ALL}') AS user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """,
+    "ext_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (event_type = 'error')    AS n_error,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "ext_stats_by_group": """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               ROUND(AVG(c_acctbal), 4) AS avg_bal,
+               ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+               ROUND(var_samp(c_acctbal), 2) AS var_bal,
+               ROUND(median(c_acctbal), 4) AS med_bal,
+               ROUND(MIN(c_acctbal), 4) AS min_bal,
+               ROUND(MAX(c_acctbal), 4) AS max_bal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "ext_corr_covar": """
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "ext_scalar_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               day(o_orderdate) AS o_day,
+               quarter(o_orderdate) AS o_quarter,
+               date_trunc('month', o_orderdate) AS month_start,
+               upper(substr(o_orderpriority, 3, 20)) AS prio_name,
+               concat_ws('/', o_orderstatus, o_orderpriority) AS status_prio,
+               length(o_orderpriority) AS prio_len,
+               ROUND(ABS(o_totalprice - 1000.0), 2) AS abs_diff,
+               ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+               FLOOR(o_totalprice / 100) AS price_bucket,
+               CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END
+                   AS size_tag
+        FROM orders
+    """,
+    "ext_hash_sample": f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE {_SAMPLE_HASH} % 100 < {SAMPLE_PCT}
+    """,
+    "ext_scalar_subquery": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    "ext_in_subquery": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey IN (SELECT c_nationkey FROM customer
+                              GROUP BY c_nationkey HAVING COUNT(*) >= 50)
+    """,
+    "ext_correlated_subquery": """
+        SELECT c.c_custkey, c.c_nationkey FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    # ext_approx_count_distinct: intentionally NO oracle — HLL++ sketch
+    # values are engine-specific; the driver records rows-only and
+    # tests/test_operators.py asserts the error bound.
+}

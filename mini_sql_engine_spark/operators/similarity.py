@@ -54,6 +54,25 @@ def _plane(p: int) -> list[float]:
 
 PLANES: list[list[float]] = [_plane(p) for p in range(N_PLANES)]
 
+N_CENTROIDS = 8
+NPROBE = 2
+IVF_TOP_K = 5
+
+
+def _centroid(c: int) -> list[float]:
+    """Deterministic pseudo-random centroid (same md5 construction as
+    `_plane`, different salt). Real IVF would k-means these; the operator
+    shape (assign → probe nprobe cells → score within cells) is what a
+    trained index runs, and determinism is what the oracle needs."""
+    out = []
+    for d in range(DIM):
+        h = int(hashlib.md5(f"c{c},{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+CENTROIDS: list[list[float]] = [_centroid(c) for c in range(N_CENTROIDS)]
+
 
 def _dot_const(emb: Column, plane: list[float]) -> Column:
     return vector.dot(emb, F.array(*[F.lit(v) for v in plane]))
@@ -108,6 +127,47 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= ANN_TOP_K)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell;
+    queries probe their NPROBE nearest cells and score only those cells'
+    vectors. The scale path for >billions of vectors: the cell id is the
+    partition key, the centroid table is broadcast (it is tiny by
+    construction), and only probed cells shuffle."""
+    cent = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(CENTROIDS)], "cidx int, cvec array<double>"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored_cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cscore", vector.dot(F.col("embedding"), F.col("cvec")))
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cidx"))
+    ranked = scored_cells.withColumn("crn", F.row_number().over(cw))
+    corpus = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"),
+        F.col("cidx").alias("cell"),
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crn") <= NPROBE))
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+            F.col("cidx").alias("cell"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOP_K)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )
 
@@ -184,6 +244,40 @@ _ANN_ORACLE = f"""
     SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= {ANN_TOP_K}
 """
 
+_CENT_VALUES = ", ".join(
+    f"({i}, {_plane_sql(v)})" for i, v in enumerate(CENTROIDS)
+)
+
+_IVF_ORACLE = f"""
+    WITH cent(cidx, cvec) AS (VALUES {_CENT_VALUES}),
+    scored_cells AS (
+        SELECT e.vec_id, e.embedding,
+               c.cidx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             c.cvec) DESC, c.cidx) AS crn
+        FROM embeddings e CROSS JOIN cent c),
+    corpus AS (
+        SELECT vec_id AS n_id, embedding AS ne, cidx AS cell
+        FROM scored_cells WHERE crn = 1),
+    probes AS (
+        SELECT vec_id AS q_id, embedding AS qe, cidx AS cell
+        FROM scored_cells WHERE vec_id < {N_QUERIES} AND crn <= {NPROBE}),
+    scored AS (
+        SELECT q_id, n_id,
+               ROUND(list_dot_product(CAST(qe AS DOUBLE[]),
+                                      CAST(ne AS DOUBLE[])), 4) AS cos_sim
+        FROM probes JOIN corpus USING (cell)
+        WHERE q_id != n_id),
+    ranked AS (
+        SELECT q_id, n_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, n_id) AS rnk
+        FROM scored)
+    SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= {IVF_TOP_K}
+"""
+
 _LABEL_ORACLE = """
     SELECT least(a.label, b.label) AS label_a,
            greatest(a.label, b.label) AS label_b,
@@ -197,11 +291,13 @@ _LABEL_ORACLE = """
 QUERIES: dict[str, Callable] = {
     "ext_sim_bruteforce_topk": brute_force_topk,
     "ext_sim_ann_lsh_topk": ann_lsh_topk,
+    "ext_sim_ivf_topk": ivf_topk,
     "ext_sim_label_pairs": label_centroid_similarity,
 }
 
 ORACLES: dict[str, str] = {
     "ext_sim_bruteforce_topk": _BRUTE_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
+    "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_label_pairs": _LABEL_ORACLE,
 }

@@ -122,3 +122,70 @@ def test_canonical_keep_drops_only_pair_members(spark, sf_dir):
         dedup.jaccard_dedup(spark, sf_dir).select("doc_b").distinct().count()
     )
     assert kept == n_docs - n_dropped
+
+
+def test_asof_match_time_not_after_event(spark, sf_dir):
+    """Every as-of match must be the user's latest order at-or-before
+    the event timestamp."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators import asof
+
+    out = asof.asof_join(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = out.join(events, "event_id").join(orders, "o_orderkey").collect()
+    assert joined, "as-of join returned no matches"
+    assert all(r.o_orderdate <= r.ts for r in joined)
+
+
+def test_hash_sample_fraction(spark, sf_dir):
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators import analytics
+
+    n_all = load_table(spark, sf_dir, "lineitem").count()
+    n_sample = analytics.hash_sample(spark, sf_dir).count()
+    frac = n_sample / n_all
+    # ~5% target; generous envelope for small sf
+    assert 0.01 <= frac <= 0.12, f"sample fraction {frac:.3f} out of range"
+
+
+def test_hash_sample_is_deterministic(spark, sf_dir):
+    from mini_sql_engine_spark.operators import analytics
+
+    a = {tuple(r) for r in analytics.hash_sample(spark, sf_dir).collect()}
+    b = {tuple(r) for r in analytics.hash_sample(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    from mini_sql_engine_spark.operators import analytics
+
+    rows = analytics.approx_count_distinct(spark, sf_dir).collect()
+    assert rows
+    # rsd was set to 2%; allow 5x slack on tiny data
+    assert all(r.rel_err <= 0.10 for r in rows)
+
+
+def test_ivf_results_within_brute_force_universe(spark, sf_dir):
+    """IVF restricts candidates, never rescores: any hit shared with the
+    exact top-k must carry the identical similarity."""
+    brute = {
+        (r.q_id, r.n_id): r.cos_sim
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    for r in similarity.ivf_topk(spark, sf_dir).collect():
+        if (r.q_id, r.n_id) in brute:
+            assert brute[(r.q_id, r.n_id)] == r.cos_sim
+
+
+def test_rollup_grand_total_matches_count(spark, sf_dir):
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators import analytics
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    grand = (
+        analytics.rollup_priority_status(spark, sf_dir)
+        .filter("priority = '(all)' AND status = '(all)'")
+        .collect()
+    )
+    assert len(grand) == 1 and grand[0].n_orders == n_orders
