@@ -1,0 +1,93 @@
+"""General sources & sinks: parquet / CSV / JSON / ORC, partitioned and
+bucketed writes.
+
+The reference's only source is whole-file CSV into memory and its only
+sink is stdout (SURVEY.md §2.1 O2/O16). Spark's readers are lazy,
+schema-aware, splittable scans; the writers here encode the layout
+decisions that matter at 100 TB:
+
+- `write_partitioned`: hive-style directory partitioning on low-
+  cardinality keys → static + dynamic partition pruning at read time;
+- `write_bucketed`: pre-shuffled, bucket-sorted table layout keyed on a
+  join column → co-located (shuffle-free) joins and aggs for every
+  downstream query that joins on that key, at the cost of one shuffle
+  at write time;
+- CSV/JSON readers take an explicit schema — schema inference scans the
+  data twice and infers per-file at scale (never in production paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Lazy scan of `path` in any supported format.
+
+    Parquet/ORC carry their own schema; CSV/JSON require one (explicit
+    schema beats inference: one pass, stable types, nullability kept).
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")  # tests/small data only
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str, **options: str) -> None:
+    """Write `df` to `path`; CSV gets a header so round-trips keep names."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
+    writer = df.write.format(fmt).mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout: `path/col=value/...`.
+
+    Readers with a filter on `partition_cols` scan only matching
+    directories (partition pruning — visible as `PartitionFilters` in
+    the physical plan). Keep partition columns low-cardinality; a
+    high-cardinality partition key creates a small-files problem."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed + sorted managed table (`saveAsTable` — bucketing needs
+    the session catalog, not a bare path).
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle on either side — the physical plan shows no
+    Exchange above the scans. This is the pre-partitioning strategy for
+    a fact table joined on the same key by many queries."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    writer.format("parquet").saveAsTable(table_name)
