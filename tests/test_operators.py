@@ -189,3 +189,26 @@ def test_rollup_grand_total_matches_count(spark, sf_dir):
         .collect()
     )
     assert len(grand) == 1 and grand[0].n_orders == n_orders
+
+
+def test_allpairs_cosine_matches_expression_tier(spark):
+    """Blocked-matmul kernel ≡ zip_with/aggregate expression dot on the
+    same pairs (bit-identical after round-4)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    fast = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in vector.allpairs_cosine(df, "vid", "v", -100.0, n_blocks=3).collect()
+    }
+    a = df.select(F.col("vid").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("vid").alias("ib"), F.col("v").alias("vb"))
+    slow = {
+        (r.ia, r.ib): r.c
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.round(vector.dot("va", "vb"), 4).alias("c"))
+        .collect()
+    }
+    assert fast == slow  # every pair present exactly once, same score
