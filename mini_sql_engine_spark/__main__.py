@@ -19,6 +19,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--data", default=".", help="dir with metadata.txt + <table>.csv files")
     p.add_argument("--parquet", default=None, help="scale-factor parquet dir instead of --data")
     p.add_argument("--cpus", type=int, default=4, help="local parallelism for the CLI session")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the physical plan instead of executing",
+    )
     args = p.parse_args(argv)
 
     from mini_sql_engine_spark.engine import Engine
@@ -31,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
             eng = Engine.from_parquet_dir(spark, args.parquet)
         else:
             eng = Engine.from_metadata_dir(spark, args.data)
-        print(eng.execute(args.query))
+        print(eng.explain(args.query) if args.explain else eng.execute(args.query))
     except EngineError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -60,6 +60,17 @@ class Engine:
         resolved = analyze(parse_query(query), self.schema)
         return build_dataframe(resolved, self.tables)
 
+    def explain(self, query: str) -> str:
+        """Formatted physical plan for a reference-dialect query — the
+        reference has no EXPLAIN at all (SURVEY.md §2.1); here it is
+        Catalyst's plan, showing pushed filters, pruned schemas, join
+        strategy and codegen stages."""
+        return self.sql(query)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
     def execute(self, query: str) -> str:
         """Reference CLI parity: qualified-name CSV header + rows (O16).
 

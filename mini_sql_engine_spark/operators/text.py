@@ -93,6 +93,42 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+
+    Plan shape: one token explode → (doc, token) partial-agg counts
+    (tf), token-level agg (df) joined back, window top-k per doc. At
+    100 TB the df table is |vocab|-sized — broadcast if it fits, else
+    a shuffled join on token; both aggregations are partial-first so
+    the shuffles carry counts, not tokens × docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    tok = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
 def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured extraction: numeric id from 'Customer#000000014' names."""
     return load_table(spark, sf_dir, "customer").select(
@@ -137,6 +173,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_quality": quality,
     "ext_text_fingerprint": fingerprints,
     "ext_text_token_histogram": token_histogram,
+    "ext_text_tfidf": tfidf_top_terms,
     "ext_regexp_extract": regexp_extract_ids,
 }
 
@@ -189,6 +226,23 @@ ORACLES: dict[str, str] = {
         SELECT token, COUNT(*) AS cnt
         FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    "ext_text_tfidf": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   ROUND(tf.tf * (ln((n.n + 1) * 1.0 / (df.df + 1)) + 1.0), 6)
+                       AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token) AS rnk
+            FROM scored)
+        SELECT doc_id, token, tf, df, tfidf, rnk
+        FROM ranked WHERE rnk <= {TFIDF_TOP_K}
     """,
     "ext_regexp_extract": r"""
         SELECT c_custkey,

@@ -1,0 +1,105 @@
+"""Physical-plan shape assertions — the 100 TB design review, executable.
+
+Correctness tests prove the operators compute the right answer; these
+prove the PLANS are the ones that survive scale-up: dimension joins
+broadcast, filters reach the parquet scan, expression pipelines stay in
+whole-stage codegen, and salting preserves results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import skew
+from mini_sql_engine_spark.operators import ALL_QUERIES
+from mini_sql_engine_spark.operators.parity import engine_for
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    """customer ⋈ nation must broadcast the nation side (25 rows at any
+    sf) — never shuffle the customer side for a fixed-size dim."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(joined), _plan(joined)
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """ext_semi_join compiles to a semi join (key-only probe), not an
+    inner join + distinct."""
+    plan = _plan(ALL_QUERIES["ext_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_text_pipeline_is_single_jvm_scan(spark, sf_dir):
+    """The text-quality projection is one JVM scan stage: no shuffle,
+    no Python boundary. (The projection itself uses higher-order
+    functions, which Spark evaluates outside whole-stage codegen but
+    still JVM-side — the codegen'd part is the columnar scan, `*(1)`.)"""
+    plan = _plan(ALL_QUERIES["ext_text_quality"](spark, sf_dir))
+    assert "*(1)" in plan  # a whole-stage-codegen stage exists
+    assert "Exchange" not in plan, plan  # pure projection: zero shuffles
+    assert "Python" not in plan  # no row-at-a-time or Arrow Python eval
+
+
+def test_flagship_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(ALL_QUERIES["flagship"](spark, sf_dir))
+    assert "PushedFilters: [" in plan and "l_discount" in plan, plan
+
+
+def test_engine_dialect_join_is_real_join(spark, sf_dir):
+    """The reference computes FROM t1,t2 WHERE t1.k = t2.k as cross
+    product THEN filter (SURVEY §3.1); Catalyst must recognize the
+    equality and plan a hash/merge join, never a cartesian."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.sql(
+        "SELECT nation.n_nationkey, region.r_regionkey FROM nation, region "
+        "WHERE nation.n_regionkey = region.r_regionkey;"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "Join" in plan, plan
+
+
+def test_engine_explain_is_formatted(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    out = eng.explain("SELECT MAX(n_nationkey) FROM nation;")
+    assert "Physical Plan" in out
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    salted = skew.salted_aggregate(
+        events,
+        ["event_type"],
+        {"n": ("count", "event_id"), "total": ("sum", "value"), "mx": ("max", "value")},
+        n_salts=8,
+    )
+    plain = events.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("mx"),
+    )
+    s = {r.event_type: (r.n, round(r.total, 6), r.mx) for r in salted.collect()}
+    p = {r.event_type: (r.n, round(r.total, 6), r.mx) for r in plain.collect()}
+    assert s == p
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "user_id", "custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    salted = skew.salted_join(events, customer, "custkey", n_salts=4)
+    plain = events.join(customer, "custkey")
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    key_counts_s = {r.custkey: r.n for r in salted.groupBy("custkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    key_counts_p = {r.custkey: r.n for r in plain.groupBy("custkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert key_counts_s == key_counts_p
