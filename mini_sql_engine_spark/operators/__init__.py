@@ -16,6 +16,7 @@ from mini_sql_engine_spark.operators import (
     asof,
     dedup,
     joins_ext,
+    ml_lsh,
     multimodal,
     parity,
     rollups,
@@ -33,6 +34,7 @@ _MODULES = [
     text,
     dedup,
     similarity,
+    ml_lsh,
     multimodal,
     streaming_windows,
 ]

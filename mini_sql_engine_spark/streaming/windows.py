@@ -121,6 +121,29 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_counts(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: watermarked session windows per user.
+
+    State holds open sessions only — a session closes (and its state is
+    evicted) once the watermark passes its end + gap. Output matches the
+    batch `ext_session_window` shape, so the SAME gaps-and-islands
+    DuckDB oracle checks both (stream-batch unification)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_to_df(
     spark: SparkSession,
     streaming_df: DataFrame,
@@ -172,6 +195,12 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_to_df(
+        spark, session_counts(events_stream(spark, sf_dir)), "complete"
+    )
+
+
 def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch equivalent of the stateful operator — used in parity tests."""
     return (
@@ -187,9 +216,19 @@ def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable] = {
     "stream_tumbling_counts": stream_tumbling,
     "stream_stateful_user_totals": stream_user_totals,
+    "stream_session_windows": stream_sessions,
 }
 
+def _session_oracle() -> str:
+    """The batch session-window oracle verifies the stream too (same
+    output shape) — stream-batch unification, checked by the driver."""
+    from mini_sql_engine_spark.operators import rollups
+
+    return rollups.ORACLES["ext_session_window"]
+
+
 ORACLES: dict[str, str] = {
+    "stream_session_windows": _session_oracle(),
     "stream_tumbling_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                event_type, COUNT(*) AS n_events,

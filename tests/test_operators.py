@@ -212,3 +212,36 @@ def test_allpairs_cosine_matches_expression_tier(spark):
         .collect()
     }
     assert fast == slow  # every pair present exactly once, same score
+
+
+def test_ml_brp_pairs_contained_in_exact(spark, sf_dir):
+    """BRP-LSH emits exact distances on candidates → its pair set is a
+    subset of the exact all-pairs result at the same threshold, with
+    identical cosine values."""
+    from mini_sql_engine_spark.operators import ml_lsh
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.embedding_dedup(spark, sf_dir).collect()
+    }
+    ml = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in ml_lsh.ml_brp_pairs(spark, sf_dir).collect()
+    }
+    assert set(ml) <= set(exact)
+    for k, v in ml.items():
+        assert abs(v - exact[k]) <= 1e-3  # same metric, float round paths differ
+    if exact:
+        assert len(ml) / len(exact) >= 0.5, "BRP recall collapsed"
+
+
+def test_ml_minhash_pairs_plausible(spark, sf_dir):
+    """MinHashLSH pairs: deterministic across runs, symmetric-free
+    (a < b), similarity within [0, 1]."""
+    from mini_sql_engine_spark.operators import ml_lsh
+
+    rows = ml_lsh.ml_minhash_pairs(spark, sf_dir).collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(0.0 <= r.jacc_sim <= 1.0 for r in rows)
+    again = ml_lsh.ml_minhash_pairs(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(r.doc_a, r.doc_b) for r in again}
