@@ -24,6 +24,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print the physical plan instead of executing",
     )
+    p.add_argument(
+        "--ansi",
+        action="store_true",
+        help="treat the query as full Spark SQL instead of the reference dialect",
+    )
     args = p.parse_args(argv)
 
     from mini_sql_engine_spark.engine import Engine
@@ -36,7 +41,25 @@ def main(argv: list[str] | None = None) -> int:
             eng = Engine.from_parquet_dir(spark, args.parquet)
         else:
             eng = Engine.from_metadata_dir(spark, args.data)
-        print(eng.explain(args.query) if args.explain else eng.execute(args.query))
+        if args.ansi:
+            from pyspark.errors import AnalysisException, ParseException
+
+            try:
+                df = eng.ansi_sql(args.query)
+                if args.explain:
+                    print(df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                    ))
+                else:
+                    rows = df.collect()
+                    print(",".join(df.columns))
+                    for row in rows:
+                        print(",".join(str(v) for v in row))
+            except (AnalysisException, ParseException) as e:
+                print(f"error: {e.getMessage() if hasattr(e, 'getMessage') else e}", file=sys.stderr)
+                return 1
+        else:
+            print(eng.explain(args.query) if args.explain else eng.execute(args.query))
     except EngineError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -60,6 +60,15 @@ class Engine:
         resolved = analyze(parse_query(query), self.schema)
         return build_dataframe(resolved, self.tables)
 
+    def ansi_sql(self, query: str) -> DataFrame:
+        """Full Spark SQL over the engine's tables — everything Catalyst
+        parses (joins of any shape, window functions, CTEs, grouping
+        sets, subqueries), a strict superset of the reference dialect.
+        Tables are registered as temp views on first use."""
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     def explain(self, query: str) -> str:
         """Formatted physical plan for a reference-dialect query — the
         reference has no EXPLAIN at all (SURVEY.md §2.1); here it is

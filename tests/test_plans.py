@@ -103,3 +103,25 @@ def test_salted_join_matches_plain(spark, sf_dir):
     key_counts_s = {r.custkey: r.n for r in salted.groupBy("custkey").agg(F.count(F.lit(1)).alias("n")).collect()}
     key_counts_p = {r.custkey: r.n for r in plain.groupBy("custkey").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert key_counts_s == key_counts_p
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Partitioned fact ⋈ filtered dim on the partition column must
+    plan a dynamicpruning subquery: only matching partitions are read,
+    decided at runtime from the dim side — the 100 TB star-join path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    dim = spark.createDataFrame(
+        [("A", "accept"), ("N", "new"), ("R", "reject")], "flag string, label string"
+    )
+    fact = spark.read.parquet(path)
+    j = (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .filter(F.col("label") == "reject")
+        .groupBy("flag")
+        .count()
+    )
+    assert "dynamicpruning" in _plan(j).lower()
+    expect = li.filter(F.col("l_returnflag") == "R").count()
+    assert j.collect()[0]["count"] == expect
