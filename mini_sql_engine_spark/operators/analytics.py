@@ -200,6 +200,57 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). At 100 TB exact percentiles are a full
+    sort per group — switch to `percentile_approx` (t-digest sketch,
+    mergeable, one pass) and accept bounded rank error; both are
+    exposed here so the trade is visible."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90"),
+    )
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of part metrics."""
+    part = load_table(spark, sf_dir, "part")
+    return part.unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregation: count_if / bool_or /
+    guarded sums — one scan, no self-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+        ).alias("high_tax_revenue"),
+    )
+
+
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nation list per region. Sorted before
+    joining so the result is deterministic under any partitioning."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-count sketch per event type, with exact count and
     relative error alongside. No oracle-value check (sketches are
@@ -234,6 +285,10 @@ QUERIES: dict[str, Callable] = {
     "ext_scalar_subquery": scalar_subquery,
     "ext_in_subquery": in_subquery,
     "ext_correlated_subquery": correlated_subquery,
+    "ext_percentiles": percentiles_by_segment,
+    "ext_unpivot": unpivot_part_metrics,
+    "ext_conditional_agg": conditional_aggregates,
+    "ext_string_agg": string_agg_nations,
     "ext_approx_count_distinct": approx_count_distinct,
 }
 
@@ -325,6 +380,35 @@ ORACLES: dict[str, str] = {
         SELECT c.c_custkey, c.c_nationkey FROM customer c
         WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
                              WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    "ext_percentiles": """
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+               ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "ext_unpivot": """
+        SELECT p_partkey, metric, value
+        FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+                     p_retailprice
+              FROM part)
+        UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    """,
+    "ext_conditional_agg": """
+        SELECT l_linestatus,
+               COUNT(*) FILTER (l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,
+               bool_or(l_quantity > 49) AS any_bulk,
+               ROUND(SUM(l_extendedprice) FILTER (l_tax > 0.04), 2)
+                   AS high_tax_revenue
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "ext_string_agg": """
+        SELECT n_regionkey,
+               string_agg(n_name, '|' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation GROUP BY n_regionkey
     """,
     # ext_approx_count_distinct: intentionally NO oracle — HLL++ sketch
     # values are engine-specific; the driver records rows-only and

@@ -224,6 +224,53 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over the
+    Jaccard near-dup graph via iterative min-label propagation; every doc
+    gets cluster_id = min doc_id of its component.
+
+    This is the iterative-algorithm pattern on Spark: a driver loop over
+    DataFrame ops with `localCheckpoint` cutting lineage each round and
+    a metadata-only convergence check (an aggregate count — never data
+    collection). Rounds needed = graph diameter (near-dup components are
+    shallow in practice). At 100 TB: each round is one shuffle of
+    (node, label) keyed by node; the edge list is the static side and
+    can be bucketed on src so the per-round join never reshuffles edges
+    — the same structure as large-scale connected components
+    (Hash-to-Min) on any MapReduce-family engine."""
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()  # computed once, reused every round
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.selectExpr("doc_id AS node", "doc_id AS label")
+    prev_sum = None
+    for _ in range(MAX_CC_ITERS):
+        neighbor_labels = edges.join(
+            labels, edges.src == labels.node
+        ).selectExpr("dst AS node", "label")
+        labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # labels are monotonically non-increasing, so an unchanged sum
+        # IS the fixpoint — one aggregate job, no join, per round
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation not converged in {MAX_CC_ITERS} rounds")
+    return labels.selectExpr("node AS doc_id", "label AS cluster_id")
+
+
 # ---- oracles (DuckDB replays of the same constructions) --------------------
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -314,6 +361,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_minhash_lsh": minhash_lsh_dedup,
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
+    "ext_dedup_clusters": dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -338,6 +386,25 @@ ORACLES: dict[str, str] = {
     """,
     "ext_dedup_minhash_lsh": _MINHASH_ORACLE,
     "ext_dedup_simhash": _SIMHASH_ORACLE,
+    # connected components as a recursive CTE: enumerate every
+    # (node, reachable-node) pair over the undirected near-dup graph —
+    # min reachable id ≡ the propagation fixpoint
+    "ext_dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.node)
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    """,
     # CAST to DOUBLE[]: list_dot_product on FLOAT[] returns float32,
     # whose ROUND(…, 4) widens to e.g. 0.45320001… in the comparison
     "ext_dedup_embedding": f"""

@@ -144,6 +144,40 @@ def session_counts(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases within `horizon` after a
+    click by the same user. Both sides carry watermarks, and the time-
+    range condition bounds the join state: a buffered click is evicted
+    once the purchase-side watermark passes click_ts + horizon — state
+    is O(events inside the horizon window), independent of stream
+    length. Output keys only (event ids) — append-mode deterministic."""
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+
 def stream_to_df(
     spark: SparkSession,
     streaming_df: DataFrame,
@@ -156,17 +190,26 @@ def stream_to_df(
     last emission per key (`dedupe_keys` + monotonic `order_col`)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     chk = os.path.join(tempfile.gettempdir(), f"chk_{name}")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", chk)
-        .start()
-    )
+    # state-store count = shuffle partitions at query START (fixed for
+    # the query's lifetime). This replay is a bounded batch — 8 state
+    # partitions beat 32 stores' open/commit overhead; a production
+    # long-lived stream would size this to key cardinality instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name)
     if dedupe_keys and order_col:
         from pyspark.sql import Window
@@ -201,6 +244,14 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return stream_to_df(spark, click_purchase_join(clicks, purchases), "append")
+
+
 def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch equivalent of the stateful operator — used in parity tests."""
     return (
@@ -217,6 +268,7 @@ QUERIES: dict[str, Callable] = {
     "stream_tumbling_counts": stream_tumbling,
     "stream_stateful_user_totals": stream_user_totals,
     "stream_session_windows": stream_sessions,
+    "stream_click_purchase_join": stream_click_purchase,
 }
 
 def _session_oracle() -> str:
@@ -227,8 +279,20 @@ def _session_oracle() -> str:
     return rollups.ORACLES["ext_session_window"]
 
 
+_EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts) FROM events)"
+
 ORACLES: dict[str, str] = {
     "stream_session_windows": _session_oracle(),
+    # µs-truncated ts on the oracle side to match Spark's timestamp
+    # precision (FIXTURES.md §1.4)
+    "stream_click_purchase_join": f"""
+        WITH e AS (SELECT * FROM {_EVENTS_US})
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM e c JOIN e p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
     "stream_tumbling_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                event_type, COUNT(*) AS n_events,

@@ -245,3 +245,25 @@ def test_ml_minhash_pairs_plausible(spark, sf_dir):
     assert all(0.0 <= r.jacc_sim <= 1.0 for r in rows)
     again = ml_lsh.ml_minhash_pairs(spark, sf_dir).collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(r.doc_a, r.doc_b) for r in again}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Connected-components invariants: near-dup pair members share a
+    cluster; every cluster id is the min doc_id of its members;
+    singletons are their own cluster."""
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = dedup.jaccard_dedup(spark, sf_dir).collect()
+    for r in pairs:
+        assert clusters[r.doc_a] == clusters[r.doc_b]
+    members: dict = {}
+    for doc, c in clusters.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+    paired = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    for doc, c in clusters.items():
+        if doc not in paired:
+            assert c == doc
