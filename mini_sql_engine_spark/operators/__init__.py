@@ -22,11 +22,13 @@ from mini_sql_engine_spark.operators import (
     rollups,
     similarity,
     text,
+    tpch,
 )
 from mini_sql_engine_spark.streaming import windows as streaming_windows
 
 _MODULES = [
     parity,
+    tpch,
     rollups,
     joins_ext,
     analytics,

@@ -56,11 +56,19 @@ COSINE_T = 0.45
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct token-3-shingle array (parallelized scan)."""
-    return ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
+    """doc_id + distinct token-3-shingle array (parallelized scan).
+
+    Lazily localCheckpoint'ed: every consumer self-joins or reuses this
+    relation 2–3×, and Spark does not reuse the exchange across the
+    a<b self-join — the checkpoint materializes the shingling ONCE on
+    first compute (executor-local blocks; at scale this is the standard
+    'materialize the tokenized corpus once' step) and cuts each
+    jaccard-family query ~3×."""
+    sh = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
     )
+    return sh.localCheckpoint(eager=False)
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +185,11 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(*simhash(F.col("h")))
     )
-    sims = votes.select("doc_id", simhash_from_votes().alias("sim"))
+    # thin (doc_id, sim) relation, self-joined below — checkpoint so the
+    # token hash + vote aggregation runs once, not once per join side
+    sims = votes.select("doc_id", simhash_from_votes().alias("sim")).localCheckpoint(
+        eager=False
+    )
     bands_arr = F.array(
         *[
             simhash_band(F.col("sim"), j, SIMHASH_BAND_BITS)
