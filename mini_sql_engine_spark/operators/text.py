@@ -129,6 +129,93 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard LLM-training-data shaping step (context windows with
+    overlap). Pure per-row transform: sequence → slice → posexplode,
+    no shuffle, parallel in the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks, s + 1, CHUNK_TOKENS), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn("n_chunk_tokens", F.size(textfns.tokens(F.col("chunk_text"))))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the MassiveText/Gopher-style
+    filters): top-bigram share and distinct-token ratio per doc. Plan:
+    explode bigrams → per-(doc, bigram) partial counts → per-doc max —
+    two shuffles of counts, never of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(textfns.shingles("text", 2)).alias("bigram"),
+    )
+    per_doc = (
+        bi.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_bigram_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+        .withColumn(
+            "top_bigram_share",
+            F.round(F.col("top_bigram_cnt") / F.col("n_bigrams"), 6),
+        )
+    )
+    tok_ratio = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(textfns.tokens("text")))
+            / F.size(textfns.tokens("text")),
+            6,
+        ).alias("distinct_token_ratio"),
+    )
+    return per_doc.join(tok_ratio, "doc_id").select(
+        "doc_id", "top_bigram_share", "distinct_token_ratio", "n_bigrams"
+    )
+
+
+N_BINS = 20
+BIN_LO = 0.0
+BIN_HI = 1000.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value — one partial-agg shuffle
+    of (bin, count), the distributed histogram primitive."""
+    events = load_table(spark, sf_dir, "events")
+    w = (BIN_HI - BIN_LO) / N_BINS
+    bin_idx = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(BIN_LO)) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(N_BINS - 1),
+    ).cast("int")
+    return (
+        events.groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
 def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured extraction: numeric id from 'Customer#000000014' names."""
     return load_table(spark, sf_dir, "customer").select(
@@ -174,6 +261,9 @@ QUERIES: dict[str, Callable] = {
     "ext_text_fingerprint": fingerprints,
     "ext_text_token_histogram": token_histogram,
     "ext_text_tfidf": tfidf_top_terms,
+    "ext_text_chunking": chunk_documents,
+    "ext_text_repetition": repetition_stats,
+    "ext_histogram": value_histogram,
     "ext_regexp_extract": regexp_extract_ids,
 }
 
@@ -243,6 +333,50 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT doc_id, token, tf, df, tfidf, rnk
         FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    "ext_text_chunking": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks) - 1, 0) + 1,
+                                  {CHUNK_STRIDE})) AS st
+              FROM t)
+        SELECT doc_id,
+               CAST(st / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               array_to_string(toks[st + 1 : st + {CHUNK_TOKENS}], ' ')
+                   AS chunk_text,
+               len(toks[st + 1 : st + {CHUNK_TOKENS}]) AS n_chunk_tokens
+        FROM s
+    """,
+    "ext_text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(toks) >= 2
+                           THEN [array_to_string(toks[i : i + 1], ' ')
+                                 for i in range(1, len(toks))]
+                           ELSE [array_to_string(toks, ' ')] END AS bigrams,
+                      toks
+               FROM t),
+        bi AS (SELECT doc_id, unnest(bigrams) AS bigram FROM sh),
+        per_doc AS (
+            SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+            FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+                  FROM bi GROUP BY 1, 2) g
+            GROUP BY doc_id)
+        SELECT p.doc_id,
+               ROUND(top_bigram_cnt * 1.0 / n_bigrams, 6) AS top_bigram_share,
+               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                   AS distinct_token_ratio,
+               n_bigrams
+        FROM per_doc p JOIN sh USING (doc_id)
+    """,
+    "ext_histogram": f"""
+        SELECT CAST(least(greatest(floor((value - {BIN_LO})
+                                   / {(BIN_HI - BIN_LO) / N_BINS}), 0),
+                          {N_BINS - 1}) AS INT) AS bin,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 4) AS lo,
+               ROUND(MAX(value), 4) AS hi
+        FROM events GROUP BY 1
     """,
     "ext_regexp_extract": r"""
         SELECT c_custkey,
