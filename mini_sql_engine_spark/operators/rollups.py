@@ -162,6 +162,36 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → purchase funnel: users whose first purchase follows
+    their first signup within 7 days. Two thin aggregates (min ts per
+    user per stage) then a key join — never a self-join of raw events."""
+    events = load_table(spark, sf_dir, "events")
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    converted = (
+        first_signup.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return first_signup.agg(
+        F.count(F.lit(1)).alias("n_signup_users")
+    ).crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted"))).withColumn(
+        "conversion_rate",
+        F.round(F.col("n_converted") / F.col("n_signup_users"), 6),
+    )
+
+
 def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the JSON props column and aggregate the extracted field."""
     return (
@@ -190,6 +220,7 @@ QUERIES: dict[str, Callable] = {
     "ext_sliding_window": sliding_window,
     "ext_session_window": session_window_batch,
     "ext_json_props": json_props,
+    "ext_funnel": funnel_conversion,
 }
 
 ORACLES: dict[str, str] = {
@@ -240,6 +271,21 @@ ORACLES: dict[str, str] = {
                event_type, COUNT(*) AS n_events
         FROM events, (VALUES (0), (1)) AS offs(i)
         GROUP BY 1, 2
+    """,
+    "ext_funnel": f"""
+        WITH e AS (SELECT * FROM {_EVENTS_US}),
+        fs AS (SELECT user_id, MIN(ts) AS signup_ts FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (
+            SELECT DISTINCT fs.user_id
+            FROM fs JOIN e p ON p.user_id = fs.user_id
+            WHERE p.event_type = 'purchase'
+              AND p.ts >= fs.signup_ts
+              AND p.ts <= fs.signup_ts + INTERVAL 7 DAY)
+        SELECT (SELECT COUNT(*) FROM fs) AS n_signup_users,
+               (SELECT COUNT(*) FROM conv) AS n_converted,
+               ROUND((SELECT COUNT(*) FROM conv) * 1.0
+                     / (SELECT COUNT(*) FROM fs), 6) AS conversion_rate
     """,
     "ext_session_window": f"""
         WITH e AS (SELECT * FROM {_EVENTS_US}),

@@ -172,6 +172,24 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over the vector column: per-vector max /
+    min / mean / positive-component count — all JVM-side array
+    expressions, one scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    total = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(e).cast("double"), 6).alias("dim_max"),
+        F.round(F.array_min(e).cast("double"), 6).alias("dim_min"),
+        F.round(total / F.size(e), 6).alias("dim_mean"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean pairwise cosine within/between label classes — corpus-level
     embedding-space diagnostics (intra vs inter class separation).
@@ -293,6 +311,7 @@ QUERIES: dict[str, Callable] = {
     "ext_sim_ann_lsh_topk": ann_lsh_topk,
     "ext_sim_ivf_topk": ivf_topk,
     "ext_sim_label_pairs": label_centroid_similarity,
+    "ext_array_funcs": embedding_array_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -300,4 +319,15 @@ ORACLES: dict[str, str] = {
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_label_pairs": _LABEL_ORACLE,
+    # float32 values round-trip exactly through the DOUBLE cast; the
+    # mean accumulates left-to-right in double on both engines
+    "ext_array_funcs": """
+        SELECT vec_id,
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS dim_max,
+               ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS dim_min,
+               ROUND(list_sum(CAST(embedding AS DOUBLE[]))
+                     / len(embedding), 6) AS dim_mean,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive
+        FROM embeddings
+    """,
 }
