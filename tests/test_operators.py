@@ -267,3 +267,25 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     for doc, c in clusters.items():
         if doc not in paired:
             assert c == doc
+
+
+def test_allpairs_cosine_invariant_to_block_count(spark):
+    """n_blocks is a memory/parallelism knob — results must be identical
+    for any block count (1 block = plain all-pairs)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    results = [
+        sorted(
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in vector.allpairs_cosine(df, "vid", "v", 0.0, n_blocks=b).collect()
+        )
+        for b in (1, 2, 5)
+    ]
+    assert results[0] == results[1] == results[2]
+    n = len(rows)
+    # threshold 0: every pair with cos >= 0 appears at most once, none twice
+    ids = [(a, b) for a, b, _ in results[0]]
+    assert len(ids) == len(set(ids))
