@@ -23,6 +23,7 @@ from mini_sql_engine_spark.operators import (
     similarity,
     text,
     tpch,
+    window_funcs,
 )
 from mini_sql_engine_spark.streaming import windows as streaming_windows
 
@@ -30,6 +31,7 @@ _MODULES = [
     parity,
     tpch,
     rollups,
+    window_funcs,
     joins_ext,
     analytics,
     asof,

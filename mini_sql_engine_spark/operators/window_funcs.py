@@ -1,0 +1,190 @@
+"""Analytic window-function operators beyond lag/lead and top-k.
+
+The reference has no window functions at all (SURVEY.md §2.1 "Explicitly
+ABSENT"); these are the standard analyst surface (running totals, moving
+averages, distribution ranks, first/last per entity, calendar rollups)
+expressed with ``pyspark.sql.Window`` so Catalyst plans a single
+sort-within-partition per frame.
+
+Scale notes:
+- Every window here partitions by a key (user_id / c_custkey / o_custkey)
+  → one hash shuffle on the key, then a per-partition sort; no global
+  sort, no driver involvement. Skewed users would need salting, but the
+  tables' keys are near-uniform (FIXTURES.md §1.1).
+- Running double-sums are accumulated in decimal: window aggregation
+  order is engine-internal (DuckDB uses a segment tree, Spark a running
+  accumulator), so float accumulation is only reproducible when the
+  arithmetic is exact. `value` has 2-decimal inputs → decimal(18,2) is
+  lossless.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+
+
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user spend over the event stream."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+    )
+
+
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-event moving average of event value per user (current + 3 prior).
+
+    Sum and count are computed separately (exact decimal sum, long
+    count) and divided once as doubles — dividing decimals directly has
+    engine-specific result scales.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(dec_sum / cnt, 4).alias("avg_value_4"),
+        )
+    )
+
+
+def ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance distribution ranks per nation: quartile, percent_rank,
+    cume_dist. The (c_acctbal, c_custkey) order key is globally unique,
+    so every rank is deterministic."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's first and last order price, plus their delta —
+    one unbounded frame per customer, deduplicated to a per-customer row."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        )
+        .distinct()
+        .withColumn(
+            "price_delta", F.round(F.col("last_price") - F.col("first_price"), 2)
+        )
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: orders per (year, quarter, month) with exact
+    decimal revenue. year/quarter/month land as longs to match the
+    oracle's EXTRACT (BIGINT)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "qtr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "ext_running_total": running_total,
+    "ext_moving_avg": moving_avg,
+    "ext_ntile_percent_rank": ntile_percent_rank,
+    "ext_first_last_order": first_last_order,
+    "ext_date_funcs": date_functions,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_running_total": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    "ext_moving_avg": """
+        SELECT user_id, event_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 4) AS avg_value_4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    "ext_ntile_percent_rank": """
+        SELECT c_custkey, c_nationkey,
+               NTILE(4) OVER w AS bal_quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    "ext_first_last_order": """
+        SELECT custkey, first_price, last_price,
+               ROUND(last_price - first_price, 2) AS price_delta
+        FROM (
+            SELECT DISTINCT o_custkey AS custkey,
+                   ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+                   ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS last_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        ) t
+    """,
+    "ext_date_funcs": """
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+               EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+               EXTRACT(MONTH FROM o_orderdate) AS mo,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1, 2, 3
+    """,
+}
