@@ -125,3 +125,48 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in _plan(j).lower()
     expect = li.filter(F.col("l_returnflag") == "R").count()
     assert j.collect()[0]["count"] == expect
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    """Q4's EXISTS must stay a left-semi join carrying the correlated
+    l_shipdate > o_orderdate term as a join residual — never an inner
+    join + distinct (which would duplicate-then-dedup the fact)."""
+    plan = _plan(ALL_QUERIES["tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "Deduplicate" not in plan and "Distinct" not in plan, plan
+
+
+def test_q4_prunes_lineitem_to_two_columns(spark, sf_dir):
+    """The semi-join probe needs only (l_orderkey, l_shipdate); the
+    scan must not read the other 9 lineitem columns."""
+    plan = _plan(ALL_QUERIES["tpch_q4"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "l_orderkey" in l)
+    assert "l_shipdate" in scan and "l_extendedprice" not in scan, scan
+
+
+def test_q10_broadcasts_every_dimension(spark, sf_dir):
+    """The star join around the filtered fact: nation (25 rows),
+    customer, and one quarter of orders all hash-broadcast; the only
+    shuffle left is the final group-by."""
+    plan = _plan(ALL_QUERIES["tpch_q10"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: NOT EXISTS → LeftAnti on the thin o_custkey projection; the
+    scalar average arrives as a 1-row broadcast, not a per-row
+    subquery re-evaluation."""
+    plan = _plan(ALL_QUERIES["tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "o_custkey" in l)
+    assert "o_totalprice" not in scan and "o_orderdate" not in scan, scan
+
+
+def test_window_pack_single_shuffle_per_frame(spark, sf_dir):
+    """A partitioned window is one hash exchange on the partition key
+    plus an in-partition sort — a second exchange would mean the frame
+    was re-partitioned per function."""
+    for name in ("ext_running_total", "ext_ntile_percent_rank"):
+        plan = _plan(ALL_QUERIES[name](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
