@@ -19,6 +19,7 @@ from mini_sql_engine_spark.operators import (
     ml_lsh,
     multimodal,
     parity,
+    pipeline_ops,
     rollups,
     similarity,
     text,
@@ -40,6 +41,7 @@ _MODULES = [
     similarity,
     ml_lsh,
     multimodal,
+    pipeline_ops,
     streaming_windows,
 ]
 
