@@ -273,7 +273,30 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level cohort retention triangle: users grouped by their
+    first-activity day, counted distinct on each later activity day.
+
+    Two thin shuffles at any scale: the per-user min-day aggregate
+    (map-side partial), then the (cohort, offset) distinct-count — the
+    raw event stream is never self-joined, only joined against the
+    ~|users| first-day table (broadcast-able when users ≪ events)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_cohort_retention": cohort_retention,
     "ext_rollup": rollup_priority_status,
     "ext_cube": cube_returnflag_linestatus,
     "ext_grouping_sets": grouping_sets_events,
@@ -298,6 +321,17 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_cohort_retention": """
+        WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                    FROM events),
+             firsts AS (SELECT user_id, MIN(day) AS cohort_day
+                        FROM ev GROUP BY user_id)
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+               date_diff('day', cohort_day, day) AS day_offset,
+               COUNT(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+        GROUP BY cohort_day, day_offset
+    """,
     "ext_rollup": f"""
         SELECT coalesce(o_orderpriority, '{ALL}') AS priority,
                coalesce(o_orderstatus, '{ALL}') AS status,
