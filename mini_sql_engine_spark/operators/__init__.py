@@ -15,6 +15,7 @@ from mini_sql_engine_spark.operators import (
     analytics,
     asof,
     dedup,
+    funcs_ext,
     joins_ext,
     ml_lsh,
     multimodal,
@@ -34,6 +35,7 @@ _MODULES = [
     rollups,
     window_funcs,
     joins_ext,
+    funcs_ext,
     analytics,
     asof,
     text,

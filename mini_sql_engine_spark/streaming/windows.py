@@ -252,6 +252,21 @@ def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(spark, click_purchase_join(clicks, purchases), "append")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication — exactly-once ingestion's core operator.
+
+    `dropDuplicates` over the key subset emits each (user_id,
+    event_type) pair on first sight and suppresses every later arrival,
+    so the replayed stream must equal batch SELECT DISTINCT (only the
+    keys are emitted: which physical row arrives first is
+    batch-partition-dependent, the key set is not). This replay keeps
+    unbounded key state for exact semantics; a production tail would
+    use dropDuplicatesWithinWatermark to bound state by event time.
+    """
+    s = events_stream(spark, sf_dir).select("user_id", "event_type")
+    return stream_to_df(spark, s.dropDuplicates(["user_id", "event_type"]), "append")
+
+
 def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch equivalent of the stateful operator — used in parity tests."""
     return (
@@ -269,6 +284,7 @@ QUERIES: dict[str, Callable] = {
     "stream_stateful_user_totals": stream_user_totals,
     "stream_session_windows": stream_sessions,
     "stream_click_purchase_join": stream_click_purchase,
+    "stream_dedup": stream_dedup,
 }
 
 def _session_oracle() -> str:
@@ -303,5 +319,10 @@ ORACLES: dict[str, str] = {
         SELECT user_id, COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY user_id
+    """,
+    # stream-batch parity: streaming dropDuplicates over the key subset
+    # must reproduce batch DISTINCT exactly
+    "stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
     """,
 }
