@@ -190,6 +190,35 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the retrieval-side inverted index: per token, document
+    frequency, total term frequency, and the sorted posting list.
+
+    Plan: token explode → one hash aggregation keyed on token; partial
+    aggregation collapses each partition to ≤|vocab| rows before the
+    shuffle. The posting list is emitted sorted (deterministic). At
+    100 TB, hot tokens' posting lists exceed a single row's practical
+    size — production shards them into (token, segment) rows after a
+    size cutoff; the aggregation shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(textfns.tokens("text"))).alias("token")
+    )
+    tf = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("token"))
+    per_token = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    ttf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("ttf"))
+    return per_token.join(ttf, "token").select("token", "df", "ttf", "postings")
+
+
 N_BINS = 20
 BIN_LO = 0.0
 BIN_HI = 1000.0
@@ -263,6 +292,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_tfidf": tfidf_top_terms,
     "ext_text_chunking": chunk_documents,
     "ext_text_repetition": repetition_stats,
+    "ext_inverted_index": inverted_index,
     "ext_histogram": value_histogram,
     "ext_regexp_extract": regexp_extract_ids,
 }
@@ -346,6 +376,16 @@ ORACLES: dict[str, str] = {
                    AS chunk_text,
                len(toks[st + 1 : st + {CHUNK_TOKENS}]) AS n_chunk_tokens
         FROM s
+    """,
+    "ext_inverted_index": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        d AS (SELECT doc_id, token FROM t GROUP BY doc_id, token)
+        SELECT d.token,
+               COUNT(*) AS df,
+               (SELECT COUNT(*) FROM t WHERE t.token = d.token) AS ttf,
+               array_to_string(list_sort(list(d.doc_id)), ',') AS postings
+        FROM d
+        GROUP BY d.token
     """,
     "ext_text_repetition": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
