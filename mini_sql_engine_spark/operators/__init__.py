@@ -25,6 +25,7 @@ from mini_sql_engine_spark.operators import (
     similarity,
     text,
     tpch,
+    udfs,
     window_funcs,
 )
 from mini_sql_engine_spark.streaming import windows as streaming_windows
@@ -44,6 +45,7 @@ _MODULES = [
     ml_lsh,
     multimodal,
     pipeline_ops,
+    udfs,
     streaming_windows,
 ]
 
