@@ -119,7 +119,85 @@ def salted_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marquee composition: a full corpus-curation pass as ONE plan.
+
+    quality filter → language filter → exact dedup (fingerprint
+    keeper) → near-dup canonical keep (Jaccard inverted index) →
+    per-(lang, source) token-budget summary. Every stage is an
+    individually-oracled operator elsewhere in this repo; this entry
+    proves they COMPOSE — one DataFrame, one Catalyst plan, no
+    driver-side materialization between stages.
+
+    Scale path: the filters are scan-fused projections; exact dedup
+    shuffles (fp, doc_id) pairs only; the near-dup self-join runs on
+    the already-filtered survivor set (each stage shrinks the data the
+    next stage shuffles — filter-early is the whole game at 100 TB).
+    """
+    from mini_sql_engine_spark.catalog import ensure_min_partitions
+    from mini_sql_engine_spark.functions import textfns
+    from mini_sql_engine_spark.operators.dedup import JACCARD_T, SHINGLE_K
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = textfns.tokens("text")
+    qualified = (
+        docs.withColumn("n_toks", F.size(toks))
+        .withColumn(
+            "dtr",
+            F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6),
+        )
+        .filter(
+            (F.col("n_toks") >= 8)
+            & (F.col("dtr") >= 0.5)
+            & F.col("lang").isin("en", "fr", "es")
+        )
+    )
+    exact_keep = (
+        qualified.select("doc_id", textfns.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv1 = qualified.join(exact_keep, "doc_id", "left_semi")
+    sh = surv1.select(
+        "doc_id",
+        F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
+    ).localCheckpoint(eager=False)
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            )
+            >= JACCARD_T
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv2 = surv1.join(dropped, "doc_id", "left_anti")
+    return surv2.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "pipeline_curate_corpus": curate_corpus,
     "ext_emb_centroids": emb_centroids,
     "ext_emb_quantize": emb_quantize,
     "ext_stratified_sample": stratified_sample,
@@ -132,6 +210,45 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "pipeline_curate_corpus": r"""
+        WITH toksed AS (
+            SELECT doc_id, lang, source, text,
+                   string_split_regex(text, '\s+') AS toks
+            FROM documents),
+        q AS (
+            SELECT doc_id, lang, source, text, toks, len(toks) AS n_toks
+            FROM toksed
+            WHERE len(toks) >= 8
+              AND ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) >= 0.5
+              AND lang IN ('en', 'fr', 'es')),
+        ek AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                             AS fp
+                  FROM q) f
+            GROUP BY fp),
+        s1 AS (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM ek)),
+        base AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+            FROM s1),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM base),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                   COUNT(*) AS inter
+            FROM ex a JOIN ex b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+        dropped AS (
+            SELECT DISTINCT doc_b AS doc_id FROM pairs
+            WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.2),
+        s2 AS (SELECT * FROM s1
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+        FROM s2 GROUP BY lang, source
+    """,
     "ext_emb_centroids": f"""
         SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
                ROUND(CAST(SUM(CAST(embedding[dim] AS DECIMAL(28,12)))
