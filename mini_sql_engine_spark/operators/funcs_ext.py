@@ -125,7 +125,50 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a composition (no Delta in this container):
+    SCD2-style versioning of customer balances against the latest
+    purchase per user. Updated keys emit the closed old version AND
+    the new current version; untouched keys pass through.
+
+    Scale shape: the updates side is a thin per-key aggregate; the
+    merge itself is one left join on the dimension key + a union of
+    two projections over the SAME joined relation (Catalyst reuses the
+    join subplan). A lakehouse MERGE compiles to essentially this.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("user_id").alias("c_custkey"), F.col("value").alias("new_bal"))
+    )
+    j = cust.join(latest, "c_custkey", "left_outer")
+    updated_old = j.filter(F.col("new_bal").isNotNull()).select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(False).alias("is_current"),
+    )
+    updated_new = j.filter(F.col("new_bal").isNotNull()).select(
+        "c_custkey",
+        F.round("new_bal", 2).alias("bal"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = j.filter(F.col("new_bal").isNull()).select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(True).alias("is_current"),
+    )
+    return updated_old.unionAll(updated_new).unionAll(untouched)
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_merge_upsert": merge_upsert_scd2,
     "ext_string_funcs": string_funcs,
     "ext_math_funcs": math_funcs,
     "ext_null_funcs": null_funcs,
@@ -134,6 +177,26 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_merge_upsert": """
+        WITH latest AS (
+            SELECT user_id AS c_custkey, value AS new_bal
+            FROM (SELECT user_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC)
+                             AS rn
+                  FROM events WHERE event_type = 'purchase') t
+            WHERE rn = 1),
+        j AS (SELECT c.c_custkey, c.c_acctbal, l.new_bal
+              FROM customer c LEFT OUTER JOIN latest l USING (c_custkey))
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS bal, FALSE AS is_current
+        FROM j WHERE new_bal IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, ROUND(new_bal, 2) AS bal, TRUE AS is_current
+        FROM j WHERE new_bal IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS bal, TRUE AS is_current
+        FROM j WHERE new_bal IS NULL
+    """,
     "ext_string_funcs": """
         SELECT c_custkey,
                LOWER(c_name) AS lname,

@@ -67,8 +67,29 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pandas_udf(DoubleType())
+def _median_agg(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (UDAF): exact median per group.
+
+    The whole group's column arrives as one pandas Series (Arrow
+    batch); numpy's midpoint interpolation matches DuckDB's median
+    for even-sized groups.
+    """
+    import numpy as np
+
+    return float(np.median(v.to_numpy()))
+
+
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(_median_agg("value"), 4).alias("median_value")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_pandas_udf_score": pandas_udf_score,
+    "ext_pandas_udaf_median": pandas_udaf_median,
     "ext_udtf_ngrams": udtf_ngrams,
 }
 
@@ -79,6 +100,10 @@ ORACLES: dict[str, str] = {
                      / (1.0 + len(string_split_regex(text, '\\s+'))), 6)
                    AS density
         FROM documents
+    """,
+    "ext_pandas_udaf_median": """
+        SELECT event_type, ROUND(median(value), 4) AS median_value
+        FROM events GROUP BY event_type
     """,
     "ext_udtf_ngrams": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

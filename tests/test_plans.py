@@ -170,3 +170,33 @@ def test_window_pack_single_shuffle_per_frame(spark, sf_dir):
     for name in ("ext_running_total", "ext_ntile_percent_rank"):
         plan = _plan(ALL_QUERIES[name](spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A full orderBy (no limit) must plan a range exchange — every
+    partition gets a contiguous key range, so the sort parallelizes;
+    a single-partition sort would serialize 100 TB through one task.
+    With a LIMIT, the plan must instead collapse to
+    TakeOrderedAndProject (no global sort at all)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    full = li.orderBy("l_extendedprice")
+    assert "rangepartitioning" in _plan(full).lower()
+    topk = li.orderBy("l_extendedprice").limit(5)
+    assert "TakeOrderedAndProject" in _plan(topk)
+
+
+def test_cached_table_serves_from_memory(spark, sf_dir):
+    """df.cache() must turn downstream scans into InMemoryTableScan
+    with identical results — the interactive-reuse path."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    expect = li.agg(F.sum("l_quantity")).collect()[0][0]
+    cached = li.cache()
+    try:
+        cached.count()  # materialize
+        again = cached.agg(F.sum("l_quantity"))
+        assert "InMemoryTableScan" in _plan(again)
+        assert again.collect()[0][0] == expect
+    finally:
+        cached.unpersist()
