@@ -42,7 +42,10 @@ def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feat = tf.transform(docs)
+    # the featurized relation is consumed 3× (fit + both sides of the
+    # self-join) and Spark does not reuse the exchange — materialize it
+    # once (lazy executor-local blocks): measured 4-5× on this query
+    feat = tf.transform(docs).localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="features",
         outputCol="hashes",
@@ -69,8 +72,13 @@ def ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     dist_t = float((2.0 * (1.0 - COSINE_T)) ** 0.5)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+        )
+        .localCheckpoint(eager=False)  # consumed 3×, same as minhash
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="v",
