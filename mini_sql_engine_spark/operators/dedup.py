@@ -55,6 +55,9 @@ HAMMING_MAX = 3  # ≤ band count - 1 ⇒ banding is exact (pigeonhole)
 COSINE_T = 0.45
 
 
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct token-3-shingle array (parallelized scan).
 
@@ -63,12 +66,18 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b self-join — the checkpoint materializes the shingling ONCE on
     first compute (executor-local blocks; at scale this is the standard
     'materialize the tokenized corpus once' step) and cuts each
-    jaccard-family query ~3×."""
+    jaccard-family query ~3×. Memoized per sf_dir so the 4 queries
+    sharing it within a session also share the materialization."""
+    cached = _SHINGLE_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     sh = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
     )
-    return sh.localCheckpoint(eager=False)
+    out = sh.localCheckpoint(eager=False)
+    _SHINGLE_CACHE[sf_dir] = out
+    return out
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
