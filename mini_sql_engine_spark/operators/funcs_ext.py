@@ -167,7 +167,34 @@ def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated_old.unionAll(updated_new).unionAll(untouched)
 
 
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide / try_* return NULL instead of
+    raising on bad inputs — the posture for dirty data at scale, where
+    one malformed row must not kill a 6-hour job. The zero divisor is
+    manufactured (the data has none): revenue-per-unit where quantity
+    is nulled-out for one returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.when(F.col("l_returnflag") == "A", F.lit(0.0)).otherwise(
+        F.col("l_quantity")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round via decimal: ROUND(double) is implemented differently
+        # across engines exactly at .xxxx5 boundaries
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), qty).cast("decimal(28,10)"), 4
+        )
+        .cast("double")
+        .alias("price_per_unit"),
+        F.try_divide(F.lit(1.0), F.col("l_quantity") - F.col("l_quantity")).alias(
+            "div_zero_is_null"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_try_arithmetic": try_arithmetic,
     "ext_merge_upsert": merge_upsert_scd2,
     "ext_string_funcs": string_funcs,
     "ext_math_funcs": math_funcs,
@@ -177,6 +204,15 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_try_arithmetic": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(CAST(l_extendedprice /
+                     NULLIF(CASE WHEN l_returnflag = 'A' THEN 0.0
+                                 ELSE l_quantity END, 0.0)
+                     AS DECIMAL(28,10)), 4) AS DOUBLE) AS price_per_unit,
+               1.0 / NULLIF(l_quantity - l_quantity, 0.0) AS div_zero_is_null
+        FROM lineitem
+    """,
     "ext_merge_upsert": """
         WITH latest AS (
             SELECT user_id AS c_custkey, value AS new_bal

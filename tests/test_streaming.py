@@ -115,3 +115,60 @@ def test_stream_queries_registered(name):
     import __spark_entry__ as e
 
     assert name in e.queries() and name in e.oracle_sql()
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Kill a deduplicating stream mid-run, restart it from the SAME
+    checkpoint: the fault-tolerant file sink's commit log must make the
+    final output exactly the batch DISTINCT — nothing lost from the
+    killed run, nothing re-emitted by the recovered one (the
+    exactly-once guarantee checkpointing exists for)."""
+    import time as _t
+
+    from mini_sql_engine_spark.catalog import load_table
+
+    src = str(tmp_path / "src")
+    keys = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    keys.repartition(6).write.parquet(src)
+    expect = sorted(
+        (r.user_id, r.event_type) for r in keys.distinct().collect()
+    )
+
+    chk = str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline and not q1.recentProgress:
+            _t.sleep(0.2)
+    finally:
+        q1.stop()  # mid-run kill: some files processed, some not
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == expect  # no loss, no duplicates across the restart
