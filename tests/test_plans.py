@@ -200,3 +200,36 @@ def test_cached_table_serves_from_memory(spark, sf_dir):
         assert again.collect()[0][0] == expect
     finally:
         cached.unpersist()
+
+
+def test_join_hints_are_honored(spark, sf_dir):
+    """Explicit strategy hints must override the optimizer's choice —
+    the operator's manual override when statistics mislead (e.g. a
+    filter the CBO can't estimate leaves a 'small' side huge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in _plan(merged), _plan(merged)
+    bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+    assert "BroadcastHashJoin" in _plan(bcast), _plan(bcast)
+
+
+def test_observe_metrics_match_aggregates(spark, sf_dir):
+    """df.observe(): pipeline-health counters collected as a side
+    effect of the normal pass — no second scan. The observed values
+    must equal the standalone aggregates."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("health")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity")).alias("qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    expect = li.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("l_quantity").alias("qty")
+    ).collect()[0]
+    assert obs.get["rows"] == expect["rows"]
+    assert abs(obs.get["qty"] - expect["qty"]) < 1e-6
