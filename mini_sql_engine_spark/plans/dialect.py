@@ -159,6 +159,11 @@ def parse_query(text: str) -> ParsedQuery:
             if q.items or q.distinct:
                 raise EngineError("'*' cannot be combined with other select items")
             q.select_star = True
+        elif tok == "(" and q.distinct and not q.items:
+            # sibling form `SELECT DISTINCT(col)` (SURVEY.md §2.1 O13
+            # [R-uncertain]) — equivalent to DISTINCT col
+            q.items.append(SelectItem(_parse_column(cur.next())))
+            cur.expect(")")
         elif up in AGG_FUNCS and cur.peek() == "(":
             cur.next()  # (
             inner = cur.next()

@@ -59,6 +59,13 @@ def test_distinct(eng):
     assert rows(df) == [(2, 3), (5, 6), (8, 9)]
 
 
+def test_distinct_paren_form(eng):
+    """Sibling form DISTINCT(col) ≡ DISTINCT col (SURVEY §2.1 O13
+    [R-uncertain] — accept both spellings)."""
+    df = eng.sql("SELECT DISTINCT(B) FROM table1;")
+    assert rows(df) == [(2,), (5,), (8,)]
+
+
 def test_aggregates(eng):
     df = eng.sql("SELECT MAX(A), SUM(B) FROM table1;")
     assert df.columns == ["MAX(table1.A)", "SUM(table1.B)"]
