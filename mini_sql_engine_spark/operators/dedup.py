@@ -248,6 +248,66 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 20
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity |A∩B| / min(|A|,|B|) ≥ 0.5 — catches
+    sub-document duplication (one doc embedded in another) that
+    symmetric Jaccard under-scores. Same inverted-index candidates as
+    the Jaccard family; only the verify formula differs."""
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def cross_lang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs whose two docs carry DIFFERENT language tags —
+    the classic curation red flag (mislabeled lang, or boilerplate
+    shared across locales). Pair set joined back to thin metadata;
+    both joins broadcast the small pair side at any corpus size."""
+    pairs = jaccard_dedup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("doc_a", "doc_b", "lang_a", "lang_b", "jacc")
+    )
+
+
+def dual_modality_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup: full outer join of the text near-dup pairs
+    and the embedding near-dup pairs over the shared id space (doc_id ≡
+    vec_id, verified 1:1 in the testdata). Pairs flagged by both
+    signals are the high-confidence drops; single-signal pairs are
+    review queue. Production runs exactly this agreement join before
+    destructive dedup."""
+    text_pairs = jaccard_dedup(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "jacc"
+    )
+    emb_pairs = embedding_dedup(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b"), "cos_sim"
+    )
+    return (
+        text_pairs.join(emb_pairs, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "jacc",
+            "cos_sim",
+            (F.col("jacc").isNotNull() & F.col("cos_sim").isNotNull()).alias(
+                "both_signals"
+            ),
+        )
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS (not just pairs): connected components over the
     Jaccard near-dup graph via iterative min-label propagation; every doc
@@ -383,6 +443,9 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
     "ext_dedup_clusters": dedup_clusters,
+    "ext_dedup_containment": containment_pairs,
+    "ext_dedup_cross_lang": cross_lang_dupes,
+    "ext_dedup_dual_modality": dual_modality_dupes,
 }
 
 ORACLES: dict[str, str] = {
@@ -437,3 +500,41 @@ ORACLES: dict[str, str] = {
                                      CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_T}
     """,
 }
+
+
+ORACLES.update({
+    "ext_dedup_containment": f"""
+        SELECT doc_a, doc_b,
+               ROUND(inter * 1.0 / LEAST(na, nb), 6) AS containment
+        FROM (
+            WITH base AS ({_BASE}),
+            ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle
+                   FROM base)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb, COUNT(*) AS inter
+            FROM ex a JOIN ex b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4) p
+        WHERE ROUND(inter * 1.0 / LEAST(na, nb), 6) >= 0.5
+    """,
+    "ext_dedup_cross_lang": f"""
+        SELECT doc_a, doc_b, da.lang AS lang_a, db.lang AS lang_b, jacc
+        FROM ({_JACCARD_PAIRS}) p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+        WHERE jacc >= {JACCARD_T} AND da.lang <> db.lang
+    """,
+    "ext_dedup_dual_modality": f"""
+        WITH t AS (SELECT doc_a AS id_a, doc_b AS id_b, jacc
+                   FROM ({_JACCARD_PAIRS}) jp WHERE jacc >= {JACCARD_T}),
+        e AS (SELECT vec_a AS id_a, vec_b AS id_b, cos_sim
+              FROM ({{emb}}) ep)
+        SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+               COALESCE(t.id_b, e.id_b) AS id_b,
+               t.jacc, e.cos_sim,
+               (t.jacc IS NOT NULL AND e.cos_sim IS NOT NULL)
+                   AS both_signals
+        FROM t FULL OUTER JOIN e
+          ON t.id_a = e.id_a AND t.id_b = e.id_b
+    """.replace("{emb}", ORACLES["ext_dedup_embedding"]),
+})
