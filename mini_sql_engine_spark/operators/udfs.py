@@ -44,9 +44,13 @@ def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@udtf(returnType="doc_id: bigint, pos: int, bigram: string")
+@udtf(returnType="doc_id: bigint, pos: int, bigram: string", useArrow=True)
 class _BigramUDTF:
-    """Expand one document row into (pos, bigram) rows."""
+    """Expand one document row into (pos, bigram) rows.
+
+    useArrow=True plans ArrowEvalPythonUDTF — results cross the
+    Python→JVM boundary as Arrow batches instead of pickled rows
+    (plan-asserted in tests/test_plans.py)."""
 
     def eval(self, doc_id: int, text: str) -> Iterator[tuple]:
         toks = text.split()

@@ -233,3 +233,10 @@ def test_observe_metrics_match_aggregates(spark, sf_dir):
     ).collect()[0]
     assert obs.get["rows"] == expect["rows"]
     assert abs(obs.get["qty"] - expect["qty"]) < 1e-6
+
+
+def test_udtf_uses_arrow_eval(spark, sf_dir):
+    """The UDTF entry must cross the Python boundary via Arrow batches
+    (ArrowEvalPythonUDTF), never pickled row-at-a-time transfer."""
+    plan = _plan(ALL_QUERIES["ext_udtf_ngrams"](spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan, plan
