@@ -46,10 +46,22 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) or isinstance(y, float):
-                ok = (
-                    (pd.isna(x) and pd.isna(y))
-                    or math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+                # EXACT equality: the driver compares value hashes, not
+                # tolerances — a query that only matches within 1e-9
+                # here would fail the real gate. (Audited round 1: all
+                # 127 oracles are repr-identical at sf0.01.)
+                ok = (pd.isna(x) and pd.isna(y)) or repr(float(x)) == repr(
+                    float(y)
                 )
+                if not ok and math.isclose(
+                    float(x), float(y), rel_tol=1e-9, abs_tol=1e-9
+                ):
+                    raise AssertionError(
+                        f"{name}: col {col} row {i}: spark={x!r} vs "
+                        f"oracle={y!r} — close but not EXACT; make the "
+                        "expression deterministic (decimal accumulation "
+                        "/ round-through-decimal), do not loosen this"
+                    )
             else:
                 ok = str(x) == str(y)
             assert ok, f"{name}: col {col} row {i}: spark={x!r} oracle={y!r}"
