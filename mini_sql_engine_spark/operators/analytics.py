@@ -136,14 +136,16 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.dayofmonth("o_orderdate").alias("o_day"),
-        F.quarter("o_orderdate").alias("o_quarter"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
         F.upper(F.substring("o_orderpriority", 3, 20)).alias("prio_name"),
         F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.round(F.abs(F.col("o_totalprice") - 1000.0), 2).alias("abs_diff"),
         F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
         F.floor(F.col("o_totalprice") / 100).alias("price_bucket"),
@@ -385,13 +387,14 @@ ORACLES: dict[str, str] = {
                month(o_orderdate) AS o_month,
                day(o_orderdate) AS o_day,
                quarter(o_orderdate) AS o_quarter,
-               date_trunc('month', o_orderdate) AS month_start,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                   AS month_start,
                upper(substr(o_orderpriority, 3, 20)) AS prio_name,
                concat_ws('/', o_orderstatus, o_orderpriority) AS status_prio,
                length(o_orderpriority) AS prio_len,
                ROUND(ABS(o_totalprice - 1000.0), 2) AS abs_diff,
                ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
-               FLOOR(o_totalprice / 100) AS price_bucket,
+               CAST(FLOOR(o_totalprice / 100) AS BIGINT) AS price_bucket,
                CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END
                    AS size_tag
         FROM orders

@@ -219,7 +219,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).cast("long").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= HAMMING_MAX)
@@ -429,7 +429,7 @@ _SIMHASH_ORACLE = f"""
     votes AS (SELECT doc_id, {_VOTE_EXPRS} FROM h GROUP BY doc_id),
     sims AS (SELECT doc_id, {_SIM_EXPR} AS sim FROM votes)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.sim, b.sim)) AS hamming
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
 """

@@ -170,7 +170,7 @@ ORACLES: dict[str, str] = {
             FROM documents)
         SELECT media_type, COUNT(*) AS n_items,
                ROUND(AVG(mean_intensity), 4) AS avg_intensity,
-               MAX(max_intensity) AS peak,
+               CAST(MAX(max_intensity) AS BIGINT) AS peak,
                ROUND(AVG(n_bytes), 4) AS avg_bytes
         FROM d GROUP BY media_type
     """,

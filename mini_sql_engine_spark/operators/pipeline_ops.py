@@ -246,7 +246,8 @@ ORACLES: dict[str, str] = {
             WHERE ROUND(inter * 1.0 / (na + nb - inter), 6) >= 0.2),
         s2 AS (SELECT * FROM s1
                WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
         FROM s2 GROUP BY lang, source
     """,
     "ext_emb_centroids": f"""

@@ -82,7 +82,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_totalprice").alias("totalprice"),
-            F.col("rn").alias("rnk"),
+            F.col("rn").cast("long").alias("rnk"),
         )
     )
 

@@ -102,7 +102,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("q_id", "n_id", "cos_sim", "rnk")
+        .select("q_id", "n_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -127,7 +127,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= ANN_TOP_K)
-        .select("q_id", "n_id", "cos_sim", "rnk")
+        .select("q_id", "n_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -168,7 +168,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= IVF_TOP_K)
-        .select("q_id", "n_id", "cos_sim", "rnk")
+        .select("q_id", "n_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -186,7 +186,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(e).cast("double"), 6).alias("dim_max"),
         F.round(F.array_min(e).cast("double"), 6).alias("dim_min"),
         F.round(total / F.size(e), 6).alias("dim_mean"),
-        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
     )
 
 
@@ -205,7 +205,8 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         partial.groupBy(
-            F.col("ga_label").alias("label_a"), F.col("gb_label").alias("label_b")
+            F.col("ga_label").cast("long").alias("label_a"),
+            F.col("gb_label").cast("long").alias("label_b")
         )
         .agg(
             F.round(F.sum("part_sum") / F.sum("part_n"), 6).alias("avg_cos"),

@@ -31,8 +31,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token counts: whitespace and BPE-ish regex tokenizations."""
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        textfns.n_tokens("text").alias("n_ws_tokens"),
-        textfns.n_bpe_tokens("text").alias("n_bpe_tokens"),
+        textfns.n_tokens("text").cast("long").alias("n_ws_tokens"),
+        textfns.n_bpe_tokens("text").cast("long").alias("n_bpe_tokens"),
         F.round(textfns.avg_token_len("text"), 4).alias("avg_tok_len"),
     )
 
@@ -67,7 +67,7 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics + composite score."""
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
         F.round(textfns.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(textfns.stopword_ratio("text"), 6).alias("stopword_ratio"),
         textfns.quality_score("text").alias("quality"),
@@ -125,7 +125,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
-        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+        .select(
+            "doc_id", "token", "tf", "df", "tfidf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
 
 
@@ -151,7 +154,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
-    ).withColumn("n_chunk_tokens", F.size(textfns.tokens(F.col("chunk_text"))))
+    ).withColumn(
+        "n_chunk_tokens", F.size(textfns.tokens(F.col("chunk_text"))).cast("long")
+    )
 
 
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,7 +403,8 @@ ORACLES: dict[str, str] = {
                FROM t),
         bi AS (SELECT doc_id, unnest(bigrams) AS bigram FROM sh),
         per_doc AS (
-            SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+            SELECT doc_id, MAX(cnt) AS top_bigram_cnt,
+                   CAST(SUM(cnt) AS BIGINT) AS n_bigrams
             FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
                   FROM bi GROUP BY 1, 2) g
             GROUP BY doc_id)

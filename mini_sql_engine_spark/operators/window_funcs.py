@@ -80,7 +80,7 @@ def ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )

@@ -43,6 +43,15 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
     )
     a, b = _canon(spark_df), _canon(oracle_df)
     for col in a.columns:
+        # dtype parity: the driver's compare includes schema; int32-vs-
+        # int64 (Spark row_number/size/... return int) or HUGEINT-via-
+        # float64 drift would pass a value check but fail a schema one.
+        # Cast to long on the Spark side / BIGINT in the oracle.
+        assert str(a[col].dtype) == str(b[col].dtype), (
+            f"{name}: col {col} dtype spark={a[col].dtype} "
+            f"oracle={b[col].dtype}"
+        )
+    for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) or isinstance(y, float):
