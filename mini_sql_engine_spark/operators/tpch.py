@@ -332,16 +332,134 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between two nations, by direction and year.
+
+    The two nation lookups broadcast (25 rows); the OR of direction
+    pairs is a residual on the joined row, so the plan stays a chain of
+    hash joins over the date-filtered fact."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == n1.s_nkey)
+        .join(n2, cust.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum quarterly revenue — the
+    revenue subplan is computed once and reused for both the per-key
+    rows and the scalar max (1-row broadcast). Decimal accumulation
+    makes the argmax deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_rev")
+        )
+        .localCheckpoint(eager=False)  # reused by the scalar max
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from lineitems whose quantity is below 20% of their
+    part's average quantity.
+
+    The correlated AVG threshold is rewritten in exact arithmetic:
+    l_quantity < 0.2 * (sum/cnt)  ⇔  5 * cnt * l_quantity < sum,
+    with decimal sums — a float threshold computed in two engines can
+    disagree at the boundary and flip rows in or out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .filter(
+            (F.lit(5) * F.col("cnt_qty") * F.col("l_quantity").cast("decimal(18,2)"))
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7,
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "tpch_q1": q1_pricing_summary,
     "tpch_q3": q3_shipping_priority,
     "tpch_q4": q4_order_priority,
+    "tpch_q7": q7_volume_shipping,
     "tpch_q5": q5_local_supplier_volume,
     "tpch_q6": q6_forecast_revenue,
     "tpch_q10": q10_returned_items,
     "tpch_q12": q12_priority_by_linestatus,
     "tpch_q13": q13_customer_distribution,
     "tpch_q14": q14_promo_effect,
+    "tpch_q15": q15_top_supplier,
+    "tpch_q17": q17_small_quantity_revenue,
     "tpch_q18": q18_large_volume_customers,
     "tpch_q19": q19_disjunctive_predicates,
     "tpch_q22": q22_inactive_rich_customers,
@@ -396,6 +514,52 @@ ORACLES: dict[str, str] = {
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24
+    """,
+    "tpch_q7": """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                   l_extendedprice, l_discount
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_rev
+        FROM supplier, revenue
+        WHERE s_suppkey = l_suppkey
+          AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    "tpch_q17": """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7, 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM lineitem, part,
+             (SELECT l_partkey AS agg_partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                     COUNT(*) AS cnt_qty
+              FROM lineitem GROUP BY l_partkey) pq
+        WHERE p_partkey = l_partkey AND agg_partkey = l_partkey
+          AND p_brand = 'Brand#12'
+          AND 5 * cnt_qty * CAST(l_quantity AS DECIMAL(18,2)) < sum_qty
     """,
     "tpch_q4": """
         SELECT o_orderpriority, COUNT(*) AS order_count
