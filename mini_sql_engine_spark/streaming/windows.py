@@ -84,6 +84,24 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 48h windows sliding by 24h — each event lands in two
+    overlapping windows; state holds only windows newer than the
+    watermark. Same output shape as the batch sliding-window operator
+    (rollups.sliding_window), so the driver checks the replay against
+    the SAME oracle — stream-batch parity for overlapping windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("total", DoubleType()), StructField("n", LongType())]
 )
@@ -252,6 +270,12 @@ def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(spark, click_purchase_join(clicks, purchases), "append")
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_to_df(
+        spark, sliding_counts(events_stream(spark, sf_dir)), "complete"
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication — exactly-once ingestion's core operator.
 
@@ -284,6 +308,7 @@ QUERIES: dict[str, Callable] = {
     "stream_stateful_user_totals": stream_user_totals,
     "stream_session_windows": stream_sessions,
     "stream_click_purchase_join": stream_click_purchase,
+    "stream_sliding_counts": stream_sliding,
     "stream_dedup": stream_dedup,
 }
 
@@ -297,8 +322,15 @@ def _session_oracle() -> str:
 
 _EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts) FROM events)"
 
+def _sliding_oracle() -> str:
+    from mini_sql_engine_spark.operators import rollups
+
+    return rollups.ORACLES["ext_sliding_window"]
+
+
 ORACLES: dict[str, str] = {
     "stream_session_windows": _session_oracle(),
+    "stream_sliding_counts": _sliding_oracle(),
     # µs-truncated ts on the oracle side to match Spark's timestamp
     # precision (FIXTURES.md §1.4)
     "stream_click_purchase_join": f"""

@@ -44,7 +44,11 @@ def single_table_query(draw):
             st.lists(st.sampled_from(cols), min_size=1, max_size=3, unique=True)
         )
         distinct = draw(st.booleans())
-        select = ("DISTINCT " if distinct else "") + ", ".join(chosen)
+        if distinct and len(chosen) == 1 and draw(st.booleans()):
+            # sibling spelling DISTINCT(col)
+            select = f"DISTINCT({chosen[0]})"
+        else:
+            select = ("DISTINCT " if distinct else "") + ", ".join(chosen)
         n_out = len(chosen)
 
     def cond(d):
