@@ -447,8 +447,337 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adapted (testdata has no partsupp): the part-supplier price
+    list is derived from lineitem — cost(part, supp) = min unit price
+    ever charged. For each size-15 part, the European supplier(s)
+    matching the per-part minimum cost.
+
+    Scale: the derived partsupp aggregates AFTER a semi-join that
+    prunes lineitem to European suppliers (broadcast — supplier joined
+    to nation/region is tiny), so the groupBy shuffle carries only the
+    surviving (partkey, suppkey) pairs. The per-part min is a thin
+    second aggregate over the derived relation; the argmin join back is
+    an equi-join on (partkey, cost) — exact double equality is safe
+    because both sides are the SAME min value, not a recomputation.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = (
+        li.join(F.broadcast(eur_supp), li.l_suppkey == eur_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+        .localCheckpoint(eager=False)  # reused by the per-part min
+    )
+    min_cost = ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        ps.join(
+            min_cost,
+            (ps.l_partkey == min_cost.mc_partkey)
+            & (ps.cost == min_cost.min_cost),
+        )
+        .join(part, ps.l_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's share of ECONOMY-part revenue sold into the ASIA
+    market, by order year. Faithful to TPC-H (all columns exist).
+
+    Scale: region/nation broadcast; the two selective dim filters
+    (r_name, p_type) prune before the fact joins; the final agg is 2
+    rows, so the ratio math is driver-trivial. Decimal accumulation +
+    round-through-decimal keeps the share bit-identical across engines.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+    den = F.sum(vol)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                (num.cast("double") / den.cast("double")).cast("decimal(28,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 adapted (no partsupp.supplycost): profit = discounted revenue
+    for parts named '%red%', by supplier nation and order year.
+
+    Scale: the p_name LIKE filter is a scan-side predicate on the small
+    part dim, which then broadcasts into the fact join; nation always
+    broadcasts. One fact shuffle for the (nation, year) aggregate.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted (no partsupp): per-part revenue from Europe's
+    suppliers, keeping parts worth more than the average part — the
+    HAVING-against-global-scalar shape. TPC-H scales its Q11 fraction
+    by 1/SF; comparing against the average is the scale-free
+    equivalent, so the predicate stays selective at any data size.
+
+    Scale: the region's supplier keys broadcast into the fact scan; the
+    per-part aggregate is the only shuffle; the global total is a 1-row
+    broadcast. Threshold compared in decimal on both sides — a float
+    fraction of a float total flips boundary parts between engines.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("value_d")
+        )
+        .localCheckpoint(eager=False)  # reused by the global total
+    )
+    total = per_part.agg(
+        F.sum("value_d").cast("decimal(28,2)").alias("total_d"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d") * F.col("n_parts") > F.col("total_d"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_d").cast("double").alias("value"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 adapted (no partsupp; supplier 'complaints' comment filter
+    becomes a negative-balance filter): how many distinct suppliers
+    ship each (brand, type, size) combination, excluding one brand,
+    square sizes only, and excluding suppliers in arrears.
+
+    Scale: COUNT(DISTINCT) plans as a two-phase expand+agg; the
+    excluded-supplier list is a broadcast anti join, never a shuffle.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 adapted (no partsupp.availqty / receiptdate): suppliers who
+    shipped more than 1.25x the average supplier's volume of 'small %'
+    parts during 1996 — the nested-semi-join shape (supplier IN a
+    HAVING subquery over a part-filtered fact slice), with the
+    threshold made scale-free like Q11's.
+
+    Scale: part filter broadcasts into the date-pruned fact scan; the
+    per-supplier aggregate is tiny; the global average is a 1-row
+    broadcast; the final semi join broadcasts the surviving keys. The
+    4/5 integer form keeps the decimal comparison exact in both
+    engines.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .localCheckpoint(eager=False)  # reused by the global average
+    )
+    stats = per_supp.agg(
+        F.sum("qty").cast("decimal(28,2)").alias("tq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    heavy = (
+        per_supp.crossJoin(F.broadcast(stats))
+        .filter(F.col("qty") * 4 * F.col("nq") > F.lit(5) * F.col("tq"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 adapted (no receipt/commit dates — 'late' means shipped more
+    than 60 days after the order date): European suppliers who were the
+    ONLY late supplier on a multi-supplier finalized order.
+
+    EXISTS → left-semi self-join (another supplier on the order);
+    NOT EXISTS → left-anti self-join (another LATE supplier). The
+    order-scoped lateness flags are computed once and checkpointed —
+    the relation feeds the probe side and both self-join build sides.
+    At scale all three consumers shuffle on l_orderkey, so the
+    exchange is reused across the semi and anti joins.
+    """
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+        .localCheckpoint(eager=False)  # probe + 2 self-join builds
+    )
+    others = lo.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("late").alias("late2"),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(
+            others,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others.filter(F.col("late2")),
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "tpch_q1": q1_pricing_summary,
+    "tpch_q2": q2_min_cost_supplier,
+    "tpch_q8": q8_national_market_share,
+    "tpch_q9": q9_product_type_profit,
+    "tpch_q11": q11_important_parts,
+    "tpch_q16": q16_supplier_part_counts,
+    "tpch_q20": q20_excess_volume_suppliers,
+    "tpch_q21": q21_suppliers_kept_waiting,
     "tpch_q3": q3_shipping_priority,
     "tpch_q4": q4_order_priority,
     "tpch_q7": q7_volume_shipping,
@@ -466,6 +795,124 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "tpch_q2": """
+        WITH eur AS (
+            SELECT l_partkey, s_name, s_acctbal, n_name,
+                   MIN(l_extendedprice / l_quantity) AS cost
+            FROM lineitem, supplier, nation, region
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            GROUP BY l_partkey, l_suppkey, s_name, s_acctbal, n_name)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+        FROM part, eur
+        WHERE p_partkey = l_partkey AND p_size = 15
+          AND cost = (SELECT MIN(cost) FROM eur e2
+                      WHERE e2.l_partkey = eur.l_partkey)
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q8": """
+        SELECT o_year,
+               CAST(ROUND(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                               AS DECIMAL(28,10)), 6) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   SUM(CASE WHEN n2.n_name = 'NATION_3'
+                            THEN CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS num,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS den
+            FROM part, lineitem, orders, customer, supplier,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <= TIMESTAMP '1996-12-31'
+            GROUP BY 1) t
+    """,
+    "tpch_q9": """
+        SELECT n_name AS nation,
+               EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_profit
+        FROM lineitem, part, orders, supplier, nation
+        WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "tpch_q11": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS value_d
+            FROM lineitem, supplier, nation, region
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            GROUP BY l_partkey)
+        SELECT l_partkey AS partkey, CAST(value_d AS DOUBLE) AS value
+        FROM per_part
+        WHERE value_d * (SELECT COUNT(*) FROM per_part)
+              > (SELECT CAST(SUM(value_d) AS DECIMAL(28,2)) FROM per_part)
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 50
+    """,
+    "tpch_q20": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND p_name LIKE 'small %'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey)
+        SELECT s_name, n_name
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM per_supp
+              WHERE qty * 4 * (SELECT COUNT(*) FROM per_supp)
+                    > 5 * (SELECT CAST(SUM(qty) AS DECIMAL(28,2))
+                           FROM per_supp))
+        ORDER BY s_name
+    """,
+    "tpch_q21": """
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F')
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lo l1, supplier, nation, region
+        WHERE l1.late AND l1.l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -130,7 +130,37 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day spend at every event — a RANGE frame.
+
+    Unlike the ROWS frames above, the frame boundary here is on the
+    TIME axis (µs since epoch), so each row's window holds a
+    data-dependent number of rows — the canonical "trailing N days"
+    feature for ML feature engineering. The ordering key is integer
+    microseconds (`unix_micros`), which round-trips identically in both
+    engines (verified over every sf0.01 row), so frame membership is
+    exact; the frame sum accumulates in decimal.
+
+    Scale: one hash shuffle on user_id + per-partition sort, the same
+    cost profile as any keyed window; no state beyond the 7-day frame.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_spend"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_trailing_time_window": trailing_time_window,
     "ext_running_total": running_total,
     "ext_moving_avg": moving_avg,
     "ext_ntile_percent_rank": ntile_percent_rank,
@@ -139,6 +169,14 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_trailing_time_window": """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_7d_spend
+        FROM events
+    """,
     "ext_running_total": """
         SELECT user_id, event_id,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
