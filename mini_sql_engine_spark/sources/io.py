@@ -87,7 +87,19 @@ def write_bucketed(
     Two tables bucketed on the same key with the same bucket count join
     WITHOUT a shuffle on either side — the physical plan shows no
     Exchange above the scans. This is the pre-partitioning strategy for
-    a fact table joined on the same key by many queries."""
+    a fact table joined on the same key by many queries.
+
+    A previous session's managed-table directory can outlive the
+    in-memory catalog entry, which makes `overwrite` fail with
+    LOCATION_ALREADY_EXISTS — drop the table and clear any orphaned
+    location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    location = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+    fs = location.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(location, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.format("parquet").saveAsTable(table_name)
