@@ -240,3 +240,66 @@ def test_udtf_uses_arrow_eval(spark, sf_dir):
     (ArrowEvalPythonUDTF), never pickled row-at-a-time transfer."""
     plan = _plan(ALL_QUERIES["ext_udtf_ngrams"](spark, sf_dir))
     assert "ArrowEvalPythonUDTF" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE's runtime skew-join handling, demonstrated end-to-end: a
+    join key holding ~90% of all rows is detected AFTER the shuffle
+    materializes and its partition is split across multiple tasks
+    (OptimizeSkewedJoin), with no salting in the query. Thresholds are
+    tuned down so the effect is observable at test scale; at 100 TB the
+    defaults (256 MB partition threshold) fire the same way.
+
+    Three preconditions discovered the hard way, each load-bearing:
+    - the map stage needs MULTIPLE tasks (repartition(16)) — a skewed
+      reduce partition is split by assigning mapper RANGES to tasks, so
+      a single-mapper shuffle (one parquet split at small sf) can never
+      be split;
+    - the payload must be incompressible (sha2 concat) — skew detection
+      reads POST-compression map-output sizes, and a repeated-literal
+      payload compresses below any threshold;
+    - the non-skewed side must be a PLAIN shuffle (spark.range) — an
+      aggregate between the shuffle stage and the join (e.g. distinct)
+      breaks OptimizeSkewedJoin's Sort←ShuffleQueryStage pattern match.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # deterministic skew: ~90% of rows collapse onto key 0
+    payload = F.concat(
+        *[
+            F.sha2(F.concat(F.col("l_orderkey").cast("string"), F.lit(str(i))), 512)
+            for i in range(4)
+        ]
+    )
+    skewed = (
+        li.repartition(16)
+        .withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(0)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        .withColumn("payload", payload)
+    )
+    max_key = li.agg(F.max("l_orderkey")).collect()[0][0]
+    keys = spark.range(0, max_key + 1).select(F.col("id").alias("k2"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = skewed.join(keys, F.col("k") == F.col("k2"))
+        # materialize THIS DataFrame's execution (count() would plan a
+        # separate query) so AQE re-plans it with runtime stats
+        rows = joined.collect()
+        assert len(rows) == li.count()  # distinct-key build: row-preserving
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan or "isSkew" in plan, plan
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
