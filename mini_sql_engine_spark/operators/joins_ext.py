@@ -172,8 +172,51 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a hive-partitioned layout.
+
+    Orders are written partitioned by order year; the query joins the
+    partitioned fact to a filtered dimension ON THE PARTITION COLUMN,
+    so Spark plans a `dynamicpruning` subquery: the dim side runs
+    first and only the matching year directories are ever read
+    (plan-asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning one partition and scanning the table —
+    the partitioned write is a one-time ingest step amortized across
+    every pruned query, as with the bucketed layout above.
+    """
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = warehouse.rstrip("/") + "/orders_by_year"
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim filter is on a DERIVED attribute (not the join key):
+    # filtering on yr itself would let constraint propagation push a
+    # static o_year = 1996 predicate and bypass the runtime pruning
+    dim = (
+        spark.range(1990, 2010)
+        .select(
+            F.col("id").alias("yr"),
+            F.concat(F.lit("y"), F.col("id").cast("string")).alias("tag"),
+        )
+        .filter(F.col("tag") == "y1996")
+    )
+    return (
+        fact.join(dim, fact.o_year == dim.yr)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_bucketed_colocated_join": bucketed_colocated_join,
+    "ext_partitioned_pruned_join": partitioned_pruned_join,
     "ext_semi_join": semi_join,
     "ext_anti_join": anti_join,
     "ext_left_outer_join": left_outer_join,
@@ -192,6 +235,14 @@ ORACLES: dict[str, str] = {
                    AS revenue
         FROM lineitem, orders
         WHERE l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "ext_partitioned_pruned_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
         GROUP BY o_orderpriority
     """,
     "ext_semi_join": """

@@ -303,3 +303,11 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_partitioned_pruned_join_plans_dpp(spark, sf_dir):
+    """ext_partitioned_pruned_join must plan a dynamicpruning subquery
+    — the dim filter is on a derived attribute, so only runtime DPP
+    (not static constraint propagation) can skip the year partitions."""
+    plan = _plan(ALL_QUERIES["ext_partitioned_pruned_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
