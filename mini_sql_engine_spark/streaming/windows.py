@@ -276,6 +276,37 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a purchase stream with a dimension.
+
+    The static side (customer ⋈ nation, broadcast) is joined into every
+    micro-batch with NO streaming state — stream-static inner joins are
+    stateless by construction, unlike stream-stream joins. This is the
+    canonical enrichment topology: at scale the dimension is a slowly-
+    changing broadcast while the stream shuffles only for the final
+    25-group aggregate. Oracled against the equivalent batch join.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    static = cust.join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    stream = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = (
+        stream.join(F.broadcast(static), stream.user_id == static.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return stream_to_df(spark, enriched, "complete")
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication — exactly-once ingestion's core operator.
 
@@ -309,6 +340,7 @@ QUERIES: dict[str, Callable] = {
     "stream_session_windows": stream_sessions,
     "stream_click_purchase_join": stream_click_purchase,
     "stream_sliding_counts": stream_sliding,
+    "stream_static_enrich": stream_static_enrich,
     "stream_dedup": stream_dedup,
 }
 
@@ -331,6 +363,14 @@ def _sliding_oracle() -> str:
 ORACLES: dict[str, str] = {
     "stream_session_windows": _session_oracle(),
     "stream_sliding_counts": _sliding_oracle(),
+    "stream_static_enrich": """
+        SELECT n_name, COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM events, customer, nation
+        WHERE user_id = c_custkey AND c_nationkey = n_nationkey
+          AND event_type = 'purchase'
+        GROUP BY n_name
+    """,
     # µs-truncated ts on the oracle side to match Spark's timestamp
     # precision (FIXTURES.md §1.4)
     "stream_click_purchase_join": f"""
