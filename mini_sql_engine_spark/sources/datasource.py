@@ -1,0 +1,123 @@
+"""The reference's native format as a Spark Python DataSource (V2 API).
+
+The reference engine's entire storage layer is a ``metadata.txt``
+catalog plus one headerless integer CSV per table, loaded whole into
+driver memory per query (reference ``main.py`` ``load_metadata()`` /
+``load_table()`` — SURVEY.md §2.1 O1/O2). This module re-expresses that
+format as a first-class Spark connector:
+
+    spark.dataSource.register(MiniSQLDataSource)
+    df = (spark.read.format("minisql")
+          .option("path", data_dir)      # dir holding metadata.txt + CSVs
+          .option("table", "table1")
+          .load())
+
+Unlike the reference's whole-file load, the scan is SPLITTABLE: the
+planner computes newline-aligned byte ranges (seek + advance, never a
+full read) and each task parses only its range — the same contract that
+lets Spark's builtin sources scale a single large file across a
+cluster. Column pruning/pushdown stay with Catalyst above the source;
+at 100 TB you would convert to parquet once (`csv_to_parquet`) — this
+connector is the ingest/compatibility path, not the steady state.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import LongType, StructField, StructType
+
+from mini_sql_engine_spark.plans.dialect import EngineError
+from mini_sql_engine_spark.sources.metadata_catalog import load_metadata
+
+
+class _ByteRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int) -> None:
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _aligned_offsets(path: str, n: int) -> list[int]:
+    """Newline-aligned split points: seek to each candidate offset and
+    advance past the current line. O(n) seeks, never a full read."""
+    size = os.path.getsize(path)
+    offsets = [0]
+    with open(path, "rb") as fh:
+        for i in range(1, max(n, 1)):
+            pos = size * i // n
+            if pos <= offsets[-1]:
+                continue
+            fh.seek(pos)
+            fh.readline()  # finish the line the offset landed inside
+            aligned = fh.tell()
+            if offsets[-1] < aligned < size:
+                offsets.append(aligned)
+    offsets.append(size)
+    return offsets
+
+
+class MiniSQLReader(DataSourceReader):
+    def __init__(self, csv_path: str, n_partitions: int) -> None:
+        self._csv_path = csv_path
+        self._n = n_partitions
+
+    def partitions(self) -> Sequence[InputPartition]:
+        offs = _aligned_offsets(self._csv_path, self._n)
+        return [
+            _ByteRange(self._csv_path, s, e)
+            for s, e in zip(offs, offs[1:])
+            if e > s
+        ]
+
+    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+        with open(partition.path, "rb") as fh:
+            fh.seek(partition.start)
+            chunk = fh.read(partition.end - partition.start)
+        for line in chunk.splitlines():
+            if not line.strip():
+                continue
+            yield tuple(
+                int(field.strip().strip(b'"')) for field in line.split(b",")
+            )
+
+
+class MiniSQLDataSource(DataSource):
+    """``format("minisql")`` — options: path (dir), table, numPartitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minisql"
+
+    def _table_and_dir(self) -> tuple[str, str]:
+        data_dir = self.options.get("path")
+        table = self.options.get("table")
+        if not data_dir or not table:
+            raise EngineError("minisql source needs 'path' and 'table' options")
+        return table, data_dir
+
+    def schema(self) -> StructType:
+        table, data_dir = self._table_and_dir()
+        catalog = load_metadata(os.path.join(data_dir, "metadata.txt"))
+        if table not in catalog:
+            raise EngineError(
+                f"unknown table {table!r}; catalog has: {', '.join(catalog)}"
+            )
+        return StructType(
+            [StructField(c, LongType(), nullable=False) for c in catalog[table]]
+        )
+
+    def reader(self, schema: StructType) -> MiniSQLReader:
+        table, data_dir = self._table_and_dir()
+        csv_path = os.path.join(data_dir, f"{table}.csv")
+        if not os.path.exists(csv_path):
+            raise EngineError(f"table file not found: {csv_path}")
+        return MiniSQLReader(csv_path, int(self.options.get("numPartitions", "4")))
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotently register the connector with the session."""
+    spark.dataSource.register(MiniSQLDataSource)

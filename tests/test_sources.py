@@ -81,3 +81,56 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     assert "PushedFilters: [" in plan and "l_quantity" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema  # column pruning happened
+
+
+# ---- the reference's native format as a Python DataSource ------------------
+
+MINI_DIR = "tests/fixtures/mini"
+
+
+def _minisql(spark, table, n_parts=4):
+    from mini_sql_engine_spark.sources import datasource
+
+    datasource.register(spark)
+    return (
+        spark.read.format("minisql")
+        .option("path", MINI_DIR)
+        .option("table", table)
+        .option("numPartitions", str(n_parts))
+        .load()
+    )
+
+
+def test_minisql_datasource_matches_csv_loader(spark):
+    """format('minisql') returns the same rows/columns as the helper
+    CSV loader — the connector and the helper read one format."""
+    from mini_sql_engine_spark.sources.metadata_catalog import (
+        load_csv_table,
+        load_metadata,
+    )
+
+    catalog = load_metadata(f"{MINI_DIR}/metadata.txt")
+    for table in ("table1", "table2"):
+        via_ds = _minisql(spark, table)
+        via_helper = load_csv_table(spark, MINI_DIR, table, catalog[table])
+        assert via_ds.columns == via_helper.columns
+        assert sorted(map(tuple, via_ds.collect())) == sorted(
+            map(tuple, via_helper.collect())
+        )
+
+
+def test_minisql_datasource_is_splittable(spark):
+    """The byte-range planner honors numPartitions and every split
+    parses only whole lines — content is partition-count-invariant."""
+    one = sorted(map(tuple, _minisql(spark, "table1", 1).collect()))
+    three = _minisql(spark, "table1", 3)
+    assert three.rdd.getNumPartitions() == 3
+    assert sorted(map(tuple, three.collect())) == one
+
+
+def test_minisql_datasource_unknown_table_errors(spark):
+    from mini_sql_engine_spark.plans.dialect import EngineError
+
+    with pytest.raises(Exception) as exc:
+        _minisql(spark, "nope").collect()
+    assert "unknown table" in str(exc.value)
