@@ -322,6 +322,28 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(spark, s.dropDuplicates(["user_id", "event_type"]), "append")
 
 
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup — the production tail operator.
+
+    `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    watermark passes its event time + delay, so state is O(keys seen in
+    the delay horizon), independent of stream length — unlike
+    `dropDuplicates` (stream_dedup above), whose state grows forever.
+    The tradeoff: duplicates separated by more than the delay are NOT
+    suppressed. Here the delay (60 days) covers the whole 30-day
+    replay, so the emitted key set equals batch SELECT DISTINCT and the
+    driver checks it against the same oracle.
+    """
+    s = events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    return stream_to_df(
+        spark,
+        s.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type"),
+        "append",
+    )
+
+
 def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch equivalent of the stateful operator — used in parity tests."""
     return (
@@ -342,6 +364,7 @@ QUERIES: dict[str, Callable] = {
     "stream_sliding_counts": stream_sliding,
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup": stream_dedup,
+    "stream_dedup_watermarked": stream_dedup_watermarked,
 }
 
 def _session_oracle() -> str:
@@ -395,6 +418,9 @@ ORACLES: dict[str, str] = {
     # stream-batch parity: streaming dropDuplicates over the key subset
     # must reproduce batch DISTINCT exactly
     "stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "stream_dedup_watermarked": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
 }

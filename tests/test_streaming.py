@@ -172,3 +172,63 @@ def test_stream_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert got == expect  # no loss, no duplicates across the restart
+
+
+def test_foreachbatch_incremental_upsert(spark, tmp_path):
+    """foreachBatch as a MERGE sink: each micro-batch upserts per-user
+    totals into a versioned parquet state table (write v{batchId}, read
+    the latest prior version) — re-processing a batch after a failure
+    rewrites ITS version deterministically instead of double-counting,
+    which is the idempotent-sink contract exactly-once relies on. The
+    final state must equal the batch aggregate over all data."""
+    import os as _os
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    rows1 = [Row(user_id=1, value=10.0), Row(user_id=2, value=5.0)]
+    rows2 = [Row(user_id=1, value=7.0), Row(user_id=3, value=2.0)]
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(f"{src}/b2")
+
+    state_root = str(tmp_path / "state")
+    _os.makedirs(state_root)
+
+    def latest_version() -> int | None:
+        vs = [int(d[1:]) for d in _os.listdir(state_root) if d.startswith("v")]
+        return max(vs) if vs else None
+
+    def upsert(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        prev = latest_version()
+        if prev is not None and prev < batch_id:
+            old = spark.read.parquet(f"{state_root}/v{prev}")
+            agg = (
+                old.withColumnRenamed("total", "t0")
+                .withColumnRenamed("n", "n0")
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("t0", F.lit(0.0)) + F.coalesce("total", F.lit(0.0))).alias("total"),
+                    (F.coalesce("n0", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
+                )
+            )
+        agg.write.mode("overwrite").parquet(f"{state_root}/v{batch_id}")
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = stream.writeStream.foreachBatch(upsert).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {
+        r.user_id: (r.total, r.n)
+        for r in spark.read.parquet(f"{state_root}/v{latest_version()}").collect()
+    }
+    assert final == {1: (17.0, 2), 2: (5.0, 1), 3: (2.0, 1)}
