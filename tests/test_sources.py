@@ -134,3 +134,20 @@ def test_minisql_datasource_unknown_table_errors(spark):
     with pytest.raises(Exception) as exc:
         _minisql(spark, "nope").collect()
     assert "unknown table" in str(exc.value)
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmp_path):
+    """20 tiny files → 1 right-sized file, identical content."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "small_files")
+    li.repartition(20).write.parquet(path)
+    import os as _os
+
+    n_before = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 20
+    expect = sorted(map(tuple, li.collect()))
+    n_files = src_io.compact_files(spark, path, target_file_bytes=256 * 1024 * 1024)
+    n_after = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_files < n_before
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == expect
