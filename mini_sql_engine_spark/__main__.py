@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="treat the query as full Spark SQL instead of the reference dialect",
     )
+    p.add_argument(
+        "--connector",
+        action="store_true",
+        help="read --data tables through the format('minisql') DataSource",
+    )
     args = p.parse_args(argv)
 
     from mini_sql_engine_spark.engine import Engine
@@ -39,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.parquet:
             eng = Engine.from_parquet_dir(spark, args.parquet)
+        elif args.connector:
+            eng = Engine.from_datasource_dir(spark, args.data)
         else:
             eng = Engine.from_metadata_dir(spark, args.data)
         if args.ansi:

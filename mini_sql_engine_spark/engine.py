@@ -45,6 +45,31 @@ class Engine:
         return eng
 
     @classmethod
+    def from_datasource_dir(cls, spark: SparkSession, data_dir: str) -> "Engine":
+        """Bootstrap from the same metadata.txt + CSV layout, but read
+        through the ``format("minisql")`` connector (sources/datasource.py)
+        — the splittable DataSource-V2 path instead of the builtin CSV
+        reader. Semantically identical; exists so the CLI can exercise
+        the connector end-to-end (``--connector``)."""
+        import os
+
+        from mini_sql_engine_spark.sources.datasource import register
+        from mini_sql_engine_spark.sources.metadata_catalog import load_metadata
+
+        register(spark)
+        schema = load_metadata(os.path.join(data_dir, "metadata.txt"))
+        tables = {
+            t: spark.read.format("minisql")
+            .option("path", data_dir)
+            .option("table", t)
+            .load()
+            for t in schema
+        }
+        eng = cls(spark, tables)
+        eng.schema = schema
+        return eng
+
+    @classmethod
     def from_parquet_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":
         """Bootstrap from a testdata scale-factor directory."""
         from mini_sql_engine_spark.catalog import register_sf_tables

@@ -161,3 +161,17 @@ def test_execute_csv_output(eng):
     lines = out.splitlines()
     assert lines[0] == "table1.A,table1.B"
     assert sorted(lines[1:]) == ["10,2", "4,5"]
+
+
+def test_connector_engine_equivalent(spark, mini_dir, eng):
+    """Engine.from_datasource_dir (format('minisql') connector) answers
+    every query shape identically to the CSV-loader engine."""
+    ds_eng = Engine.from_datasource_dir(spark, mini_dir)
+    for q in (
+        "SELECT * FROM table1;",
+        "SELECT A, C FROM table1 WHERE A > 1 AND C < 9;",
+        "SELECT * FROM table1, table2 WHERE table1.B = table2.B;",
+        "SELECT SUM(D) FROM table2;",
+        "SELECT DISTINCT B FROM table1;",
+    ):
+        assert rows(ds_eng.sql(q)) == rows(eng.sql(q)), q
