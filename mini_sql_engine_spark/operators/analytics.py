@@ -202,6 +202,28 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers via a correlated LATERAL subquery —
+    the SQL-standard spelling of top-k-per-group. Catalyst decorrelates
+    the LATERAL into a window/join plan, so it costs one shuffle on the
+    correlation key, same as the explicit Window top-k
+    (rollups.topk_per_group); the point is the FRONTEND: a user can
+    write the standard form and still get the scalable plan. Ties are
+    broken on c_custkey so the LIMIT boundary is deterministic."""
+    register_sf_tables(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c.c_custkey, c.c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c.c_acctbal DESC, c.c_custkey
+                 LIMIT 2) t
+        """
+    )
+
+
 def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ≡
     DuckDB `quantile_cont`). At 100 TB exact percentiles are a full
@@ -310,6 +332,7 @@ QUERIES: dict[str, Callable] = {
     "ext_scalar_subquery": scalar_subquery,
     "ext_in_subquery": in_subquery,
     "ext_correlated_subquery": correlated_subquery,
+    "ext_lateral_topk": lateral_topk,
     "ext_percentiles": percentiles_by_segment,
     "ext_unpivot": unpivot_part_metrics,
     "ext_conditional_agg": conditional_aggregates,
@@ -412,6 +435,15 @@ ORACLES: dict[str, str] = {
         SELECT s_suppkey, s_name FROM supplier
         WHERE s_nationkey IN (SELECT c_nationkey FROM customer
                               GROUP BY c_nationkey HAVING COUNT(*) >= 50)
+    """,
+    "ext_lateral_topk": """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c.c_custkey, c.c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c.c_acctbal DESC, c.c_custkey
+                 LIMIT 2) t
     """,
     "ext_correlated_subquery": """
         SELECT c.c_custkey, c.c_nationkey FROM customer c

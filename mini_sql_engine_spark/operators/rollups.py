@@ -206,6 +206,32 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON as a first-class VariantType (Spark 4).
+
+    `parse_json` keeps the whole document as a binary-encoded variant —
+    schema-on-read for heterogeneous metadata columns, no fixed struct
+    declared up front — and `variant_get` extracts typed paths JVM-side
+    (no per-row Python). Compare `json_props` above, which needs the
+    `k INT` schema at parse time. At scale variant columns shred into
+    columnar storage (parquet variant shredding) so typed path reads
+    stay pruned.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "k",
+            F.variant_get(F.parse_json("props"), "$.k", "int").cast("long"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # DuckDB oracles. Events oracles normalize ts to µs precision first so
 # both engines bucket the same values.
 _EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts) FROM events)"
@@ -220,6 +246,7 @@ QUERIES: dict[str, Callable] = {
     "ext_sliding_window": sliding_window,
     "ext_session_window": session_window_batch,
     "ext_json_props": json_props,
+    "ext_json_variant": json_variant,
     "ext_funnel": funnel_conversion,
 }
 
@@ -315,5 +342,12 @@ ORACLES: dict[str, str] = {
                      CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
               FROM events) t
         GROUP BY event_type
+    """,
+    "ext_json_variant": """
+        SELECT k % 10 AS k_mod, COUNT(*) AS cnt,
+               CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events) t
+        GROUP BY 1
     """,
 }

@@ -311,3 +311,34 @@ def test_partitioned_pruned_join_plans_dpp(spark, sf_dir):
     (not static constraint propagation) can skip the year partitions."""
     plan = _plan(ALL_QUERIES["ext_partitioned_pruned_join"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """InjectRuntimeFilter: a selective dim filter seeds a bloom filter
+    (bloom_filter_agg → BloomFilterMightContain) that pre-filters the
+    fact scan BEFORE the join shuffle — rows that can't match never get
+    shuffled. Defaults gate on 10 GB application-side scans; thresholds
+    are lowered so the 100 TB behavior is visible at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
