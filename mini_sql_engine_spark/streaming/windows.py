@@ -31,6 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -136,6 +137,43 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _TotalsProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas — the Spark 4
+    successor to applyInPandasWithState. Same running per-user totals as
+    `_user_totals_fn` above, but state is a named ValueState on the
+    RocksDB state store (the provider TWS requires), which at scale
+    spills to disk and supports changelog checkpointing instead of
+    holding all keys on-heap."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        got = self._state.get() if self._state.exists() else None
+        total, n = got if got is not None else (0.0, 0)
+        for pdf in rows:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        self._state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TotalsProcessor(),
+        outputStructType=_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 
@@ -322,6 +360,31 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(spark, s.dropDuplicates(["user_id", "event_type"]), "append")
 
 
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas replay — requires the RocksDB state
+    store provider; the conf is set for this query and restored (the
+    provider is fixed per streaming query at start, so this does not
+    disturb concurrently defined queries).
+
+    ENVIRONMENT GATE: the TWS python⇄JVM state protocol is protobuf-
+    based; without the `protobuf` package the driver worker dies in
+    pre-init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Not in
+    QUERIES for that reason — the gated test exercises it where the
+    dependency exists."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return stream_to_df(
+            spark, tws_user_totals(events_stream(spark, sf_dir)), "update"
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup — the production tail operator.
 
@@ -365,6 +428,9 @@ QUERIES: dict[str, Callable] = {
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup": stream_dedup,
     "stream_dedup_watermarked": stream_dedup_watermarked,
+    # stream_tws_user_totals is implemented but NOT registered: the
+    # transformWithState protocol needs the `protobuf` package, absent
+    # from this container (tests/test_streaming.py gates on it).
 }
 
 def _session_oracle() -> str:

@@ -232,3 +232,24 @@ def test_foreachbatch_incremental_upsert(spark, tmp_path):
         for r in spark.read.parquet(f"{state_root}/v{latest_version()}").collect()
     }
     assert final == {1: (17.0, 2), 2: (5.0, 1), 3: (2.0, 1)}
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (ValueState on RocksDB) must
+    reproduce the batch per-user totals. Gated: the TWS state protocol
+    needs protobuf, which this container lacks."""
+    pytest.importorskip("google.protobuf")
+    from mini_sql_engine_spark.streaming.windows import (
+        batch_user_totals,
+        stream_tws_user_totals,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stream_tws_user_totals(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in batch_user_totals(spark, sf_dir).collect()
+    }
+    assert got == want
