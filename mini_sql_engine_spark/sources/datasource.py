@@ -27,7 +27,13 @@ import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 from mini_sql_engine_spark.plans.dialect import EngineError
@@ -116,6 +122,86 @@ class MiniSQLDataSource(DataSource):
         if not os.path.exists(csv_path):
             raise EngineError(f"table file not found: {csv_path}")
         return MiniSQLReader(csv_path, int(self.options.get("numPartitions", "4")))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "MiniSQLWriter":
+        table, data_dir = self._table_and_dir()
+        return MiniSQLWriter(data_dir, table, [f.name for f in schema.fields], overwrite)
+
+
+class _Fragment(WriterCommitMessage):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class MiniSQLWriter(DataSourceWriter):
+    """Two-phase commit into the reference's single-CSV-per-table format.
+
+    Each task streams its rows to a private staging fragment (`write`,
+    executor-side); only the driver-side `commit` merges the fragments
+    into ``<table>.csv`` and registers the table in ``metadata.txt`` —
+    so readers never observe a partial table and a failed job leaves
+    the previous table intact (`abort` removes the staging dir). The
+    single-file merge is the FORMAT's inherent bottleneck, not the
+    writer's: this sink is the compatibility export path back to the
+    reference engine; parquet is the scale path.
+
+    ``mode("append")`` appends rows to an existing table of the same
+    columns; ``mode("overwrite")`` replaces it.
+    """
+
+    def __init__(
+        self, data_dir: str, table: str, columns: list[str], overwrite: bool
+    ) -> None:
+        self.data_dir = data_dir
+        self.table = table
+        self.columns = columns
+        self.overwrite = overwrite
+        import uuid
+
+        self.staging = os.path.join(data_dir, f".{table}.staging-{uuid.uuid4().hex[:8]}")
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator) -> _Fragment:
+        import uuid
+
+        frag = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.csv")
+        with open(frag, "w") as fh:
+            for row in iterator:
+                fh.write(",".join(str(int(v)) for v in row) + "\n")
+        return _Fragment(frag)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        final = os.path.join(self.data_dir, f"{self.table}.csv")
+        meta_path = os.path.join(self.data_dir, "metadata.txt")
+        catalog = load_metadata(meta_path) if os.path.exists(meta_path) else {}
+        if self.table in catalog and catalog[self.table] != self.columns:
+            raise EngineError(
+                f"schema mismatch for {self.table!r}: catalog has "
+                f"{catalog[self.table]}, writing {self.columns}"
+            )
+        mode = "w" if self.overwrite or not os.path.exists(final) else "a"
+        with open(final, mode) as out:
+            for m in messages:
+                if m is not None:
+                    with open(m.path) as frag:
+                        shutil.copyfileobj(frag, out)
+        if self.table not in catalog:
+            with open(meta_path, "a") as mf:
+                mf.write(
+                    "<begin_table>\n"
+                    + self.table
+                    + "\n"
+                    + "\n".join(self.columns)
+                    + "\n<end_table>\n"
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def register(spark: SparkSession) -> None:

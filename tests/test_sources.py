@@ -151,3 +151,55 @@ def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmp_path):
     assert n_after == n_files < n_before
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == expect
+
+
+def test_minisql_writer_roundtrip_and_catalog(spark, tmp_path):
+    """df.write.format('minisql') commits task fragments into the
+    single-CSV format atomically and registers the table in
+    metadata.txt; a fresh read returns the written rows. (Like builtin
+    file sources, a DataFrame loaded BEFORE a write keeps its planned
+    splits — re-load to see new data.)"""
+    import shutil as _sh
+
+    from mini_sql_engine_spark.sources import datasource
+
+    datasource.register(spark)
+    d = str(tmp_path / "native")
+    _sh.copytree(MINI_DIR, d)
+
+    df = spark.range(0, 10).selectExpr("id AS X", "id * id AS Y")
+    (df.write.format("minisql").option("path", d).option("table", "table3")
+       .mode("overwrite").save())
+    from mini_sql_engine_spark.sources.metadata_catalog import load_metadata
+
+    assert load_metadata(f"{d}/metadata.txt")["table3"] == ["X", "Y"]
+    back = (spark.read.format("minisql").option("path", d)
+            .option("table", "table3").load())
+    assert sorted(map(tuple, back.collect())) == [(i, i * i) for i in range(10)]
+
+    # append mode accumulates; overwrite replaces
+    (df.limit(2).write.format("minisql").option("path", d)
+       .option("table", "table3").mode("append").save())
+    again = (spark.read.format("minisql").option("path", d)
+             .option("table", "table3").load())
+    assert again.count() == 12
+    (df.limit(3).write.format("minisql").option("path", d)
+       .option("table", "table3").mode("overwrite").save())
+    final = (spark.read.format("minisql").option("path", d)
+             .option("table", "table3").load())
+    assert final.count() == 3
+
+
+def test_minisql_writer_schema_mismatch_errors(spark, tmp_path):
+    import shutil as _sh
+
+    from mini_sql_engine_spark.sources import datasource
+
+    datasource.register(spark)
+    d = str(tmp_path / "native")
+    _sh.copytree(MINI_DIR, d)
+    df = spark.range(3).selectExpr("id AS WRONG", "id AS COLS")
+    with pytest.raises(Exception) as exc:
+        (df.write.format("minisql").option("path", d)
+           .option("table", "table1").mode("append").save())
+    assert "schema mismatch" in str(exc.value)
