@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StructField, StructType
@@ -126,6 +127,60 @@ class MiniSQLDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "MiniSQLWriter":
         table, data_dir = self._table_and_dir()
         return MiniSQLWriter(data_dir, table, [f.name for f in schema.fields], overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "MiniSQLStreamReader":
+        table, data_dir = self._table_and_dir()
+        return MiniSQLStreamReader(os.path.join(data_dir, f"{table}.csv"))
+
+
+def _parse_lines(chunk: bytes) -> list[tuple]:
+    return [
+        tuple(int(f.strip().strip(b'"')) for f in ln.split(b","))
+        for ln in chunk.splitlines()
+        if ln.strip()
+    ]
+
+
+class MiniSQLStreamReader(SimpleDataSourceStreamReader):
+    """Tail a growing native CSV: ``spark.readStream.format("minisql")``.
+
+    The offset is a byte position; each micro-batch reads from the last
+    committed position up to the last COMPLETE line (a producer may be
+    mid-append), and `readBetweenOffsets` replays any byte range
+    exactly — which is what makes checkpoint recovery deterministic.
+    The simple (non-partitioned, driver-side) reader variant fits this
+    format: a single growing CSV is inherently a low-throughput control
+    feed; a partitioned `streamReader` would be the path for real
+    volume, and parquet the steady state.
+    """
+
+    def __init__(self, csv_path: str) -> None:
+        self._path = csv_path
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        size = os.path.getsize(self._path) if os.path.exists(self._path) else 0
+        if size <= pos:
+            return iter([]), {"pos": pos}
+        with open(self._path, "rb") as fh:
+            fh.seek(pos)
+            chunk = fh.read(size - pos)
+        last_nl = chunk.rfind(b"\n")
+        if last_nl < 0:
+            return iter([]), {"pos": pos}
+        return iter(_parse_lines(chunk[: last_nl + 1])), {"pos": pos + last_nl + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        with open(self._path, "rb") as fh:
+            fh.seek(start["pos"])
+            chunk = fh.read(end["pos"] - start["pos"])
+        return iter(_parse_lines(chunk))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class _Fragment(WriterCommitMessage):

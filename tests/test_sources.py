@@ -203,3 +203,42 @@ def test_minisql_writer_schema_mismatch_errors(spark, tmp_path):
         (df.write.format("minisql").option("path", d)
            .option("table", "table1").mode("append").save())
     assert "schema mismatch" in str(exc.value)
+
+
+def test_minisql_stream_reader_tails_appends(spark, tmp_path):
+    """readStream.format('minisql') tails the native CSV: rows present
+    at start arrive in the first batch, rows appended by a producer
+    arrive in later batches, offsets stop at complete lines."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    from mini_sql_engine_spark.sources import datasource
+
+    datasource.register(spark)
+    d = str(tmp_path / "native")
+    _sh.copytree(MINI_DIR, d)
+    name = f"tail_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("minisql")
+        .option("path", d)
+        .option("table", "table1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 4  # fixture rows
+        with open(f"{d}/table1.csv", "a") as fh:
+            fh.write("100,200,300\n101,201,301\n")
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.table(name).collect()))
+    finally:
+        q.stop()
+    assert len(got) == 6
+    assert (100, 200, 300) in got and (101, 201, 301) in got
