@@ -196,8 +196,75 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    training pack (fixed token budget) its START offset falls in,
+    within its language. This is the standard pretraining packing
+    scheme — documents are laid out consecutively and the stream is
+    chunked every PACK_BUDGET tokens; a doc belongs to the pack where
+    it begins. All-integer window arithmetic → exact in both engines.
+
+    Scale: one shuffle on lang + an in-partition sort (the same cost
+    profile as any keyed window). Real pipelines partition the
+    cumulative sum by (lang, shard) to keep partitions bounded; the
+    per-pack aggregate is a second thin shuffle.
+    """
+    from pyspark.sql import Window
+
+    from mini_sql_engine_spark.functions import textfns
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", textfns.n_tokens("text").cast("long")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum", F.sum("n_toks").over(w))
+        .withColumn(
+            "pack_id", ((F.col("cum") - F.col("n_toks")) / PACK_BUDGET).cast("long")
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted quality sampling: keep a document with
+    probability (weight / max_weight)^(1/T) — the mixture-reweighting
+    step that upsamples high-quality/rare data before training.
+    T = 2 → sqrt, which is bit-exact in both engines (IEEE), and the
+    uniform draw is md5-derived — reproducible across engines, runs,
+    and partitionings, so the sampled corpus is stable.
+
+    Scale: the max weight is a 1-row broadcast; everything else is
+    per-row expression work fused into the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    maxc = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = (md5_long(F.col("doc_id").cast("string"), salt="temp") % 10000) / 10000.0
+    p = F.sqrt(F.col("n_chars") / F.col("max_chars"))
+    return (
+        docs.crossJoin(F.broadcast(maxc))
+        .withColumn("p_keep", p)
+        .filter(u < F.col("p_keep"))
+        .select("doc_id", "lang", "n_chars", "p_keep")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "pipeline_curate_corpus": curate_corpus,
+    "ext_pack_sequences": pack_sequences,
+    "ext_temperature_sample": temperature_sample,
     "ext_emb_centroids": emb_centroids,
     "ext_emb_quantize": emb_quantize,
     "ext_stratified_sample": stratified_sample,
@@ -210,6 +277,30 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_pack_sequences": r"""
+        SELECT lang, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+               MIN(doc_id) AS first_doc
+        FROM (
+            SELECT lang, doc_id, n_toks,
+                   CAST(FLOOR((SUM(n_toks) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_toks) / 512.0) AS BIGINT) AS pack_id
+            FROM (SELECT lang, doc_id,
+                         len(string_split_regex(text, '\s+')) AS n_toks
+                  FROM documents) tok) packed
+        GROUP BY lang, pack_id
+    """,
+    "ext_temperature_sample": """
+        SELECT doc_id, lang, n_chars,
+               SQRT(n_chars * 1.0 / (SELECT MAX(n_chars) FROM documents))
+                   AS p_keep
+        FROM documents
+        WHERE (CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 10000) / 10000.0
+              < SQRT(n_chars * 1.0 / (SELECT MAX(n_chars) FROM documents))
+    """,
     "pipeline_curate_corpus": r"""
         WITH toksed AS (
             SELECT doc_id, lang, source, text,
