@@ -159,6 +159,46 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# decontamination n-gram width — production uses 8-13-grams; the
+# synthetic ~15-token word-soup docs collide on nothing that long
+# (verified: zero 8-gram overlap at sf0.01), so 3 keeps the operator's
+# output non-trivial while the plan shape is width-independent
+NGRAM_N = 3
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    exact n-gram with a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the benchmark). Distinct from
+    near-dup dedup — the test is exact n-gram CONTAINMENT against a
+    fixed reference set, the standard pre-training decontamination
+    gate; output is (doc_id, distinct overlapping grams).
+
+    Scale: benchmark n-grams are distinct'd and BROADCAST (benchmarks
+    are tiny next to the corpus), so the exploded corpus grams are
+    filtered by a broadcast semi join with no shuffle; only the
+    surviving (contaminated) pairs pay the per-doc count shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+        lambda i: F.array_join(F.slice(toks, i, NGRAM_N), " "),
+    )
+    pairs = (
+        docs.filter(F.size(toks) >= NGRAM_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .localCheckpoint(eager=False)  # feeds both the bench and corpus sides
+    )
+    bench = pairs.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corpus = pairs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))  # grams distinct per doc
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the MassiveText/Gopher-style
     filters): top-bigram share and distinct-token ratio per doc. Plan:
@@ -297,6 +337,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_tfidf": tfidf_top_terms,
     "ext_text_chunking": chunk_documents,
     "ext_text_repetition": repetition_stats,
+    "ext_decontaminate": decontaminate,
     "ext_inverted_index": inverted_index,
     "ext_histogram": value_histogram,
     "ext_regexp_extract": regexp_extract_ids,
@@ -391,6 +432,19 @@ ORACLES: dict[str, str] = {
                array_to_string(list_sort(list(d.doc_id)), ',') AS postings
         FROM d
         GROUP BY d.token
+    """,
+    "ext_decontaminate": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(toks[i : i + {NGRAM_N - 1}], ' ')
+                               for i in range(1, len(toks) - {NGRAM_N - 2})]) AS gram
+                FROM t WHERE len(toks) >= {NGRAM_N}) raw),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        corpus AS (SELECT * FROM g WHERE doc_id % 97 != 0)
+        SELECT doc_id, COUNT(*) AS n_hit_grams
+        FROM corpus WHERE gram IN (SELECT gram FROM bench)
+        GROUP BY doc_id
     """,
     "ext_text_repetition": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
