@@ -261,10 +261,51 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing table: per-source token mass and the
+    downsampling rate that flattens the mixture to a uniform target —
+    rate = min(1, target_share / actual_share). This is the driver
+    table a sampler joins against (e.g. temperature_sample keyed by
+    source) to hit a target mixture; emitting it as a relation keeps
+    the policy inspectable and versionable.
+
+    All-integer token totals; the rate is one double division per
+    SOURCE (20 rows), so cross-engine float identity is trivial. One
+    aggregate shuffle; the global total is a 1-row broadcast.
+    """
+    from mini_sql_engine_spark.functions import textfns
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", textfns.n_tokens("text").cast("long")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_toks").alias("source_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).localCheckpoint(eager=False)  # reused by the global total
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            F.least(
+                F.lit(1.0),
+                F.col("total_tokens")
+                / (F.col("n_sources") * F.col("source_tokens")),
+            ).alias("sample_rate"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "pipeline_curate_corpus": curate_corpus,
     "ext_pack_sequences": pack_sequences,
     "ext_temperature_sample": temperature_sample,
+    "ext_mixture_weights": mixture_weights,
     "ext_emb_centroids": emb_centroids,
     "ext_emb_quantize": emb_quantize,
     "ext_stratified_sample": stratified_sample,
@@ -291,6 +332,20 @@ ORACLES: dict[str, str] = {
                          len(string_split_regex(text, '\s+')) AS n_toks
                   FROM documents) tok) packed
         GROUP BY lang, pack_id
+    """,
+    "ext_mixture_weights": r"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                       AS source_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source)
+        SELECT source, n_docs, source_tokens,
+               LEAST(1.0,
+                     (SELECT SUM(source_tokens) FROM per_source) * 1.0
+                     / ((SELECT COUNT(*) FROM per_source) * source_tokens))
+                   AS sample_rate
+        FROM per_source
     """,
     "ext_temperature_sample": """
         SELECT doc_id, lang, n_chars,
