@@ -275,6 +275,37 @@ def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches — the pattern that matters at
+    100 TB: build a Datasketches HLL per (event_type, day) partial
+    (`hll_sketch_agg`), then UNION the partials per event type
+    (`hll_union_agg`) and estimate. Unlike a COUNT(DISTINCT) — which
+    must reshuffle raw keys to re-aggregate at a coarser grain — the
+    daily sketches are tiny, additive, and storable: a dashboard can
+    roll up any date range by unioning pre-computed partials without
+    touching the fact table again. Exact count alongside for the
+    accuracy check (pytest asserts the relative error bound; no DuckDB
+    oracle — sketch internals are engine-specific, rows-only check).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .join(
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("exact_users")),
+            "event_type",
+        )
+    )
+
+
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-count sketch per event type, with exact count and
     relative error alongside. No oracle-value check (sketches are
@@ -338,6 +369,7 @@ QUERIES: dict[str, Callable] = {
     "ext_conditional_agg": conditional_aggregates,
     "ext_string_agg": string_agg_nations,
     "ext_approx_count_distinct": approx_count_distinct,
+    "ext_hll_mergeable": hll_mergeable_sketches,  # rows-only (sketches)
 }
 
 _SAMPLE_HASH = (

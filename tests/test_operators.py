@@ -289,3 +289,16 @@ def test_allpairs_cosine_invariant_to_block_count(spark):
     # threshold 0: every pair with cos >= 0 appears at most once, none twice
     ids = [(a, b) for a, b, _ in results[0]]
     assert len(ids) == len(set(ids))
+
+
+def test_hll_mergeable_union_accuracy(spark, sf_dir):
+    """Unioning per-day HLL partials must estimate the true per-type
+    distinct-user count within the sketch's error envelope (lgK=12 →
+    ~1.6% rse; allow generous slack on tiny data)."""
+    from mini_sql_engine_spark.operators import analytics
+
+    rows = analytics.hll_mergeable_sketches(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_daily_sketches >= 1
+        assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 3), r
