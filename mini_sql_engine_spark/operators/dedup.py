@@ -53,6 +53,8 @@ SIMHASH_BAND_BITS = 15
 SIMHASH_N_BANDS = 4
 HAMMING_MAX = 3  # ≤ band count - 1 ⇒ banding is exact (pigeonhole)
 COSINE_T = 0.45
+PREFIX_T = 0.5  # Jaccard threshold for the prefix-filter join (num/den below)
+PREFIX_T_NUM, PREFIX_T_DEN = 1, 2  # exact rational form — integer ceil math
 
 
 _SHINGLE_CACHE: dict[str, DataFrame] = {}
@@ -133,6 +135,79 @@ def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_pairs(spark, sf_dir)
         .filter(F.col("jacc") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via PPJoin-style prefix
+    filtering (Chaudhuri et al. "A Primitive Operator for Similarity
+    Joins"; Xiao et al. PPJoin) — the scale path for exact (not LSH-
+    approximate) near-dup joins.
+
+    Order every doc's shingles rarest-first by global document
+    frequency; a pair can reach Jaccard >= t only if it shares a
+    shingle inside each side's first n - ceil(t*n) + 1 elements
+    (prefix-filter lemma: jacc >= t implies overlap >= ceil(t*n) on
+    both sides). Only prefixes enter the candidate self-join, so the
+    quadratic blowup of frequent shingles — the cost driver of the
+    plain inverted-index join, sum over shingles of count^2 — is
+    eliminated: frequent shingles sort to the back and never generate
+    candidates. At t=0.5 the prefix is ~half the shingles, but the
+    pair count drops far more than 2x because it is the hottest
+    shingles that leave. Unlike MinHash-LSH this misses NOTHING: the
+    output is bit-identical to the exact join, so the oracle is the
+    same exact-Jaccard SQL.
+
+    100 TB: document frequencies are one map-side-combined agg over a
+    vocabulary-sized table — broadcast it, so attaching df to each
+    (doc, shingle) row is map-side (if the vocabulary outgrows the
+    broadcast limit, drop the hint: ANY consistent global order keeps
+    the filter lossless, frequency order is only the pruning
+    heuristic); the per-doc prefix is one keyed window (shuffle on
+    doc_id, no array materialization); the candidate join shuffles
+    only (shingle, doc_id) prefix pairs; the verify step broadcasts
+    the (small) candidate set so the shingle arrays never shuffle —
+    the same heavy-bytes-off-the-shuffle structure as minhash_lsh_dedup."""
+    from pyspark.sql import Window
+
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first total order per doc; keep the first
+    # n - ceil(t*n) + 1 shingles (exact integer ceil via num/den)
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (
+        f"cast(n - ((n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1) "
+        f"div {PREFIX_T_DEN}) + 1 as int)"
+    )
+    px = (
+        ex.join(F.broadcast(freq), "shingle")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= F.expr(prefix_len))
+        .select("doc_id", "shingle")
+    )
+    a, b = px.alias("a"), px.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    # both verify joins stream the (big) shingle table against a
+    # broadcast candidate-sized side, so shingle arrays never shuffle
+    with_a = sha.join(F.broadcast(cand), "doc_a")
+    return (
+        shb.join(F.broadcast(with_a), "doc_b")
+        .withColumn("jacc", F.round(inter / (na + nb - inter), 6))
+        .filter(F.col("jacc") >= PREFIX_T)
         .select("doc_a", "doc_b", "jacc")
     )
 
@@ -438,6 +513,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_exact": exact_dedup,
     "ext_dedup_exact_by_key": exact_dedup_by_key,
     "ext_dedup_jaccard": jaccard_dedup,
+    "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_dedup_minhash_lsh": minhash_lsh_dedup,
     "ext_dedup_simhash": simhash_dedup,
@@ -462,6 +538,12 @@ ORACLES: dict[str, str] = {
     "ext_dedup_jaccard": f"""
         SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) p
         WHERE jacc >= {JACCARD_T}
+    """,
+    # prefix filtering is lossless, so the oracle is the plain exact
+    # join at the higher threshold — identical output, different plan
+    "ext_dedup_prefix_filter": f"""
+        SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) p
+        WHERE jacc >= {PREFIX_T}
     """,
     "ext_dedup_canonical_keep": f"""
         SELECT doc_id FROM documents

@@ -93,6 +93,71 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_K = 20  # final top-k
+HH_M = 100  # per-partition summary size (candidate generation)
+
+
+def heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global top-k tokens via bounded-communication two-pass heavy
+    hitters — same output as token_histogram, different scale contract.
+
+    Pass 1 keeps only each partition's local top-M (token, count) summary
+    — the shuffle carries at most M rows per partition instead of the
+    whole vocabulary. Any token outside every partition's top-M has
+    global count <= theta = sum over partitions of the M-th local count,
+    so the local-top-M union is a provably complete candidate set
+    whenever the k-th best candidate exceeds theta. Pass 2 exact-counts
+    the candidates (semi-join, broadcastable candidate set). If the
+    certificate fails (flat distribution), fall back to the plain full
+    aggregation — the result is exact on EITHER path, which is why this
+    operator shares the exact-SQL oracle with token_histogram.
+
+    100 TB: the full-vocab shuffle of the naive plan is the bottleneck
+    when vocabulary is huge (web-scale n-grams); here shuffle volume is
+    M x partitions rows for pass 1 and |candidates| partial counts for
+    pass 2, both independent of vocabulary size. The two driver-side
+    scalars (theta, k-th count) are metadata-only aggregates, same
+    pattern as dedup_clusters' convergence check."""
+    from pyspark.sql import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(textfns.tokens("text")).alias("token"))
+        .localCheckpoint(eager=False)  # consumed by both passes
+    )
+    per_part = (
+        tok.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cnt").desc(), "token")
+    summaries = (
+        per_part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HH_M)
+        .localCheckpoint(eager=False)  # theta probe + candidate set
+    )
+    theta = (
+        summaries.filter(F.col("rn") == HH_M).agg(F.sum("cnt")).collect()[0][0] or 0
+    )
+    candidates = summaries.select("token").distinct()
+    topk = (
+        tok.join(candidates, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(HH_K)
+    )
+    kth = topk.agg(F.min("cnt")).collect()[0][0]
+    if kth is None or kth <= theta:  # certificate failed → exact fallback
+        topk = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "token")
+            .limit(HH_K)
+        )
+    return topk
+
+
 TFIDF_TOP_K = 5
 
 
@@ -334,6 +399,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_quality": quality,
     "ext_text_fingerprint": fingerprints,
     "ext_text_token_histogram": token_histogram,
+    "ext_text_heavy_hitters": heavy_hitters_bounded,
     "ext_text_tfidf": tfidf_top_terms,
     "ext_text_chunking": chunk_documents,
     "ext_text_repetition": repetition_stats,
@@ -389,6 +455,12 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "ext_text_token_histogram": f"""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    # exact on either path (certificate or fallback) → same exact oracle
+    "ext_text_heavy_hitters": f"""
         SELECT token, COUNT(*) AS cnt
         FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20

@@ -159,7 +159,43 @@ def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: collapse
+    each user's consecutive runs of the same event_type into validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    standard CDC → dimension-table materialization.
+
+    Two keyed windows over (ts, event_id): a lag() to keep only
+    change-points (run starts), then a lead() over the survivors to close
+    each interval at the next change. event_id breaks ts ties, so the
+    order is total and the result engine-independent; timestamps are
+    emitted as second-granularity strings (raw ns timestamps don't
+    round-trip identically across engines).
+
+    Scale: both windows shuffle on user_id ONCE — same partitioning, so
+    Catalyst reuses the exchange; state per key is one row. This is the
+    batch analog of the streaming dedup-then-sessionize pattern, and at
+    100 TB it is strictly cheaper than the groupBy-collect_list
+    alternative because nothing materializes a per-user array."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return runs.withColumn("next_ts", F.lead("ts").over(w)).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_ts", fmt), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_scd2_history": scd2_history,
     "ext_trailing_time_window": trailing_time_window,
     "ext_running_total": running_total,
     "ext_moving_avg": moving_avg,
@@ -169,6 +205,27 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_scd2_history": """
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events),
+        runs AS (
+            SELECT user_id, event_type, ts, event_id FROM marked
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+        closed AS (
+            SELECT user_id, event_type, ts,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_ts
+            FROM runs)
+        SELECT user_id, event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S'),
+                        '9999-12-31 00:00:00') AS valid_to,
+               (next_ts IS NULL) AS is_current
+        FROM closed
+    """,
     "ext_trailing_time_window": """
         SELECT user_id, event_id,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
