@@ -306,6 +306,50 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable quantile summaries: per-(event_type, day)
+    value-histogram partials — (value, count) pairs, the trivially
+    additive summary — merged per event type, then discrete p50/p90/p99
+    read off the cumulative counts. Counterpart to hll_mergeable_
+    sketches but exactly oracle-able: merging histograms is integer
+    addition, and the quantile rule (least value with cum*den >=
+    p_num*total) is pure integer comparison, so both engines agree
+    bit-for-bit — no sketch internals, no float accumulation.
+
+    100 TB: the partials are the storable artifact — each day's
+    histogram is |distinct values|-sized (bounded for discretized
+    measures like 2-decimal monetary values), so any date-range rollup
+    merges pre-computed partials without rescanning the fact table.
+    The merge is one map-side-combined agg; the cumulative pass is a
+    keyed window over the (small) merged histogram, never over rows."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    partials = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = partials.groupBy("event_type", "value").agg(F.sum("cnt").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("value"))).alias("p50"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("value"))
+        ).alias("p90"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("value"))
+        ).alias("p99"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )
+
+
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-count sketch per event type, with exact count and
     relative error alongside. No oracle-value check (sketches are
@@ -370,6 +414,7 @@ QUERIES: dict[str, Callable] = {
     "ext_string_agg": string_agg_nations,
     "ext_approx_count_distinct": approx_count_distinct,
     "ext_hll_mergeable": hll_mergeable_sketches,  # rows-only (sketches)
+    "ext_quantile_mergeable": quantile_mergeable,
 }
 
 _SAMPLE_HASH = (
@@ -378,6 +423,30 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_quantile_mergeable": """
+        WITH partials AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   value, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2, 3),
+        merged AS (
+            SELECT event_type, value, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM partials GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, value, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS total
+            FROM merged)
+        SELECT event_type,
+               MIN(CASE WHEN cum * 2 >= total THEN value END) AS p50,
+               MIN(CASE WHEN cum * 10 >= total * 9 THEN value END) AS p90,
+               MIN(CASE WHEN cum * 100 >= total * 99 THEN value END) AS p99,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_distinct_values
+        FROM cum GROUP BY event_type
+    """,
     "ext_cohort_retention": """
         WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
                     FROM events),
