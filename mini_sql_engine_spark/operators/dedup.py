@@ -159,21 +159,41 @@ def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is bit-identical to the exact join, so the oracle is the
     same exact-Jaccard SQL.
 
-    100 TB: document frequencies are one map-side-combined agg over a
-    vocabulary-sized table — broadcast it, so attaching df to each
-    (doc, shingle) row is map-side (if the vocabulary outgrows the
-    broadcast limit, drop the hint: ANY consistent global order keeps
-    the filter lossless, frequency order is only the pruning
-    heuristic); the per-doc prefix is one keyed window (shuffle on
-    doc_id, no array materialization); the candidate join shuffles
-    only (shingle, doc_id) prefix pairs; the verify step broadcasts
-    the (small) candidate set so the shingle arrays never shuffle —
-    the same heavy-bytes-off-the-shuffle structure as minhash_lsh_dedup."""
+    100 TB: only REPEATED shingles (df >= 2) can generate candidates
+    or perturb the rarest-first order, so the df table is aggregated
+    on a cheap xxhash64 key, filtered to df >= 2, and broadcast — in
+    a mostly-unique corpus (any dedup workload: bulk unique content +
+    a duplicated slice) that set is orders of magnitude smaller than
+    the vocabulary, and absent shingles coalesce to df = 1, which IS
+    their true frequency, so the ordering is unchanged. The df attach
+    is therefore map-side; the only full-row shuffle is the per-doc
+    prefix window on doc_id (hash collisions merely merge two df
+    counts — the order stays a consistent deterministic total order,
+    so the filter stays lossless; if the repeated-shingle set ever
+    outgrows the broadcast limit, swap the broadcast for a count
+    window over shingle — one extra shuffle, same semantics). df = 1
+    prefix rows are dropped before the candidate self-join (a shared
+    shingle has df >= 2 by definition — lossless prune). Candidate
+    pairs then pass PPJoin's POSITIONAL filter before any array work:
+    a token shared at 1-based rarest-first positions (pa, pb) bounds
+    the overlap by 1 + min(na - pa, nb - pb), and jacc >= t needs
+    overlap >= ceil(t*(na+nb)/(1+t)), so pairs whose best shared
+    prefix token can't reach the bound die on integer arithmetic
+    alone. Survivors are verified with exact array intersection; the
+    per-doc shingle table (|docs| rows, three orders smaller than the
+    pair table) is the broadcast side of both verify joins, so
+    neither the pair table nor the arrays ever shuffle (at corpus
+    sizes where the doc table outgrows broadcast, these become plain
+    shuffled joins on doc id — the standard fallback)."""
     from pyspark.sql import Window
 
     sh = _shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    freq2 = (
+        ex.groupBy(F.xxhash64("shingle").alias("hsh"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
     # rarest-first total order per doc; keep the first
     # n - ceil(t*n) + 1 shingles (exact integer ceil via num/den)
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -182,30 +202,46 @@ def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"div {PREFIX_T_DEN}) + 1 as int)"
     )
     px = (
-        ex.join(F.broadcast(freq), "shingle")
+        ex.join(F.broadcast(freq2), F.xxhash64("shingle") == freq2.hsh, "left")
+        .withColumn("df", F.coalesce("df", F.lit(1)))
         .withColumn("rn", F.row_number().over(wdoc))
-        .filter(F.col("rn") <= F.expr(prefix_len))
-        .select("doc_id", "shingle")
+        .filter((F.col("rn") <= F.expr(prefix_len)) & (F.col("df") >= 2))
+        .select("doc_id", "n", "rn", "shingle")
     )
     a, b = px.alias("a"), px.alias("b")
+    # overlap needed for jacc >= t, and the positional upper bound on
+    # overlap from each shared prefix token — all integer-exact
+    alpha = (
+        f"(({PREFIX_T_NUM} * (na + nb) + {PREFIX_T_NUM + PREFIX_T_DEN} - 1) "
+        f"div {PREFIX_T_NUM + PREFIX_T_DEN})"
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            (
+                1 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn"))
+            ).alias("tok_ub"),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.max("tok_ub").alias("best_ub"))
+        .filter(F.col("best_ub") >= F.expr(alpha))
+        .select("doc_a", "doc_b")
     )
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     na, nb = F.size("sha"), F.size("shb")
-    # both verify joins stream the (big) shingle table against a
-    # broadcast candidate-sized side, so shingle arrays never shuffle
-    with_a = sha.join(F.broadcast(cand), "doc_a")
     return (
-        shb.join(F.broadcast(with_a), "doc_b")
+        cand.join(F.broadcast(sha), "doc_a")
+        .join(F.broadcast(shb), "doc_b")
         .withColumn("jacc", F.round(inter / (na + nb - inter), 6))
         .filter(F.col("jacc") >= PREFIX_T)
         .select("doc_a", "doc_b", "jacc")

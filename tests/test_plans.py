@@ -345,10 +345,13 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
 
 
 def test_prefix_filter_broadcasts_thin_sides(spark, sf_dir):
-    """ext_dedup_prefix_filter: the df attach and both verify joins
-    broadcast their thin side — the shingle arrays must never ride a
-    shuffle (SURVEY.md §2.2 dedup scale notes). Expect >= 3 broadcast
-    hash joins; the only sort-merge-eligible join left is the prefix
-    self-join on (shingle, doc_id) pairs."""
+    """ext_dedup_prefix_filter: the df >= 2 attach and both verify
+    joins broadcast their small side (repeated-shingle table / per-doc
+    shingle table) — neither the pair table nor the shingle arrays may
+    ride a shuffle (SURVEY.md §2.2 dedup scale notes). The only
+    non-broadcast join is the prefix self-join on (shingle, doc_id)
+    pairs."""
     plan = _plan(ALL_QUERIES["ext_dedup_prefix_filter"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan
+    smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert smj <= 1, plan
