@@ -264,6 +264,68 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LIFT_MIN_COUNT = 3  # bigram support floor
+LIFT_TOP_K = 30
+
+
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by lift,
+    P(xy) / (P(x)·P(y)) = n_xy·N² / (M·n_x·n_y) over adjacent token
+    pairs — the classic PMI-family statistic with the log dropped so
+    the score stays a ratio of exact integers (both engines compute
+    the identical double quotient; the log would reintroduce
+    engine-specific rounding). Bigrams are built JVM-side with an
+    indexed higher-order transform (no UDTF, no Python); unigram and
+    total counts attach by broadcast (vocabulary-sized and scalar).
+
+    100 TB: two partial-aggregated shuffles (bigrams, unigrams) — both
+    count tables, never token streams; the scalar totals ride a
+    broadcast cross join, and top-k is TakeOrderedAndProject, not a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(textfns.tokens("text").alias("toks"))
+    bgc = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = toks.select(F.size("toks").alias("k")).agg(
+        F.sum("k").alias("n_tok"), F.sum(F.col("k") - 1).alias("n_big")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    quotient = (F.col("n_xy") * F.col("n_tok") * F.col("n_tok")) / (
+        F.col("n_big") * F.col("n_x") * F.col("n_y")
+    )
+    return (
+        bgc.filter(F.col("n_xy") >= LIFT_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(quotient.cast("decimal(28,10)"), 6).cast("double").alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(LIFT_TOP_K)
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the MassiveText/Gopher-style
     filters): top-bigram share and distinct-token ratio per doc. Plan:
@@ -400,6 +462,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_fingerprint": fingerprints,
     "ext_text_token_histogram": token_histogram,
     "ext_text_heavy_hitters": heavy_hitters_bounded,
+    "ext_text_bigram_lift": bigram_lift,
     "ext_text_tfidf": tfidf_top_terms,
     "ext_text_chunking": chunk_documents,
     "ext_text_repetition": repetition_stats,
@@ -464,6 +527,28 @@ ORACLES: dict[str, str] = {
         SELECT token, COUNT(*) AS cnt
         FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
         GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    "ext_text_bigram_lift": f"""
+        WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+        big AS (
+            SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
+                   unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+            FROM toks),
+        bgc AS (SELECT w1, w2, COUNT(*) AS n_xy FROM big GROUP BY 1, 2),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        u AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+        tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tok,
+                       CAST(SUM(len(t) - 1) AS BIGINT) AS n_big FROM toks)
+        SELECT w1, w2, n_xy,
+               CAST(ROUND(CAST(CAST(n_xy * n_tok * n_tok AS DOUBLE)
+                               / CAST(n_big * ux.n_w * uy.n_w AS DOUBLE)
+                               AS DECIMAL(28,10)), 6) AS DOUBLE) AS lift
+        FROM bgc
+        JOIN u ux ON bgc.w1 = ux.w
+        JOIN u uy ON bgc.w2 = uy.w
+        CROSS JOIN tot
+        WHERE n_xy >= {LIFT_MIN_COUNT}
+        ORDER BY lift DESC, w1, w2 LIMIT {LIFT_TOP_K}
     """,
     "ext_text_tfidf": f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
