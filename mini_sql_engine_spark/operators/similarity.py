@@ -172,6 +172,49 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both ANN paths (LSH buckets, IVF probes) against the
+    exact brute-force top-k, per query — the measurement loop every ANN
+    deployment needs before trading recall for cost. Hits are computed
+    with a semi-join of the exact top-k against each ANN result (both
+    sides are tiny: queries × k rows), so the eval itself costs three
+    reused subplans plus two key-only joins; recall is an exact integer
+    ratio, deterministic across engines.
+
+    100 TB: the expensive side (brute force) is what recall evaluation
+    runs on a SAMPLE of queries by construction — the operator shape
+    (exact-on-sample vs approx-on-all, semi-join, ratio) is unchanged;
+    only N_QUERIES grows."""
+    exact_k = brute_force_topk(spark, sf_dir).filter(
+        F.col("rnk") <= ANN_TOP_K
+    ).select("q_id", "n_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("q_id", "n_id")
+    ivf = ivf_topk(spark, sf_dir).select("q_id", "n_id")
+    base = exact_k.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    lsh_hits = (
+        exact_k.join(lsh, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("lsh_hits"))
+    )
+    ivf_hits = (
+        exact_k.join(ivf, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("ivf_hits"))
+    )
+    return (
+        base.join(lsh_hits, "q_id", "left")
+        .join(ivf_hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("lsh_hits", F.lit(0)).cast("long").alias("lsh_hits"),
+            F.coalesce("ivf_hits", F.lit(0)).cast("long").alias("ivf_hits"),
+            (F.coalesce("lsh_hits", F.lit(0)) / F.col("n_exact")).alias("lsh_recall"),
+            (F.coalesce("ivf_hits", F.lit(0)) / F.col("n_exact")).alias("ivf_recall"),
+        )
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the vector column: per-vector max /
     min / mean / positive-component count — all JVM-side array
@@ -307,10 +350,30 @@ _LABEL_ORACLE = """
     GROUP BY 1, 2
 """
 
+_RECALL_ORACLE = f"""
+    WITH exact_k AS (
+        SELECT q_id, n_id FROM ({_BRUTE_ORACLE}) b WHERE rnk <= {ANN_TOP_K}),
+    lsh AS (SELECT q_id, n_id FROM ({_ANN_ORACLE}) a),
+    ivf AS (SELECT q_id, n_id FROM ({_IVF_ORACLE}) i),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact_k GROUP BY q_id),
+    hl AS (SELECT e.q_id, COUNT(*) AS lsh_hits
+           FROM exact_k e JOIN lsh USING (q_id, n_id) GROUP BY e.q_id),
+    hi AS (SELECT e.q_id, COUNT(*) AS ivf_hits
+           FROM exact_k e JOIN ivf USING (q_id, n_id) GROUP BY e.q_id)
+    SELECT base.q_id, base.n_exact,
+           CAST(COALESCE(lsh_hits, 0) AS BIGINT) AS lsh_hits,
+           CAST(COALESCE(ivf_hits, 0) AS BIGINT) AS ivf_hits,
+           CAST(COALESCE(lsh_hits, 0) AS DOUBLE) / base.n_exact AS lsh_recall,
+           CAST(COALESCE(ivf_hits, 0) AS DOUBLE) / base.n_exact AS ivf_recall
+    FROM base LEFT JOIN hl ON base.q_id = hl.q_id
+              LEFT JOIN hi ON base.q_id = hi.q_id
+"""
+
 QUERIES: dict[str, Callable] = {
     "ext_sim_bruteforce_topk": brute_force_topk,
     "ext_sim_ann_lsh_topk": ann_lsh_topk,
     "ext_sim_ivf_topk": ivf_topk,
+    "ext_sim_recall_eval": ann_recall_eval,
     "ext_sim_label_pairs": label_centroid_similarity,
     "ext_array_funcs": embedding_array_stats,
 }
@@ -319,6 +382,7 @@ ORACLES: dict[str, str] = {
     "ext_sim_bruteforce_topk": _BRUTE_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
+    "ext_sim_recall_eval": _RECALL_ORACLE,
     "ext_sim_label_pairs": _LABEL_ORACLE,
     # float32 values round-trip exactly through the DOUBLE cast; the
     # mean accumulates left-to-right in double on both engines
