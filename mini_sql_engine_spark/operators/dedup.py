@@ -258,6 +258,44 @@ def canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
+SPLIT_TRAIN_PCT = 80  # deterministic hash split: 80 / 10 / 10
+SPLIT_VAL_PCT = 90
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split-leakage audit: near-duplicate pairs whose
+    members land in DIFFERENT splits of a deterministic md5 hash split
+    — the contamination check a training pipeline runs before trusting
+    any eval number (a val doc with a train near-twin is leakage even
+    when exact dedup is clean). Returns the leaking pairs with both
+    split labels and the similarity, ready for quarantine or re-split.
+
+    Deterministic hash bucketing (not rand()) means the audit is
+    reproducible across engines, reruns, and partitionings — the same
+    property the sampling operators rely on. Scale: the near-dup pair
+    table is the small side (it IS the dedup output); split labels are
+    a key-hash projection attached by broadcast, so the audit adds two
+    map-side joins on top of whichever near-dup join produced the
+    pairs."""
+    bucket = md5_long(F.col("doc_id").cast("string"), "split") % 100
+    splits = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        jaccard_dedup(spark, sf_dir)
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jacc")
+    )
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH candidates → exact-Jaccard verify.
 
@@ -551,6 +589,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_jaccard": jaccard_dedup,
     "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
+    "ext_split_leakage": split_leakage,
     "ext_dedup_minhash_lsh": minhash_lsh_dedup,
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
@@ -585,6 +624,23 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (
             SELECT doc_b FROM ({_JACCARD_PAIRS}) p WHERE jacc >= {JACCARD_T})
+    """,
+    "ext_split_leakage": f"""
+        WITH splits AS (
+            SELECT doc_id,
+                   CASE WHEN {_HEX.format(x="'split:' || CAST(doc_id AS VARCHAR)")}
+                             % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN {_HEX.format(x="'split:' || CAST(doc_id AS VARCHAR)")}
+                             % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+        pairs AS (SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) p
+                  WHERE jacc >= {JACCARD_T})
+        SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jacc
+        FROM pairs
+        JOIN splits sa ON pairs.doc_a = sa.doc_id
+        JOIN splits sb ON pairs.doc_b = sb.doc_id
+        WHERE sa.split <> sb.split
     """,
     "ext_dedup_minhash_lsh": _MINHASH_ORACLE,
     "ext_dedup_simhash": _SIMHASH_ORACLE,
