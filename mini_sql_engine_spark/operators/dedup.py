@@ -139,7 +139,13 @@ def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def prefix_filter_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    t_num: int = PREFIX_T_NUM,
+    t_den: int = PREFIX_T_DEN,
+) -> DataFrame:
     """EXACT Jaccard-threshold self-join via PPJoin-style prefix
     filtering (Chaudhuri et al. "A Primitive Operator for Similarity
     Joins"; Xiao et al. PPJoin) — the scale path for exact (not LSH-
@@ -198,8 +204,8 @@ def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n - ceil(t*n) + 1 shingles (exact integer ceil via num/den)
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix_len = (
-        f"cast(n - ((n * {PREFIX_T_NUM} + {PREFIX_T_DEN} - 1) "
-        f"div {PREFIX_T_DEN}) + 1 as int)"
+        f"cast(n - ((n * {t_num} + {t_den} - 1) "
+        f"div {t_den}) + 1 as int)"
     )
     px = (
         ex.join(F.broadcast(freq2), F.xxhash64("shingle") == freq2.hsh, "left")
@@ -212,8 +218,8 @@ def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap needed for jacc >= t, and the positional upper bound on
     # overlap from each shared prefix token — all integer-exact
     alpha = (
-        f"(({PREFIX_T_NUM} * (na + nb) + {PREFIX_T_NUM + PREFIX_T_DEN} - 1) "
-        f"div {PREFIX_T_NUM + PREFIX_T_DEN})"
+        f"(({t_num} * (na + nb) + {t_num + t_den} - 1) "
+        f"div {t_num + t_den})"
     )
     cand = (
         a.join(
@@ -243,7 +249,7 @@ def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(sha), "doc_a")
         .join(F.broadcast(shb), "doc_b")
         .withColumn("jacc", F.round(inter / (na + nb - inter), 6))
-        .filter(F.col("jacc") >= PREFIX_T)
+        .filter(F.col("jacc") >= t_num / t_den)
         .select("doc_a", "doc_b", "jacc")
     )
 

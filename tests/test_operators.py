@@ -302,3 +302,29 @@ def test_hll_mergeable_union_accuracy(spark, sf_dir):
     for r in rows:
         assert r.n_daily_sketches >= 1
         assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 3), r
+
+
+@pytest.mark.parametrize("t_num,t_den", [(3, 10), (7, 10), (9, 10)])
+def test_prefix_filter_equals_exact_join_at_any_threshold(
+    spark, sf_dir, t_num, t_den
+):
+    """The prefix-filter lemma must hold at ANY threshold, not just the
+    registered PREFIX_T: the candidate prune (prefix length, df >= 2,
+    positional bound) is lossless, so the output must equal the plain
+    inverted-index exact join filtered at the same threshold."""
+    t = t_num / t_den
+    exact = sorted(
+        (r.doc_a, r.doc_b, r.jacc)
+        for r in dedup._jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jacc") >= t)
+        .select("doc_a", "doc_b", "jacc")
+        .collect()
+    )
+    pruned = sorted(
+        (r.doc_a, r.doc_b, r.jacc)
+        for r in dedup.prefix_filter_dedup(
+            spark, sf_dir, t_num=t_num, t_den=t_den
+        ).collect()
+    )
+    assert pruned == exact
+    assert len(exact) > 0  # threshold not so high the test is vacuous
