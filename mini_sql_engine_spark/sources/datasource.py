@@ -236,12 +236,21 @@ class MiniSQLWriter(DataSourceWriter):
                 f"schema mismatch for {self.table!r}: catalog has "
                 f"{catalog[self.table]}, writing {self.columns}"
             )
-        mode = "w" if self.overwrite or not os.path.exists(final) else "a"
-        with open(final, mode) as out:
+        # Two-phase commit: merge everything (the prior table first, when
+        # appending) into a temp file inside the staging dir, then
+        # os.replace() onto the final path — the swap is atomic, so a
+        # crash mid-merge leaves the previous table intact and readers
+        # never observe a partial file.
+        merged = os.path.join(self.staging, "_merged.csv")
+        with open(merged, "w") as out:
+            if not self.overwrite and os.path.exists(final):
+                with open(final) as prev:
+                    shutil.copyfileobj(prev, out)
             for m in messages:
                 if m is not None:
                     with open(m.path) as frag:
                         shutil.copyfileobj(frag, out)
+        os.replace(merged, final)
         if self.table not in catalog:
             with open(meta_path, "a") as mf:
                 mf.write(

@@ -135,9 +135,20 @@ def compact_files(
 
     df = spark.read.format(fmt).load(path)
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact-tmp")
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact-backup")
     fs.delete(tmp, True)
     df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp.toString())
-    fs.delete(src, True)
+    # Swap via backup-then-rename so the original data is never the only
+    # casualty of a failed rename: src moves aside first (restorable),
+    # tmp moves into place, and only then is the backup deleted. If the
+    # forward rename fails the backup is restored before raising.
+    fs.delete(backup, True)
+    if not fs.rename(src, backup):
+        fs.delete(tmp, True)
+        raise IOError(f"compaction backup rename failed for {path}")
     if not fs.rename(tmp, src):
+        fs.rename(backup, src)  # restore original
+        fs.delete(tmp, True)
         raise IOError(f"compaction swap failed for {path}")
+    fs.delete(backup, True)
     return n_files
