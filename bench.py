@@ -48,14 +48,20 @@ def main() -> None:
     # estimator for repeatable single-query cost
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(ALL_QUERIES.items()):
         best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # one broken query must not lose the other 159 timings: record
+        # the failure by name and keep timing everything else
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     out = {
         "metric": "sum of per-query wall-clock over all registered queries",
@@ -64,8 +70,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+    if errors:
+        print(f"bench: {len(errors)} queries FAILED: {sorted(errors)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -42,19 +42,44 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily load one table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for (SPARK-40819): with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long
-    nanoseconds and is converted here to a microsecond TimestampType —
-    queries must bucket (``date_trunc``/``F.window``) rather than compare
-    raw ns values against ns-precision engines (FIXTURES.md §1.4).
+    ``events.ts`` normalization contract: whatever physical type the
+    testdata uses for ``ts``, downstream operators always see a session-
+    zoned ``TimestampType`` (never NTZ, never raw integers). Handled
+    forms, all observed across driver testdata generations:
+
+    - parquet ``timestamp[us]`` without UTC adjustment → Spark infers
+      ``TIMESTAMP_NTZ`` (``spark.sql.parquet.inferTimestampNTZ.enabled``
+      defaults true); converted via ``to_utc_timestamp(ts, 'UTC')`` —
+      the session TZ is UTC so wall-clock values are unchanged, but the
+      type becomes TIMESTAMP, which ``withWatermark``/``unix_micros``
+      require;
+    - parquet TIMESTAMP(NANOS), which Spark has no native type for
+      (SPARK-40819): with ``spark.sql.legacy.parquet.nanosAsLong`` it
+      arrives as long nanoseconds and is truncated to microseconds.
+
+    ``tests/test_sources.py::test_events_ts_contract`` pins this for
+    both physical forms.
     """
     if name not in SF_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {', '.join(SF_TABLES)}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce an events DataFrame's ``ts`` to session-zoned TimestampType.
+
+    Shared by the batch catalog and the streaming source so batch and
+    stream see identical event-time semantics (stream-batch parity).
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # legacy nanos-as-long form
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 

@@ -18,9 +18,11 @@ Scale notes (100 TB):
   bucket per row) followed by grouped agg — no extra shuffle beyond the
   agg itself; sliding duplicates rows ×(duration/slide), which is the
   row-multiplication cost any engine pays;
-- events.ts is µs-precision after catalog normalization; oracles
-  normalize DuckDB's ns values via make_timestamp(epoch_us(ts)) so both
-  engines bucket identical inputs (FIXTURES.md §1.4).
+- events.ts is session-zoned µs-precision TIMESTAMP after catalog
+  normalization (`catalog.normalize_event_ts` handles both the current
+  parquet timestamp[us]/NTZ form and the legacy TIMESTAMP(NANOS) form);
+  oracles bucket via epoch_us so both engines see identical inputs
+  (FIXTURES.md §1.4).
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mini_sql_engine_spark import oracle_shared
 from mini_sql_engine_spark.catalog import load_table
 
 
@@ -155,7 +158,11 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("sess_start_s"),
+            # unix_seconds over an explicit timestamp cast works whether
+            # the session window was computed over TIMESTAMP or NTZ —
+            # robust to either physical ts type independently of the
+            # catalog normalization.
+            F.unix_seconds(F.col("w.start").cast("timestamp")).alias("sess_start_s"),
             "n_events",
             "sum_value",
         )
@@ -234,7 +241,7 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB oracles. Events oracles normalize ts to µs precision first so
 # both engines bucket the same values.
-_EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts) FROM events)"
+_EVENTS_US = oracle_shared.EVENTS_US
 
 QUERIES: dict[str, Callable] = {
     "ext_group_by_agg": group_by_agg,
@@ -292,13 +299,7 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
-    "ext_sliding_window": """
-        SELECT strftime(date_trunc('day', ts) - offs.i * INTERVAL '1 day',
-                        '%Y-%m-%d') AS win_start,
-               event_type, COUNT(*) AS n_events
-        FROM events, (VALUES (0), (1)) AS offs(i)
-        GROUP BY 1, 2
-    """,
+    "ext_sliding_window": oracle_shared.SLIDING_WINDOW_ORACLE,
     "ext_funnel": f"""
         WITH e AS (SELECT * FROM {_EVENTS_US}),
         fs AS (SELECT user_id, MIN(ts) AS signup_ts FROM e
@@ -314,27 +315,7 @@ ORACLES: dict[str, str] = {
                ROUND((SELECT COUNT(*) FROM conv) * 1.0
                      / (SELECT COUNT(*) FROM fs), 6) AS conversion_rate
     """,
-    "ext_session_window": f"""
-        WITH e AS (SELECT * FROM {_EVENTS_US}),
-        marked AS (
-            SELECT user_id, ts, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w > INTERVAL '1 hour'
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        sess AS (
-            SELECT user_id, ts, value,
-                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) AS sess_id
-            FROM marked
-        )
-        SELECT user_id,
-               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
-               COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
-        FROM sess GROUP BY user_id, sess_id
-    """,
+    "ext_session_window": oracle_shared.SESSION_WINDOW_ORACLE,
     "ext_json_props": r"""
         SELECT event_type,
                ROUND(AVG(k), 4) AS avg_k, MAX(k) AS max_k, COUNT(*) AS cnt

@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -39,20 +40,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark import oracle_shared
+from mini_sql_engine_spark.catalog import load_table, normalize_event_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, ts normalized like the batch
-    catalog (nanos long → microsecond timestamp)."""
+    catalog (`catalog.normalize_event_ts`: NTZ or nanos-long →
+    session-zoned microsecond timestamp, as watermarks require)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
     # the file stream source requires a DIRECTORY; stage a symlink (the
-    # testdata itself is read-only and must not be reorganized)
-    stage = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # testdata itself is read-only and must not be reorganized). Keyed by
+    # a stable digest of sf_dir so every process maps the same source to
+    # the same staging dir (PYTHONHASHSEED makes hash() per-process).
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -62,9 +66,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_event_ts(df)
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -433,25 +435,17 @@ QUERIES: dict[str, Callable] = {
     # from this container (tests/test_streaming.py gates on it).
 }
 
-def _session_oracle() -> str:
-    """The batch session-window oracle verifies the stream too (same
-    output shape) — stream-batch unification, checked by the driver."""
-    from mini_sql_engine_spark.operators import rollups
-
-    return rollups.ORACLES["ext_session_window"]
-
-
-_EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts) FROM events)"
-
-def _sliding_oracle() -> str:
-    from mini_sql_engine_spark.operators import rollups
-
-    return rollups.ORACLES["ext_sliding_window"]
-
+# The batch session/sliding-window oracles verify the streams too (same
+# output shape) — stream-batch unification, checked by the driver. The
+# shared strings live in `oracle_shared` (a leaf module) rather than
+# being imported from operators.rollups: a module-scope import of the
+# operators package from here is circular and silently drops these
+# ORACLES from the merged registry when windows is imported first.
+_EVENTS_US = oracle_shared.EVENTS_US
 
 ORACLES: dict[str, str] = {
-    "stream_session_windows": _session_oracle(),
-    "stream_sliding_counts": _sliding_oracle(),
+    "stream_session_windows": oracle_shared.SESSION_WINDOW_ORACLE,
+    "stream_sliding_counts": oracle_shared.SLIDING_WINDOW_ORACLE,
     "stream_static_enrich": """
         SELECT n_name, COUNT(*) AS n_purchases,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -24,6 +24,12 @@ def test_entry_smoke(spark):
     assert df.columns  # stable schema
 
 
+# Rows-only queries (no SQL oracle) that legitimately return an empty
+# result on the tiny local fixture; everything else must produce rows,
+# matching the driver's rows>0 smoke semantics.
+MAY_BE_EMPTY: frozenset[str] = frozenset()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_vs_oracle(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
@@ -31,4 +37,6 @@ def test_query_vs_oracle(spark, sf_dir, name):
         odf = duckdb_run(ORACLES[name], sf_dir)
         assert_frames_match(sdf, odf, name)
     else:
-        assert len(sdf) >= 0 and list(sdf.columns)
+        assert list(sdf.columns)
+        if name not in MAY_BE_EMPTY:
+            assert len(sdf) > 0, f"rows-only query {name} returned 0 rows"

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -242,3 +243,65 @@ def test_minisql_stream_reader_tails_appends(spark, tmp_path):
         q.stop()
     assert len(got) == 6
     assert (100, 200, 300) in got and (101, 201, 301) in got
+
+
+def test_events_ts_contract(spark, sf_dir, tmp_path):
+    """`catalog.load_table` must deliver events.ts as session-zoned
+    TimestampType regardless of the physical parquet type — the driver's
+    testdata has shipped BOTH TIMESTAMP(NANOS) and timestamp[us] (NTZ)
+    across generations, and a silent type drift broke 7 queries in
+    round 2. Pins the contract for: (a) the live testdata, (b) a
+    synthesized µs/NTZ fixture, (c) a synthesized ns fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_sql_engine_spark.catalog import load_table as lt
+
+    # (a) whatever the driver currently generates
+    assert dict(lt(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [10, 11],
+            "event_type": ["click", "purchase"],
+            "value": [1.5, 2.5],
+            "props": ["{}", "{}"],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 11:00:00"]),
+        }
+    )
+    expected_us = [t.value // 1000 for t in base["ts"]]
+
+    for unit in ("us", "ns"):
+        d = tmp_path / f"events_{unit}"
+        d.mkdir()
+        tbl = pa.Table.from_pandas(base).set_column(
+            5, "ts", pa.Array.from_pandas(base["ts"]).cast(pa.timestamp(unit))
+        )
+        pq.write_table(
+            tbl, str(d / "events.parquet"), use_deprecated_int96_timestamps=False
+        )
+        df = lt(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        got = sorted(
+            r[0] for r in df.select(F.unix_micros("ts")).collect()
+        )
+        assert got == sorted(expected_us), unit
+
+
+def test_registry_complete_regardless_of_import_order():
+    """Importing streaming.windows BEFORE the operators package must not
+    drop the stream oracles from ALL_ORACLES (the round-2 circular-import
+    regression). Runs in a subprocess so module caching in this pytest
+    process can't mask the order dependence."""
+    import subprocess
+    import sys
+
+    code = (
+        "import mini_sql_engine_spark.streaming.windows as W; "
+        "from mini_sql_engine_spark.operators import ALL_ORACLES, ALL_QUERIES; "
+        "missing = [k for k in W.ORACLES if k not in ALL_ORACLES]; "
+        "assert not missing, f'stream oracles lost: {missing}'; "
+        "assert len(ALL_QUERIES) >= 160"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
