@@ -14,6 +14,7 @@ from collections.abc import Callable
 from mini_sql_engine_spark.operators import (
     analytics,
     asof,
+    curation,
     dedup,
     funcs_ext,
     joins_ext,
@@ -46,6 +47,7 @@ _MODULES = [
     multimodal,
     pipeline_ops,
     udfs,
+    curation,
     streaming_windows,
 ]
 

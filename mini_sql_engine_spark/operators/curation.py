@@ -1,0 +1,307 @@
+"""Corpus-curation operators: boilerplate removal, PII scrubbing,
+column profiling, robust outlier filtering, embedding QA.
+
+The reference engine has none of these (SURVEY.md §2.1 covers only
+scan/filter/join/agg); they are the training-data-pipeline extension
+surface the driver mandates alongside dedup/similarity/text
+(SURVEY.md §2.2 X rows). Everything here is expression-only Catalyst
+code — no Python UDFs anywhere in this module.
+
+Scale notes (100 TB):
+- boilerplate: the gram→document-frequency count is the only wide
+  shuffle, and it ships (gram, partial count) pairs after map-side
+  aggregation; the resulting hot-gram set is tiny BY CONSTRUCTION
+  (only grams repeated across ≥ BOILER_DF docs survive) and is
+  broadcast back, so the corpus side never shuffles its exploded grams
+  a second time;
+- PII scrub is a pure per-row projection (regexp) + one thin grouped
+  agg — embarrassingly parallel;
+- data profile is ONE scan with composed aggregates (count/distinct/
+  min/max for every column in a single partial-agg pass), then a
+  constant-width unpivot of the single result row;
+- outlier filter: group medians/MADs are two grouped aggs over the
+  (lang, source) key — group count is small, so the med/MAD tables
+  broadcast back to the doc side; the doc side shuffles twice on the
+  same key (AQE coalesces the tiny exchanges);
+- embedding QA: norms are computed JVM-side with F.aggregate over the
+  float array (no Python, no explode), then one grouped agg on label.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import textfns
+
+# A gram is "boilerplate" when it recurs across at least this many
+# distinct documents — the n-gram form of the repeated-line removal
+# used on web crawls (headers, nav bars, license blurbs).
+BOILER_DF = 4
+BOILER_N = 3  # gram width, matches text.decontaminate's NGRAM_N
+
+PII_NUM_RE = "[0-9]+"  # digit runs in event props stand in for PII ids
+
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) pairs, grams distinct within each doc."""
+    toks = textfns.tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (BOILER_N - 1)),
+        lambda i: F.array_join(F.slice(toks, i, BOILER_N), " "),
+    )
+    return docs.filter(F.size(toks) >= BOILER_N).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate exposure: how many of a doc's distinct
+    3-grams recur across ≥ BOILER_DF documents corpus-wide.
+
+    Output: (doc_id, n_grams, n_boiler, boiler_ratio) — the filter a
+    curation pipeline applies before training (drop or trim docs whose
+    ratio exceeds a policy threshold).
+    """
+    pairs = _doc_grams(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False  # feeds both the df-count and per-doc sides once
+    )
+    hot = (
+        pairs.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))  # pairs are doc-distinct
+        .filter(F.col("df") >= BOILER_DF)
+        .select("gram")
+    )
+    per_doc = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    boiler = (
+        pairs.join(F.broadcast(hot), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction accounting over event payloads: count digit-run "ids"
+    in props, replace them with a <NUM> sentinel, report per event type.
+
+    Output: (event_type, n_events, n_redactions, avg_scrubbed_len).
+    The scrub itself is `regexp_replace`; production would persist the
+    scrubbed column — here the grouped stats prove both the match count
+    and the rewritten text agree with the oracle byte-for-byte.
+    """
+    events = load_table(spark, sf_dir, "events")
+    scrubbed = events.select(
+        "event_type",
+        F.size(F.regexp_extract_all("props", F.lit(PII_NUM_RE), F.lit(0))).alias(
+            "n_red"
+        ),
+        F.length(F.regexp_replace("props", PII_NUM_RE, "<NUM>")).alias("slen"),
+    )
+    return scrubbed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_red").alias("n_redactions"),
+        F.round(F.avg("slen"), 4).alias("avg_scrubbed_len"),
+    )
+
+
+_PROFILE_COLS = ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+
+
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of lineitem's numeric columns: row count,
+    distinct count, min, max per column — the schema-drift /
+    data-quality summary every ingestion pipeline runs first.
+
+    All aggregates compose into a SINGLE scan (one partial-agg pass,
+    one 1-row result), then a constant-width stack() unpivots to the
+    (col_name, n_rows, n_distinct, min_val, max_val) long form. No
+    per-column rescans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"_d_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _d_{c}, _min_{c}, _max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_distinct, min_val, max_val)",
+        "_n AS n_rows",
+    ).select("col_name", "n_rows", "n_distinct", "min_val", "max_val")
+
+
+MAD_K = 3.0  # flag |x - median| > K * MAD
+
+
+def doc_len_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier screen per (lang, source) stratum: exact
+    median and MAD (median absolute deviation) of n_chars, then count
+    docs beyond MAD_K·MAD — the heavy-tail document filter that mean/
+    stddev screens get wrong on skewed corpora.
+
+    Group keys are low-cardinality, so both stats tables broadcast back
+    to the doc side; n_chars is integer so median/MAD land on exact
+    .0/.5 doubles and the outlier comparison is engine-deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    med = docs.groupBy("lang", "source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), ["lang", "source"]).select(
+        "lang", "source", "n_docs", "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("lang", "source", "n_docs", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(
+        F.broadcast(mad.select("lang", "source", "mad")), ["lang", "source"]
+    ).groupBy("lang", "source").agg(
+        F.sum((F.col("adev") > MAD_K * F.col("mad")).cast("long")).alias(
+            "n_outliers"
+        )
+    )
+    return mad.join(flagged, ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round("med", 2).alias("med_chars"),
+        F.round("mad", 2).alias("mad_chars"),
+        "n_outliers",
+    )
+
+
+NORM_TOL = 1e-3  # unit-norm tolerance for "bad" vectors
+
+
+def embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA per label: vector count, dimensionality, mean
+    L2 norm, and count of vectors off the unit sphere — the sanity gate
+    before any ANN index build (a single wrong-dim or zero vector
+    poisons IVF centroids silently).
+
+    Norms are computed JVM-side (F.aggregate over the float array in a
+    double accumulator); one thin grouped agg on label follows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0).cast("double"), lambda a, x: a + x * x
+        )
+    )
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").cast("long").alias("dim"),
+            norm.alias("norm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("dim").alias("dim"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.sum(
+                (F.abs(F.col("norm") - 1.0) > NORM_TOL).cast("long")
+            ).alias("n_off_unit"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "ext_boilerplate_ngrams": boilerplate_ngrams,
+    "ext_pii_scrub": pii_scrub,
+    "ext_data_profile": data_profile,
+    "ext_doc_len_outliers": doc_len_outliers,
+    "ext_emb_quality": embedding_quality,
+}
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+ORACLES: dict[str, str] = {
+    "ext_boilerplate_ngrams": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(toks[i : i + {BOILER_N - 1}], ' ')
+                               for i in range(1, len(toks) - {BOILER_N - 2})]) AS gram
+                FROM t WHERE len(toks) >= {BOILER_N}) raw),
+        hot AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(*) >= {BOILER_DF}),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        boiler AS (SELECT doc_id, COUNT(*) AS n_boiler FROM g
+                   WHERE gram IN (SELECT gram FROM hot) GROUP BY doc_id)
+        SELECT p.doc_id, p.n_grams,
+               COALESCE(b.n_boiler, 0) AS n_boiler,
+               ROUND(COALESCE(b.n_boiler, 0) * 1.0 / p.n_grams, 4)
+                   AS boiler_ratio
+        FROM per_doc p LEFT JOIN boiler b USING (doc_id)
+    """,
+    "ext_pii_scrub": f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(len(regexp_extract_all(props, '{PII_NUM_RE}')))
+                    AS BIGINT) AS n_redactions,
+               ROUND(AVG(len(regexp_replace(props, '{PII_NUM_RE}', '<NUM>',
+                                            'g'))), 4) AS avg_scrubbed_len
+        FROM events GROUP BY event_type
+    """,
+    "ext_data_profile": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_val,
+               CAST(MAX({c}) AS DOUBLE) AS max_val
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    "ext_doc_len_outliers": f"""
+        WITH med AS (
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   median(n_chars) AS med FROM documents GROUP BY lang, source),
+        dev AS (
+            SELECT d.lang, d.source, m.n_docs, m.med,
+                   ABS(d.n_chars - m.med) AS adev
+            FROM documents d JOIN med m USING (lang, source)),
+        mad AS (
+            SELECT lang, source, n_docs, med, median(adev) AS mad
+            FROM dev GROUP BY lang, source, n_docs, med)
+        SELECT m.lang, m.source, m.n_docs,
+               ROUND(m.med, 2) AS med_chars, ROUND(m.mad, 2) AS mad_chars,
+               CAST(SUM(CASE WHEN v.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM mad m JOIN dev v USING (lang, source)
+        GROUP BY m.lang, m.source, m.n_docs, m.med, m.mad
+    """,
+    "ext_emb_quality": f"""
+        WITH n AS (
+            SELECT label, len(embedding) AS dim,
+                   sqrt(list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * x))) AS norm
+            FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS dim,
+               ROUND(AVG(norm), 4) AS avg_norm,
+               CAST(SUM(CASE WHEN ABS(norm - 1.0) > {NORM_TOL} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_off_unit
+        FROM n GROUP BY label
+    """,
+}
