@@ -227,8 +227,43 @@ def embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per candidate shuffle key, the key count,
+    max/avg rows per key, skew factor (max/avg), and exact p99 — the
+    report that decides whether a join needs salting (`ext_salted_join`)
+    or AQE skew handling before anyone burns a 1000-executor hour on a
+    straggler.
+
+    Each relation costs one partial-aggregated count shuffle on the key
+    plus a scalar roll-up; the per-key count table never leaves the
+    cluster.
+    """
+
+    def one(df: DataFrame, rel: str, col: str) -> DataFrame:
+        cnt = df.groupBy(F.col(col).alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return cnt.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+            F.round(F.max("cnt") / F.avg("cnt"), 2).alias("skew_factor"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_cnt"),
+        ).select(F.lit(rel).alias("rel"), "*")
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        one(events, "events.user_id", "user_id")
+        .unionByName(one(orders, "orders.o_custkey", "o_custkey"))
+        .unionByName(one(lineitem, "lineitem.l_orderkey", "l_orderkey"))
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_boilerplate_ngrams": boilerplate_ngrams,
+    "ext_key_skew": key_skew,
     "ext_pii_scrub": pii_scrub,
     "ext_data_profile": data_profile,
     "ext_doc_len_outliers": doc_len_outliers,
@@ -237,7 +272,23 @@ QUERIES: dict[str, Callable] = {
 
 _TOKS = "string_split_regex(text, '\\s+')"
 
+_SKEW_RELS = (
+    ("events.user_id", "events", "user_id"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+)
+
 ORACLES: dict[str, str] = {
+    "ext_key_skew": " UNION ALL ".join(
+        f"""
+        SELECT '{rel}' AS rel, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+               ROUND(AVG(cnt), 4) AS avg_cnt,
+               ROUND(MAX(cnt) / AVG(cnt), 2) AS skew_factor,
+               ROUND(quantile_cont(cnt, 0.99), 2) AS p99_cnt
+        FROM (SELECT {col}, COUNT(*) AS cnt FROM {tbl} GROUP BY {col}) t
+        """
+        for rel, tbl, col in _SKEW_RELS
+    ),
     "ext_boilerplate_ngrams": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         g AS (SELECT DISTINCT doc_id, gram FROM (

@@ -355,3 +355,21 @@ def test_prefix_filter_broadcasts_thin_sides(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert smj <= 1, plan
+
+
+def test_boilerplate_hot_grams_broadcast(spark, sf_dir):
+    """The hot-gram (df >= BOILER_DF) set must broadcast back to the
+    exploded corpus side as a semi join — shuffling the full gram
+    explosion a second time would double the widest shuffle at scale."""
+    plan = _plan(ALL_QUERIES["ext_boilerplate_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("(", " ").replace(
+        ")", " "
+    ) or ("LeftSemi" in plan and "BroadcastExchange" in plan), plan
+
+
+def test_key_skew_no_python_no_collect(spark, sf_dir):
+    """Skew diagnosis is pure JVM aggregation: per-key counts partial-
+    aggregate before their shuffle and only scalar roll-ups unite."""
+    plan = _plan(ALL_QUERIES["ext_key_skew"](spark, sf_dir))
+    assert "Python" not in plan
+    assert "partial_count" in plan, plan  # map-side combine before shuffle
