@@ -240,7 +240,12 @@ class MiniSQLWriter(DataSourceWriter):
         # appending) into a temp file inside the staging dir, then
         # os.replace() onto the final path — the swap is atomic, so a
         # crash mid-merge leaves the previous table intact and readers
-        # never observe a partial file.
+        # never observe a partial file. Single-concurrent-writer
+        # assumption: append is read-merge-replace, so two simultaneous
+        # append jobs to the SAME table race on the replace and the last
+        # one wins (dropping the other's rows) — acceptable for a
+        # single-file compatibility format; concurrent multi-writer
+        # append needs a real table format (Iceberg/Delta) instead.
         merged = os.path.join(self.staging, "_merged.csv")
         with open(merged, "w") as out:
             if not self.overwrite and os.path.exists(final):

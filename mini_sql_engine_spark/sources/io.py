@@ -124,7 +124,12 @@ def compact_files(
     (hadoop FS API — works for any filesystem Spark can reach), uses
     `coalesce` (no shuffle — task-side concatenation), writes beside
     the source, then swaps via FS rename so readers never see a
-    half-written directory.
+    HALF-WRITTEN directory. Caveat: between the two renames there is a
+    brief window where `path` does not exist at all — a concurrent
+    reader can get FileNotFound (inherent to two renames on a Hadoop
+    FS; true atomicity needs a metadata/manifest indirection à la
+    Iceberg/Delta). Data is always restorable: at every step either
+    `path` or `path + ".compact-backup"` holds the full original.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -147,8 +152,13 @@ def compact_files(
         fs.delete(tmp, True)
         raise IOError(f"compaction backup rename failed for {path}")
     if not fs.rename(tmp, src):
-        fs.rename(backup, src)  # restore original
+        restored = fs.rename(backup, src)  # restore original
         fs.delete(tmp, True)
-        raise IOError(f"compaction swap failed for {path}")
+        if not restored:
+            raise IOError(
+                f"compaction swap failed for {path} AND restore failed; "
+                f"original data is intact at {backup.toString()}"
+            )
+        raise IOError(f"compaction swap failed for {path} (original restored)")
     fs.delete(backup, True)
     return n_files
