@@ -253,3 +253,48 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         for r in batch_user_totals(spark, sf_dir).collect()
     }
     assert got == want
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The production state-store config (RocksDB provider — state spills
+    to local disk instead of living on the JVM heap, the setting every
+    large-state production stream runs with) must produce byte-identical
+    results to the default HDFS-backed in-memory provider. Exercises a
+    watermarked windowed aggregation end-to-end under RocksDB."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        streamed = W.stream_tumbling(spark, sf_dir)
+        from mini_sql_engine_spark.catalog import load_table
+
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        cols = ["hour_start", "event_type", "n_events", "sum_value"]
+        assert rows_set(streamed, cols) == rows_set(batch, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
