@@ -373,3 +373,44 @@ def test_key_skew_no_python_no_collect(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_key_skew"](spark, sf_dir))
     assert "Python" not in plan
     assert "partial_count" in plan, plan  # map-side combine before shuffle
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE must detect a pathologically skewed join key at RUNTIME and
+    split the hot partition (SortMergeJoin(skew=true)) — the no-code
+    fallback behind SCALE.md's skew story: ext_key_skew diagnoses,
+    ext_salted_join is the manual fix, and this is what the engine does
+    on its own when neither ran."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.count()
+        j.collect()  # executes j's own QueryExecution so AQE finalizes it
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # 90% of left rows share k=0 and every k<50000 matches: result
+        # size proves the split join lost/duplicated nothing
+        assert rows == 185_000
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
