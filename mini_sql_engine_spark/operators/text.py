@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns
 
 
@@ -244,7 +244,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered by a broadcast semi join with no shuffle; only the
     surviving (contaminated) pairs pay the per-doc count shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # small local files scan as ONE split; spread the gram explosion
+    # across cores (no-op at scale where the scan is already many splits)
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = textfns.tokens("text")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
@@ -331,7 +333,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters): top-bigram share and distinct-token ratio per doc. Plan:
     explode bigrams → per-(doc, bigram) partial counts → per-doc max —
     two shuffles of counts, never of text."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the bigram explosion (single-split local scan otherwise)
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     bi = docs.select(
         "doc_id",
         F.explode(textfns.shingles("text", 2)).alias("bigram"),
