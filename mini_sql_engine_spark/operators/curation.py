@@ -33,7 +33,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns
 
 # A gram is "boilerplate" when it recurs across at least this many
@@ -65,7 +65,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline applies before training (drop or trim docs whose
     ratio exceeds a policy threshold).
     """
-    pairs = _doc_grams(load_table(spark, sf_dir, "documents")).localCheckpoint(
+    # spread the gram explosion across cores (single-split local scan
+    # otherwise; no-op at scale where the scan is already many splits)
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = _doc_grams(docs).localCheckpoint(
         eager=False  # feeds both the df-count and per-doc sides once
     )
     hot = (
