@@ -136,6 +136,59 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(_frame_batches, schema=FRAMES_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, height long, width long, new_height long, new_width long, "
+    "resized_sum long, n_px long"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: REAL pixel math — interpret the payload as an
+    (h, w) uint8 raster (w from metadata, h = len // w), then 2× nearest-
+    neighbor downsample via numpy striding. Only the DECODE is fake in
+    this module; the resize is the actual array operation a production
+    pipeline runs after a real decode."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "height", "width", "new_height", "new_width",
+            "resized_sum", "n_px")}
+        for doc_id, p, w in zip(pdf["doc_id"], pdf["payload"], pdf["w"]):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            w = int(w)
+            h = len(arr) // w
+            img = arr[: h * w].reshape(h, w)
+            nn = img[::2, ::2]  # nearest-neighbor 2x downsample
+            out["doc_id"].append(doc_id)
+            out["height"].append(h)
+            out["width"].append(w)
+            out["new_height"].append(nn.shape[0])
+            out["new_width"].append(nn.shape[1])
+            out["resized_sum"].append(int(nn.sum()))
+            out["n_px"].append(int(nn.size))
+        yield pd.DataFrame(out)
+
+
+def resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level 2× downsample over the 'image' slice: real strided
+    array math in an Arrow-batched Python worker (the fake decode only
+    supplies the raster bytes). Pure map — no shuffle; executor memory
+    bounded by Arrow batch size × payload size."""
+    mm = (
+        attach_payload(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("media_type") == "image")
+        .filter(F.length("payload") >= F.col("meta.width"))  # ≥1 full row
+        .select("doc_id", "payload", F.col("meta.width").alias("w"))
+    )
+    # mean rounded JVM-side: F.round rounds half away from zero like the
+    # oracle's ROUND; Python round() is banker's and drifts on exact .5s
+    return mm.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA).select(
+        "doc_id", "height", "width", "new_height", "new_width", "resized_sum",
+        F.round(F.col("resized_sum") / F.col("n_px"), 4).alias("resized_mean"),
+    )
+
+
 def resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level resize (halve dims, min 1) — pure column transform."""
     mm = attach_payload(load_table(spark, sf_dir, "documents"))
@@ -208,8 +261,33 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["ext_mm_resize_pixels"] = f"""
+    WITH img AS (
+        SELECT doc_id, {_BYTES} AS bytes,
+               CAST(doc_id % 64 + 16 AS BIGINT) AS w, len(text) AS n
+        FROM documents
+        WHERE {_MEDIA} = 'image' AND len(text) >= doc_id % 64 + 16),
+    dims AS (
+        SELECT doc_id, bytes, w, n // w AS h,
+               (n // w + 1) // 2 AS nh, (w + 1) // 2 AS nw
+        FROM img),
+    rs AS (
+        SELECT doc_id, h AS height, w AS width, nh AS new_height,
+               nw AS new_width,
+               list_sum(list_transform(range(0, nh * nw),
+                   i -> bytes[(i // nw) * 2 * w + (i % nw) * 2 + 1]))
+                   AS rsum,
+               nh * nw AS npx
+        FROM dims)
+    SELECT doc_id, height, width, new_height, new_width,
+           CAST(rsum AS BIGINT) AS resized_sum,
+           ROUND(rsum * 1.0 / npx, 4) AS resized_mean
+    FROM rs
+"""
+
 QUERIES: dict[str, Callable] = {
     "ext_mm_decode_stats": decode_stats,
     "ext_mm_frame_sample": frame_sample,
     "ext_mm_resize_meta": resize_meta,
+    "ext_mm_resize_pixels": resize_pixels,
 }
