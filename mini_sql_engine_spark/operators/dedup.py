@@ -507,6 +507,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.selectExpr("node AS doc_id", "label AS cluster_id")
 
 
+MAX_HOPS = 6  # BFS horizon: transitive contamination beyond this is noise
+
+
+def contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive benchmark contamination: BFS hop distance from the
+    held-out benchmark docs (doc_id % 97 == 0, as in text.decontaminate)
+    through the near-dup graph, out to MAX_HOPS. Direct near-dups of a
+    benchmark doc are hops=1, near-dups of those are 2, … — the closure
+    a rigorous decontamination pass removes, not just the 1-hop ring.
+
+    Level-synchronous BFS as a driver loop: each round joins the static
+    edge list (localCheckpointed once) to the current frontier, anti-
+    joins out already-visited nodes, and stops early when the frontier
+    empties (scalar count — metadata only, never data to the driver).
+    At 100 TB each round is one shuffle keyed on node; rounds ≤ MAX_HOPS.
+    """
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .selectExpr("doc_id AS node", "CAST(0 AS BIGINT) AS hops")
+    )
+    dist = seeds.localCheckpoint()
+    frontier = dist
+    for h in range(1, MAX_HOPS + 1):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"), F.lit(h).cast("long").alias("hops"))
+            .distinct()
+            .join(dist, "node", "left_anti")  # first visit IS min hops
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.union(frontier).localCheckpoint()
+    return dist.selectExpr("node AS doc_id", "hops")
+
+
 # ---- oracles (DuckDB replays of the same constructions) --------------------
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -600,6 +643,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
     "ext_dedup_clusters": dedup_clusters,
+    "ext_contamination_hops": contamination_hops,
     "ext_dedup_containment": containment_pairs,
     "ext_dedup_cross_lang": cross_lang_dupes,
     "ext_dedup_dual_modality": dual_modality_dupes,
@@ -650,6 +694,27 @@ ORACLES: dict[str, str] = {
     """,
     "ext_dedup_minhash_lsh": _MINHASH_ORACLE,
     "ext_dedup_simhash": _SIMHASH_ORACLE,
+    # BFS as a bounded recursive CTE: UNION-distinct on (node, hops)
+    # pairs terminates because hops is capped; MIN(hops) per node is the
+    # BFS distance for every node within the horizon
+    "ext_contamination_hops": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, hops) AS (
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            WHERE doc_id % 97 = 0
+            UNION
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < {MAX_HOPS})
+        SELECT node AS doc_id, MIN(hops) AS hops
+        FROM walk GROUP BY node
+    """,
     # connected components as a recursive CTE: enumerate every
     # (node, reachable-node) pair over the undirected near-dup graph —
     # min reachable id ≡ the propagation fixpoint
