@@ -12,9 +12,6 @@ exposes ``QUERIES`` (name → callable(spark, sf_dir) → DataFrame) and
 
 from __future__ import annotations
 
-import json
-import os
-
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,43 +20,20 @@ from mini_sql_engine_spark.operators import ALL_ORACLES, ALL_QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-_REPO = os.path.dirname(os.path.abspath(__file__))
-
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return ALL_QUERIES["flagship"](spark, SMOKE_SF_DIR)
 
 
-def _driver_checked_names() -> set[str]:
-    """Names that already have a driver-side correctness row in any
-    recorded round (CORRECTNESS_r*.json)."""
-    seen: set[str] = set()
-    try:
-        for fn in os.listdir(_REPO):
-            if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
-                with open(os.path.join(_REPO, fn)) as fh:
-                    data = json.load(fh)
-                if isinstance(data, dict):
-                    seen.update(data.keys())
-    except OSError:
-        pass
-    return seen
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Enumeration order puts queries that have never received a
-    driver-side oracle row FIRST: the driver's correctness pass has
-    historically truncated after the first N entries, so rotating
-    never-checked entries to the front steadily closes the gap (the
-    full set is always verified locally by tests/test_oracle.py).
+    Enumeration order is the registry's fixed, deterministic order
+    (see ``mini_sql_engine_spark/operators/__init__.py``) — it depends
+    only on the code, never on runtime state or recorded artifacts.
     """
-    checked = _driver_checked_names()
-    ordered = {k: v for k, v in ALL_QUERIES.items() if k not in checked}
-    ordered.update((k, v) for k, v in ALL_QUERIES.items() if k in checked)
-    return ordered
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

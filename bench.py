@@ -72,7 +72,25 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The full per-query map (~8 KB for 160 queries) goes first plus to
+    # a sidecar file; the LAST stdout line is a compact summary so a
+    # consumer that tail-captures limited output still gets parseable
+    # JSON with the headline number.
     print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"), "w") as fh:
+        json.dump(out, fh)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "queries_truncated_to_slowest": 20,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+    }
+    print(json.dumps(summary))
     spark.stop()
     if errors:
         print(f"bench: {len(errors)} queries FAILED: {sorted(errors)}", file=sys.stderr)

@@ -31,7 +31,22 @@ from mini_sql_engine_spark.operators import (
 )
 from mini_sql_engine_spark.streaming import windows as streaming_windows
 
+# Fixed, deterministic registry order. The LLM-pipeline packs (dedup,
+# similarity, text, streaming, multimodal, curation) lead because they
+# are the flagship extension surface; the parity/TPC-H packs follow.
+# The order is a static property of the code — it never depends on
+# runtime state or any recorded artifact.
 _MODULES = [
+    dedup,
+    similarity,
+    text,
+    streaming_windows,
+    multimodal,
+    curation,
+    asof,
+    ml_lsh,
+    pipeline_ops,
+    udfs,
     parity,
     tpch,
     rollups,
@@ -39,16 +54,6 @@ _MODULES = [
     joins_ext,
     funcs_ext,
     analytics,
-    asof,
-    text,
-    dedup,
-    similarity,
-    ml_lsh,
-    multimodal,
-    pipeline_ops,
-    udfs,
-    curation,
-    streaming_windows,
 ]
 
 ALL_QUERIES: dict[str, Callable] = {}
