@@ -489,6 +489,12 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERS = 20
 
+# Telemetry for the iterative driver-loop operators: rounds used on the
+# last invocation, keyed by function name. Pinned by tests at sf0.01 so
+# a testdata change that deepens the near-dup graph (more rounds = more
+# shuffles at scale) fails loudly instead of silently inflating cost.
+ITERATION_COUNTS: dict[str, int] = {}
+
 
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment similarity |A∩B| / min(|A|,|B|) ≥ 0.5 — catches
@@ -573,7 +579,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = docs.selectExpr("doc_id AS node", "doc_id AS label")
     prev_sum = None
-    for _ in range(MAX_CC_ITERS):
+    for rounds in range(1, MAX_CC_ITERS + 1):
         neighbor_labels = edges.join(
             labels, edges.src == labels.node
         ).selectExpr("dst AS node", "label")
@@ -587,6 +593,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # IS the fixpoint — one aggregate job, no join, per round
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            ITERATION_COUNTS["dedup_clusters"] = rounds
             break
         prev_sum = cur_sum
     else:
@@ -632,8 +639,11 @@ def contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         if frontier.isEmpty():
+            ITERATION_COUNTS["contamination_hops"] = h
             break
         dist = dist.union(frontier).localCheckpoint()
+    else:
+        ITERATION_COUNTS["contamination_hops"] = MAX_HOPS
     return dist.selectExpr("node AS doc_id", "hops")
 
 

@@ -48,6 +48,14 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
     Deterministic synthesis: payload = utf-8 bytes of text; media_type
     cycles by doc_id; width/height metadata derived from doc_id.
+
+    ASCII-testdata assumption: the Spark operators measure payload
+    BYTES (F.length on binary) while the DuckDB oracles measure text
+    CHARACTERS (len/ord) — identical only while every document text is
+    pure ASCII, which holds for all generated fixtures and is pinned by
+    tests/test_multimodal.py::test_fixture_text_is_ascii. DuckDB has no
+    blob byte accessor, so a non-ASCII fixture would need the oracle
+    rewritten (or the payload redefined) rather than silently drifting.
     """
     return docs.select(
         "doc_id",
@@ -64,12 +72,54 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Real decode hook — requires PIL/librosa/av, absent here."""
-    raise NotImplementedError(
-        "real media decode needs codec libraries not present in this "
-        "environment; the pipeline uses the deterministic fake decode"
-    )
+_CODEC_MODULES = {"image": "PIL.Image", "audio": "librosa", "video": "av"}
+
+
+def _codec_decode(module, payload: bytes, media_type: str):
+    """Codec-library call per modality, isolated so the dispatch is
+    unit-testable with a fake module (the libraries themselves are
+    absent in this container)."""
+    import io
+
+    import numpy as np
+
+    if media_type == "image":
+        return np.asarray(module.open(io.BytesIO(payload)))
+    if media_type == "audio":
+        y, _sr = module.load(io.BytesIO(payload))
+        return np.asarray(y)
+    # video: decode the first frame only — the pipeline's frame sampler
+    # (_frame_batches) owns strided sampling, not the decode hook
+    container = module.open(io.BytesIO(payload))
+    for frame in container.decode(video=0):
+        return frame.to_ndarray()
+    return np.empty(0, dtype=np.uint8)
+
+
+def decode_real(payload: bytes, media_type: str):
+    """Real decode hook: modality → codec module → ndarray.
+
+    PIL (image) / librosa (audio) / av (video) are absent in this
+    container, so the import raises NotImplementedError and the
+    pipeline uses the deterministic fake decode (_decode_batches);
+    everything after the import — dispatch table, module call, ndarray
+    return — is exercised by tests/test_multimodal.py with a
+    monkeypatched fake codec module.
+    """
+    import importlib
+
+    mod_name = _CODEC_MODULES.get(media_type)
+    if mod_name is None:
+        raise ValueError(f"unknown media_type {media_type!r}")
+    try:
+        module = importlib.import_module(mod_name)
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real {media_type} decode needs {mod_name}, which is not "
+            "present in this environment; the pipeline uses the "
+            "deterministic fake decode"
+        ) from exc
+    return _codec_decode(module, payload, media_type)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

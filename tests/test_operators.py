@@ -299,6 +299,19 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
             assert c == doc
 
 
+def test_iterative_ops_round_counts_at_driver_scale(spark):
+    """The two iterative driver-loop operators must converge in a small,
+    bounded number of rounds at the driver's sf0.01 scale (each round is
+    one full shuffle at production scale). Observed ≤ 6 through round 3;
+    a testdata regeneration that deepens the near-dup graph should fail
+    here, not silently multiply shuffle rounds."""
+    sf01 = "/root/testdata/sf0.01"
+    dedup.dedup_clusters(spark, sf01).count()
+    dedup.contamination_hops(spark, sf01).count()
+    assert 1 <= dedup.ITERATION_COUNTS["dedup_clusters"] <= 8
+    assert 1 <= dedup.ITERATION_COUNTS["contamination_hops"] <= dedup.MAX_HOPS
+
+
 def test_allpairs_cosine_invariant_to_block_count(spark):
     """n_blocks is a memory/parallelism knob — results must be identical
     for any block count (1 block = plain all-pairs)."""
