@@ -29,6 +29,7 @@ from mini_sql_engine_spark.operators import (
     udfs,
     window_funcs,
 )
+from mini_sql_engine_spark.streaming import upsert as streaming_upsert
 from mini_sql_engine_spark.streaming import windows as streaming_windows
 
 # Fixed, deterministic registry order. The LLM-pipeline packs (dedup,
@@ -41,6 +42,7 @@ _MODULES = [
     similarity,
     text,
     streaming_windows,
+    streaming_upsert,
     multimodal,
     curation,
     asof,

@@ -1,0 +1,216 @@
+"""Streaming MERGE/upsert sink: foreachBatch into the native format.
+
+Closes the loop between the streaming pack and the native writer
+(sources/datasource.py): a keyed running-totals table is maintained in
+the reference's ``metadata.txt`` + single-CSV format by a per-micro-
+batch MERGE, with an idempotent replay guard giving effectively-
+exactly-once table state over foreachBatch's at-least-once contract.
+
+Exactly-once mechanics: the table's commit version rides INSIDE the
+table as a sentinel row (user_id = -1, n_events = last applied batch
+id) — because the native format is one file swapped with a single
+atomic ``os.replace`` (the writer's two-phase commit), the version and
+the data commit together. A replayed batch (failure between sink write
+and checkpoint commit) sees its own batch id already recorded and
+skips, so no delta is double-applied; a crash mid-write leaves the
+previous table intact.
+
+MERGE compiles to: per-batch partial aggregate (map-side combinable),
+full-outer join against current state on the key, coalesce + add,
+atomic overwrite. This is exactly what a lakehouse MERGE INTO does per
+micro-batch; the single-file swap stands in for the transaction log.
+
+Scale: per-batch work is one thin aggregate of the batch plus one join
+against state keyed on user_id. The single-file native format caps
+state size (compatibility export, like its batch writer); at 100 TB
+the same foreachBatch body targets a bucketed/partitioned table format
+(Iceberg/Delta) where the swap becomes a log commit — the operator
+shape (delta agg → keyed merge → versioned atomic commit) is unchanged.
+
+Money is carried in integer cents — floor(value*100 + 0.5) — both
+because the native format is integer-only and because integer cents
+make per-batch accumulation exactly associative (no float drift
+between the N-batch streaming result and the one-shot batch oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.sources import datasource
+
+STATE_COLS = ["user_id", "n_events", "total_cents"]
+SENTINEL_KEY = -1  # user_id for the version row (real keys are >= 0)
+
+
+def _cents(col: str) -> F.Column:
+    # floor(x*100 + 0.5): identical IEEE double ops on Spark and DuckDB,
+    # unlike ROUND whose half-way tie rule differs across engines
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _read_state(spark: SparkSession, data_dir: str, table: str) -> DataFrame | None:
+    if not os.path.exists(os.path.join(data_dir, "metadata.txt")):
+        return None
+    datasource.register(spark)
+    return (
+        spark.read.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .load()
+    )
+
+
+def last_applied_batch(spark: SparkSession, data_dir: str, table: str) -> int:
+    """Version of the current committed state (-1 if no table yet)."""
+    state = _read_state(spark, data_dir, table)
+    if state is None:
+        return -1
+    row = (
+        state.filter(F.col("user_id") == SENTINEL_KEY)
+        .agg(F.max("n_events"))
+        .collect()[0][0]
+    )  # scalar control value, never data
+    return -1 if row is None else int(row)
+
+
+def merge_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: MERGE this batch's per-user deltas into the
+    native-format state table, idempotently.
+
+    The state read happens in the write job's tasks, which all finish
+    before the writer's driver-side commit swaps the file — so reading
+    and overwriting the same table in one MERGE is safe (and a crash at
+    any point leaves the previous version readable).
+    """
+    spark = batch_df.sparkSession
+    if batch_id <= last_applied_batch(spark, data_dir, table):
+        return  # replayed batch: already inside the committed state
+    delta = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("d_n"), F.sum(_cents("value")).alias("d_cents")
+    )
+    state = _read_state(spark, data_dir, table)
+    if state is None:
+        cur = delta.sparkSession.createDataFrame(
+            [], "user_id long, n_events long, total_cents long"
+        )
+    else:
+        cur = state.filter(F.col("user_id") != SENTINEL_KEY)
+    merged = (
+        cur.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+            ).alias("total_cents"),
+        )
+    )
+    sentinel = spark.createDataFrame(
+        [(SENTINEL_KEY, int(batch_id), 0)], "user_id long, n_events long, total_cents long"
+    )
+    datasource.register(spark)
+    (
+        merged.unionByName(sentinel)
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def _multi_file_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """readStream over a thin (event_id, user_id, value) copy of events
+    staged as n_files parquet files, so maxFilesPerTrigger=1 yields
+    n_files distinct micro-batches (the single testdata file would give
+    one batch — no upsert to observe). Staged once per sf_dir; the
+    atomic directory rename makes concurrent stagers safe."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    digest = hashlib.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"events_upsert_{digest}")
+    if not os.path.exists(stage):
+        tmp = stage + f".tmp-{os.getpid()}"
+        (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .select("event_id", "user_id", "value")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # lost the race: another process staged it first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = "event_id long, user_id long, value double"
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    data_dir: str,
+    table: str = "user_totals",
+    n_files: int = 4,
+) -> None:
+    """Run the events stream to completion, merging every micro-batch
+    into the native-format state table at data_dir."""
+    chk = tempfile.mkdtemp(prefix=f"chk_upsert_{table}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_events(spark, sf_dir, n_files)
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_batch(df, bid, data_dir, table)
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stream events in 4 micro-batches through
+    the foreachBatch MERGE sink, then read the final native-format
+    table back. Equals the one-shot batch aggregate (the DuckDB
+    oracle) because integer-cent deltas accumulate associatively."""
+    data_dir = tempfile.mkdtemp(prefix="minisql_upsert_")
+    run_upsert_stream(spark, sf_dir, data_dir)
+    state = _read_state(spark, data_dir, "user_totals")
+    return state.filter(F.col("user_id") != SENTINEL_KEY).select(
+        "user_id", "n_events", "total_cents"
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "stream_upsert_totals": stream_upsert_user_totals,
+}
+
+ORACLES: dict[str, str] = {
+    "stream_upsert_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM events
+        GROUP BY user_id
+    """,
+}

@@ -298,3 +298,44 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_native_upsert_sink_replay_is_exactly_once(spark, tmp_path):
+    """The native-format MERGE sink (streaming/upsert.py) must be
+    idempotent under foreachBatch's at-least-once replay: re-applying a
+    batch id that is already inside the committed table is a no-op
+    (the version sentinel commits atomically with the data in the
+    single-file swap), while the next batch id still applies."""
+    from mini_sql_engine_spark.streaming import upsert as U
+
+    data_dir = str(tmp_path / "native")
+    os.makedirs(data_dir)
+    b0 = spark.createDataFrame(
+        [Row(user_id=1, value=1.25), Row(user_id=2, value=2.0),
+         Row(user_id=1, value=0.75)]
+    )
+    b1 = spark.createDataFrame([Row(user_id=2, value=3.5), Row(user_id=9, value=0.1)])
+
+    def state():
+        return {
+            r.user_id: (r.n_events, r.total_cents)
+            for r in U._read_state(spark, data_dir, "t")
+            .filter(F.col("user_id") != U.SENTINEL_KEY)
+            .collect()
+        }
+
+    U.merge_batch(b0, 0, data_dir, "t")
+    assert U.last_applied_batch(spark, data_dir, "t") == 0
+    after_b0 = state()
+    assert after_b0 == {1: (2, 200), 2: (1, 200)}
+
+    U.merge_batch(b0, 0, data_dir, "t")  # replayed batch: must not double-apply
+    assert state() == after_b0
+    assert U.last_applied_batch(spark, data_dir, "t") == 0
+
+    U.merge_batch(b1, 1, data_dir, "t")
+    assert U.last_applied_batch(spark, data_dir, "t") == 1
+    assert state() == {1: (2, 200), 2: (2, 550), 9: (1, 10)}
+
+    U.merge_batch(b1, 1, data_dir, "t")  # replay of the latest batch too
+    assert state() == {1: (2, 200), 2: (2, 550), 9: (1, 10)}
