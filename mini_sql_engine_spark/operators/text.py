@@ -457,6 +457,54 @@ _ARGMAX = """
          ELSE 'zh' END
 """
 
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: per-doc mean negative log-likelihood
+    under an add-one-smoothed unigram LM trained on the corpus itself,
+    bucketed into head/middle/tail terciles (low NLL = head = keep).
+
+    Real CCNet scores with a wiki-trained KenLM; the operator shape —
+    train token statistics on a reference corpus, score every document,
+    keep the best perplexity terciles — is identical, and a unigram LM
+    keeps both engines exactly replayable.
+
+    Scale: one explode + token-count aggregate (map-side combined,
+    shuffle bounded by |vocab| × partitions), one shuffle join of tokens
+    against counts keyed by token (the natural key; a hot-token skew cap
+    would salt here), one per-doc aggregate. The tercile ntile is a
+    global sort of THIN (doc_id, avg_nll) rows only; at 100 TB replace
+    it with approx-quantile cut points from a sample — the bucket rule
+    stays the same, the global order-by disappears.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("avg_nll", "doc_id")
+    return scored.withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_text_token_stats": token_stats,
     "ext_text_lang_stats": lang_stats,
@@ -473,6 +521,7 @@ QUERIES: dict[str, Callable] = {
     "ext_inverted_index": inverted_index,
     "ext_histogram": value_histogram,
     "ext_regexp_extract": regexp_extract_ids,
+    "ext_lm_perplexity": lm_perplexity_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -643,5 +692,21 @@ ORACLES: dict[str, str] = {
                CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
                    AS name_id
         FROM customer
+    """,
+    "ext_lm_perplexity": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+                FROM counts),
+        scored AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln((c + 1.0) / (n + v))), 6) AS avg_nll
+            FROM toks JOIN counts USING (tok) CROSS JOIN tot
+            GROUP BY doc_id)
+        SELECT doc_id, n_tokens, avg_nll,
+               (['head', 'middle', 'tail'])[
+                   NTILE(3) OVER (ORDER BY avg_nll, doc_id)] AS bucket
+        FROM scored
     """,
 }
