@@ -111,7 +111,10 @@ def allpairs_cosine(
         ids_a = a[id_col].to_numpy()
         ids_b = b[id_col].to_numpy()
         scores = ma @ mb.T
-        mask = scores >= threshold - 1e-9
+        # margin must cover BOTH matmul reorder drift (1e-9) and the
+        # final rounding step: a raw score half a rounding unit below
+        # the threshold still rounds UP to it and must not be pruned
+        mask = scores >= threshold - (0.5 * 10.0**-round_digits + 1e-9)
         if same_block:
             # same set on both sides: upper triangle covers each pair once
             mask &= ids_a[:, None] < ids_b[None, :]

@@ -34,6 +34,9 @@ import math
 
 from collections.abc import Callable
 
+import numpy as _np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
@@ -410,12 +413,81 @@ EMB_PLANES: dict[tuple[int, int], list[float]] = {
 
 
 def _emb_band_val(emb: Column, band: int) -> Column:
-    """Band signature: EMB_LSH_ROWS sign bits packed into one int."""
+    """Band signature: EMB_LSH_ROWS sign bits packed into one int.
+
+    Expression-tier reference implementation — kept as the spec the
+    vectorized path must match (pinned by a pytest equivalence test);
+    the operator itself uses `_emb_band_vals_udf`, which computes all
+    BANDS×ROWS dots in one Arrow-batched numpy pass (~20× less time
+    than BANDS×ROWS interpreted higher-order aggregates per row)."""
     out = F.lit(0)
     for r in range(EMB_LSH_ROWS):
         plane = F.array(*[F.lit(v) for v in EMB_PLANES[(band, r)]])
         out = out + F.when(vector.dot(emb, plane) >= 0, F.lit(1 << r)).otherwise(0)
     return out
+
+
+# plane matrix, column b*ROWS+r  ↔  EMB_PLANES[(b, r)]; shape DIM×(B·R)
+_EMB_PLANES_MAT = _np.array(
+    [EMB_PLANES[(b, r)] for b in range(EMB_LSH_BANDS) for r in range(EMB_LSH_ROWS)],
+    dtype=_np.float64,
+).T
+
+_EMB_UDF_CHUNK = 1024  # rows per cumsum block: 1024·64·16·8B ≈ 8 MB peak
+
+
+def _emb_band_vals_fn(emb: pd.Series) -> pd.Series:
+    """All EMB_LSH_BANDS band values per vector in one numpy pass.
+    (Wrapped by F.pandas_udf lazily — the decorator needs a live
+    session, which does not exist at import time.)
+
+    Accumulation is np.cumsum over the element-wise products —
+    sequential left-to-right in float64, bit-identical to the
+    expression tier and DuckDB's list_dot_product, so the `>= 0` sign
+    bits agree exactly across engines (a plain matmul could flip a
+    sign on a dot within reordering distance of zero)."""
+    out = []
+    n = len(emb)
+    for lo in range(0, n, _EMB_UDF_CHUNK):
+        chunk = emb.iloc[lo : lo + _EMB_UDF_CHUNK]
+        M = _np.stack(chunk.to_numpy()).astype(_np.float64)  # c×DIM
+        prod = M[:, :, None] * _EMB_PLANES_MAT[None, :, :]  # c×DIM×(B·R)
+        dots = _np.cumsum(prod, axis=1)[:, -1, :]  # sequential per plane
+        bits = (dots >= 0).astype(_np.int32)  # c×(B·R)
+        vals = _np.zeros((len(M), EMB_LSH_BANDS), dtype=_np.int32)
+        for b in range(EMB_LSH_BANDS):
+            for r in range(EMB_LSH_ROWS):
+                vals[:, b] |= bits[:, b * EMB_LSH_ROWS + r] << r
+        out.extend(list(vals))
+    return pd.Series(out)
+
+
+def _bucket_score(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: score one (band, bval) bucket's pairs.
+
+    Matmul prunes (with a margin wider than the 4-digit rounding step,
+    so reordering drift can never drop a pair the oracle keeps), then
+    survivors are re-accumulated sequentially (vector._seq_dot) for
+    bit-identical agreement with DuckDB's list_dot_product."""
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+    )
+    if len(pdf) < 2:
+        return empty
+    M = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    scores = M @ M.T
+    mask = (scores >= COSINE_T - 1e-4) & (ids[:, None] < ids[None, :])
+    ia, ib = _np.nonzero(mask)
+    if ia.size == 0:
+        return empty
+    exact = _np.round(vector._seq_dot(M[ia], M[ib]), 4)
+    keep = exact >= COSINE_T
+    if not keep.any():
+        return empty
+    return pd.DataFrame(
+        {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cos_sim": exact[keep]}
+    )
 
 
 # Candidate recall at exactly t: per-plane collision prob for angle θ is
@@ -426,14 +498,21 @@ EMB_LSH_RECALL_AT_T = 1.0 - (1.0 - _EMB_P**EMB_LSH_ROWS) ** EMB_LSH_BANDS
 
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH banding + exact
-    verify — the sub-quadratic scale path.
+    within-bucket verify — the sub-quadratic scale path.
 
-    Candidate generation ships only (band, bval, vec_id) — BANDS thin
-    rows per vector, shuffled on the (band, bval) bucket key — and the
-    self-join explodes only within buckets, never all-pairs. The full
-    embedding arrays are joined back onto the (small) candidate set for
-    the exact verify: left-to-right double-accumulated dot, rounded,
-    thresholded — bit-identical to DuckDB's list_dot_product.
+    One Arrow-batched pandas_udf computes all band signatures per
+    vector (one numpy pass, vs BANDS×ROWS interpreted aggregates);
+    vectors then shuffle once on the (band, bval) bucket key — BANDS
+    copies of each embedding — and every bucket is scored in one
+    applyInPandas task: float64 matmul prune with a margin wider than
+    the rounding step, then sequential re-accumulation of survivors
+    (vector._seq_dot) so emitted scores are bit-identical to DuckDB's
+    list_dot_product. Pairs never ship arrays: the alternative
+    (candidate-id join + array attach) moves 2 arrays per CANDIDATE,
+    which loses badly when buckets are dense (low thresholds) — this
+    data at t=0.45 generates ~0.9·n² candidates, and bucket-local
+    scoring is what keeps that volume inside numpy instead of on the
+    wire.
 
     The banding is part of the operator's DEFINITION (the oracle
     computes the identical bands from the same md5-derived plane
@@ -444,47 +523,24 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory blocked-matmul kernel (explicitly O(n²) — small corpora or
     within-cluster verification only).
 
-    100 TB: n · BANDS rows of 3 ints through one shuffle; bucket sizes
-    are tunable via BANDS/ROWS; no quadratic stage anywhere.
+    100 TB: shuffle volume is BANDS × corpus (vs candidates × 2 arrays
+    for the join form — pick per threshold regime); at production
+    thresholds (0.9+) raise EMB_LSH_ROWS so buckets stay small, and cap
+    per-bucket membership (spill a hot bucket to the blocked kernel) so
+    one degenerate bucket cannot hold a k² matmul.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    band_udf = F.pandas_udf(_emb_band_vals_fn, "array<int>")
     banded = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _emb_band_val(F.col("embedding"), b).alias("bval"),
-                    )
-                    for b in range(EMB_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bval")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        "vec_id", "embedding", band_udf(F.col("embedding")).alias("bvals")
+    ).select("vec_id", "embedding", F.posexplode("bvals").alias("band", "bval"))
+    scored = banded.groupBy("band", "bval").applyInPandas(
+        _bucket_score, "vec_a long, vec_b long, cos_sim double"
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos_sim", F.round(vector.dot(F.col("ea"), F.col("eb")), 4))
-        .filter(F.col("cos_sim") >= COSINE_T)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+    # a pair sharing several bands is scored once per band with an
+    # identical (deterministic) value — dedup AFTER the verify, on the
+    # small result set, never on the raw candidate pairs
+    return scored.dropDuplicates(["vec_a", "vec_b"])
 
 
 MAX_CC_ITERS = 20

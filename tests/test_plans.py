@@ -414,3 +414,25 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_embedding_dedup_has_no_quadratic_operator(spark, sf_dir):
+    """The LSH-banded embedding near-dup is one exchange on the
+    (band, bval) bucket key into a per-bucket Arrow kernel — never a
+    cartesian product / nested-loop join (the quadratic shapes the
+    banding exists to avoid), and the final pair-dedup aggregate runs
+    on the post-verify result, after the Python stage."""
+    plan = _plan(ALL_QUERIES["ext_dedup_embedding"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(band" in plan, plan
+
+
+def test_lm_perplexity_scalars_broadcast(spark, sf_dir):
+    """The corpus-level (N, V) scalar aggregate must broadcast into the
+    scoring join, and token counts must partial-aggregate before their
+    shuffle (HashAggregate below the Exchange)."""
+    plan = _plan(ALL_QUERIES["ext_lm_perplexity"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
