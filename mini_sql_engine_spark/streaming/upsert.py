@@ -92,18 +92,27 @@ def merge_batch(
     any point leaves the previous version readable).
     """
     spark = batch_df.sparkSession
-    if batch_id <= last_applied_batch(spark, data_dir, table):
-        return  # replayed batch: already inside the committed state
-    delta = batch_df.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("d_n"), F.sum(_cents("value")).alias("d_cents")
-    )
     state = _read_state(spark, data_dir, table)
     if state is None:
-        cur = delta.sparkSession.createDataFrame(
+        cur = spark.createDataFrame(
             [], "user_id long, n_events long, total_cents long"
         )
     else:
+        # materialize the (small) state once: the replay guard and the
+        # merge both read it, and the single-file source should not be
+        # re-scanned per consumer
+        state = state.localCheckpoint()
+        last = (
+            state.filter(F.col("user_id") == SENTINEL_KEY)
+            .agg(F.max("n_events"))
+            .collect()[0][0]
+        )  # scalar control value, never data
+        if last is not None and batch_id <= int(last):
+            return  # replayed batch: already inside the committed state
         cur = state.filter(F.col("user_id") != SENTINEL_KEY)
+    delta = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("d_n"), F.sum(_cents("value")).alias("d_cents")
+    )
     merged = (
         cur.join(delta, "user_id", "full_outer")
         .select(

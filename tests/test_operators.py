@@ -371,3 +371,28 @@ def test_prefix_filter_equals_exact_join_at_any_threshold(
     )
     assert pruned == exact
     assert len(exact) > 0  # threshold not so high the test is vacuous
+
+
+def test_emb_band_udf_matches_expression_tier(spark, sf_dir):
+    """The Arrow-vectorized band-signature UDF must agree exactly with
+    the expression-tier spec (_emb_band_val) for every vector — the
+    sign bits come from sequentially-accumulated dots on both paths."""
+    from mini_sql_engine_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr_side = emb.select(
+        "vec_id",
+        F.array(
+            *[dedup._emb_band_val(F.col("embedding"), b)
+              for b in range(dedup.EMB_LSH_BANDS)]
+        ).alias("bvals"),
+    )
+    udf_side = emb.select(
+        "vec_id",
+        F.pandas_udf(dedup._emb_band_vals_fn, "array<int>")(
+            F.col("embedding")
+        ).alias("bvals"),
+    )
+    a = {r.vec_id: r.bvals for r in expr_side.collect()}
+    b = {r.vec_id: list(r.bvals) for r in udf_side.collect()}
+    assert a == b
