@@ -39,9 +39,13 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     for t in SF_TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
-    spark.range(64).withColumn("g", F.col("id") % 8).groupBy("g").applyInPandas(
-        lambda pdf: pdf, "id long, g long"
-    ).collect()
+    # spawn the FULL Python/Arrow worker pool (one worker per core):
+    # repartition(n_cores) before the grouped map so the first timed
+    # query with a 32-partition Python stage doesn't pay worker spawn
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(4096).repartition(n_cores).withColumn(
+        "g", F.col("id") % (n_cores * 4)
+    ).groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").collect()
 
     # min over reps: the machine is shared, so a single rep can catch a
     # GC pause or noisy neighbor; min is the standard steady-state

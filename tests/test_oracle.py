@@ -24,6 +24,17 @@ def test_entry_smoke(spark):
     assert df.columns  # stable schema
 
 
+def test_queries_enumeration_is_deterministic():
+    """queries() must enumerate in a fixed order that depends only on
+    the code — never on recorded artifacts or runtime state (round-3
+    advice). The registry fronts the LLM-pipeline packs by static
+    module order."""
+    first = list(entrymod.queries())
+    assert first == list(entrymod.queries())
+    assert first[0].startswith("ext_dedup"), first[:3]
+    assert len(first) == len(set(first))
+
+
 # Rows-only queries (no SQL oracle) that legitimately return an empty
 # result on the tiny local fixture; everything else must produce rows,
 # matching the driver's rows>0 smoke semantics.
