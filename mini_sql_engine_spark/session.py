@@ -47,6 +47,9 @@ def get_spark(
         # natively; read as long nanos, catalog.load_table converts to a
         # microsecond TimestampType column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let the native format("minisql") reader absorb integer
+        # comparison predicates (MiniSQLReader.pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

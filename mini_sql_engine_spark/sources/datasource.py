@@ -23,6 +23,7 @@ connector is the ingest/compatibility path, not the steady state.
 
 from __future__ import annotations
 
+import operator
 import os
 from collections.abc import Iterator, Sequence
 
@@ -31,7 +32,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -67,10 +74,70 @@ def _aligned_offsets(path: str, n: int) -> list[int]:
     return offsets
 
 
+# comparison filters pushable into the native scan: class → operator
+_PUSHABLE_OPS = {
+    EqualTo: operator.eq,
+    GreaterThan: operator.gt,
+    GreaterThanOrEqual: operator.ge,
+    LessThan: operator.lt,
+    LessThanOrEqual: operator.le,
+}
+
+
 class MiniSQLReader(DataSourceReader):
-    def __init__(self, csv_path: str, n_partitions: int) -> None:
+    """Splittable scan with native filter pushdown (Spark 4.1 Python
+    DataSource `pushFilters`): integer comparison predicates are
+    evaluated on the parsed fields BEFORE rows leave the Python reader,
+    so non-matching rows never cross the Arrow boundary into the JVM —
+    the same contract a database source honors. `IsNotNull` is absorbed
+    for free (the format is integer-only, nulls cannot exist);
+    everything else is returned to Spark for post-scan evaluation.
+
+    Pushdown is OPT-IN per read (``option("pushdown", "true")``):
+    Spark 4.1 caches the planned Python read — pushed filters baked
+    into the pickled reader — on the shared relation object, and a
+    later NO-filter query on the same loaded DataFrame reuses that
+    stale plan, silently returning the previous query's filtered rows
+    (verified against this Spark build; queries WITH filters re-plan
+    and are safe). Opting in per read() call, where every query builds
+    its own relation, sidesteps the stale-reuse hazard; a reused
+    multi-query DataFrame should leave pushdown off.
+    """
+
+    def __init__(
+        self,
+        csv_path: str,
+        n_partitions: int,
+        columns: list[str],
+        enable_pushdown: bool = False,
+    ) -> None:
         self._csv_path = csv_path
         self._n = n_partitions
+        self._columns = columns
+        self._enable_pushdown = enable_pushdown
+        self._pushed: list[tuple[int, object, int]] = []  # (col idx, op, value)
+
+    def pushFilters(self, filters):  # noqa: N802 - Spark API name
+        if not self._enable_pushdown:
+            return filters
+        remaining = []
+        for f in filters:
+            op = _PUSHABLE_OPS.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and f.attribute[0] in self._columns
+                and isinstance(f.value, int)
+                and not isinstance(f.value, bool)
+            ):
+                self._pushed.append(
+                    (self._columns.index(f.attribute[0]), op, f.value)
+                )
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                pass  # every value in the integer-only format is non-null
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self) -> Sequence[InputPartition]:
         offs = _aligned_offsets(self._csv_path, self._n)
@@ -84,12 +151,15 @@ class MiniSQLReader(DataSourceReader):
         with open(partition.path, "rb") as fh:
             fh.seek(partition.start)
             chunk = fh.read(partition.end - partition.start)
+        pushed = self._pushed
         for line in chunk.splitlines():
             if not line.strip():
                 continue
-            yield tuple(
+            row = tuple(
                 int(field.strip().strip(b'"')) for field in line.split(b",")
             )
+            if all(op(row[i], v) for i, op, v in pushed):
+                yield row
 
 
 class MiniSQLDataSource(DataSource):
@@ -122,7 +192,12 @@ class MiniSQLDataSource(DataSource):
         csv_path = os.path.join(data_dir, f"{table}.csv")
         if not os.path.exists(csv_path):
             raise EngineError(f"table file not found: {csv_path}")
-        return MiniSQLReader(csv_path, int(self.options.get("numPartitions", "4")))
+        return MiniSQLReader(
+            csv_path,
+            int(self.options.get("numPartitions", "4")),
+            [f.name for f in schema.fields],
+            enable_pushdown=self.options.get("pushdown", "false").lower() == "true",
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> "MiniSQLWriter":
         table, data_dir = self._table_and_dir()

@@ -305,3 +305,72 @@ def test_registry_complete_regardless_of_import_order():
         "assert len(ALL_QUERIES) >= 160"
     )
     subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
+
+
+def _minisql_push(spark, table):
+    from mini_sql_engine_spark.sources import datasource
+
+    datasource.register(spark)
+    return (
+        spark.read.format("minisql")
+        .option("path", MINI_DIR)
+        .option("table", table)
+        .option("pushdown", "true")
+        .load()
+    )
+
+
+def test_minisql_filter_pushdown_unit():
+    """pushFilters (opted in) absorbs integer comparisons and IsNotNull,
+    returns everything else for Spark-side evaluation; default-off
+    readers decline every filter."""
+    import operator as op_mod
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        IsNotNull,
+        StringStartsWith,
+    )
+
+    from mini_sql_engine_spark.sources.datasource import MiniSQLReader
+
+    eq = EqualTo(("B",), 2)
+    gt = GreaterThan(("C",), 10)
+    nn = IsNotNull(("A",))
+    alien = StringStartsWith(("A",), "x")
+    nested = EqualTo(("A", "b"), 1)
+
+    off = MiniSQLReader("/dev/null", 1, ["A", "B", "C"])
+    assert list(off.pushFilters([eq, gt, nn])) == [eq, gt, nn]
+    assert off._pushed == []
+
+    on = MiniSQLReader("/dev/null", 1, ["A", "B", "C"], enable_pushdown=True)
+    remaining = list(on.pushFilters([eq, gt, nn, alien, nested]))
+    assert remaining == [alien, nested]
+    assert (1, op_mod.eq, 2) in on._pushed
+    assert (2, op_mod.gt, 10) in on._pushed
+    assert len(on._pushed) == 2
+
+
+def test_minisql_filter_pushdown_end_to_end(spark):
+    """With pushdown opted in, the filter disappears from the physical
+    plan (absorbed by the reader) and the rows equal the default-off
+    scan + DataFrame filter."""
+    pred = (F.col("B") == 2) & (F.col("A") < 10)
+    pushed_df = _minisql_push(spark, "table1").filter(pred)
+    via_push = sorted(map(tuple, pushed_df.collect()))
+    via_spark = sorted(map(tuple, _minisql(spark, "table1").filter(pred).collect()))
+    assert via_push == via_spark and via_push
+    plan = pushed_df._jdf.queryExecution().executedPlan().toString()
+    assert " Filter (" not in plan, plan  # no Filter node: absorbed by the scan
+
+
+def test_minisql_pushdown_off_by_default_is_reuse_safe(spark):
+    """Spark 4.1 caches the planned Python read on a shared relation; a
+    default-off reader never absorbs filters, so reusing one loaded
+    DataFrame across filtered and unfiltered queries stays correct."""
+    base = _minisql(spark, "table1")
+    filtered = sorted(map(tuple, base.filter(F.col("B") == 2).collect()))
+    full = sorted(map(tuple, base.collect()))
+    assert len(full) > len(filtered) > 0
