@@ -209,17 +209,77 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_native_events(spark: SparkSession, sf_dir: str) -> str:
+    """One-time export of a thin integer events feed into the native
+    metadata.txt + CSV format (via the two-phase-commit writer), so the
+    streaming tail reader has a real native table to follow. Staged per
+    sf_dir under an atomic directory rename."""
+    digest = hashlib.md5(f"tail|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"native_tail_{digest}")
+    if not os.path.exists(os.path.join(stage, "metadata.txt")):
+        tmp = stage + f".tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        feed = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .select("event_id", "user_id", _cents("value").alias("cents"))
+        )
+        datasource.register(spark)
+        (
+            feed.write.format("minisql")
+            .option("path", tmp)
+            .option("table", "events_feed")
+            .mode("overwrite")
+            .save()
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # lost the staging race; the winner's copy is equal
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def stream_native_tail_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the native-format table through the connector's tail
+    reader (byte-offset micro-batches) into a per-user aggregate —
+    the full sources↔streaming loop: parquet → native export (2-phase
+    writer) → streaming tail → stateful agg. Oracled against the
+    one-shot batch aggregate over the original events."""
+    from mini_sql_engine_spark.streaming.windows import stream_to_df
+
+    data_dir = _stage_native_events(spark, sf_dir)
+    datasource.register(spark)
+    stream = (
+        spark.readStream.format("minisql")
+        .option("path", data_dir)
+        .option("table", "events_feed")
+        .load()
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents")
+    )
+    return stream_to_df(spark, agg, "complete")
+
+
 QUERIES: dict[str, Callable] = {
     "stream_upsert_totals": stream_upsert_user_totals,
+    "stream_native_tail": stream_native_tail_totals,
 }
 
+_USER_TOTALS_SQL = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+"""
+
 ORACLES: dict[str, str] = {
-    "stream_upsert_totals": """
-        SELECT user_id,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS total_cents
-        FROM events
-        GROUP BY user_id
-    """,
+    # same batch truth, two different streaming computation paths:
+    # foreachBatch MERGE state vs native-format tail replay
+    "stream_upsert_totals": _USER_TOTALS_SQL,
+    "stream_native_tail": _USER_TOTALS_SQL,
 }
