@@ -215,6 +215,53 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARD_NEG_K = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data op: for each query vector, the top-k
+    most-similar vectors carrying a DIFFERENT label — the classic
+    hard-negative set (similar in embedding space, semantically wrong).
+
+    Same broadcast-scoring scan as brute_force_topk plus a label
+    inequality before ranking, so the label filter prunes rows BEFORE
+    the window. At 100 TB the anchor side is the (sampled, broadcast)
+    query set and the corpus is scanned once; the per-anchor top-k is
+    the same bounded window. An ANN pre-filter (LSH/IVF above) in front
+    is the recall/cost dial, unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "q_id",
+            F.col("q_label").cast("long").alias("q_label"),
+            "n_id",
+            F.col("n_label").cast("long").alias("n_label"),
+            "cos_sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the vector column: per-vector max /
     min / mean / positive-component count — all JVM-side array
@@ -369,17 +416,36 @@ _RECALL_ORACLE = f"""
               LEFT JOIN hi ON base.q_id = hi.q_id
 """
 
+_HARD_NEG_ORACLE = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+               c.vec_id AS n_id, CAST(c.label AS BIGINT) AS n_label,
+               ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id != c.vec_id AND q.label != c.label
+        WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, n_id) AS rnk
+        FROM scored)
+    SELECT q_id, q_label, n_id, n_label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {HARD_NEG_K}
+"""
+
 QUERIES: dict[str, Callable] = {
     "ext_sim_bruteforce_topk": brute_force_topk,
     "ext_sim_ann_lsh_topk": ann_lsh_topk,
     "ext_sim_ivf_topk": ivf_topk,
     "ext_sim_recall_eval": ann_recall_eval,
     "ext_sim_label_pairs": label_centroid_similarity,
+    "ext_sim_hard_negatives": hard_negative_mining,
     "ext_array_funcs": embedding_array_stats,
 }
 
 ORACLES: dict[str, str] = {
     "ext_sim_bruteforce_topk": _BRUTE_ORACLE,
+    "ext_sim_hard_negatives": _HARD_NEG_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_recall_eval": _RECALL_ORACLE,
