@@ -301,7 +301,46 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding efficiency diagnostic: documents bucketed by the
+    power-of-2 sequence length a length-grouped batcher would pad to;
+    per bucket the doc count, real token mass, padded capacity and
+    waste percentage — the numbers that decide between naive batching
+    (one global max length) and length-bucketed batching.
+
+    The bucket is computed integer-exactly as 1 << bit_length(n-1)
+    (via the length of bin(n-1)) on BOTH engines — float log2 at an
+    exact power-of-2 boundary is engine-dependent and would misplace
+    boundary docs. Pure projection + one small aggregate: no shuffle
+    beyond the |buckets|-row agg at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tok")
+    )
+    bucket = F.when(F.col("n_tok") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr("CAST(shiftleft(1, length(bin(n_tok - 1))) AS BIGINT)")
+    )
+    return (
+        sized.select("n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .withColumn("capacity", F.col("bucket") * F.col("n_docs"))
+        .withColumn(
+            "waste_pct",
+            F.round(
+                (F.col("capacity") - F.col("sum_tokens")) * 100.0 / F.col("capacity"),
+                4,
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_length_buckets": length_bucket_padding,
     "pipeline_curate_corpus": curate_corpus,
     "ext_pack_sequences": pack_sequences,
     "ext_temperature_sample": temperature_sample,
@@ -318,6 +357,26 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_length_buckets": r"""
+        WITH sized AS (
+            SELECT len(string_split_regex(text, '\s+')) AS n_tok
+            FROM documents),
+        bucketed AS (
+            SELECT n_tok,
+                   CASE WHEN n_tok <= 1 THEN 1
+                        ELSE CAST(1 << len(bin(n_tok - 1)) AS BIGINT)
+                   END AS bucket
+            FROM sized),
+        agg AS (
+            SELECT bucket, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+            FROM bucketed GROUP BY bucket)
+        SELECT bucket, n_docs, sum_tokens,
+               bucket * n_docs AS capacity,
+               ROUND((bucket * n_docs - sum_tokens) * 100.0
+                     / (bucket * n_docs), 4) AS waste_pct
+        FROM agg
+    """,
     "ext_pack_sequences": r"""
         SELECT lang, pack_id, COUNT(*) AS n_docs,
                CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,

@@ -505,6 +505,34 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-step statistic: corpus-wide counts of adjacent
+    character pairs within whitespace tokens, top-k by frequency — one
+    iteration of what a BPE tokenizer trainer computes before each
+    merge. All JVM-side: token explode → in-token pair transform →
+    explode → count. Shuffle is bounded by |distinct pairs| ×
+    partitions (map-side partial agg); the top-k is
+    TakeOrderedAndProject. A full trainer loops this with a merge
+    applied between rounds — the per-round dataflow is exactly this.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(textfns.tokens("text")).alias("t"))
+    pairs = toks.filter(F.length("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_text_token_stats": token_stats,
     "ext_text_lang_stats": lang_stats,
@@ -522,6 +550,7 @@ QUERIES: dict[str, Callable] = {
     "ext_histogram": value_histogram,
     "ext_regexp_extract": regexp_extract_ids,
     "ext_lm_perplexity": lm_perplexity_buckets,
+    "ext_bpe_pair_counts": bpe_pair_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -708,5 +737,15 @@ ORACLES: dict[str, str] = {
                (['head', 'middle', 'tail'])[
                    NTILE(3) OVER (ORDER BY avg_nll, doc_id)] AS bucket
         FROM scored
+    """,
+    "ext_bpe_pair_counts": f"""
+        WITH toks AS (
+            SELECT unnest({_TOKS}) AS t FROM documents),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> substr(t, i, 2))) AS pair
+            FROM toks WHERE len(t) >= 2)
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
     """,
 }
