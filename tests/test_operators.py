@@ -396,3 +396,28 @@ def test_emb_band_udf_matches_expression_tier(spark, sf_dir):
     a = {r.vec_id: r.bvals for r in expr_side.collect()}
     b = {r.vec_id: list(r.bvals) for r in udf_side.collect()}
     assert a == b
+
+
+def test_length_bucket_invariants(spark, sf_dir):
+    """Every doc's padding bucket is the smallest power of two >= its
+    token count (bucket/2 < n_tok <= bucket), and token mass never
+    exceeds capacity."""
+    from mini_sql_engine_spark.operators import pipeline_ops
+
+    rows = pipeline_ops.length_bucket_padding(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket & (r.bucket - 1) == 0  # power of two
+        assert r.sum_tokens <= r.capacity
+        assert 0.0 <= r.waste_pct < 100.0
+    df = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 5, 7, 8, 9, 1023, 1024, 1025)], "n_tok long"
+    )
+    from pyspark.sql import functions as FF
+
+    bucket = FF.when(FF.col("n_tok") <= 1, FF.lit(1).cast("long")).otherwise(
+        FF.expr("CAST(shiftleft(1, length(bin(n_tok - 1))) AS BIGINT)")
+    )
+    got = {r.n_tok: r.b for r in df.select("n_tok", bucket.alias("b")).collect()}
+    assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 7: 8, 8: 8, 9: 16,
+                   1023: 1024, 1024: 1024, 1025: 2048}
