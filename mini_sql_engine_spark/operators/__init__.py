@@ -22,6 +22,7 @@ from mini_sql_engine_spark.operators import (
     multimodal,
     parity,
     pipeline_ops,
+    quality,
     rollups,
     similarity,
     text,
@@ -45,6 +46,7 @@ _MODULES = [
     streaming_upsert,
     multimodal,
     curation,
+    quality,
     asof,
     ml_lsh,
     pipeline_ops,

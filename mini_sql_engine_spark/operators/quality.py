@@ -1,0 +1,319 @@
+"""Corpus-quality gates: Gopher-style rule filtering, per-domain
+quotas, Zipf-fit sanity checks, and SemDeDup-style semantic dedup.
+
+The reference engine has none of these (SURVEY.md §2.1 is
+scan/filter/join/agg only); they extend the training-data-pipeline
+surface (SURVEY.md §2.2 X rows) with the published curation recipes a
+100 TB text pipeline actually runs: the Gopher/MassiveText rule gate,
+C4-style per-domain balancing, corpus-statistics QA, and SemDeDup
+(cluster-then-dedup over embeddings). Everything except the documented
+within-cell pair scoring is expression-only Catalyst code.
+
+Scale notes (100 TB):
+- gopher gate: pure per-row projection + one thin grouped agg on
+  `source` — embarrassingly parallel, one partial-agg shuffle of a
+  few counters per source;
+- domain quota: one shuffle on `source` for the per-domain
+  row_number; priority is a hash, so the kept set is a uniform
+  deterministic sample (no full sort — the window sorts within each
+  domain partition only). Skewed domains are the known hazard: a
+  domain with 10⁹ docs makes one window partition a straggler; the
+  production fix is a two-phase top-K (per-split partial top-K, then
+  merge), same shape as text.heavy_hitters_bounded;
+- zipf fit: token-count shuffle (map-side partial agg), then the
+  regression runs over the VOCABULARY (≪ corpus) — a single-reducer
+  window over ~10⁵–10⁶ types, with regr_slope/regr_r2 composing into
+  one scalar agg pass;
+- semdedup: centroid table is a constant (broadcast); assignment is
+  per-row codegen (argmax over K dot products, no shuffle). The
+  quadratic verify is confined WITHIN each cell — that containment is
+  the published SemDeDup design — and ships through one shuffle keyed
+  on (cell, id-block). K at 100 TB is 10⁴–10⁵ cells (k-means
+  pretrained), so cells stay ~10⁴ vectors and the per-cell pair work
+  is bounded; a degenerate hot cell falls back to the blocked-matmul
+  kernel (functions.vector.allpairs_cosine) exactly like the LSH
+  bucket path in dedup.embedding_near_dup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import hashing, textfns, vector
+from mini_sql_engine_spark.operators.similarity import CENTROIDS
+
+# Gopher-style rule thresholds, tuned so each rule discriminates on the
+# synthetic fixture (words/doc spans 10–99, mean word length 3.69–5.08,
+# stopword ratio 0–0.33, distinct-token ratio 0.28–1.0).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_WLEN = 3.8
+GOPHER_MAX_WLEN = 5.0
+GOPHER_MIN_STOP = 0.02
+GOPHER_MIN_UNIQ = 0.5
+
+DOMAIN_QUOTA = 15  # kept docs per source domain
+
+SEM_THRESH = 0.40  # within-cell cosine above which the later vec drops
+
+
+def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule gate, reported per source domain.
+
+    Four published rule families — word-count bounds, mean-word-length
+    bounds, minimum stopword fraction, minimum distinct-token ratio —
+    evaluated per document in one codegen projection; a doc is kept
+    only if every rule passes. Output is the per-domain audit a
+    curation run reviews before committing the filter: (source,
+    n_docs, n_fail_len, n_fail_wlen, n_fail_stop, n_fail_uniq,
+    n_keep, keep_rate).
+
+    All ratios are exact int/int double divisions compared against
+    decimal literals, so the pass/fail booleans are engine-exact.
+    """
+    toks = textfns.tokens("text")
+    n_words = F.size(toks)
+    # mean word length = non-whitespace chars / words (exact division)
+    mean_wlen = F.length(F.regexp_replace("text", r"\s", "")) / n_words
+    stop = textfns.stopword_ratio("text")
+    uniq = F.size(F.array_distinct(toks)) / n_words
+    flags = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (~n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("f_len"),
+        (~mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)).alias("f_wlen"),
+        (stop < GOPHER_MIN_STOP).alias("f_stop"),
+        (uniq < GOPHER_MIN_UNIQ).alias("f_uniq"),
+    )
+    keep = ~(
+        F.col("f_len") | F.col("f_wlen") | F.col("f_stop") | F.col("f_uniq")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("f_len").cast("long")).alias("n_fail_len"),
+        F.sum(F.col("f_wlen").cast("long")).alias("n_fail_wlen"),
+        F.sum(F.col("f_stop").cast("long")).alias("n_fail_stop"),
+        F.sum(F.col("f_uniq").cast("long")).alias("n_fail_uniq"),
+        F.sum(keep.cast("long")).alias("n_keep"),
+        F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)), 4).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain balancing: keep at most DOMAIN_QUOTA docs
+    per source, chosen by a deterministic hash priority — a uniform
+    random-without-replacement sample per domain that every rerun (and
+    the oracle) reproduces exactly.
+
+    Output: (source, doc_id, rk) for the kept docs. The window sorts
+    within each domain only (no global sort); see module scale notes
+    for the skewed-domain variant.
+    """
+    pr = hashing.md5_long(F.col("doc_id").cast("string"), "quota")
+    w = Window.partitionBy("source").orderBy("pr", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", pr.alias("pr"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_QUOTA)
+        .select("source", "doc_id", "rk")
+    )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics QA: least-squares fit of log(freq) vs
+    log(rank) over the token frequency table — natural text tracks
+    Zipf (slope ≈ −1); a synthetic or degenerate corpus shows up as a
+    flat slope or poor r². One scalar row: (n_types, zipf_slope,
+    zipf_r2).
+
+    The regression runs over the VOCABULARY, not the corpus: the
+    token-count agg is the only wide shuffle; the unpartitioned
+    ranking window then sees only distinct types (tiny by
+    construction — document the 10⁶-type bound, not the corpus size).
+    """
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(textfns.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = freq.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token")),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.expr("regr_slope(ln(cnt), ln(rk))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rk))"), 4).alias("zipf_r2"),
+    )
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest centroid cell, then drop, within each cell, any vector
+    whose cosine to an earlier (lower-id) cell-mate exceeds
+    SEM_THRESH. Per-cell audit: (cidx, n_vecs, n_dup_pairs,
+    n_dropped, n_kept).
+
+    Assignment is a codegen argmax over the K broadcast-constant
+    centroid dots (sort_array over (neg_score, cidx) structs — the
+    same shuffle-free pattern as textfns.language_id); the cell key
+    then confines the quadratic verify, which is the whole point of
+    the algorithm. Embeddings are unit-norm (FIXTURES.md §1.2) so
+    cosine = dot, and the left-to-right fold matches DuckDB's
+    list_dot_product bit-for-bit — the ≥ threshold test is exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = F.array(
+        *[
+            F.struct(
+                (-vector.dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])))
+                .alias("neg_score"),
+                F.lit(i).alias("cidx"),
+            )
+            for i, c in enumerate(CENTROIDS)
+        ]
+    )
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        F.sort_array(scored).getItem(0).getField("cidx").alias("cidx"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, "cidx")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            vector.dot(F.col("a.embedding"), F.col("b.embedding")) >= SEM_THRESH
+        )
+        .select("cidx", F.col("b.vec_id").alias("dropped"))
+    )
+    per_cell_pairs = pairs.groupBy("cidx").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("dropped").alias("n_dropped"),
+    )
+    return (
+        assigned.groupBy("cidx")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(per_cell_pairs, "cidx", "left")
+        .select(
+            "cidx",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+QUERIES: dict[str, Callable] = {
+    "ext_gopher_gate": gopher_gate,
+    "ext_domain_quota": domain_quota,
+    "ext_zipf_fit": zipf_fit,
+    "ext_semdedup": semdedup,
+}
+
+_TOKS = "string_split_regex(text, '\\s+')"
+_STOPWORDS_SQL = (
+    "[" + ", ".join(f"'{s}'" for s in textfns.STOPWORDS) + "]"
+)
+_QUOTA_PR = (
+    "CAST('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT)"
+)
+_CENTS_SQL = ", ".join(f"({i}, {list(c)})" for i, c in enumerate(CENTROIDS))
+
+ORACLES: dict[str, str] = {
+    "ext_gopher_gate": f"""
+        WITH m AS (
+            SELECT source,
+                   len({_TOKS}) AS nw,
+                   len(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                       / len({_TOKS}) AS wlen,
+                   len(list_filter({_TOKS},
+                                   t -> list_contains({_STOPWORDS_SQL}, t)))
+                       * 1.0 / greatest(len({_TOKS}), 1) AS stop,
+                   len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS uniq
+            FROM documents),
+        f AS (
+            SELECT source,
+                   NOT (nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                       AS f_len,
+                   NOT (wlen BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN})
+                       AS f_wlen,
+                   stop < {GOPHER_MIN_STOP} AS f_stop,
+                   uniq < {GOPHER_MIN_UNIQ} AS f_uniq
+            FROM m)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_len,
+               CAST(SUM(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_wlen,
+               CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_stop,
+               CAST(SUM(CASE WHEN f_uniq THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_uniq,
+               CAST(SUM(CASE WHEN NOT (f_len OR f_wlen OR f_stop OR f_uniq)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               ROUND(SUM(CASE WHEN NOT (f_len OR f_wlen OR f_stop OR f_uniq)
+                         THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS keep_rate
+        FROM f GROUP BY source
+    """,
+    "ext_domain_quota": f"""
+        SELECT source, doc_id, rk FROM (
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_QUOTA_PR}, doc_id) AS INTEGER) AS rk
+            FROM documents) t
+        WHERE rk <= {DOMAIN_QUOTA}
+    """,
+    "ext_zipf_fit": f"""
+        WITH freq AS (
+            SELECT token, COUNT(*) AS cnt FROM (
+                SELECT unnest({_TOKS}) AS token FROM documents) t
+            GROUP BY token),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+            FROM freq)
+        SELECT COUNT(*) AS n_types,
+               ROUND(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+               ROUND(regr_r2(ln(cnt), ln(rk)), 4) AS zipf_r2
+        FROM ranked
+    """,
+    "ext_semdedup": f"""
+        WITH cents(cidx, cvec) AS (VALUES {_CENTS_SQL}),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        assign AS (
+            SELECT vec_id, v,
+                   (SELECT cidx FROM cents
+                    ORDER BY list_dot_product(v, cvec) DESC, cidx
+                    LIMIT 1) AS cidx
+            FROM e),
+        pairs AS (
+            SELECT a.cidx, b.vec_id AS dropped
+            FROM assign a JOIN assign b
+              ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) >= {SEM_THRESH}),
+        pc AS (
+            SELECT cidx, COUNT(*) AS n_dup_pairs,
+                   COUNT(DISTINCT dropped) AS n_dropped
+            FROM pairs GROUP BY cidx)
+        SELECT s.cidx, COUNT(*) AS n_vecs,
+               COALESCE(MAX(pc.n_dup_pairs), 0) AS n_dup_pairs,
+               COALESCE(MAX(pc.n_dropped), 0) AS n_dropped,
+               COUNT(*) - COALESCE(MAX(pc.n_dropped), 0) AS n_kept
+        FROM assign s LEFT JOIN pc USING (cidx)
+        GROUP BY s.cidx
+    """,
+}
