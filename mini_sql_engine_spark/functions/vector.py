@@ -138,6 +138,81 @@ def allpairs_cosine(
     ).applyInPandas(score, "id_a long, id_b long, cos_sim double")
 
 
+def blocked_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_blocks: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-node DIRECTED top-k cosine candidates via partial top-k
+    merge: each of the B(B+1)/2 block-pair tasks emits at most k
+    candidates per node per direction, so the shuffle after the matmul
+    carries O(n·B·k) thin rows instead of the O(n²) full pair list —
+    the standard two-phase top-k. The caller finishes with one global
+    window `row_number() <= k` per src (total order: rounded score
+    desc, dst asc), and partial-top-k-under-a-total-order guarantees
+    the merge is exact.
+
+    Candidate preselection inside a task uses the raw matmul scores
+    with a 1.5·10^-round_digits margin below each row's kth raw score:
+    that covers the full width of one rounding class plus accumulation
+    drift, so every dst that could enter the block's top-k after exact
+    re-accumulation + rounding + dst tie-break is retained. Survivors
+    are re-accumulated sequentially (`_seq_dot`), rounded, and ranked
+    per src before emission.
+
+    Output schema: src long, dst long, cos_sim double.
+    """
+    margin = 1.5 * 10.0**-round_digits
+
+    def _directed(ms, ids_s, md, ids_d, mask_self):
+        scores = ms @ md.T
+        if mask_self:
+            scores[ids_s[:, None] == ids_d[None, :]] = -np.inf
+        if scores.shape[1] > k:
+            kth = np.partition(scores, -k, axis=1)[:, -k]
+        else:
+            kth = np.full(scores.shape[0], -np.inf)
+        mask = scores >= (kth[:, None] - margin)
+        if mask_self:
+            mask &= ids_s[:, None] != ids_d[None, :]
+        ia, ib = np.nonzero(mask)
+        if ia.size == 0:
+            return None
+        exact = np.round(_seq_dot(ms[ia], md[ib]), round_digits)
+        cand = pd.DataFrame(
+            {"src": ids_s[ia], "dst": ids_d[ib], "cos_sim": exact}
+        ).sort_values(
+            ["src", "cos_sim", "dst"], ascending=[True, False, True]
+        )
+        return cand[cand.groupby("src").cumcount() < k]
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "cos_sim": []}).astype(
+            {"src": "int64", "dst": "int64", "cos_sim": "float64"}
+        )
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return empty
+        same_block = pdf["bp"].iat[0] == pdf["bq"].iat[0]
+        ma = np.stack(a[vec_col].to_numpy()).astype(np.float64)
+        mb = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        ids_a = a[id_col].to_numpy()
+        ids_b = b[id_col].to_numpy()
+        parts = [_directed(ma, ids_a, mb, ids_b, same_block)]
+        if not same_block:  # same sides ⇒ b→a duplicates a→b
+            parts.append(_directed(mb, ids_b, ma, ids_a, False))
+        parts = [p for p in parts if p is not None]
+        return pd.concat(parts) if parts else empty
+
+    return _blocked_pairs(df.select(id_col, vec_col), id_col, n_blocks).groupBy(
+        "bp", "bq"
+    ).applyInPandas(score, "src long, dst long, cos_sim double")
+
+
 def allpairs_grouped_sums(
     df: DataFrame,
     id_col: str,

@@ -43,7 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import hashing, textfns, vector
 from mini_sql_engine_spark.operators.similarity import CENTROIDS
 
@@ -241,11 +241,112 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_N = 3  # gram width, matches curation.BOILER_N / text NGRAM_N
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty curve: the fraction of a doc's distinct
+    3-grams whose FIRST corpus occurrence (by doc_id ingestion order)
+    is this document — the dataset-growth diagnostic that shows when a
+    crawl stops contributing new content (novelty → 0 means the
+    marginal doc is recombination, time to stop ingesting the source).
+
+    Plan: distinct (doc_id, gram) pairs explode once; a gram-keyed agg
+    computes each gram's first doc; one gram-keyed join back marks
+    novel pairs; a doc-keyed agg rolls up. Both shuffles ship thin
+    (gram, doc_id) / (doc_id, counters) rows — text arrays never move
+    twice, the same shape as the inverted index. Output: (doc_id,
+    n_grams, n_novel, novelty).
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textfns.shingles("text", NOVELTY_N))
+        ).alias("gram"),
+    )
+    # windowed min over the gram partition: ONE shuffle of the pair
+    # list (vs groupBy-then-join's two), no second pass over the grams
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    return (
+        pairs.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 4)
+        )
+    )
+
+
+KNN_K = 5  # neighbors per node in the exact graph
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph audit over the embedding table: each vector's
+    top-KNN_K cosine neighbors, intersected with the reverse direction
+    — mutual degree is the standard density/diversity signal (isolated
+    points = outliers; high mutual degree = redundant modes) and the
+    input graph for graph-based dedup and diversity sampling.
+
+    This is the EXACT graph (like sim.brute_force_topk): the compute
+    is the blocked matmul, but each block task pre-ranks and emits at
+    most KNN_K candidates per node per direction
+    (`vector.blocked_topk`), so the shuffle after the matmul carries
+    O(n·B·k) rows, never the O(n²) pair list; one global window then
+    merges the partials. Scores are rounded to 4 digits BEFORE
+    ranking with a (score desc, neighbor asc) tie-break, so ranking
+    is engine-deterministic even at rounded-score ties. Output:
+    (vec_id, label, mean_top_sim, n_mutual).
+
+    100 TB: the matmul front end still touches all block pairs — the
+    documented O(n²) compute knob; swap it for ANN candidates (IVF
+    cells / LSH buckets, both in operators.similarity) and keep the
+    identical merge + mutual-join tail. Per-node window state is the
+    B·k candidate list, never the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = vector.blocked_topk(emb, "vec_id", "embedding", k=KNN_K)
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", "cos_sim")
+    )
+    rev = topk.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = topk.join(rev, ["src", "dst"], "left_semi")
+    per_node = topk.groupBy("src").agg(
+        F.round(F.avg("cos_sim"), 4).alias("mean_top_sim")
+    )
+    mdeg = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_mutual"))
+    return (
+        emb.select(F.col("vec_id"), "label")
+        .join(per_node, F.col("vec_id") == F.col("src"), "left")
+        .drop("src")
+        .join(mdeg, F.col("vec_id") == F.col("src"), "left")
+        .drop("src")
+        .select(
+            "vec_id",
+            "label",
+            "mean_top_sim",
+            F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
     "ext_zipf_fit": zipf_fit,
     "ext_semdedup": semdedup,
+    "ext_ngram_novelty": ngram_novelty,
+    "ext_knn_graph": knn_graph,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -315,6 +416,47 @@ ORACLES: dict[str, str] = {
                ROUND(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
                ROUND(regr_r2(ln(cnt), ln(rk)), 4) AS zipf_r2
         FROM ranked
+    """,
+    "ext_ngram_novelty": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(toks[i : i + {NOVELTY_N - 1}], ' ')
+                               for i in range(1, len(toks) - {NOVELTY_N - 2})])
+                           AS gram
+                FROM t WHERE len(toks) >= {NOVELTY_N}) raw),
+        first AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 4) AS novelty
+        FROM g JOIN first f USING (gram)
+        GROUP BY g.doc_id
+    """,
+    "ext_knn_graph": f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROUND(list_dot_product(a.v, b.v), 4) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        topk AS (SELECT src, dst, cos_sim FROM (
+                     SELECT src, dst, cos_sim,
+                            row_number() OVER (
+                                PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rn
+                     FROM d) r WHERE rn <= {KNN_K}),
+        pn AS (SELECT src, ROUND(AVG(cos_sim), 4) AS mean_top_sim
+               FROM topk GROUP BY src),
+        md AS (SELECT t.src, COUNT(*) AS n_mutual FROM topk t
+               WHERE EXISTS (SELECT 1 FROM topk r
+                             WHERE r.src = t.dst AND r.dst = t.src)
+               GROUP BY t.src)
+        SELECT e.vec_id, e.label, pn.mean_top_sim,
+               COALESCE(md.n_mutual, 0) AS n_mutual
+        FROM e LEFT JOIN pn ON e.vec_id = pn.src
+               LEFT JOIN md ON e.vec_id = md.src
     """,
     "ext_semdedup": f"""
         WITH cents(cidx, cvec) AS (VALUES {_CENTS_SQL}),
