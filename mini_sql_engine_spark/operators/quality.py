@@ -340,6 +340,67 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_GRAM = 5  # positional gram width (tokens)
+SPAN_MIN = 8  # minimum reported duplicate span length (tokens)
+SPAN_DF_CAP = 100  # drop grams hotter than this before the pair join
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (the substring-dedup signal of
+    Lee et al. 2022): for every document pair, maximal runs of
+    consecutive shared SPAN_GRAM-token grams — i.e. verbatim shared
+    substrings of ≥ SPAN_MIN tokens, the thing n-gram-set Jaccard
+    blurs away. Output: (doc_a, doc_b, n_spans, max_span_len).
+
+    Plan: positional grams explode once; a gram-keyed self-join emits
+    only co-occurring positions (thin (doc, pos) rows — text never
+    joins); runs are recovered with the gaps-and-islands trick (pos −
+    row_number per (pair, diagonal) is constant within a consecutive
+    run). Grams hotter than SPAN_DF_CAP are excluded BEFORE the join
+    — the df-cap that keeps a boilerplate gram from exploding the
+    self-join into its df² pairs; the cap is part of the operator
+    definition (the oracle applies it identically), the standard
+    trade in production substring-dedup pipelines where a true suffix
+    array is the exact alternative.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(textfns.shingles("text", SPAN_GRAM)).alias("pos", "gram"),
+    ).localCheckpoint(eager=False)  # feeds df-count, then both join sides
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SPAN_DF_CAP)
+        .select("gram")
+    )
+    cold = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = matches.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + (SPAN_GRAM - 1)).alias("span_len"))
+        .filter(F.col("span_len") >= SPAN_MIN)
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_len").alias("max_span_len"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -347,6 +408,7 @@ QUERIES: dict[str, Callable] = {
     "ext_semdedup": semdedup,
     "ext_ngram_novelty": ngram_novelty,
     "ext_knn_graph": knn_graph,
+    "ext_dup_spans": dup_spans,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -433,6 +495,32 @@ ORACLES: dict[str, str] = {
                      * 1.0 / COUNT(*), 4) AS novelty
         FROM g JOIN first f USING (gram)
         GROUP BY g.doc_id
+    """,
+    "ext_dup_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - {SPAN_GRAM - 2})) AS i
+                    FROM t WHERE len(toks) >= {SPAN_GRAM})),
+        cold AS (SELECT * FROM g WHERE gram NOT IN (
+                     SELECT gram FROM g GROUP BY gram
+                     HAVING COUNT(*) > {SPAN_DF_CAP})),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                     a.pos - b.pos AS diag
+              FROM cold a JOIN cold b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, diag,
+                        pa - row_number() OVER (
+                            PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+                 FROM m),
+        spans AS (SELECT doc_a, doc_b,
+                         COUNT(*) + {SPAN_GRAM - 1} AS span_len
+                  FROM runs GROUP BY doc_a, doc_b, diag, grp
+                  HAVING COUNT(*) + {SPAN_GRAM - 1} >= {SPAN_MIN})
+        SELECT doc_a, doc_b, COUNT(*) AS n_spans,
+               MAX(span_len) AS max_span_len
+        FROM spans GROUP BY doc_a, doc_b
     """,
     "ext_knn_graph": f"""
         WITH e AS (SELECT vec_id, label,
