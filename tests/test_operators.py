@@ -421,3 +421,40 @@ def test_length_bucket_invariants(spark, sf_dir):
     got = {r.n_tok: r.b for r in df.select("n_tok", bucket.alias("b")).collect()}
     assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 7: 8, 8: 8, 9: 16,
                    1023: 1024, 1024: 1024, 1025: 2048}
+
+
+def test_blocked_topk_matches_naive_window(spark):
+    """Partial-top-k merge kernel: the global window over blocked_topk
+    candidates must equal the window over the FULL directed pair list
+    under the same (rounded score desc, dst asc) total order — the
+    exactness claim of the two-phase top-k, including rounded-score
+    ties, for several block counts."""
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(35)]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    k = 4
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+
+    def topk(cand):
+        return sorted(
+            (r.src, r.dst, r.cos_sim)
+            for r in cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("src", "dst", "cos_sim")
+            .collect()
+        )
+
+    a = df.select(F.col("vid").alias("src"), F.col("v").alias("va"))
+    b = df.select(F.col("vid").alias("dst"), F.col("v").alias("vb"))
+    naive = topk(
+        a.join(b, F.col("src") != F.col("dst")).select(
+            "src", "dst", F.round(vector.dot("va", "vb"), 4).alias("cos_sim")
+        )
+    )
+    for n_blocks in (1, 3, 6):
+        fast = topk(vector.blocked_topk(df, "vid", "v", k, n_blocks=n_blocks))
+        assert fast == naive, f"n_blocks={n_blocks}"
