@@ -62,27 +62,17 @@ DOMAIN_QUOTA = 15  # kept docs per source domain
 SEM_THRESH = 0.40  # within-cell cosine above which the later vec drops
 
 
-def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/MassiveText-style rule gate, reported per source domain.
-
-    Four published rule families — word-count bounds, mean-word-length
-    bounds, minimum stopword fraction, minimum distinct-token ratio —
-    evaluated per document in one codegen projection; a doc is kept
-    only if every rule passes. Output is the per-domain audit a
-    curation run reviews before committing the filter: (source,
-    n_docs, n_fail_len, n_fail_wlen, n_fail_stop, n_fail_uniq,
-    n_keep, keep_rate).
-
-    All ratios are exact int/int double divisions compared against
-    decimal literals, so the pass/fail booleans are engine-exact.
-    """
+def _gopher_report(docs: DataFrame) -> DataFrame:
+    """Rule flags + per-domain rollup shared by the batch and streaming
+    forms (stream-batch unification: the SAME plan runs per-microbatch
+    as a streaming aggregation)."""
     toks = textfns.tokens("text")
     n_words = F.size(toks)
     # mean word length = non-whitespace chars / words (exact division)
     mean_wlen = F.length(F.regexp_replace("text", r"\s", "")) / n_words
     stop = textfns.stopword_ratio("text")
     uniq = F.size(F.array_distinct(toks)) / n_words
-    flags = load_table(spark, sf_dir, "documents").select(
+    flags = docs.select(
         "source",
         (~n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("f_len"),
         (~mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)).alias("f_wlen"),
@@ -103,6 +93,39 @@ def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_rate"
         ),
     )
+
+
+def gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule gate, reported per source domain.
+
+    Four published rule families — word-count bounds, mean-word-length
+    bounds, minimum stopword fraction, minimum distinct-token ratio —
+    evaluated per document in one codegen projection; a doc is kept
+    only if every rule passes. Output is the per-domain audit a
+    curation run reviews before committing the filter: (source,
+    n_docs, n_fail_len, n_fail_wlen, n_fail_stop, n_fail_uniq,
+    n_keep, keep_rate).
+
+    All ratios are exact int/int double divisions compared against
+    decimal literals, so the pass/fail booleans are engine-exact.
+    """
+    return _gopher_report(load_table(spark, sf_dir, "documents"))
+
+
+def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gate as a streaming aggregation over a document stream
+    (the ingest-time quality monitor): per-row flags are stateless, so
+    streaming state is exactly the per-domain counter row — O(domains),
+    independent of stream length — and the result must equal the batch
+    report on the same data (stream-batch parity; the oracle IS
+    `ext_gopher_gate`'s)."""
+    from mini_sql_engine_spark.streaming.windows import (
+        stream_to_df,
+        table_stream,
+    )
+
+    docs = table_stream(spark, sf_dir, "documents")
+    return stream_to_df(spark, _gopher_report(docs), "complete")
 
 
 def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +432,7 @@ QUERIES: dict[str, Callable] = {
     "ext_ngram_novelty": ngram_novelty,
     "ext_knn_graph": knn_graph,
     "ext_dup_spans": dup_spans,
+    "stream_gopher_gate": stream_gopher_gate,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -421,8 +445,7 @@ _QUOTA_PR = (
 )
 _CENTS_SQL = ", ".join(f"({i}, {list(c)})" for i, c in enumerate(CENTROIDS))
 
-ORACLES: dict[str, str] = {
-    "ext_gopher_gate": f"""
+_GOPHER_ORACLE = f"""
         WITH m AS (
             SELECT source,
                    len({_TOKS}) AS nw,
@@ -456,7 +479,13 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(CASE WHEN NOT (f_len OR f_wlen OR f_stop OR f_uniq)
                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS keep_rate
         FROM f GROUP BY source
-    """,
+    """
+
+ORACLES: dict[str, str] = {
+    "ext_gopher_gate": _GOPHER_ORACLE,
+    # stream-batch parity: the streaming aggregation must reproduce the
+    # batch report exactly on the same data
+    "stream_gopher_gate": _GOPHER_ORACLE,
     "ext_domain_quota": f"""
         SELECT source, doc_id, rk FROM (
             SELECT source, doc_id,

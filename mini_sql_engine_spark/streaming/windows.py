@@ -44,29 +44,35 @@ from mini_sql_engine_spark import oracle_shared
 from mini_sql_engine_spark.catalog import load_table, normalize_event_ts
 
 
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source readStream over one testdata parquet table.
+
+    The file stream source requires a DIRECTORY; stage a symlink (the
+    testdata itself is read-only and must not be reorganized). Keyed by
+    a stable digest of (sf_dir, table) so every process maps the same
+    source to the same staging dir (PYTHONHASHSEED makes hash()
+    per-process)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    digest = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"{table}_stream_{digest}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, ts normalized like the batch
     catalog (`catalog.normalize_event_ts`: NTZ or nanos-long →
     session-zoned microsecond timestamp, as watermarks require)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(src).schema
-    # the file stream source requires a DIRECTORY; stage a symlink (the
-    # testdata itself is read-only and must not be reorganized). Keyed by
-    # a stable digest of sf_dir so every process maps the same source to
-    # the same staging dir (PYTHONHASHSEED makes hash() per-process).
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    df = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    return normalize_event_ts(df)
+    return normalize_event_ts(table_stream(spark, sf_dir, "events"))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
