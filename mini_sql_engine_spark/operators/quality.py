@@ -424,6 +424,70 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BI_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-likelihood under an interpolated
+    bigram LM trained on the corpus — the next model up from
+    `ext_lm_perplexity`'s unigram: p(w2|w1) = λ·c(w1,w2)/c(w1) +
+    (1−λ)·(c(w2)+1)/(N+V). Bigram context catches word-salad text a
+    unigram scorer rates as fluent (every token common, no common
+    transitions). Output: (doc_id, n_bigrams, nll).
+
+    Plan: unigram and bigram TYPE tables aggregate with map-side
+    combine (shuffle bounded by vocabulary, not corpus); the
+    per-type probability composes on the tiny type table, which then
+    broadcasts back onto the corpus bigram stream; one doc-keyed agg
+    finishes. At web scale the bigram-type table outgrows a broadcast
+    — the join flips to its natural (w1, w2) key, exactly like the
+    unigram scorer's token join; the formula and dataflow hold.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    bi = docs.select(
+        "doc_id", F.explode(textfns.shingles("text", 2)).alias("bg")
+    ).select(
+        "doc_id",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+    )
+    uni = (
+        docs.select(F.explode(textfns.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    types = (
+        bic.join(
+            uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.lit(BI_LAMBDA) * (F.col("cb") / F.col("c1"))
+                + F.lit(1.0 - BI_LAMBDA)
+                * ((F.col("c2") + F.lit(1.0)) / (F.col("n") + F.col("v")))
+            ).alias("p"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(types), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 4).alias("nll"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -433,6 +497,7 @@ QUERIES: dict[str, Callable] = {
     "ext_knn_graph": knn_graph,
     "ext_dup_spans": dup_spans,
     "stream_gopher_gate": stream_gopher_gate,
+    "ext_bigram_perplexity": bigram_perplexity,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -524,6 +589,31 @@ ORACLES: dict[str, str] = {
                      * 1.0 / COUNT(*), 4) AS novelty
         FROM g JOIN first f USING (gram)
         GROUP BY g.doc_id
+    """,
+    "ext_bigram_perplexity": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bi AS (SELECT doc_id,
+                      unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                              for i in range(1, len(toks))]) AS bg
+               FROM t WHERE len(toks) >= 2),
+        b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+        uni AS (SELECT tok, COUNT(*) AS cu FROM (
+                    SELECT unnest(toks) AS tok FROM t) u GROUP BY tok),
+        tot AS (SELECT SUM(cu) AS n, COUNT(*) AS v FROM uni),
+        bic AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY w1, w2),
+        types AS (
+            SELECT bic.w1, bic.w2,
+                   {BI_LAMBDA} * (bic.cb * 1.0 / u1.cu)
+                   + {1.0 - BI_LAMBDA} * ((u2.cu + 1.0) / (tot.n + tot.v))
+                       AS p
+            FROM bic
+            JOIN uni u1 ON bic.w1 = u1.tok
+            JOIN uni u2 ON bic.w2 = u2.tok
+            CROSS JOIN tot)
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln(ty.p)), 4) AS nll
+        FROM b JOIN types ty ON b.w1 = ty.w1 AND b.w2 = ty.w2
+        GROUP BY b.doc_id
     """,
     "ext_dup_spans": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
