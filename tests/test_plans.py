@@ -436,3 +436,41 @@ def test_lm_perplexity_scalars_broadcast(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_lm_perplexity"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_spans_hot_set_broadcasts(spark, sf_dir):
+    """The SPAN_DF_CAP exclusion must be a broadcast anti-join (the hot
+    set is tiny by construction); the gram self-join must be a real
+    equi-join, never a cartesian."""
+    plan = _plan(ALL_QUERIES["ext_dup_spans"](spark, sf_dir))
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftAnti" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_assignment_has_no_join(spark, sf_dir):
+    """Centroid assignment is per-row codegen (struct argmax over
+    constant dots) — the plan up to the cell shuffle must contain no
+    join at all, and exactly one Python stage (the per-cell kernel)."""
+    plan = _plan(ALL_QUERIES["ext_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_gopher_gate_is_single_agg_exchange(spark, sf_dir):
+    """The rule gate is projection + one grouped agg: exactly one
+    exchange (the partial-agg shuffle on source), no Python, no join."""
+    plan = _plan(ALL_QUERIES["ext_gopher_gate"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_bigram_type_table_broadcasts_back(spark, sf_dir):
+    """The scored bigram TYPE table must broadcast onto the corpus
+    bigram stream (types ≪ corpus); the doc-keyed agg is the only
+    wide data shuffle of exploded rows."""
+    plan = _plan(ALL_QUERIES["ext_bigram_perplexity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
