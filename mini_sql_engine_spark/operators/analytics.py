@@ -394,7 +394,103 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+PATH_TOP_K = 20
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize each user's event stream by a
+    30-minute inactivity gap (gaps-and-islands: lag + boundary flag +
+    running sum — the window form of `ext_session_window`'s
+    session_window), then reduce each session to its ordered
+    event-type path and count path frequencies. Output: the PATH_TOP_K
+    most common (path, n_sessions).
+
+    Order inside a session is pinned by (unix_micros(ts), event_id) —
+    collect_list alone is shuffle-order-nondeterministic, so the path
+    string is built by sorting an array of (ts_us, event_id, type)
+    structs, which is deterministic in both engines. Both windows and
+    the session rollup shuffle once on user_id; the path count is a
+    thin (path, 1) aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(wo) > SESSION_GAP_US, 1
+        ).otherwise(0)
+        + F.when(F.lag("ts_us").over(wo).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = flagged.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    user's (ts, event_id)-ordered stream, count (prev_type → type)
+    transitions and row-normalize into probabilities — the base table
+    for next-event prediction and anomaly scoring. Output:
+    (prev_type, event_type, n, prob).
+
+    One user-keyed window (lag) then a transition-keyed count agg;
+    row normalization is a window sum over the tiny type×type table —
+    nothing wide touches the raw stream twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm), 4).alias("prob"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_session_paths": session_paths,
+    "ext_event_transitions": event_transitions,
     "ext_cohort_retention": cohort_retention,
     "ext_rollup": rollup_priority_status,
     "ext_cube": cube_returnflag_linestatus,
@@ -423,6 +519,38 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_session_paths": f"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type FROM events),
+        l AS (SELECT *, lag(ts_us) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+              FROM ev),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                              OR ts_us - prev_ts > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess FROM l),
+        s AS (SELECT *, SUM(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess FROM f),
+        p AS (SELECT user_id, sess,
+                     string_agg(event_type, '>' ORDER BY ts_us, event_id)
+                         AS path
+              FROM s GROUP BY user_id, sess)
+        SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT {PATH_TOP_K}
+    """,
+    "ext_event_transitions": """
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type FROM events),
+        l AS (SELECT user_id, event_type, lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id)
+                  AS prev_type FROM ev),
+        t AS (SELECT prev_type, event_type, COUNT(*) AS n FROM l
+              WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        SELECT prev_type, event_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 4)
+                   AS prob
+        FROM t
+    """,
     "ext_quantile_mergeable": """
         WITH partials AS (
             SELECT event_type,
