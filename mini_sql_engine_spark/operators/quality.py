@@ -488,6 +488,114 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_SCALE = 1_000_000  # embedding quantization: micro-units
+
+
+def _int_centroids(spark: SparkSession) -> DataFrame:
+    """Seed centroids (similarity.CENTROIDS) quantized to micro-unit
+    longs, in (cidx, dim, cval) long form."""
+    rows = [
+        (c, d, int(np.floor(v * KM_SCALE + 0.5)))
+        for c, vec in enumerate(CENTROIDS)
+        for d, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cidx int, dim int, cval long")
+
+
+def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment over quantized vectors: integer
+    squared distance per (vec, cell), then the (dist, cidx)-min row.
+    Integer sums are exactly associative — no accumulation-order
+    nondeterminism anywhere."""
+    dist = (
+        q.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cidx")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("cval"))
+                * (F.col("qval") - F.col("cval"))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cidx")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cidx")
+    )
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the IVF seed centroids,
+    ENGINE-EXACT: embeddings quantize to micro-unit longs
+    (floor(v·1e6 + 0.5) — identical IEEE ops in both engines), so
+    every distance is an exactly-associative integer sum and the
+    argmin is deterministic; centroid means floor back to longs (sums
+    stay < 2^53, so the one double division is exact too). This is
+    the determinism pattern for distributed iterative numerics —
+    floats drift with partitioning, integers never. Output per final
+    cell: (cidx, n_vecs, shift_l1, n_moved) — shift_l1 = L1 centroid
+    movement in micro-units, n_moved = members that switched cells
+    between the iterations (both ~0 ⇒ converged).
+
+    Scale: the corpus-side table is thin (vec, dim, qval) rows; each
+    iteration is one broadcast join + two keyed aggs (K·D centroid
+    table broadcasts at any realistic K); the argmin window partitions
+    by vector with K-row state. The relational dot/distance form
+    trades 1 row per (vec, dim) for exactness — the float expression
+    tier (semdedup's argmax) is the fast path when bit-determinism
+    across engines is not required.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        # explicit double: float32 × int would stay float32 in Spark
+        # (precision loss ≫ 1 at the 1e6 scale) while DuckDB widens
+        F.floor(F.col("v").cast("double") * KM_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("qval"),
+    ).localCheckpoint(eager=False)  # reused by both assignment rounds
+    c0 = _int_centroids(spark)
+    a1 = _km_assign(q, c0)
+    c1 = (
+        q.join(a1, "vec_id")
+        .groupBy("cidx", "dim")
+        .agg(
+            F.floor(F.sum("qval") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cval")
+        )
+    )
+    a2 = _km_assign(q, c1)
+    shift = (
+        c1.join(
+            c0.select("cidx", "dim", F.col("cval").alias("cval0")),
+            ["cidx", "dim"],
+        )
+        .groupBy("cidx")
+        .agg(F.sum(F.abs(F.col("cval") - F.col("cval0"))).alias("shift_l1"))
+    )
+    moved = (
+        a2.join(a1.select("vec_id", F.col("cidx").alias("cidx1")), "vec_id")
+        .groupBy("cidx")
+        .agg(
+            F.sum((F.col("cidx") != F.col("cidx1")).cast("long")).alias(
+                "n_moved"
+            )
+        )
+    )
+    return (
+        a2.groupBy("cidx")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(shift, "cidx")
+        .join(moved, "cidx")
+        .select("cidx", "n_vecs", "shift_l1", "n_moved")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -498,6 +606,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dup_spans": dup_spans,
     "stream_gopher_gate": stream_gopher_gate,
     "ext_bigram_perplexity": bigram_perplexity,
+    "ext_kmeans_refine": kmeans_refine,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -509,6 +618,11 @@ _QUOTA_PR = (
     "AS BIGINT)"
 )
 _CENTS_SQL = ", ".join(f"({i}, {list(c)})" for i, c in enumerate(CENTROIDS))
+_INT_CENTS_SQL = ", ".join(
+    f"({c}, {d}, {int(np.floor(v * KM_SCALE + 0.5))})"
+    for c, vec in enumerate(CENTROIDS)
+    for d, v in enumerate(vec)
+)
 
 _GOPHER_ORACLE = f"""
         WITH m AS (
@@ -691,5 +805,51 @@ ORACLES: dict[str, str] = {
                COUNT(*) - COALESCE(MAX(pc.n_dropped), 0) AS n_kept
         FROM assign s LEFT JOIN pc USING (cidx)
         GROUP BY s.cidx
+    """,
+    "ext_kmeans_refine": f"""
+        WITH cents0(cidx, dim, cval) AS (VALUES {_INT_CENTS_SQL}),
+        qs AS (SELECT vec_id,
+                      unnest([struct_pack(
+                          dim := d - 1,
+                          qval := CAST(FLOOR(CAST(embedding[d] AS DOUBLE)
+                                             * {KM_SCALE} + 0.5) AS BIGINT))
+                              for d in range(1, len(embedding) + 1)]) AS s
+               FROM embeddings),
+        q AS (SELECT vec_id, s.dim AS dim, s.qval AS qval FROM qs),
+        d1 AS (SELECT q.vec_id, c.cidx,
+                      SUM((q.qval - c.cval) * (q.qval - c.cval)) AS dist
+               FROM q JOIN cents0 c USING (dim)
+               GROUP BY q.vec_id, c.cidx),
+        a1 AS (SELECT vec_id, cidx FROM (
+                   SELECT vec_id, cidx, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+                   FROM d1) r WHERE rn = 1),
+        c1 AS (SELECT a1.cidx, q.dim,
+                      CAST(FLOOR(SUM(q.qval) * 1.0 / COUNT(*)) AS BIGINT)
+                          AS cval
+               FROM q JOIN a1 USING (vec_id)
+               GROUP BY a1.cidx, q.dim),
+        d2 AS (SELECT q.vec_id, c.cidx,
+                      SUM((q.qval - c.cval) * (q.qval - c.cval)) AS dist
+               FROM q JOIN c1 c USING (dim)
+               GROUP BY q.vec_id, c.cidx),
+        a2 AS (SELECT vec_id, cidx FROM (
+                   SELECT vec_id, cidx, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+                   FROM d2) r WHERE rn = 1),
+        shift AS (SELECT c1.cidx,
+                         CAST(SUM(ABS(c1.cval - c0.cval)) AS BIGINT)
+                             AS shift_l1
+                  FROM c1 JOIN cents0 c0 USING (cidx, dim)
+                  GROUP BY c1.cidx),
+        moved AS (SELECT a2.cidx,
+                         CAST(SUM(CASE WHEN a2.cidx <> a1.cidx
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+                  FROM a2 JOIN a1 USING (vec_id)
+                  GROUP BY a2.cidx)
+        SELECT a2.cidx, COUNT(*) AS n_vecs, MAX(shift.shift_l1) AS shift_l1,
+               MAX(moved.n_moved) AS n_moved
+        FROM a2 JOIN shift USING (cidx) JOIN moved USING (cidx)
+        GROUP BY a2.cidx
     """,
 }
