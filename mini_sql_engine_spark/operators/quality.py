@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import hashing, textfns, vector
+from mini_sql_engine_spark.operators.dedup import _JACCARD_PAIRS
 from mini_sql_engine_spark.operators.similarity import CENTROIDS
 
 # Gopher-style rule thresholds, tuned so each rule discriminates on the
@@ -596,6 +597,85 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
+
+CELL_SAMPLE_M = 10  # kept vectors per centroid cell
+
+
+def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy-tuning sweep: pair counts, docs dropped, and drop
+    rate at several Jaccard thresholds from ONE pass over the verified
+    candidate pairs — the report that picks the production threshold
+    without re-running the dedup join per candidate value. Output:
+    (threshold, n_pairs, n_dropped, drop_rate), every threshold
+    present even when empty.
+
+    The pair list (dedup._jaccard_pairs' inverted-index join) is
+    computed once and checkpointed; the sweep is a |thresholds|-way
+    conditional aggregate over it — cost is the candidate join, the
+    sweep itself is free.
+    """
+    from mini_sql_engine_spark.operators.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    ts = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    hit = F.col("jacc") >= F.col("threshold")
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("threshold")
+        .agg(
+            F.sum(hit.cast("long")).alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b"))).alias("n_dropped"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.lit(n_docs), 4).alias("drop_rate"),
+        )
+    )
+
+
+def cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-stratified sampling: at most CELL_SAMPLE_M vectors per
+    centroid cell, chosen by deterministic md5 priority — the eval-set
+    construction that guarantees every region of embedding space is
+    represented instead of letting the head cluster dominate a uniform
+    sample. Output: (cidx, vec_id, rk).
+
+    Assignment is the same shuffle-free struct argmax as SemDeDup; the
+    per-cell window sorts within cells only. The mega-cell hazard and
+    its two-phase partial-top-K fix are the same as `ext_domain_quota`
+    (documents → domains, vectors → cells).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = F.array(
+        *[
+            F.struct(
+                (-vector.dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])))
+                .alias("neg_score"),
+                F.lit(i).alias("cidx"),
+            )
+            for i, c in enumerate(CENTROIDS)
+        ]
+    )
+    pr = hashing.md5_long(F.col("vec_id").cast("string"), "cell")
+    w = Window.partitionBy("cidx").orderBy("pr", "vec_id")
+    return (
+        emb.select(
+            "vec_id",
+            F.sort_array(scored).getItem(0).getField("cidx").alias("cidx"),
+            pr.alias("pr"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CELL_SAMPLE_M)
+        .select("cidx", "vec_id", "rk")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -607,6 +687,8 @@ QUERIES: dict[str, Callable] = {
     "stream_gopher_gate": stream_gopher_gate,
     "ext_bigram_perplexity": bigram_perplexity,
     "ext_kmeans_refine": kmeans_refine,
+    "ext_dedup_rate_curve": dedup_rate_curve,
+    "ext_cluster_sample": cluster_sample,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -806,6 +888,44 @@ ORACLES: dict[str, str] = {
         FROM assign s LEFT JOIN pc USING (cidx)
         GROUP BY s.cidx
     """,
+    "ext_dedup_rate_curve": f"""
+        WITH p AS ({{jaccard_pairs}}),
+        t(threshold) AS (VALUES {", ".join(
+            f"(CAST({t} AS DOUBLE))" for t in SWEEP_THRESHOLDS)})
+        SELECT t.threshold,
+               CAST(SUM(CASE WHEN p.jacc >= t.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs,
+               COUNT(DISTINCT CASE WHEN p.jacc >= t.threshold
+                              THEN p.doc_b END) AS n_dropped,
+               ROUND(COUNT(DISTINCT CASE WHEN p.jacc >= t.threshold
+                           THEN p.doc_b END) * 1.0 /
+                     (SELECT COUNT(*) FROM documents), 4) AS drop_rate
+        FROM t CROSS JOIN p
+        GROUP BY t.threshold
+    """,
+    "ext_cluster_sample": f"""
+        WITH cents(cidx, cvec) AS (VALUES {_CENTS_SQL}),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        assign AS (
+            SELECT vec_id,
+                   (SELECT cidx FROM cents
+                    ORDER BY list_dot_product(v, cvec) DESC, cidx
+                    LIMIT 1) AS cidx
+            FROM e),
+        pr AS (SELECT cidx, vec_id,
+                      CAST('0x' || substr(md5('cell:' ||
+                           CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS pr
+               FROM assign)
+        SELECT cidx, vec_id, rk FROM (
+            SELECT cidx, vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY cidx ORDER BY pr, vec_id) AS INTEGER)
+                       AS rk
+            FROM pr) r
+        WHERE rk <= {CELL_SAMPLE_M}
+    """,
     "ext_kmeans_refine": f"""
         WITH cents0(cidx, dim, cval) AS (VALUES {_INT_CENTS_SQL}),
         qs AS (SELECT vec_id,
@@ -853,3 +973,9 @@ ORACLES: dict[str, str] = {
         GROUP BY a2.cidx
     """,
 }
+
+# the sweep oracle nests dedup's full candidate-pair construction; it is
+# substituted here (not in the f-string above) to keep the literal readable
+ORACLES["ext_dedup_rate_curve"] = ORACLES["ext_dedup_rate_curve"].format(
+    jaccard_pairs=_JACCARD_PAIRS
+)
