@@ -214,6 +214,62 @@ def partitioned_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # fixture-sized thresholds; production keeps the 10MB/10GB defaults
+    # (a dim under 10MB broadcasts instead, which subsumes the bloom)
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: a selective dimension filter
+    (1-URGENT orders) is turned by Catalyst into a `bloom_filter_agg`
+    subquery whose `might_contain` probe lands on the FACT SCAN — fact
+    rows that cannot match are dropped BEFORE the join shuffle. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~20% that survive the filter, when the
+    build side is too big to broadcast (broadcast is forced off here
+    to model that regime; a dim under the threshold would broadcast,
+    which subsumes the bloom).
+
+    The physical plan is forced (`executedPlan` is a lazy val pinned
+    to this DataFrame) INSIDE the conf window, then the session confs
+    are restored — planning-time flags must not leak into other
+    queries. `tests/test_plans.py` asserts the might_contain probe.
+    """
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        out._jdf.queryExecution().executedPlan()  # pin the bloom plan
+        return out
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 QUERIES: dict[str, Callable] = {
     "ext_bucketed_colocated_join": bucketed_colocated_join,
     "ext_partitioned_pruned_join": partitioned_pruned_join,
@@ -225,9 +281,18 @@ QUERIES: dict[str, Callable] = {
     "ext_union_all": union_all,
     "ext_intersect": intersect_keys,
     "ext_except": except_keys,
+    "ext_bloom_pruned_join": bloom_pruned_join,
 }
 
 ORACLES: dict[str, str] = {
+    "ext_bloom_pruned_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority
+    """,
     "ext_bucketed_colocated_join": """
         SELECT o_orderpriority,
                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)

@@ -474,3 +474,22 @@ def test_bigram_type_table_broadcasts_back(spark, sf_dir):
     wide data shuffle of exploded rows."""
     plan = _plan(ALL_QUERIES["ext_bigram_perplexity"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_pruned_join_probes_fact_scan(spark, sf_dir):
+    """The runtime Bloom filter must land as a might_contain probe on
+    the fact side before the join, and the conf window must not leak
+    into the session after the query builds."""
+    before = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+    )
+    df = ALL_QUERIES["ext_bloom_pruned_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    after = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+    )
+    assert after == before  # confs restored
+    # and the pinned plan still executes correctly after restoration
+    assert df.count() == 1
