@@ -270,6 +270,37 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
+def shuffle_hash_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy steering via hints: the orders⋈lineitem join is
+    forced to a ShuffledHashJoin with `hint("shuffle_hash")` — at
+    100 TB this is the right call when BOTH sides are large but one
+    side's per-partition slice fits memory: it skips SortMergeJoin's
+    two sorts (the dominant cost for a wide fact join) at the price
+    of building a per-partition hash map. The hint is advisory
+    steering of Catalyst, not a bypass — the plan test asserts it
+    took effect and the oracle confirms results are unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    return (
+        li.join(
+            orders.hint("shuffle_hash"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_bucketed_colocated_join": bucketed_colocated_join,
     "ext_partitioned_pruned_join": partitioned_pruned_join,
@@ -282,6 +313,7 @@ QUERIES: dict[str, Callable] = {
     "ext_intersect": intersect_keys,
     "ext_except": except_keys,
     "ext_bloom_pruned_join": bloom_pruned_join,
+    "ext_shuffle_hash_join": shuffle_hash_hint_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -291,6 +323,13 @@ ORACLES: dict[str, str] = {
                    AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority
+    """,
+    "ext_shuffle_hash_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
     "ext_bucketed_colocated_join": """

@@ -493,3 +493,11 @@ def test_bloom_pruned_join_probes_fact_scan(spark, sf_dir):
     assert after == before  # confs restored
     # and the pinned plan still executes correctly after restoration
     assert df.count() == 1
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    """The shuffle_hash hint must produce a ShuffledHashJoin (no sort
+    on either side), not SortMergeJoin or a broadcast."""
+    plan = _plan(ALL_QUERIES["ext_shuffle_hash_join"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
