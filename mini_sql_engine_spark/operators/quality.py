@@ -676,6 +676,66 @@ def cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANGID_TOP_G = 40  # profile grams kept per language
+
+
+def char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-trigram language ID (the fastText/
+    langid.py shape, relationally): train per-language trigram
+    profiles from the labeled corpus, score every document by summed
+    profile-gram counts, report the confusion matrix (lang,
+    pred_lang, n_docs). Unlike `textfns.language_id`'s fixed marker
+    words, the profile here is LEARNED from the data — the operator a
+    pipeline runs to audit its language labels before mixture
+    balancing.
+
+    Determinism: scores are INTEGER sums of corpus gram counts
+    (doubles would make the argmax order-sensitive); profile
+    selection and the argmax both break ties lexicographically.
+    Plan: gram counts aggregate map-side (shuffle bounded by the gram
+    vocabulary); the ≤ |langs|·TOP_G profile broadcasts back onto the
+    exploded doc grams; docs with zero profile hits classify as
+    'und' via a left join.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    grams = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("gram"),
+    ).localCheckpoint(eager=False)  # feeds training and scoring once
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wg = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    profile = (
+        counts.withColumn("rg", F.row_number().over(wg))
+        .filter(F.col("rg") <= LANGID_TOP_G)
+        .select(F.col("lang").alias("lang_p"), "gram", "c")
+    )
+    scored = (
+        grams.join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang_p")
+        .agg(F.sum("c").alias("score"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang_p")
+    best = (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_p").alias("pred"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .groupBy("lang", F.coalesce("pred", F.lit("und")).alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -689,6 +749,7 @@ QUERIES: dict[str, Callable] = {
     "ext_kmeans_refine": kmeans_refine,
     "ext_dedup_rate_curve": dedup_rate_curve,
     "ext_cluster_sample": cluster_sample,
+    "ext_char_ngram_langid": char_ngram_langid,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -902,6 +963,35 @@ ORACLES: dict[str, str] = {
                      (SELECT COUNT(*) FROM documents), 4) AS drop_rate
         FROM t CROSS JOIN p
         GROUP BY t.threshold
+    """,
+    "ext_char_ngram_langid": f"""
+        WITH g AS (
+            SELECT doc_id, lang,
+                   unnest([substring(text, i, 3)
+                           for i in range(1, len(text) - 1)]) AS gram
+            FROM documents WHERE len(text) >= 3),
+        counts AS (SELECT lang, gram, COUNT(*) AS c FROM g
+                   GROUP BY lang, gram),
+        profile AS (
+            SELECT lang AS lang_p, gram, c FROM (
+                SELECT lang, gram, c, row_number() OVER (
+                    PARTITION BY lang ORDER BY c DESC, gram) AS rg
+                FROM counts) r
+            WHERE rg <= {LANGID_TOP_G}),
+        scored AS (
+            SELECT g.doc_id, p.lang_p, SUM(p.c) AS score
+            FROM g JOIN profile p USING (gram)
+            GROUP BY g.doc_id, p.lang_p),
+        best AS (
+            SELECT doc_id, lang_p AS pred FROM (
+                SELECT doc_id, lang_p, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, lang_p) AS rn
+                FROM scored) r
+            WHERE rn = 1)
+        SELECT d.lang, COALESCE(b.pred, 'und') AS pred_lang,
+               COUNT(*) AS n_docs
+        FROM documents d LEFT JOIN best b USING (doc_id)
+        GROUP BY d.lang, COALESCE(b.pred, 'und')
     """,
     "ext_cluster_sample": f"""
         WITH cents(cidx, cvec) AS (VALUES {_CENTS_SQL}),
