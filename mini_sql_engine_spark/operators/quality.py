@@ -63,26 +63,39 @@ DOMAIN_QUOTA = 15  # kept docs per source domain
 SEM_THRESH = 0.40  # within-cell cosine above which the later vec drops
 
 
-def _gopher_report(docs: DataFrame) -> DataFrame:
-    """Rule flags + per-domain rollup shared by the batch and streaming
-    forms (stream-batch unification: the SAME plan runs per-microbatch
-    as a streaming aggregation)."""
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-document rule flags (all original columns + f_* booleans) —
+    the per-row core shared by the gate reports and the composed
+    pipeline."""
     toks = textfns.tokens("text")
     n_words = F.size(toks)
     # mean word length = non-whitespace chars / words (exact division)
     mean_wlen = F.length(F.regexp_replace("text", r"\s", "")) / n_words
     stop = textfns.stopword_ratio("text")
     uniq = F.size(F.array_distinct(toks)) / n_words
-    flags = docs.select(
-        "source",
+    return docs.select(
+        "*",
         (~n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("f_len"),
         (~mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)).alias("f_wlen"),
         (stop < GOPHER_MIN_STOP).alias("f_stop"),
         (uniq < GOPHER_MIN_UNIQ).alias("f_uniq"),
     )
-    keep = ~(
+
+
+def _gopher_keep() -> F.Column:
+    """Keep = every rule passes. (A function, not a module constant:
+    Column expressions need a live session/JVM gateway to build.)"""
+    return ~(
         F.col("f_len") | F.col("f_wlen") | F.col("f_stop") | F.col("f_uniq")
     )
+
+
+def _gopher_report(docs: DataFrame) -> DataFrame:
+    """Rule flags + per-domain rollup shared by the batch and streaming
+    forms (stream-batch unification: the SAME plan runs per-microbatch
+    as a streaming aggregation)."""
+    flags = _gopher_flags(docs)
+    keep = _gopher_keep()
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("f_len").cast("long")).alias("n_fail_len"),
@@ -736,6 +749,65 @@ def char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 pack composed END-TO-END in one Catalyst plan — the
+    pretraining-mix construction a curation run actually executes:
+
+      1. Gopher rule gate (per-row flags, stateless)
+      2. drop verbatim duplicates (docs appearing as the LATER side of
+         any `ext_dup_spans` duplicate span)
+      3. bigram-LM perplexity screen (keep docs at or below the
+         surviving set's median NLL — the fluent half)
+      4. C4-style per-domain quota (deterministic hash priority)
+
+    Output per source: (source, n_gate_dedup, n_after_ppl, n_kept,
+    kept_chars) — the funnel report plus the final mix's character
+    mass. Every stage's filter shrinks the next stage's input; the
+    only driver-side value is the scalar median (broadcast back, the
+    same shape as the outlier screen's med/MAD).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gated = _gopher_flags(docs).filter(_gopher_keep())
+    dups = dup_spans(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    s1 = gated.join(dups, "doc_id", "left_anti")
+    nll = bigram_perplexity(spark, sf_dir).select("doc_id", "nll")
+    s1n = s1.join(nll, "doc_id").localCheckpoint(
+        eager=False  # feeds the median agg and the filter
+    )
+    med = s1n.agg(F.expr("percentile(nll, 0.5)").alias("m"))
+    s2 = s1n.crossJoin(F.broadcast(med)).filter(F.col("nll") <= F.col("m"))
+    pr = hashing.md5_long(F.col("doc_id").cast("string"), "quota")
+    wq = Window.partitionBy("source").orderBy("pr", "doc_id")
+    kept = (
+        s2.select("source", "doc_id", "n_chars", pr.alias("pr"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= DOMAIN_QUOTA)
+    )
+    funnel1 = s1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_gate_dedup")
+    )
+    funnel2 = s2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_ppl")
+    )
+    funnel3 = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return (
+        funnel1.join(funnel2, "source", "left")
+        .join(funnel3, "source", "left")
+        .select(
+            "source",
+            "n_gate_dedup",
+            F.coalesce("n_after_ppl", F.lit(0)).alias("n_after_ppl"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -750,6 +822,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_rate_curve": dedup_rate_curve,
     "ext_cluster_sample": cluster_sample,
     "ext_char_ngram_langid": char_ngram_langid,
+    "pipeline_quality_mix": pipeline_quality_mix,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -1069,3 +1142,54 @@ ORACLES: dict[str, str] = {
 ORACLES["ext_dedup_rate_curve"] = ORACLES["ext_dedup_rate_curve"].format(
     jaccard_pairs=_JACCARD_PAIRS
 )
+
+# composed-pipeline oracle: reuses the dup-span and bigram-LM oracle
+# queries as parenthesized subqueries so the stages cannot drift apart
+ORACLES["pipeline_quality_mix"] = f"""
+    WITH g0 AS (
+        SELECT doc_id, source, n_chars,
+               len({_TOKS}) AS nw,
+               len(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                   / len({_TOKS}) AS wlen,
+               len(list_filter({_TOKS},
+                               t -> list_contains({_STOPWORDS_SQL}, t)))
+                   * 1.0 / greatest(len({_TOKS}), 1) AS stop,
+               len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS uniq
+        FROM documents),
+    gated AS (
+        SELECT doc_id, source, n_chars FROM g0
+        WHERE (nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+          AND (wlen BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN})
+          AND stop >= {GOPHER_MIN_STOP}
+          AND uniq >= {GOPHER_MIN_UNIQ}),
+    s1 AS (
+        SELECT * FROM gated
+        WHERE doc_id NOT IN (
+            SELECT DISTINCT doc_b FROM ({ORACLES["ext_dup_spans"]}) ds)),
+    s1n AS (
+        SELECT s1.*, bp.nll
+        FROM s1 JOIN ({ORACLES["ext_bigram_perplexity"]}) bp
+          USING (doc_id)),
+    med AS (SELECT median(nll) AS m FROM s1n),
+    s2 AS (SELECT s1n.* FROM s1n, med WHERE s1n.nll <= med.m),
+    kept AS (
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY {_QUOTA_PR}, doc_id)
+                       AS rk
+            FROM s2) r
+        WHERE rk <= {DOMAIN_QUOTA}),
+    f1 AS (SELECT source, COUNT(*) AS n_gate_dedup FROM s1
+           GROUP BY source),
+    f2 AS (SELECT source, COUNT(*) AS n_after_ppl FROM s2
+           GROUP BY source),
+    f3 AS (SELECT source, COUNT(*) AS n_kept,
+                  CAST(SUM(n_chars) AS BIGINT) AS kept_chars FROM kept
+           GROUP BY source)
+    SELECT f1.source, f1.n_gate_dedup,
+           COALESCE(f2.n_after_ppl, 0) AS n_after_ppl,
+           COALESCE(f3.n_kept, 0) AS n_kept,
+           COALESCE(f3.kept_chars, 0) AS kept_chars
+    FROM f1 LEFT JOIN f2 USING (source) LEFT JOIN f3 USING (source)
+"""
