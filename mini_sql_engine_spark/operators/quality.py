@@ -353,6 +353,10 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KNN_K)
         .select("src", "dst", "cos_sim")
+        # thin n*k rows, consumed by THREE branches (rev, per-node agg,
+        # mutual semi-join) - checkpoint or the kernel subtree re-runs
+        # once per branch
+        .localCheckpoint(eager=False)
     )
     rev = topk.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -808,6 +812,103 @@ def pipeline_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-NN graph's SCALE PATH: candidates are confined to each
+    vector's IVF cell (nearest centroid) instead of all pairs — the
+    ANN front end `ext_knn_graph` documents. Per cell, one Arrow
+    matmul task scores and pre-ranks its members' neighbors (top-k
+    within the cell IS the final top-k, since candidates never cross
+    cells); the mutual intersection and per-node rollup are the same
+    tail as the exact graph. Compute drops from O(n²) to
+    Σ_cells |cell|², and `ext_sim_recall_eval` is the operator that
+    quantifies what the cell confinement loses.
+
+    Output: (vec_id, label, mean_top_sim, n_mutual) — same schema as
+    the exact graph, null mean_top_sim for vectors alone in their
+    cell.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = F.array(
+        *[
+            F.struct(
+                (-vector.dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])))
+                .alias("neg_score"),
+                F.lit(i).alias("cidx"),
+            )
+            for i, c in enumerate(CENTROIDS)
+        ]
+    )
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        F.sort_array(scored).getItem(0).getField("cidx").alias("cidx"),
+    )
+    cand = assigned.groupBy("cidx").applyInPandas(
+        _cell_topk, "src long, dst long, cos_sim double"
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", "cos_sim")
+        # thin n*k rows, consumed by THREE branches (rev, per-node agg,
+        # mutual semi-join) - checkpoint or the kernel subtree re-runs
+        # once per branch
+        .localCheckpoint(eager=False)
+    )
+    rev = topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = topk.join(rev, ["src", "dst"], "left_semi")
+    per_node = topk.groupBy("src").agg(
+        F.round(F.avg("cos_sim"), 4).alias("mean_top_sim")
+    )
+    mdeg = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_mutual"))
+    return (
+        emb.select("vec_id", "label")
+        .join(per_node, F.col("vec_id") == F.col("src"), "left")
+        .drop("src")
+        .join(mdeg, F.col("vec_id") == F.col("src"), "left")
+        .drop("src")
+        .select(
+            "vec_id",
+            "label",
+            "mean_top_sim",
+            F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+        )
+    )
+
+
+def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: within-cell directed top-KNN_K neighbors.
+    Same margin + sequential re-accumulation contract as
+    `vector.blocked_topk`'s kernel (1.5·10⁻⁴ covers one rounding class
+    plus drift), so rounded scores and tie-breaks match the oracle
+    exactly."""
+    empty = pd.DataFrame({"src": [], "dst": [], "cos_sim": []}).astype(
+        {"src": "int64", "dst": "int64", "cos_sim": "float64"}
+    )
+    if len(pdf) < 2:
+        return empty
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    scores = M @ M.T
+    np.fill_diagonal(scores, -np.inf)
+    k = KNN_K
+    if scores.shape[1] > k:
+        kth = np.partition(scores, -k, axis=1)[:, -k]
+    else:
+        kth = np.full(scores.shape[0], -np.inf)
+    mask = scores >= (kth[:, None] - 1.5e-4)
+    np.fill_diagonal(mask, False)
+    ia, ib = np.nonzero(mask)
+    if ia.size == 0:
+        return empty
+    exact = np.round(vector._seq_dot(M[ia], M[ib]), 4)
+    cand = pd.DataFrame(
+        {"src": ids[ia], "dst": ids[ib], "cos_sim": exact}
+    ).sort_values(["src", "cos_sim", "dst"], ascending=[True, False, True])
+    return cand[cand.groupby("src").cumcount() < k]
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -823,6 +924,7 @@ QUERIES: dict[str, Callable] = {
     "ext_cluster_sample": cluster_sample,
     "ext_char_ngram_langid": char_ngram_langid,
     "pipeline_quality_mix": pipeline_quality_mix,
+    "ext_knn_graph_ann": knn_graph_ann,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -1088,6 +1190,38 @@ ORACLES: dict[str, str] = {
                        AS rk
             FROM pr) r
         WHERE rk <= {CELL_SAMPLE_M}
+    """,
+    "ext_knn_graph_ann": f"""
+        WITH cents(cidx, cvec) AS (VALUES {_CENTS_SQL}),
+        e AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        assign AS (
+            SELECT vec_id, v,
+                   (SELECT cidx FROM cents
+                    ORDER BY list_dot_product(v, cvec) DESC, cidx
+                    LIMIT 1) AS cidx
+            FROM e),
+        d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     ROUND(list_dot_product(a.v, b.v), 4) AS cos_sim
+              FROM assign a JOIN assign b
+                ON a.cidx = b.cidx AND a.vec_id <> b.vec_id),
+        topk AS (SELECT src, dst, cos_sim FROM (
+                     SELECT src, dst, cos_sim,
+                            row_number() OVER (
+                                PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rn
+                     FROM d) r WHERE rn <= {KNN_K}),
+        pn AS (SELECT src, ROUND(AVG(cos_sim), 4) AS mean_top_sim
+               FROM topk GROUP BY src),
+        md AS (SELECT t.src, COUNT(*) AS n_mutual FROM topk t
+               WHERE EXISTS (SELECT 1 FROM topk r
+                             WHERE r.src = t.dst AND r.dst = t.src)
+               GROUP BY t.src)
+        SELECT e.vec_id, e.label, pn.mean_top_sim,
+               COALESCE(md.n_mutual, 0) AS n_mutual
+        FROM e LEFT JOIN pn ON e.vec_id = pn.src
+               LEFT JOIN md ON e.vec_id = md.src
     """,
     "ext_kmeans_refine": f"""
         WITH cents0(cidx, dim, cval) AS (VALUES {_INT_CENTS_SQL}),
