@@ -775,7 +775,9 @@ def pipeline_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = dup_spans(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
-    s1 = gated.join(dups, "doc_id", "left_anti")
+    # s1 feeds the funnel count AND the perplexity join; without the
+    # checkpoint the gate + dup-span subtree re-runs once per branch
+    s1 = gated.join(dups, "doc_id", "left_anti").localCheckpoint(eager=False)
     nll = bigram_perplexity(spark, sf_dir).select("doc_id", "nll")
     s1n = s1.join(nll, "doc_id").localCheckpoint(
         eager=False  # feeds the median agg and the filter
