@@ -577,7 +577,10 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qval"),
     ).localCheckpoint(eager=False)  # reused by both assignment rounds
     c0 = _int_centroids(spark)
-    a1 = _km_assign(q, c0)
+    # each assignment feeds two consumers (next centroids + the moved
+    # count / final rollup) — checkpoint so the join+agg+window subtree
+    # runs once per iteration
+    a1 = _km_assign(q, c0).localCheckpoint(eager=False)
     c1 = (
         q.join(a1, "vec_id")
         .groupBy("cidx", "dim")
@@ -587,7 +590,7 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cval")
         )
     )
-    a2 = _km_assign(q, c1)
+    a2 = _km_assign(q, c1).localCheckpoint(eager=False)
     shift = (
         c1.join(
             c0.select("cidx", "dim", F.col("cval").alias("cval0")),
