@@ -638,7 +638,10 @@ def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_sql_engine_spark.operators.dedup import _jaccard_pairs
 
     pairs = _jaccard_pairs(spark, sf_dir).localCheckpoint(eager=False)
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # corpus size as a broadcast 1-row scalar, not an eager driver count
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     ts = spark.createDataFrame(
         [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
     )
@@ -650,11 +653,14 @@ def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit.cast("long")).alias("n_pairs"),
             F.countDistinct(F.when(hit, F.col("doc_b"))).alias("n_dropped"),
         )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "threshold",
             "n_pairs",
             "n_dropped",
-            F.round(F.col("n_dropped") / F.lit(n_docs), 4).alias("drop_rate"),
+            F.round(F.col("n_dropped") / F.col("n_docs"), 4).alias(
+                "drop_rate"
+            ),
         )
     )
 
