@@ -458,3 +458,60 @@ def test_blocked_topk_matches_naive_window(spark):
     for n_blocks in (1, 3, 6):
         fast = topk(vector.blocked_topk(df, "vid", "v", k, n_blocks=n_blocks))
         assert fast == naive, f"n_blocks={n_blocks}"
+
+
+def test_quality_pack_invariants(spark, sf_dir):
+    """Cross-checks between the round-4 operators that no single
+    oracle can see."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators import quality
+
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+
+    # SemDeDup: cells partition the table; drops never exceed members
+    sd = quality.semdedup(spark, sf_dir).collect()
+    assert sum(r.n_vecs for r in sd) == emb_n
+    assert all(0 <= r.n_dropped <= r.n_vecs for r in sd)
+    assert all(r.n_kept == r.n_vecs - r.n_dropped for r in sd)
+
+    # k-means: final cells partition the table; some movement happened
+    km = quality.kmeans_refine(spark, sf_dir).collect()
+    assert sum(r.n_vecs for r in km) == emb_n
+    assert all(r.shift_l1 > 0 for r in km)  # seeds were random, must move
+
+    # rate curve: pair and drop counts are non-increasing in threshold
+    rc = sorted(
+        quality.dedup_rate_curve(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    pair_counts = [r.n_pairs for r in rc]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    drop_counts = [r.n_dropped for r in rc]
+    assert drop_counts == sorted(drop_counts, reverse=True)
+
+    # novelty: bounded ratio, and the first document is 100% novel
+    nv = {r.doc_id: r for r in quality.ngram_novelty(spark, sf_dir).collect()}
+    assert all(0.0 <= r.novelty <= 1.0 for r in nv.values())
+    first = min(nv)
+    assert nv[first].novelty == 1.0
+
+
+def test_ann_knn_is_dominated_by_exact(spark, sf_dir):
+    """Cell-confined candidates are a subset of all pairs, so the ANN
+    graph's per-node mean top-k similarity can never EXCEED the exact
+    graph's (it sees fewer candidates), and its mutual degree is
+    bounded by k."""
+    from mini_sql_engine_spark.operators import quality
+
+    exact = {
+        r.vec_id: r for r in quality.knn_graph(spark, sf_dir).collect()
+    }
+    ann = {
+        r.vec_id: r
+        for r in quality.knn_graph_ann(spark, sf_dir).collect()
+    }
+    assert set(ann) == set(exact)
+    for vid, a in ann.items():
+        assert 0 <= a.n_mutual <= quality.KNN_K
+        if a.mean_top_sim is not None:
+            assert a.mean_top_sim <= exact[vid].mean_top_sim + 1e-9
