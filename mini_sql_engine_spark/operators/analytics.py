@@ -488,7 +488,97 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the DAU-style
+    "users reached so far" curve. A cumulative COUNT(DISTINCT)
+    decomposes EXACTLY: a user contributes to every prefix from their
+    FIRST day on, so min-day per (type, user) → new-user histogram →
+    running sum gives the same numbers as a distinct-set window while
+    carrying one counter of state instead of a growing set. (Spark
+    windows reject COUNT(DISTINCT); the common `size(collect_set())`
+    workaround is what this replaces — 100 TB state is O(1) per
+    partition here, vs O(users) for the set.) Output: (event_type,
+    day, n_users_cum).
+    """
+    from pyspark.sql import Window
+
+    # day as a string: Spark date and DuckDB DATE surface as different
+    # pandas dtypes in the driver compare (same trick as cohort_retention)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    first = ev.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("day")
+    )
+    hist = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("event_type", "day").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(hist, ["event_type", "day"], "left")
+        .withColumn(
+            "n_users_cum",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w),
+        )
+        .select("event_type", "day", "n_users_cum")
+    )
+
+
+def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: treat each event as a session of
+    SESSION_GAP_US/2 duration, explode into +1 (start) / −1 (end)
+    deltas, and take the running sum in time order — the "how many
+    sessions are open right now" gauge, entirely relational. Output:
+    per event_type, the peak concurrency and when it first occurred.
+
+    One shuffle on event_type; the window orders the 2n thin delta
+    rows within each type. Ties order by (ts_us, delta DESC, event_id)
+    — starts before ends at the same instant, deterministically.
+    """
+    from pyspark.sql import Window
+
+    half = SESSION_GAP_US // 2
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    deltas = ev.select(
+        "event_type", "ts_us", "event_id", F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts_us") + half).alias("ts_us"),
+            "event_id",
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", F.col("delta").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("open", F.sum("delta").over(w))
+    wp = Window.partitionBy("event_type").orderBy(
+        F.col("open").desc(), "ts_us", "event_id"
+    )
+    return (
+        running.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("open").alias("peak_concurrency"),
+            F.col("ts_us").alias("peak_at_us"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_running_distinct_users": running_distinct_users,
+    "ext_concurrency_sweep": concurrency_sweep,
     "ext_session_paths": session_paths,
     "ext_event_transitions": event_transitions,
     "ext_cohort_retention": cohort_retention,
@@ -519,6 +609,37 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_running_distinct_users": """
+        SELECT e1.event_type, e1.day,
+               CAST(COUNT(DISTINCT e2.user_id) AS BIGINT) AS n_users_cum
+        FROM (SELECT DISTINCT event_type,
+                     strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+              FROM events) e1
+        JOIN (SELECT DISTINCT event_type,
+                     strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+              FROM events) e2
+          ON e1.event_type = e2.event_type AND e2.day <= e1.day
+        GROUP BY e1.event_type, e1.day
+    """,
+    "ext_concurrency_sweep": f"""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events),
+        d AS (SELECT event_type, ts_us, event_id, 1 AS delta FROM ev
+              UNION ALL
+              SELECT event_type, ts_us + {SESSION_GAP_US // 2}, event_id,
+                     -1 FROM ev),
+        r AS (SELECT event_type, ts_us, event_id,
+                     CAST(SUM(delta) OVER (
+                         PARTITION BY event_type
+                         ORDER BY ts_us, delta DESC, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+              FROM d)
+        SELECT event_type, open AS peak_concurrency, ts_us AS peak_at_us
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY open DESC, ts_us, event_id) AS rn FROM r) t
+        WHERE rn = 1
+    """,
     "ext_session_paths": f"""
         WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            event_type FROM events),
