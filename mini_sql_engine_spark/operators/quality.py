@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import hashing, textfns, vector
-from mini_sql_engine_spark.operators.dedup import _JACCARD_PAIRS
+from mini_sql_engine_spark.operators.dedup import (
+    _BASE,
+    _JACCARD_PAIRS,
+    JACCARD_T,
+    _shingled,
+)
 from mini_sql_engine_spark.operators.similarity import CENTROIDS
 
 # Gopher-style rule thresholds, tuned so each rule discriminates on the
@@ -920,6 +925,65 @@ def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
     return cand[cand.groupby("src").cumcount() < k]
 
 
+INCR_MOD = 5  # doc_id % INCR_MOD == 0 → "new batch"; else → "index"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the PRODUCTION shape: a new ingest batch is
+    checked against the EXISTING corpus index, never against itself
+    and never index-vs-index. The inverted-index join is asymmetric
+    (new-side grams probe index-side postings), so per-ingest cost
+    scales with the batch, not the corpus. Here the split is
+    deterministic (doc_id % INCR_MOD == 0 is the batch, ~20%); output
+    is the admission report per new doc: (doc_id, n_dup_matches,
+    best_match, best_jacc), zero-match docs included via a left join.
+    """
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    new = ex.filter(F.col("doc_id") % INCR_MOD == 0)
+    idx = ex.filter(F.col("doc_id") % INCR_MOD != 0)
+    pairs = (
+        new.alias("a")
+        .join(idx.alias("b"), "shingle")
+        .groupBy(
+            F.col("a.doc_id").alias("d_new"),
+            F.col("b.doc_id").alias("d_idx"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jacc") >= JACCARD_T)
+    )
+    wb = Window.partitionBy("d_new").orderBy(F.col("jacc").desc(), "d_idx")
+    best = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .withColumn(
+            "nm", F.count(F.lit(1)).over(Window.partitionBy("d_new"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("d_new", "nm", "d_idx", "jacc")
+    )
+    newdocs = sh.filter(F.col("doc_id") % INCR_MOD == 0).select("doc_id")
+    return (
+        newdocs.join(best, newdocs.doc_id == best.d_new, "left")
+        .select(
+            "doc_id",
+            F.coalesce("nm", F.lit(0)).alias("n_dup_matches"),
+            F.col("d_idx").alias("best_match"),
+            F.col("jacc").alias("best_jacc"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -936,6 +1000,7 @@ QUERIES: dict[str, Callable] = {
     "ext_char_ngram_langid": char_ngram_langid,
     "pipeline_quality_mix": pipeline_quality_mix,
     "ext_knn_graph_ann": knn_graph_ann,
+    "ext_dedup_incremental": dedup_incremental,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -1201,6 +1266,33 @@ ORACLES: dict[str, str] = {
                        AS rk
             FROM pr) r
         WHERE rk <= {CELL_SAMPLE_M}
+    """,
+    "ext_dedup_incremental": f"""
+        WITH base AS ({_BASE}),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle
+               FROM base),
+        a AS (SELECT * FROM ex WHERE doc_id % {INCR_MOD} = 0),
+        b AS (SELECT * FROM ex WHERE doc_id % {INCR_MOD} <> 0),
+        p AS (SELECT a.doc_id AS d_new, b.doc_id AS d_idx,
+                     a.n AS na, b.n AS nb, COUNT(*) AS inter
+              FROM a JOIN b USING (shingle)
+              GROUP BY 1, 2, 3, 4),
+        v AS (SELECT d_new, d_idx,
+                     ROUND(inter * 1.0 / (na + nb - inter), 6) AS jacc
+              FROM p
+              WHERE ROUND(inter * 1.0 / (na + nb - inter), 6)
+                    >= {JACCARD_T}),
+        best AS (SELECT d_new, d_idx, jacc,
+                        row_number() OVER (
+                            PARTITION BY d_new
+                            ORDER BY jacc DESC, d_idx) AS rn,
+                        COUNT(*) OVER (PARTITION BY d_new) AS nm
+                 FROM v)
+        SELECT nd.doc_id, COALESCE(b1.nm, 0) AS n_dup_matches,
+               b1.d_idx AS best_match, b1.jacc AS best_jacc
+        FROM (SELECT doc_id FROM base WHERE doc_id % {INCR_MOD} = 0) nd
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b1
+          ON nd.doc_id = b1.d_new
     """,
     "ext_knn_graph_ann": f"""
         WITH cents(cidx, cvec) AS (VALUES {_CENTS_SQL}),
