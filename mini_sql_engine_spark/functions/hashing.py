@@ -29,12 +29,18 @@ def minhash_signature(shingles: Column, k: int) -> Column:
     component is the min hash over the set — the standard construction.
     Returns an array<long> of length k, computed per-row in codegen.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: md5_long(s, str(i))))
-            for i in range(k)
-        ]
-    )
+    def _component(salt: str) -> Column:
+        # NB: the transform lambda must be UNARY. A two-parameter
+        # lambda (e.g. `lambda s, i=i:` to capture the loop var) is
+        # treated by PySpark as transform's (element, index) binary
+        # form — the body's second name is then bound to the JVM
+        # index Column, and str() of it leaks a session-counter-
+        # dependent variable name into the salt: a wrong AND
+        # nondeterministic hash family (caught as a once-per-many-runs
+        # banding flake on the lowest-similarity pair).
+        return F.array_min(F.transform(shingles, lambda s: md5_long(s, salt)))
+
+    return F.array(*[_component(str(i)) for i in range(k)])
 
 
 def lsh_bands(signature: Column, bands: int, rows: int) -> Column:

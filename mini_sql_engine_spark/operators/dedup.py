@@ -74,13 +74,16 @@ _SHINGLE_CACHE: dict[str, DataFrame] = {}
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + distinct token-3-shingle array (parallelized scan).
 
-    Lazily localCheckpoint'ed: every consumer self-joins or reuses this
-    relation 2–3×, and Spark does not reuse the exchange across the
-    a<b self-join — the checkpoint materializes the shingling ONCE on
-    first compute (executor-local blocks; at scale this is the standard
-    'materialize the tokenized corpus once' step) and cuts each
-    jaccard-family query ~3×. Memoized per sf_dir so the 4 queries
-    sharing it within a session also share the materialization."""
+    persist()ed, NOT localCheckpoint'ed: every consumer self-joins or
+    reuses this relation 2–3× and Spark does not reuse the exchange
+    across the a<b self-join, so materializing the shingling once cuts
+    each jaccard-family query ~3×. This is the one relation that lives
+    for the whole session (memoized per sf_dir), so it keeps its
+    LINEAGE: persist recomputes deterministically if a cached block is
+    ever dropped, while a checkpoint severs lineage and pins the
+    session to whatever block state survives — the wrong durability
+    trade for long-lived shared state. (Short-lived per-query
+    localCheckpoints inside one action are unaffected.)"""
     cached = _SHINGLE_CACHE.get(sf_dir)
     if cached is not None and cached.sparkSession is spark:
         return cached
@@ -88,7 +91,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
     )
-    out = sh.localCheckpoint(eager=False)
+    out = sh.persist()
     _SHINGLE_CACHE[sf_dir] = out
     return out
 

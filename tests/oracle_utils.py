@@ -35,9 +35,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
-    assert len(spark_df) == len(oracle_df), (
-        f"{name}: row count {len(spark_df)} != oracle {len(oracle_df)}"
-    )
+    if len(spark_df) != len(oracle_df):
+        # show the symmetric difference, not just counts — a one-row
+        # discrepancy is undebuggable from counts alone (this dump is
+        # how the minhash lambda-arity bug was found)
+        sa = {tuple(r) for r in spark_df.itertuples(index=False)}
+        so = {tuple(r) for r in oracle_df.itertuples(index=False)}
+        raise AssertionError(
+            f"{name}: row count {len(spark_df)} != oracle {len(oracle_df)}; "
+            f"spark-only={sorted(sa - so)[:10]} "
+            f"oracle-only={sorted(so - sa)[:10]}"
+        )
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
         f"{name}: columns {sorted(spark_df.columns)} != oracle {sorted(oracle_df.columns)}"
     )

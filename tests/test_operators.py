@@ -515,3 +515,30 @@ def test_ann_knn_is_dominated_by_exact(spark, sf_dir):
         assert 0 <= a.n_mutual <= quality.KNN_K
         if a.mean_top_sim is not None:
             assert a.mean_top_sim <= exact[vid].mean_top_sim + 1e-9
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """The MinHash signature must equal the reference construction
+    (min over salted md5-60bit per permutation) EXACTLY. Pins the
+    transform-lambda arity bug: a two-parameter lambda silently
+    becomes transform's (element, index) form and poisons the salt
+    with a session-counter-dependent Column name — wrong and
+    nondeterministic, surfacing as a rare banding flake."""
+    from mini_sql_engine_spark.functions.hashing import minhash_signature
+
+    arr = ["the fast key", "fast key order", "zz"]
+    df = spark.createDataFrame([(arr,)], "sh array<string>")
+    k = 6
+    got = list(
+        df.select(minhash_signature(F.col("sh"), k).alias("sig"))
+        .collect()[0]
+        .sig
+    )
+    want = [
+        min(
+            int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+            for s in arr
+        )
+        for i in range(k)
+    ]
+    assert got == want
