@@ -576,7 +576,49 @@ def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAP_SHARE_MIN = 0.04  # drop days below this share of the type's events
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface, round-tripped entirely JVM-side: per event
+    type build a day→count map (`map_from_entries` over the sorted
+    entry array — collect_list alone is shuffle-order-nondeterministic),
+    `transform_values` to each day's share of the type's events,
+    `map_filter` to the days above MAP_SHARE_MIN, and explode the map
+    back to (event_type, day, share) rows. The oracle computes the
+    same numbers map-free, so the test proves the map operators are
+    value-transparent. The (k, v) lambdas here are the INTENDED binary
+    higher-order form (cf. the unary-only rule in
+    `hashing.minhash_signature`).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_type = counts.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("day", "n")))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    shares = per_type.select(
+        "event_type",
+        F.map_filter(
+            F.transform_values(
+                "m", lambda k, v: F.round(v / F.col("total"), 6)
+            ),
+            lambda k, v: v >= MAP_SHARE_MIN,
+        ).alias("m2"),
+    )
+    return shares.select(
+        "event_type", F.explode("m2").alias("day", "share")
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_map_funcs": map_functions,
     "ext_running_distinct_users": running_distinct_users,
     "ext_concurrency_sweep": concurrency_sweep,
     "ext_session_paths": session_paths,
@@ -609,6 +651,17 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_map_funcs": f"""
+        WITH c AS (SELECT event_type,
+                          strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                          COUNT(*) AS n
+                   FROM events GROUP BY event_type, day),
+        t AS (SELECT event_type, SUM(n) AS total FROM c GROUP BY event_type)
+        SELECT c.event_type, c.day,
+               ROUND(c.n * 1.0 / t.total, 6) AS share
+        FROM c JOIN t USING (event_type)
+        WHERE ROUND(c.n * 1.0 / t.total, 6) >= {MAP_SHARE_MIN}
+    """,
     "ext_running_distinct_users": """
         SELECT e1.event_type, e1.day,
                CAST(COUNT(DISTINCT e2.user_id) AS BIGINT) AS n_users_cum
