@@ -335,9 +335,132 @@ ORACLES["ext_mm_resize_pixels"] = f"""
     FROM rs
 """
 
+PHASH_ROWS, PHASH_COLS = 8, 9  # dHash grid: 8×9 samples → 64 bits
+PHASH_BANDS = 4  # 16 bits per band; hamming ≤ 3 ⇒ some band intact
+PHASH_HAMMING_MAX = 3
+
+_PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: dHash over the byte raster — REAL perceptual-
+    hash array math (sample an 8×9 grid with clamped strides, compare
+    horizontal neighbors → 64 bits), emitted as four 16-bit band values
+    so no arithmetic ever touches the signed-64 top bit."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "b0", "b1", "b2", "b3")}
+        for doc_id, p, w in zip(pdf["doc_id"], pdf["payload"], pdf["w"]):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            w = int(w)
+            h = len(arr) // w
+            img = arr[: h * w].reshape(h, w)
+            rs, cs = max(h // PHASH_ROWS, 1), max(w // PHASH_COLS, 1)
+            ridx = np.minimum(np.arange(PHASH_ROWS) * rs, h - 1)
+            cidx = np.minimum(np.arange(PHASH_COLS) * cs, w - 1)
+            g = img[np.ix_(ridx, cidx)].astype(np.int32)
+            bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).flatten()  # 64
+            bands = []
+            for b in range(PHASH_BANDS):
+                chunk = bits[b * 16 : (b + 1) * 16]
+                bands.append(int((chunk << np.arange(15, -1, -1)).sum()))
+            out["doc_id"].append(doc_id)
+            for b in range(PHASH_BANDS):
+                out[f"b{b}"].append(bands[b])
+        yield pd.DataFrame(out)
+
+
+def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs via dHash + exact banding — the
+    image-dedup member of the dedup family, run on the byte rasters the
+    fake decode yields (modality-agnostic here; after a real decode the
+    identical kernel runs on actual pixels). 64-bit dHash split into
+    4×16-bit bands: hamming ≤ PHASH_HAMMING_MAX flips cannot touch all
+    4 bands (pigeonhole), so the banded self-join is EXACT, shuffling
+    one (band, value) pair per doc per band — never rasters. Output:
+    (doc_a, doc_b, hamming).
+    """
+    mm = attach_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.length("payload") >= F.col("meta.width")  # ≥ 1 full raster row
+    ).select("doc_id", "payload", F.col("meta.width").alias("w"))
+    sig = mm.mapInPandas(_phash_batches, schema=_PHASH_SCHEMA)
+    banded = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("val"))
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+        )
+        for i in range(PHASH_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_mm_decode_stats": decode_stats,
     "ext_mm_frame_sample": frame_sample,
     "ext_mm_resize_meta": resize_meta,
     "ext_mm_resize_pixels": resize_pixels,
+    "ext_mm_phash": phash_pairs,
 }
+
+ORACLES["ext_mm_phash"] = f"""
+    WITH m AS (SELECT doc_id, text, len(text) AS n, (doc_id % 64 + 16) AS w
+               FROM documents),
+    d AS (SELECT doc_id, text, w, n // w AS h FROM m WHERE n >= w),
+    p AS (SELECT doc_id, text, w, h,
+                 greatest(h // {PHASH_ROWS}, 1) AS rs,
+                 greatest(w // {PHASH_COLS}, 1) AS cs FROM d),
+    bits AS (SELECT doc_id,
+        [CASE WHEN ord(substr(text,
+                  least((i // 8) * rs, h - 1) * w
+                  + least((i % 8) * cs, w - 1) + 1, 1))
+                > ord(substr(text,
+                  least((i // 8) * rs, h - 1) * w
+                  + least(((i % 8) + 1) * cs, w - 1) + 1, 1))
+         THEN 1 ELSE 0 END for i in range(0, 64)] AS bt
+        FROM p),
+    sig AS (SELECT doc_id,
+        [CAST(list_sum([bt[b * 16 + j + 1] * (1 << (15 - j))
+                        for j in range(0, 16)]) AS BIGINT)
+         for b in range(0, {PHASH_BANDS})] AS bands
+        FROM bits),
+    bx AS (SELECT doc_id, b, bands[b] AS val
+           FROM sig, range(1, {PHASH_BANDS + 1}) t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bx a JOIN bx b
+               ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id),
+    sj AS (SELECT cand.doc_a, cand.doc_b, sa.bands AS ba, sb.bands AS bb
+           FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                     JOIN sig sb ON cand.doc_b = sb.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+              + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+            AS BIGINT) AS hamming
+    FROM sj
+    WHERE bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+        + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+        <= {PHASH_HAMMING_MAX}
+"""
