@@ -617,7 +617,56 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_CANDIDATES_MIN = (10, 30, 60)  # candidate watermark delays, minutes
+
+
+def watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the input to choosing a watermark
+    delay: treating event_id as arrival order (the documented proxy in
+    this fixture), each event's lateness is how far the stream's
+    event-time high-water mark had already advanced past it when it
+    arrived. Reports, per event type: max and p99 lateness (seconds)
+    and how many events each candidate watermark delay would drop as
+    late — read the row where n_dropped hits 0 and that is the delay
+    the streaming pack's `withWatermark` needs. One window over the
+    arrival order per type + a thin rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.withColumn(
+        "late_us",
+        F.greatest(
+            F.coalesce(F.max("ts_us").over(w), F.col("ts_us"))
+            - F.col("ts_us"),
+            F.lit(0),
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("late_us") / 1e6, 1).alias("max_late_s"),
+        F.round(F.expr("percentile(late_us, 0.99)") / 1e6, 1).alias(
+            "p99_late_s"
+        ),
+    ]
+    for m in WM_CANDIDATES_MIN:
+        aggs.append(
+            F.sum(
+                (F.col("late_us") > m * 60 * 1_000_000).cast("long")
+            ).alias(f"dropped_{m}m")
+        )
+    return late.groupBy("event_type").agg(*aggs)
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_watermark_audit": watermark_audit,
     "ext_map_funcs": map_functions,
     "ext_running_distinct_users": running_distinct_users,
     "ext_concurrency_sweep": concurrency_sweep,
@@ -651,6 +700,24 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_watermark_audit": f"""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events),
+        l AS (SELECT event_type,
+                     greatest(COALESCE(MAX(ts_us) OVER (
+                         PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         ts_us) - ts_us, 0) AS late_us
+              FROM ev)
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(MAX(late_us) / 1e6, 1) AS max_late_s,
+               ROUND(quantile_cont(late_us, 0.99) / 1e6, 1) AS p99_late_s,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN late_us > {m * 60 * 1_000_000} "
+                   f"THEN 1 ELSE 0 END) AS BIGINT) AS dropped_{m}m"
+                   for m in WM_CANDIDATES_MIN)}
+        FROM l GROUP BY event_type
+    """,
     "ext_map_funcs": f"""
         WITH c AS (SELECT event_type,
                           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -301,7 +301,35 @@ def shuffle_hash_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality forecast from per-key count tables:
+    |A ⋈ B on k| = Σ_k cnt_A(k)·cnt_B(k). The forecast costs two THIN
+    count aggregates (keys + one long each) — run it BEFORE paying for
+    the join itself to catch a fan-out blowup (a key hot on both sides
+    multiplies) while it is still cheap to react: salt, pre-aggregate,
+    or bail. Output: (est_rows, actual_rows) — equal by identity, the
+    operator proves its own forecast against the executed join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    est = ca.join(cb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("est_rows")
+    )
+    actual = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(actual)
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_join_size_forecast": join_size_forecast,
     "ext_bucketed_colocated_join": bucketed_colocated_join,
     "ext_partitioned_pruned_join": partitioned_pruned_join,
     "ext_semi_join": semi_join,
@@ -317,6 +345,17 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_join_size_forecast": """
+        WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS na FROM orders
+                    GROUP BY o_custkey),
+        cb AS (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer
+               GROUP BY c_custkey),
+        est AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS est_rows
+                FROM ca JOIN cb USING (k)),
+        act AS (SELECT COUNT(*) AS actual_rows
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT est.est_rows, act.actual_rows FROM est, act
+    """,
     "ext_bloom_pruned_join": """
         SELECT o_orderpriority, COUNT(*) AS n_items,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
