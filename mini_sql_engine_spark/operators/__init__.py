@@ -17,6 +17,7 @@ from mini_sql_engine_spark.operators import (
     curation,
     dedup,
     funcs_ext,
+    governance,
     joins_ext,
     ml_lsh,
     multimodal,
@@ -47,6 +48,7 @@ _MODULES = [
     multimodal,
     curation,
     quality,
+    governance,
     asof,
     ml_lsh,
     pipeline_ops,

@@ -1,0 +1,419 @@
+"""Data-governance, record-linkage and QA operators.
+
+The reference engine has none of these (SURVEY.md §2.1 covers only
+scan/filter/join/agg); they extend the training-data-pipeline surface
+(SURVEY.md §2.2 X rows) with the governance side of corpus ops:
+fuzzy record linkage, mergeable frequency sketches, weighted
+subsampling, snapshot/CDC diffing, re-identification-risk audits and
+per-entity anomaly screens. Everything is expression-only Catalyst
+code — no Python UDFs — and all arithmetic that reaches the output is
+integer or single-op IEEE (exact under the driver's repr-equality
+hash compare; no order-dependent float reductions).
+
+Scale notes (100 TB):
+- fuzzy vocab join: SymSpell deletion-neighborhood blocking — each
+  distinct name emits L+1 deletion variants, the self-join runs on the
+  variant key (thin (variant, name) shuffle, group sizes bounded by
+  the alphabet), and the exact levenshtein post-filter touches only
+  candidates. The oracle is the NAIVE O(V^2) threshold join, so every
+  green run is a proof the blocking is lossless at distance <= 1.
+- count-min sketch: the sketch is a fixed d*w cell grid aggregated
+  map-side (one thin shuffle of at most d*w rows per partition);
+  probes join against the broadcast sketch. Mergeability = cell-wise
+  addition, the property that makes it work across 1000 executors.
+- weighted sample: one window top-k per group over an integer
+  priority — no global sort, no collect; ties broken by key.
+- snapshot diff: a single full-outer sort-merge join on the snapshot
+  key; at scale both sides arrive bucketed by the same key and the
+  join is co-located.
+- k-anonymity: one grouped count over the quasi-identifier tuple +
+  a broadcast of the tiny class table back onto nation names.
+- breakout screen: one window per user (partition-local after a
+  single hash shuffle on user_id) — no second pass, no self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
+from mini_sql_engine_spark.functions.hashing import md5_long
+
+# --- fuzzy vocabulary join (SymSpell deletion neighborhood) ---------
+
+EDIT_MAX = 1  # deletion-neighborhood blocking is lossless iff <= 1
+
+# --- count-min sketch ----------------------------------------------
+
+CMS_DEPTH = 4  # hash rows (independent md5 salts)
+CMS_WIDTH = 16  # buckets per row; small so collisions actually occur
+
+# --- weighted sample -----------------------------------------------
+
+WS_K = 10  # docs kept per language
+
+# --- snapshot diff -------------------------------------------------
+
+DIFF_MOD = 19  # deterministic per-key mutation classes
+PRICE_BUMP = 100.0  # exact IEEE add — no rounding-mode divergence
+
+# --- k-anonymity ---------------------------------------------------
+
+K_ANON = 5
+
+# --- breakout screen -----------------------------------------------
+
+BREAKOUT_LOOKBACK = 10  # trailing events per user
+BREAKOUT_HI = 1.5  # value > trailing max * HI  -> spike
+BREAKOUT_LO = 0.5  # value < trailing min * LO  -> collapse
+
+
+def _deletion_variants(name) -> F.Column:
+    """All single-character deletions of ``name``, plus ``name`` itself.
+
+    Two equal-length strings at levenshtein distance 1 differ by one
+    substitution and therefore share the variant that deletes the
+    differing position; a string and its 1-char extension share the
+    shorter string itself. Hence distance-<=1 pairs always collide on
+    at least one variant (the SymSpell blocking property)."""
+    name = F.col(name) if isinstance(name, str) else name
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(
+            name.substr(F.lit(1), i - 1),
+            name.substr(i + 1, F.length(name)),
+        ),
+    )
+    return F.array_union(deletions, F.array(name))
+
+
+def fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: all customer-name pairs within edit distance 1.
+
+    SymSpell-style: block on shared deletion variants, then verify with
+    exact levenshtein. The candidate join ships only thin
+    (variant, name) rows; the quadratic all-pairs comparison never
+    happens (the oracle DOES run it, proving losslessness)."""
+    names = ensure_min_partitions(
+        load_table(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    variants = names.select(
+        F.col("c_name").alias("name"),
+        F.explode(_deletion_variants("c_name")).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .dropDuplicates(["name_a", "name_b"])
+        .filter(F.levenshtein("name_a", "name_b") <= EDIT_MAX)
+    )
+
+
+def _cms_bucket(tok, row: int) -> F.Column:
+    return (md5_long(tok, salt=f"cms{row}") % CMS_WIDTH).cast("int")
+
+
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, audited vs truth.
+
+    Builds the d x w sketch as a DataFrame (cell = sum of token
+    occurrences hashing there), then estimates every distinct token's
+    frequency as min over rows of its cell — alongside the exact count
+    so the output exposes the overestimate each collision causes.
+    The sketch is mergeable by construction: cells add."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("tok"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).groupBy("cell.row", "cell.bucket").agg(F.count("*").alias("cnt"))
+    truth = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    probes = truth.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("tok"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),  # sketch is <= d*w rows by construction
+            (probes["cell.row"] == cells["row"])
+            & (probes["cell.bucket"] == cells["bucket"]),
+        )
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted k-sample per language, integer priority.
+
+    Priority = hash(doc_id) div n_chars: a document with twice the
+    weight halves its expected priority, so the k smallest priorities
+    per group form a weighted sample without replacement (the
+    integer-arithmetic analogue of Efraimidis-Spirakis keys — chosen
+    over -ln(u)/w because the output must be exactly reproducible in
+    both engines; libm log() is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = (md5_long(F.col("doc_id").cast("string"), salt="ws") / F.col("n_chars")).cast(
+        "long"
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", pri.alias("priority"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= WS_K)
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between two snapshot versions of ``orders``.
+
+    v1 is the table as stored; v2 applies a deterministic per-key
+    mutation (delete / price-bump / insert-shifted classes keyed by
+    o_orderkey mod DIFF_MOD). The diff is ONE full-outer join on the
+    key emitting added / removed / changed rows — the operator a
+    pipeline needs to audit what an ingest batch actually did."""
+    v1 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cls = F.col("o_orderkey") % DIFF_MOD
+    v2 = (
+        v1.filter(cls != 3)  # deletes
+        .withColumn(
+            "o_totalprice",
+            F.when(cls.isin(4, 5), F.col("o_totalprice") + PRICE_BUMP).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionAll(  # inserts: class-6 keys re-ingested under a shifted id
+            v1.filter(cls == 6).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+            .when(
+                F.col("a.o_totalprice") != F.col("b.o_totalprice"),
+                F.lit("changed"),
+            )
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification-risk audit over quasi-identifiers.
+
+    Equivalence classes on (nation, market segment); any class smaller
+    than K_ANON rows means those customers are re-identifiable from the
+    quasi-identifier tuple alone — the audit every release of a
+    customer-derived training set needs."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    return classes.join(
+        F.broadcast(nation), classes["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("c_mktsegment").alias("segment"),
+        "class_size",
+        (F.col("class_size") < K_ANON).cast("int").alias("at_risk"),
+    )
+
+
+def value_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling band-breakout screen on the event stream.
+
+    Flags an event whose value escapes [trailing_min * LO,
+    trailing_max * HI] over the user's previous BREAKOUT_LOOKBACK
+    events (band multiplications are single IEEE ops — exact in both
+    engines; min/max are order-insensitive). Requires a full lookback
+    window so early events never alert. One shuffle on user_id; the
+    window is then partition-local."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-BREAKOUT_LOOKBACK, -1)
+    )
+    scr = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+        F.count("value").over(w).alias("n_prior"),
+    )
+    return scr.filter(
+        (F.col("n_prior") == BREAKOUT_LOOKBACK)
+        & (
+            (F.col("value") > F.col("hi") * BREAKOUT_HI)
+            | (F.col("value") < F.col("lo") * BREAKOUT_LO)
+        )
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        "lo",
+        "hi",
+        F.when(F.col("value") > F.col("hi") * BREAKOUT_HI, F.lit("spike"))
+        .otherwise(F.lit("collapse"))
+        .alias("kind"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_fuzzy_vocab_join": fuzzy_vocab_join,
+    "ext_cms_frequency": cms_frequency,
+    "ext_weighted_sample": weighted_sample,
+    "ext_snapshot_diff": snapshot_diff,
+    "ext_k_anonymity": k_anonymity,
+    "ext_value_breakout": value_breakout,
+}
+
+# DuckDB mirror of hashing.md5_long (same 60-bit truncation)
+def _md5_long_sql(expr: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || {expr}), 1, 15)) AS BIGINT)"
+    )
+
+
+ORACLES: dict[str, str] = {
+    # the NAIVE quadratic threshold join — green <=> the SymSpell
+    # deletion blocking on the Spark side is lossless at distance 1
+    "ext_fuzzy_vocab_join": f"""
+        WITH v AS (SELECT DISTINCT c_name FROM customer)
+        SELECT a.c_name AS name_a, b.c_name AS name_b
+        FROM v a JOIN v b
+          ON a.c_name < b.c_name
+         AND levenshtein(a.c_name, b.c_name) <= {EDIT_MAX}
+    """,
+    "ext_cms_frequency": f"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents),
+        hashed AS (
+            SELECT tok,
+                   {" , ".join(_md5_long_sql("tok", f"cms{r}") + f" % {CMS_WIDTH} AS b{r}" for r in range(CMS_DEPTH))}
+            FROM toks),
+        cells AS (
+            {" UNION ALL ".join(f"SELECT {r} AS row, b{r} AS bucket, COUNT(*) AS cnt FROM hashed GROUP BY b{r}" for r in range(CMS_DEPTH))}),
+        truth AS (SELECT tok, COUNT(*) AS true_cnt,
+                         {" , ".join(f"MIN(b{r}) AS b{r}" for r in range(CMS_DEPTH))}
+                  FROM hashed GROUP BY tok),
+        est AS (
+            SELECT t.tok, t.true_cnt, MIN(c.cnt) AS cms_est
+            FROM truth t JOIN cells c
+              ON ({" OR ".join(f"(c.row = {r} AND c.bucket = t.b{r})" for r in range(CMS_DEPTH))})
+            GROUP BY t.tok, t.true_cnt)
+        SELECT tok, true_cnt, cms_est, cms_est - true_cnt AS overestimate
+        FROM est
+    """,
+    "ext_weighted_sample": f"""
+        WITH pri AS (
+            SELECT doc_id, lang, n_chars,
+                   {_md5_long_sql("CAST(doc_id AS VARCHAR)", "ws")} // n_chars
+                       AS priority
+            FROM documents),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY priority, doc_id) AS rank
+            FROM pri)
+        SELECT doc_id, lang, n_chars, priority, rank
+        FROM ranked WHERE rank <= {WS_K}
+    """,
+    "ext_snapshot_diff": f"""
+        WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {DIFF_MOD} IN (4, 5)
+                        THEN o_totalprice + {PRICE_BUMP}
+                        ELSE o_totalprice END AS o_totalprice
+            FROM v1 WHERE o_orderkey % {DIFF_MOD} != 3
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice
+            FROM v1 WHERE o_orderkey % {DIFF_MOD} = 6),
+        d AS (
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   a.o_totalprice AS old_price,
+                   b.o_totalprice AS new_price,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN b.o_orderkey IS NULL THEN 'removed'
+                        WHEN a.o_totalprice != b.o_totalprice THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey))
+        SELECT * FROM d WHERE status != 'unchanged'
+    """,
+    "ext_k_anonymity": f"""
+        SELECT n.n_name, c.c_mktsegment AS segment,
+               COUNT(*) AS class_size,
+               CAST(COUNT(*) < {K_ANON} AS INT) AS at_risk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_mktsegment
+    """,
+    "ext_value_breakout": f"""
+        WITH scr AS (
+            SELECT user_id, event_id, value,
+                   MIN(value) OVER w AS lo,
+                   MAX(value) OVER w AS hi,
+                   COUNT(value) OVER w AS n_prior
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {BREAKOUT_LOOKBACK} PRECEDING
+                                  AND 1 PRECEDING))
+        SELECT user_id, event_id, value, lo, hi,
+               CASE WHEN value > hi * {BREAKOUT_HI} THEN 'spike'
+                    ELSE 'collapse' END AS kind
+        FROM scr
+        WHERE n_prior = {BREAKOUT_LOOKBACK}
+          AND (value > hi * {BREAKOUT_HI} OR value < lo * {BREAKOUT_LO})
+    """,
+}

@@ -501,3 +501,29 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_shuffle_hash_join"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fuzzy_vocab_join_is_blocked_not_quadratic(spark, sf_dir):
+    """The SymSpell linkage joins on the deletion-variant key — an
+    equi-join, never a cartesian/nested-loop pass over name pairs.
+    (Its oracle IS the quadratic join, so a green oracle row plus this
+    assertion proves blocking is both lossless and actually used.)"""
+    plan = _plan(ALL_QUERIES["ext_fuzzy_vocab_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cms_sketch_side_broadcasts(spark, sf_dir):
+    """The d*w-cell sketch must broadcast to the probe side (it is
+    <= CMS_DEPTH * CMS_WIDTH rows by construction at ANY corpus size —
+    that bound is the whole point of a sketch)."""
+    plan = _plan(ALL_QUERIES["ext_cms_frequency"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_value_breakout_single_shuffle(spark, sf_dir):
+    """The per-user rolling screen is one hash shuffle on user_id then
+    a partition-local window — no second exchange, no Python."""
+    plan = _plan(ALL_QUERIES["ext_value_breakout"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
