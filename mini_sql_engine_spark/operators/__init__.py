@@ -19,6 +19,7 @@ from mini_sql_engine_spark.operators import (
     funcs_ext,
     governance,
     joins_ext,
+    layout,
     ml_lsh,
     multimodal,
     parity,
@@ -49,6 +50,7 @@ _MODULES = [
     curation,
     quality,
     governance,
+    layout,
     asof,
     ml_lsh,
     pipeline_ops,

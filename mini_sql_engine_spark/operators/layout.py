@@ -1,0 +1,311 @@
+"""Storage-layout planning operators: zone maps, compaction, Z-order.
+
+The reference engine stores one CSV per table and scans all of it for
+every query (SURVEY.md §2.1 O2); at 100 TB the difference between a
+scan and a fast scan IS the physical layout — file-level min/max zone
+maps, right-sized files, and multi-column clustering. These operators
+are the PLANNING side of that story, each expressed as a pure
+DataFrame computation with an exact DuckDB oracle:
+
+- ``ext_zone_map_pruning``: builds per-zone min/max statistics (the
+  logical form of parquet footer / lakehouse manifest stats) under the
+  table's NATIVE order and under a re-clustered order, and forecasts
+  how many zones a given predicate could skip in each. The operator
+  makes the case for re-clustering with numbers, not folklore.
+- ``ext_compaction_plan``: bin-packs micro-zones into target-sized
+  output files by a running-sum assignment — the planning pass of
+  OPTIMIZE/compaction on any lakehouse table.
+- ``ext_zorder_clustering``: interleaves two columns' bits into a
+  Morton code, blocks the table in Morton order, and measures per-block
+  min/max range coverage on BOTH dimensions vs a single-column sort —
+  the measurement that justifies Z-ordering for two-predicate scans.
+
+All outputs are integers (counts, parts-per-million coverage) so the
+driver's repr-exact hash compare cannot be tripped by float reduction
+order; per-element normalizations are single IEEE ops from embedded
+literals, identical in both engines.
+
+Scale notes (100 TB):
+- zone stats are one grouped agg (map-side combinable) over the zone
+  key; the stats table is zones-sized (~files-sized), i.e. tiny
+  relative to data, exactly like a manifest;
+- the compaction plan runs entirely on that stats table — planning
+  never touches data rows, which is what makes OPTIMIZE cheap to plan
+  even on petabyte tables;
+- Z-order blocking at production scale is `repartitionByRange` on the
+  Morton key + `sortWithinPartitions` (range exchange, no global
+  sort); here blocks come from one window over the Morton order, and
+  the quality metric (sum of block range widths) aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mini_sql_engine_spark.catalog import load_table
+
+# --- zone maps ------------------------------------------------------
+
+ZONES = 50  # zones per layout (stand-in for files / row-groups)
+PRICE_CUT = 450_000.0  # forecast predicate: o_totalprice > PRICE_CUT
+
+# --- compaction -----------------------------------------------------
+
+ZONE_KEYS = 100  # orders per micro-zone (ingest batch stand-in)
+TARGET_ROWS = 5_000  # target rows per compacted output file
+
+# --- Z-order --------------------------------------------------------
+
+MORTON_BITS = 16
+Q_SCALE = 1310.0  # (l_quantity - 1) * Q_SCALE  < 2^16 (qty <= 50)
+P_BASE = 900.0  # l_extendedprice lower bound across all sf
+P_SCALE = 0.6  # (price - P_BASE) * P_SCALE < 2^16 (price <= ~110k)
+BLOCK_ROWS = 1_000  # rows per storage block in the clustering metric
+
+
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-forecast for ``o_totalprice > PRICE_CUT`` under two layouts.
+
+    Layout "native": zones follow the stored order (orderkey ranges —
+    ingest order). Layout "clustered": zones follow an ntile over
+    o_totalprice (what re-clustering by the predicate column would
+    produce). For each, the per-zone max decides skippability; the
+    2-row summary is the before/after business case: near-zero zones
+    skip in ingest order, nearly all skip after clustering."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    native = orders.withColumn(
+        "zone", F.ntile(ZONES).over(Window.orderBy("o_orderkey")).cast("int")
+    )
+    clustered = orders.withColumn(
+        "zone",
+        F.ntile(ZONES)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .cast("int"),
+    )
+
+    def summarize(df: DataFrame, layout: str) -> DataFrame:
+        stats = df.groupBy("zone").agg(
+            F.count("*").alias("n_rows"), F.max("o_totalprice").alias("zmax")
+        )
+        return stats.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_zones"),
+            F.sum((F.col("zmax") <= PRICE_CUT).cast("long")).alias(
+                "zones_skippable"
+            ),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(
+                F.when(F.col("zmax") <= PRICE_CUT, F.col("n_rows")).otherwise(0)
+            ).alias("rows_skipped"),
+        )
+
+    return summarize(native, "native").unionByName(
+        summarize(clustered, "clustered")
+    )
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack per-zone row counts into TARGET_ROWS-sized output files.
+
+    Zones (= small ingest files) are walked in key order; a zone's file
+    id is floor(rows_before_it / TARGET_ROWS) — the streaming bin-pack
+    every OPTIMIZE planner uses. Runs entirely on the zones-sized stats
+    table; data rows are never touched during planning."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    zones = li.groupBy(
+        F.floor(F.col("l_orderkey") / ZONE_KEYS).cast("long").alias("zone")
+    ).agg(F.count("*").alias("n_rows"))
+    w = Window.orderBy("zone").rowsBetween(Window.unboundedPreceding, -1)
+    planned = zones.withColumn(
+        "file_id",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / TARGET_ROWS
+        ).cast("long"),
+    )
+    return planned.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_zones"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("zone").alias("first_zone"),
+        F.max("zone").alias("last_zone"),
+    )
+
+
+def _norm_q() -> F.Column:
+    return F.floor((F.col("l_quantity") - 1.0) * Q_SCALE).cast("long")
+
+
+def _norm_p() -> F.Column:
+    return F.least(
+        F.floor((F.col("l_extendedprice") - P_BASE) * P_SCALE).cast("long"),
+        F.lit((1 << MORTON_BITS) - 1),
+    )
+
+
+def _morton(qn: F.Column, pn: F.Column) -> F.Column:
+    """Interleave MORTON_BITS bits of two 16-bit ints into a Z-value."""
+    out = F.lit(0).cast("long")
+    for b in range(MORTON_BITS):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(qn, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(pn, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return out
+
+
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimension skipping quality: Z-order vs single-column sort.
+
+    Blocks the table into BLOCK_ROWS-row storage blocks under (a) the
+    Morton order of (quantity, price) and (b) a plain price sort, then
+    reports each layout's summed per-block min/max range width on both
+    dimensions as parts-per-million of the full domain. Small ppm on a
+    dimension = a predicate on it skips most blocks. The price sort is
+    perfect on price and useless on quantity; Z-order is good on BOTH —
+    this output is that argument with numbers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _norm_q().alias("qn"),
+        _norm_p().alias("pn"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    full = (1 << MORTON_BITS) - 1
+
+    def blocks(df: DataFrame, order, layout: str) -> DataFrame:
+        w = Window.orderBy(*order)
+        blk = df.withColumn(
+            "block",
+            F.floor((F.row_number().over(w) - 1) / BLOCK_ROWS).cast("long"),
+        )
+        per = blk.groupBy("block").agg(
+            (F.max("qn") - F.min("qn")).alias("q_width"),
+            (F.max("pn") - F.min("pn")).alias("p_width"),
+        )
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.floor(F.sum("q_width") * 1_000_000 / (F.count("*") * full))
+            .cast("long")
+            .alias("q_range_ppm"),
+            F.floor(F.sum("p_width") * 1_000_000 / (F.count("*") * full))
+            .cast("long")
+            .alias("p_range_ppm"),
+        )
+
+    zo = blocks(
+        li.withColumn("z", _morton(F.col("qn"), F.col("pn"))),
+        ["z", "l_orderkey", "l_linenumber"],
+        "zorder",
+    )
+    ps = blocks(li, ["pn", "l_orderkey", "l_linenumber"], "price_sorted")
+    return zo.unionByName(ps)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_zone_map_pruning": zone_map_pruning,
+    "ext_compaction_plan": compaction_plan,
+    "ext_zorder_clustering": zorder_clustering,
+}
+
+
+ORACLES: dict[str, str] = {
+    "ext_zone_map_pruning": f"""
+        WITH native AS (
+            SELECT o_totalprice,
+                   ntile({ZONES}) OVER (ORDER BY o_orderkey) AS zone
+            FROM orders),
+        clustered AS (
+            SELECT o_totalprice,
+                   ntile({ZONES}) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS zone
+            FROM orders),
+        ns AS (SELECT zone, COUNT(*) AS n_rows, MAX(o_totalprice) AS zmax
+               FROM native GROUP BY zone),
+        cs AS (SELECT zone, COUNT(*) AS n_rows, MAX(o_totalprice) AS zmax
+               FROM clustered GROUP BY zone)
+        SELECT 'native' AS layout, COUNT(*) AS n_zones,
+               CAST(SUM(CASE WHEN zmax <= {PRICE_CUT} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zones_skippable,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN zmax <= {PRICE_CUT} THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_skipped
+        FROM ns
+        UNION ALL
+        SELECT 'clustered', COUNT(*),
+               CAST(SUM(CASE WHEN zmax <= {PRICE_CUT} THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(n_rows) AS BIGINT),
+               CAST(SUM(CASE WHEN zmax <= {PRICE_CUT} THEN n_rows ELSE 0 END)
+                    AS BIGINT)
+        FROM cs
+    """,
+    "ext_compaction_plan": f"""
+        WITH zones AS (
+            SELECT CAST(floor(l_orderkey / {ZONE_KEYS}) AS BIGINT) AS zone,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1),
+        planned AS (
+            SELECT zone, n_rows,
+                   CAST(floor(COALESCE(SUM(n_rows) OVER (
+                            ORDER BY zone
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        / {TARGET_ROWS}) AS BIGINT) AS file_id
+            FROM zones)
+        SELECT file_id, COUNT(*) AS n_zones,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               MIN(zone) AS first_zone, MAX(zone) AS last_zone
+        FROM planned GROUP BY file_id
+    """,
+    "ext_zorder_clustering": f"""
+        WITH pts AS (
+            SELECT CAST(floor((l_quantity - 1.0) * {Q_SCALE!r}) AS BIGINT)
+                       AS qn,
+                   LEAST(CAST(floor((l_extendedprice - {P_BASE!r})
+                                    * {P_SCALE!r}) AS BIGINT),
+                         {(1 << MORTON_BITS) - 1}) AS pn,
+                   l_orderkey, l_linenumber
+            FROM lineitem),
+        z AS (
+            SELECT *,
+                   {" + ".join(f"(((qn >> {b}) & 1) << {2 * b}) + (((pn >> {b}) & 1) << {2 * b + 1})" for b in range(MORTON_BITS))}
+                       AS zval
+            FROM pts),
+        zb AS (
+            SELECT qn, pn,
+                   CAST(floor((ROW_NUMBER() OVER (
+                            ORDER BY zval, l_orderkey, l_linenumber) - 1)
+                        / {BLOCK_ROWS}) AS BIGINT) AS block
+            FROM z),
+        pb AS (
+            SELECT qn, pn,
+                   CAST(floor((ROW_NUMBER() OVER (
+                            ORDER BY pn, l_orderkey, l_linenumber) - 1)
+                        / {BLOCK_ROWS}) AS BIGINT) AS block
+            FROM pts),
+        zs AS (SELECT block, MAX(qn) - MIN(qn) AS q_width,
+                      MAX(pn) - MIN(pn) AS p_width FROM zb GROUP BY block),
+        pss AS (SELECT block, MAX(qn) - MIN(qn) AS q_width,
+                       MAX(pn) - MIN(pn) AS p_width FROM pb GROUP BY block)
+        SELECT 'zorder' AS layout, COUNT(*) AS n_blocks,
+               CAST(floor(SUM(q_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
+                   AS q_range_ppm,
+               CAST(floor(SUM(p_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
+                   AS p_range_ppm
+        FROM zs
+        UNION ALL
+        SELECT 'price_sorted', COUNT(*),
+               CAST(floor(SUM(q_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT),
+               CAST(floor(SUM(p_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
+        FROM pss
+    """,
+}

@@ -527,3 +527,31 @@ def test_value_breakout_single_shuffle(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_value_breakout"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_compaction_plan_never_touches_data_rows(spark, sf_dir):
+    """The bin-pack runs on the zones-sized stats table: exactly one
+    scan of lineitem reading ONLY the zone key column."""
+    plan = _plan(ALL_QUERIES["ext_compaction_plan"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "l_orderkey" in plan and "l_quantity" not in plan, plan
+
+
+def test_zorder_beats_linear_sort_on_secondary_dim(spark, sf_dir):
+    """The clustering metric must show what Z-order exists to show: the
+    price sort is near-perfect on price but near-useless on quantity,
+    while Z-order keeps BOTH dimensions' block ranges well under the
+    full domain. (Behavioral pin, not a plan check: if a refactor
+    breaks the Morton interleave, ppm degrades to ~full-domain and
+    this catches it even though the oracle — same construction —
+    would agree.)"""
+    rows = {
+        r["layout"]: r
+        for r in ALL_QUERIES["ext_zorder_clustering"](spark, sf_dir).collect()
+    }
+    zo, ps = rows["zorder"], rows["price_sorted"]
+    assert zo["q_range_ppm"] < ps["q_range_ppm"], (zo, ps)
+    # z-order blocks cover a bounded fraction of each dimension; the
+    # price sort covers nearly the whole quantity domain per block
+    assert ps["q_range_ppm"] > 900_000, ps
+    assert zo["q_range_ppm"] < 700_000, zo
