@@ -24,6 +24,7 @@ from mini_sql_engine_spark.operators import (
     multimodal,
     parity,
     pipeline_ops,
+    pq,
     quality,
     rollups,
     similarity,
@@ -43,6 +44,7 @@ from mini_sql_engine_spark.streaming import windows as streaming_windows
 _MODULES = [
     dedup,
     similarity,
+    pq,
     text,
     streaming_windows,
     streaming_upsert,
