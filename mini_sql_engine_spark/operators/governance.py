@@ -310,6 +310,62 @@ def value_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: update an aggregate from the delta
+    batch ONLY — never by re-scanning the base table.
+
+    The maintained view is per-customer (n_orders, total_cents) over
+    ``orders``; the change batch applies the same deterministic per-key
+    mutation classes as ``ext_snapshot_diff`` (delete class 3, price-
+    bump classes 4/5, re-insert class 6 under a shifted key). Each
+    change row becomes a delta (±1 count, ±cents); the view merges via
+    one full-outer join on the group key and zero-count groups drop
+    out. The ORACLE aggregates the v2 table directly, so a green row
+    is a proof the incremental maintenance is EXACT — the property
+    that lets a 100 TB rollup absorb a per-batch delta at delta cost
+    instead of a full recompute. Money is integer cents
+    (floor(x*100 + 0.5), the streaming-upsert convention) so delta
+    addition is exactly associative."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    view = v1.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("total_cents")
+    )
+    cls = F.col("o_orderkey") % DIFF_MOD
+    bump = F.lit(int(PRICE_BUMP) * 100)
+    deltas = (
+        v1.filter(cls == 3)  # deletes: retract the row
+        .select("o_custkey", F.lit(-1).alias("d_n"), (-F.col("cents")).alias("d_cents"))
+        .unionAll(  # updates: count unchanged, cents delta only
+            v1.filter(cls.isin(4, 5)).select(
+                "o_custkey", F.lit(0).alias("d_n"), bump.alias("d_cents")
+            )
+        )
+        .unionAll(  # inserts: class-6 re-ingested (same customer)
+            v1.filter(cls == 6).select(
+                "o_custkey", F.lit(1).alias("d_n"), F.col("cents").alias("d_cents")
+            )
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_cents").alias("d_cents"))
+    )
+    return (
+        view.join(deltas, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+            ).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -317,6 +373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_snapshot_diff": snapshot_diff,
     "ext_k_anonymity": k_anonymity,
     "ext_value_breakout": value_breakout,
+    "ext_incremental_agg": incremental_agg,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -327,6 +384,26 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    # direct re-aggregation of the v2 table — green <=> the delta-only
+    # maintenance on the Spark side is exact
+    "ext_incremental_agg": f"""
+        WITH v1 AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+        v2 AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % {DIFF_MOD} IN (4, 5)
+                        THEN cents + {int(PRICE_BUMP) * 100}
+                        ELSE cents END AS cents
+            FROM v1 WHERE o_orderkey % {DIFF_MOD} != 3
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, cents
+            FROM v1 WHERE o_orderkey % {DIFF_MOD} = 6)
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM v2 GROUP BY o_custkey
+    """,
     # the NAIVE quadratic threshold join — green <=> the SymSpell
     # deletion blocking on the Spark side is lossless at distance 1
     "ext_fuzzy_vocab_join": f"""
