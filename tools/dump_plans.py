@@ -68,6 +68,18 @@ MARQUEE = [
     ("pipeline_quality_mix", "4-stage funnel in one plan: gate "
      "projection, dup-span anti join, median-NLL screen (scalar "
      "broadcast), per-domain quota window; filters shrink each stage"),
+    ("ext_fuzzy_vocab_join", "SymSpell linkage: deletion variants "
+     "equi-join on the variant key — no cartesian/nested-loop pass; "
+     "levenshtein verifies only collided candidates"),
+    ("ext_cms_frequency", "count-min sketch: d*w cell grid aggregates "
+     "map-side and BROADCASTS to the probe side — the corpus never "
+     "shuffles for the estimate join"),
+    ("ext_zorder_clustering", "Morton interleave is pure bit arithmetic "
+     "in codegen; blocking windows over thin (qn, pn, key) rows; range "
+     "widths aggregate map-side per block"),
+    ("ext_pq_ann_recall", "PQ ADC: codebook and per-query lookup tables "
+     "broadcast; the scoring join touches only (vec, m, code) rows — "
+     "4 small ints per corpus vector, never the vectors"),
 ]
 
 
