@@ -665,7 +665,109 @@ def watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("event_type").agg(*aggs)
 
 
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # last-touch lookback: 7 days
+
+
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user daily totals with calendar gaps
+    generated and forward-filled.
+
+    Each user's active-day range is densified (sequence + explode —
+    the distributed replacement for a calendar dimension join), actual
+    daily cents land by left join, and missing days carry the last
+    observed total forward (`last(..., ignorenulls)` over an unbounded
+    preceding frame) with an is_gap marker. This is the resample/LOCF
+    operator every per-entity time-series feed needs before windowed
+    features. One shuffle on user_id; the generated rows are bounded
+    by the span, not the event count. Day rides as a yyyy-MM-dd string
+    so both engines hash the identical value."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "day_cents"
+        )
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    alldays = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        alldays.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("day_cents").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click no older than ATTR_WINDOW_US.
+
+    Carry the latest click's (ts, event_id) forward over the user's
+    (ts, event_id)-ordered stream, keep purchase rows, and null the
+    credit when the click is outside the lookback. One shuffle on
+    user_id, one window, no self-join — the join-free shape that holds
+    when a user's history is millions of events. Microsecond integer
+    arithmetic end to end (unix_micros / epoch_us), so the minutes-
+    since value is exact in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.last(F.when(is_click, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_us"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event"),
+    )
+    in_window = F.col("ts_us") - F.col("click_ts_us") <= ATTR_WINDOW_US
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.when(in_window, F.col("click_event")).alias("click_event"),
+        F.when(
+            in_window,
+            F.floor((F.col("ts_us") - F.col("click_ts_us")) / 60_000_000).cast(
+                "long"
+            ),
+        ).alias("mins_since_click"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_gap_fill_daily": gap_fill_daily,
+    "ext_attribution_last_touch": attribution_last_touch,
     "ext_watermark_audit": watermark_audit,
     "ext_map_funcs": map_functions,
     "ext_running_distinct_users": running_distinct_users,
@@ -700,6 +802,50 @@ _SAMPLE_HASH = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_gap_fill_daily": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS day_cents
+            FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                  FROM daily GROUP BY user_id),
+        alldays AS (
+            SELECT user_id, CAST(unnest(generate_series(d0, d1,
+                                        INTERVAL 1 DAY)) AS DATE) AS day
+            FROM spans)
+        SELECT a.user_id, strftime(a.day, '%Y-%m-%d') AS day,
+               last_value(d.day_cents IGNORE NULLS) OVER (
+                   PARTITION BY a.user_id ORDER BY a.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_cents,
+               CAST(d.day_cents IS NULL AS INT) AS is_gap
+        FROM alldays a LEFT JOIN daily d
+          ON a.user_id = d.user_id AND a.day = d.day
+    """,
+    "ext_attribution_last_touch": f"""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events),
+        tagged AS (
+            SELECT user_id, event_id, event_type, ts_us,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN ts_us END IGNORE NULLS) OVER w
+                       AS click_ts_us,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN event_id END IGNORE NULLS) OVER w
+                       AS click_event
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id AS purchase_event,
+               CASE WHEN ts_us - click_ts_us <= {ATTR_WINDOW_US}
+                    THEN click_event END AS click_event,
+               CASE WHEN ts_us - click_ts_us <= {ATTR_WINDOW_US}
+                    THEN CAST(FLOOR((ts_us - click_ts_us) / 60000000)
+                              AS BIGINT) END AS mins_since_click
+        FROM tagged WHERE event_type = 'purchase'
+    """,
     "ext_watermark_audit": f"""
         WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id
                     FROM events),
