@@ -14,6 +14,7 @@ from collections.abc import Callable
 from mini_sql_engine_spark.operators import (
     analytics,
     asof,
+    bpe_train,
     curation,
     dedup,
     funcs_ext,
@@ -46,6 +47,7 @@ _MODULES = [
     similarity,
     pq,
     text,
+    bpe_train,
     streaming_windows,
     streaming_upsert,
     multimodal,

@@ -542,3 +542,33 @@ def test_minhash_signature_matches_python_reference(spark):
         for i in range(k)
     ]
     assert got == want
+
+
+def test_bpe_merge_round_is_leftmost_greedy(spark):
+    """The BPE merge must resolve overlapping matches leftmost-greedily:
+    'aaaa' with best pair (a,a) merges positions 1,3 -> ['aa','aa'],
+    never the middle overlap, and 'aaa' -> ['aa','a']. Pinned directly
+    because the oracle replays the same construction — a shared
+    islands-logic bug would pass the differential."""
+    from mini_sql_engine_spark.operators.bpe_train import _merge_round
+
+    rows = [
+        ("aaaa", 10, p + 1, "a") for p in range(4)
+    ] + [("aaa", 1, p + 1, "a") for p in range(3)]
+    t = spark.createDataFrame(rows, "word string, freq long, pos int, sym string")
+    best, merged = _merge_round(t)
+    b = best.collect()[0]
+    # pair (a,a): weighted count = 3*10 + 2*1 (all adjacent occurrences)
+    assert (b.sym1, b.sym2, b.pair_count) == ("a", "a", 32)
+    got = {
+        w: [r.sym for r in rs]
+        for w, rs in (
+            (w, sorted(g, key=lambda r: r.pos))
+            for w, g in __import__("itertools").groupby(
+                sorted(merged.collect(), key=lambda r: (r.word, r.pos)),
+                key=lambda r: r.word,
+            )
+        )
+    }
+    assert got["aaaa"] == ["aa", "aa"], got
+    assert got["aaa"] == ["aa", "a"], got
