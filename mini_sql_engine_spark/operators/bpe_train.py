@@ -138,8 +138,29 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the learned merges: after BPE_ROUNDS rounds, each
+    word type's symbol count is its tokenized length. Output per word:
+    (word, freq, n_chars, n_syms, saved) — saved = char-tokens avoided,
+    weighted by corpus frequency. The compression report that decides
+    whether the merge table is worth shipping; costs nothing beyond
+    training (the final round's table IS the applied tokenization)."""
+    t = _char_rows(_word_types(spark, sf_dir)).localCheckpoint(eager=False)
+    for _ in range(BPE_ROUNDS):
+        _, t = _merge_round(t)
+        t = t.localCheckpoint(eager=False)
+    return t.groupBy("word", "freq").agg(
+        F.sum(F.length("sym")).alias("n_chars"),
+        F.count(F.lit(1)).alias("n_syms"),
+        (
+            (F.sum(F.length("sym")) - F.count(F.lit(1))) * F.first("freq")
+        ).alias("saved"),
+    ).select("word", "freq", "n_chars", "n_syms", "saved")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_bpe_train": bpe_train,
+    "ext_bpe_apply": bpe_apply,
 }
 
 
@@ -204,3 +225,15 @@ ORACLES: dict[str, str] = {
         )}
     """,
 }
+
+# same unrolled rounds, but the output is the final table's per-word
+# tokenization stats instead of the merge rows
+ORACLES["ext_bpe_apply"] = (
+    ORACLES["ext_bpe_train"].rsplit("SELECT CAST(1", 1)[0]
+    + f"""
+        SELECT word, freq, CAST(SUM(len(sym)) AS BIGINT) AS n_chars,
+               COUNT(*) AS n_syms,
+               CAST((SUM(len(sym)) - COUNT(*)) * freq AS BIGINT) AS saved
+        FROM t{BPE_ROUNDS} GROUP BY word, freq
+    """
+)
