@@ -45,14 +45,14 @@ from mini_sql_engine_spark.streaming import windows as streaming_windows
 _MODULES = [
     dedup,
     similarity,
-    pq,
     text,
-    bpe_train,
     streaming_windows,
     streaming_upsert,
     multimodal,
     curation,
     quality,
+    pq,
+    bpe_train,
     governance,
     layout,
     asof,
