@@ -366,6 +366,100 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation (dbt-test / expectation
+    style): each check is one aggregate or anti-join counting
+    violations, unioned into a (check_name, n_violations, passed)
+    report. The checks every ingest gate needs:
+
+    - not_null / unique on primary keys;
+    - referential integrity as ANTI JOINS (orders→customer,
+      lineitem→orders) — at scale these shuffle only the key columns,
+      and the dimension side of each probe broadcasts when small;
+    - range and accepted-values checks as single-pass conditional
+      aggregates (map-side combinable, zero shuffle beyond the final
+      1-row exchanges).
+
+    The report is constant-width regardless of data size — the shape
+    that lets a 100 TB contract run publish a dashboard row, not a
+    dataset."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).cast("int").alias("passed"),
+        )
+
+    checks = [
+        one(
+            "orders_key_not_null",
+            orders.agg(
+                F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        one(
+            "orders_key_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum((F.col("c") > 1).cast("long")).alias("n_violations")),
+        ),
+        one(
+            "orders_customer_fk",
+            orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        one(
+            "lineitem_orders_fk",
+            li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        one(
+            "quantity_in_range",
+            li.agg(
+                F.sum(
+                    (~F.col("l_quantity").between(1, 50)).cast("long")
+                ).alias("n_violations")
+            ),
+        ),
+        one(
+            "price_positive",
+            li.agg(
+                F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        one(
+            "orderstatus_accepted",
+            orders.agg(
+                F.sum(
+                    (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+                ).alias("n_violations")
+            ),
+        ),
+        one(
+            "acctbal_not_null",
+            cust.agg(
+                F.sum(F.col("c_acctbal").isNull().cast("long")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -374,6 +468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_k_anonymity": k_anonymity,
     "ext_value_breakout": value_breakout,
     "ext_incremental_agg": incremental_agg,
+    "ext_data_contract": data_contract,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -384,6 +479,60 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_data_contract": '''
+        SELECT 'orders_key_not_null' AS check_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                    AS INT) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'orders_key_unique',
+               CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) = 0
+                    AS INT)
+        FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+              GROUP BY o_orderkey) t
+        UNION ALL
+        SELECT 'orders_customer_fk', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) = 0 AS INT)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orders_fk', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) = 0 AS INT)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'quantity_in_range',
+               CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                        THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive',
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) = 0
+                    AS INT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderstatus_accepted',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM orders
+        UNION ALL
+        SELECT 'acctbal_not_null',
+               CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) = 0
+                    AS INT)
+        FROM customer
+    ''',
     # direct re-aggregation of the v2 table — green <=> the delta-only
     # maintenance on the Spark side is exact
     "ext_incremental_agg": f"""
