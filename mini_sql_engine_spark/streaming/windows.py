@@ -415,6 +415,109 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # = analytics.ATTR_WINDOW_US
+
+_ATTR_STATE = StructType(
+    [StructField("click_ts_us", LongType()), StructField("click_event", LongType())]
+)
+_ATTR_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_event", LongType()),
+        StructField("click_event", LongType()),
+        StructField("mins_since_click", LongType()),
+    ]
+)
+
+
+def _attr_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful last-touch attribution: carry the user's latest click
+    (ts, event_id) across batches; emit one row per purchase. Vectorized
+    inside each Arrow batch (where/ffill), per-row only at the state
+    boundary. -1 sentinels stand for 'no click yet' in the state tuple
+    (GroupState schemas are non-nullable in practice)."""
+    cts, cev = state.get if state.exists else (-1, -1)
+    outs = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        is_click = pdf["event_type"] == "click"
+        click_ts = pdf["ts_us"].where(is_click).ffill()
+        click_id = pdf["event_id"].where(is_click).ffill()
+        if cts >= 0:
+            click_ts = click_ts.fillna(cts)
+            click_id = click_id.fillna(cev)
+        purch = pdf["event_type"] == "purchase"
+        if purch.any():
+            sel = pdf[purch]
+            pts, pcts = sel["ts_us"], click_ts[purch]
+            in_win = pcts.notna() & (pts - pcts <= _ATTR_WINDOW_US)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pd.array([key[0]] * len(sel), dtype="Int64"),
+                        "purchase_event": sel["event_id"].astype("Int64").values,
+                        "click_event": pd.array(
+                            [
+                                int(c) if ok else None
+                                for c, ok in zip(
+                                    click_id[purch].fillna(-1), in_win
+                                )
+                            ],
+                            dtype="Int64",
+                        ),
+                        "mins_since_click": pd.array(
+                            [
+                                int((p - c) // 60_000_000) if ok else None
+                                for p, c, ok in zip(
+                                    pts, pcts.fillna(-1), in_win
+                                )
+                            ],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+            )
+        last_clicks = pdf[is_click]
+        if len(last_clicks):
+            cts = int(last_clicks["ts_us"].iloc[-1])
+            cev = int(last_clicks["event_id"].iloc[-1])
+    state.update((cts, cev))
+    for o in outs:
+        yield o
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution via applyInPandasWithState —
+    the stateful-streaming twin of batch `ext_attribution_last_touch`,
+    checked against the SAME oracle (stream-batch unification).
+
+    State per user is ONE (ts, event_id) tuple — O(users) total,
+    independent of stream length — and purchases emit in append mode
+    as they attribute. Batches are sorted by event time within the
+    group before the carry (this replay arrives as one ordered batch;
+    a production feed with cross-batch disorder would buffer behind a
+    watermark first, e.g. the session-window pattern above)."""
+    s = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return stream_to_df(
+        spark,
+        s.groupBy("user_id").applyInPandasWithState(
+            _attr_fn,
+            outputStructType=_ATTR_OUT,
+            stateStructType=_ATTR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        "append",
+    )
+
+
 def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch equivalent of the stateful operator — used in parity tests."""
     return (
@@ -436,6 +539,7 @@ QUERIES: dict[str, Callable] = {
     "stream_static_enrich": stream_static_enrich,
     "stream_dedup": stream_dedup,
     "stream_dedup_watermarked": stream_dedup_watermarked,
+    "stream_attribution": stream_attribution,
     # stream_tws_user_totals is implemented but NOT registered: the
     # transformWithState protocol needs the `protobuf` package, absent
     # from this container (tests/test_streaming.py gates on it).
@@ -450,6 +554,29 @@ QUERIES: dict[str, Callable] = {
 _EVENTS_US = oracle_shared.EVENTS_US
 
 ORACLES: dict[str, str] = {
+    "stream_attribution": f"""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events),
+        tagged AS (
+            SELECT user_id, event_id, event_type, ts_us,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN ts_us END IGNORE NULLS) OVER w
+                       AS click_ts_us,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN event_id END IGNORE NULLS) OVER w
+                       AS click_event
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id AS purchase_event,
+               CASE WHEN ts_us - click_ts_us <= {_ATTR_WINDOW_US}
+                    THEN click_event END AS click_event,
+               CASE WHEN ts_us - click_ts_us <= {_ATTR_WINDOW_US}
+                    THEN CAST(FLOOR((ts_us - click_ts_us) / 60000000)
+                              AS BIGINT) END AS mins_since_click
+        FROM tagged WHERE event_type = 'purchase'
+    """,
     "stream_session_windows": oracle_shared.SESSION_WINDOW_ORACLE,
     "stream_sliding_counts": oracle_shared.SLIDING_WINDOW_ORACLE,
     "stream_static_enrich": """
