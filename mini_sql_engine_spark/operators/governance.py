@@ -460,6 +460,63 @@ def data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PSEUDO_SALT = "release-2026-08"  # per-release secret; rotate per export
+
+
+def pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization + collision audit.
+
+    Replaces customer keys with a 60-bit salted hash (stable within a
+    release salt, unlinkable across salts — the standard export
+    pseudonym scheme) and proves the mapping injective for this
+    release: output is the per-pseudonym cardinality audit, which must
+    show every pseudonym maps to exactly one source key before the
+    export ships. One grouped count over the hashed key; at 100 TB the
+    audit is the same single map-side-combinable aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    pseudo = cust.select(
+        md5_long(F.col("c_custkey").cast("string"), salt=PSEUDO_SALT).alias(
+            "pseudonym"
+        ),
+        "c_custkey",
+    )
+    return (
+        pseudo.groupBy("pseudonym")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .groupBy("n_keys")
+        .agg(F.count(F.lit(1)).alias("n_pseudonyms"))
+    )
+
+
+def rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup lattice: month re-aggregated FROM the daily
+    rollup, proven equal to month-from-raw.
+
+    The lattice property (sum-of-sums, count-of-counts) is what lets a
+    100 TB warehouse answer month queries from the day table without
+    touching raw events; the oracle computes months DIRECTLY from the
+    raw table, so a green row proves the re-aggregation path exact.
+    Integer cents keep the additions associative. Day rollup is one
+    shuffle over raw; month-from-day touches only day-rollup rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        ),
+    )
+    return daily.groupBy(
+        F.substring("day", 1, 7).alias("month"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -469,6 +526,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_value_breakout": value_breakout,
     "ext_incremental_agg": incremental_agg,
     "ext_data_contract": data_contract,
+    "ext_pseudonymize": pseudonymize,
+    "ext_rollup_lattice": rollup_lattice,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -479,6 +538,28 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_pseudonymize": f"""
+        WITH p AS (
+            SELECT CAST(('0x' || substr(md5('{PSEUDO_SALT}:'
+                         || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS pseudonym
+            FROM customer),
+        per AS (SELECT pseudonym, COUNT(*) AS n_keys FROM p
+                GROUP BY pseudonym)
+        SELECT n_keys, COUNT(*) AS n_pseudonyms FROM per GROUP BY n_keys
+    """,
+    # months computed DIRECTLY from raw events — green <=> the Spark
+    # side's month-from-daily re-aggregation is exact (lattice property)
+    "ext_rollup_lattice": """
+        WITH m AS (
+            SELECT strftime(ts, '%Y-%m') AS month, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+            FROM events GROUP BY 1, 2)
+        SELECT month, event_type, n_events, cents, n_days FROM m
+    """,
     "ext_data_contract": '''
         SELECT 'orders_key_not_null' AS check_name,
                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
