@@ -517,6 +517,102 @@ def rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BF_BITS = 16_384  # filter size (2^14 bits = 256 longs)
+BF_K = 3  # hash functions
+BF_WORD = 63  # usable bits per long word (1<<63 overflows signed in DuckDB)
+BF_PROBES = 1_000  # synthetic non-member probes
+
+
+def _bf_pos(col, j: int):
+    return md5_long(col, salt=f"bf{j}") % BF_BITS
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built in-engine + exact false-positive audit.
+
+    The filter is a 256-long bitset DataFrame (word_idx → OR of bit
+    masks via `bit_or` — mergeable across partitions exactly like the
+    count-min cells), loaded with every customer name. Probing runs
+    1000 synthetic non-members and all true members through the same
+    k hashes against the BROADCAST bitset; output is one row:
+    (n_keys, bits_set, n_members_missed, n_probes, false_positives).
+    n_members_missed MUST be 0 (Bloom filters have no false negatives
+    — the row is the self-check), and false_positives is the measured
+    FPR numerator that validates the m/k sizing against theory. At
+    100 TB the bitset is fixed-size by construction and the build is
+    one map-side-combinable bit_or aggregate over the keys."""
+    names = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("key")
+    )
+    positions = names.select(
+        F.explode(
+            F.array(*[_bf_pos(F.col("key"), j) for j in range(BF_K)])
+        ).alias("pos")
+    )
+    bitset = positions.groupBy(
+        F.floor(F.col("pos") / BF_WORD).cast("long").alias("word_idx")
+    ).agg(
+        # SQL-form shift: the Python shiftleft() helper only takes a
+        # literal bit count, the SQL function takes an expression
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {BF_WORD} AS INT)))").alias(
+            "word"
+        )
+    )
+
+    def probe(df: DataFrame) -> DataFrame:
+        """n of k set bits per key against the broadcast bitset."""
+        pos = df.select(
+            "key",
+            F.explode(
+                F.array(*[_bf_pos(F.col("key"), j) for j in range(BF_K)])
+            ).alias("pos"),
+        ).select(
+            "key",
+            F.floor(F.col("pos") / BF_WORD).cast("long").alias("word_idx"),
+            (F.col("pos") % BF_WORD).cast("int").alias("bit"),
+        )
+        return (
+            pos.join(F.broadcast(bitset), "word_idx")
+            .groupBy("key")
+            .agg(
+                F.expr("sum(shiftright(word, bit) & 1)").alias("n_set")
+            )
+        )
+
+    members = probe(names)
+    fakes = probe(
+        spark.range(BF_PROBES).select(
+            F.concat(F.lit("probe:"), F.col("id")).alias("key")
+        )
+    )
+    stats = bitset.agg(
+        F.sum(F.bit_count("word")).alias("bits_set")
+    )
+    return (
+        members.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("n_set") < BF_K).cast("long")).alias(
+                "n_members_missed"
+            ),
+        )
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(
+            F.broadcast(
+                fakes.agg(
+                    F.count(F.lit(1)).alias("n_probes"),
+                    F.sum((F.col("n_set") == BF_K).cast("long")).alias(
+                        "false_positives"
+                    ),
+                )
+            )
+        )
+        .select(
+            "n_keys", "bits_set", "n_members_missed", "n_probes",
+            "false_positives",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -528,6 +624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_data_contract": data_contract,
     "ext_pseudonymize": pseudonymize,
     "ext_rollup_lattice": rollup_lattice,
+    "ext_bloom_membership": bloom_membership,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -538,6 +635,47 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_bloom_membership": """
+        WITH keys AS (SELECT c_name AS key FROM customer),
+        kpos AS (
+            SELECT key, unnest([CAST(('0x' || substr(md5('bf0:' || key), 1, 15)) AS BIGINT) % 16384, CAST(('0x' || substr(md5('bf1:' || key), 1, 15)) AS BIGINT) % 16384, CAST(('0x' || substr(md5('bf2:' || key), 1, 15)) AS BIGINT) % 16384]) AS pos
+            FROM keys),
+        bitset AS (
+            SELECT CAST(FLOOR(pos / 63) AS BIGINT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+                       AS word
+            FROM kpos GROUP BY 1),
+        stats AS (SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS bits_set
+                  FROM bitset),
+        mem AS (
+            SELECT k.key,
+                   SUM((b.word >> CAST(k.pos % 63 AS INT)) & 1) AS n_set
+            FROM kpos k JOIN bitset b
+              ON CAST(FLOOR(k.pos / 63) AS BIGINT) = b.word_idx
+            GROUP BY k.key),
+        fk AS (SELECT 'probe:' || CAST(range AS VARCHAR) AS key
+               FROM range(1000)),
+        fpos AS (
+            SELECT key, unnest([CAST(('0x' || substr(md5('bf0:' || key), 1, 15)) AS BIGINT) % 16384, CAST(('0x' || substr(md5('bf1:' || key), 1, 15)) AS BIGINT) % 16384, CAST(('0x' || substr(md5('bf2:' || key), 1, 15)) AS BIGINT) % 16384]) AS pos
+            FROM fk),
+        fmem AS (
+            SELECT f.key,
+                   SUM((b.word >> CAST(f.pos % 63 AS INT)) & 1) AS n_set
+            FROM fpos f JOIN bitset b
+              ON CAST(FLOOR(f.pos / 63) AS BIGINT) = b.word_idx
+            GROUP BY f.key),
+        ms AS (SELECT COUNT(*) AS n_keys,
+                      CAST(SUM(CASE WHEN n_set < 3 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_members_missed
+               FROM mem),
+        fs AS (SELECT COUNT(*) AS n_probes,
+                      CAST(SUM(CASE WHEN n_set = 3 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS false_positives
+               FROM fmem)
+        SELECT ms.n_keys, stats.bits_set, ms.n_members_missed,
+               fs.n_probes, fs.false_positives
+        FROM ms, stats, fs
+    """,
     "ext_pseudonymize": f"""
         WITH p AS (
             SELECT CAST(('0x' || substr(md5('{PSEUDO_SALT}:'
