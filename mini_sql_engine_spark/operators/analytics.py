@@ -765,7 +765,85 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_SCALE = 1_000_000  # PageRank mass in ppm (integer-exact)
+PR_ITERS = 3
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph, integer-exact.
+
+    Edges are consecutive-event transitions per user (the Markov graph
+    `ext_event_transitions` normalizes); PR_ITERS power iterations run
+    with all mass in integer ppm — floor(d·pr·cnt / out) per edge, so
+    every sum is exactly associative and the result is deterministic
+    under any partitioning (the kmeans_refine determinism pattern
+    applied to graph centrality). Dangling nodes would leak mass by
+    construction (documented; none exist in this graph — every type
+    transitions onward).
+
+    Scale: the heavy step is building the edge list (one window over
+    the user-partitioned event stream + a grouped count — same cost
+    class as sessionization); iterations then run on the
+    node/edge-count tables, which are type-cardinality-sized. For a
+    web-scale graph the same loop shape holds with edges partitioned
+    by dst and pr broadcast-joined per iteration."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    base = F.floor(
+        F.lit((PR_D_DEN - PR_D_NUM) * PR_SCALE) / (F.lit(PR_D_DEN) * F.col("n_nodes"))
+    ).cast("long")
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node",
+        F.floor(F.lit(PR_SCALE) / F.col("n_nodes")).cast("long").alias("pr"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(out, "src")
+            .join(pr, edges["src"] == pr["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.lit(PR_D_NUM) * F.col("pr") * F.col("cnt"))
+                        / (F.lit(PR_D_DEN) * F.col("out_cnt"))
+                    ).cast("long")
+                ).alias("in_mass")
+            )
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (base + F.coalesce("in_mass", F.lit(0))).alias("pr"),
+            )
+        )
+    return pr.select(F.col("node").alias("event_type"), F.col("pr").alias("pr_ppm"))
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_pagerank_types": pagerank_event_types,
     "ext_gap_fill_daily": gap_fill_daily,
     "ext_attribution_last_touch": attribution_last_touch,
     "ext_watermark_audit": watermark_audit,
@@ -801,7 +879,49 @@ _SAMPLE_HASH = (
     "CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)"
 )
 
+def _pr_iter_sql(r: int) -> str:
+    p = f"pr{r - 1}"
+    return f"""
+        c{r} AS (
+            SELECT e.dst,
+                   CAST(SUM(CAST(FLOOR(({PR_D_NUM} * p.pr * e.cnt) * 1.0
+                                 / ({PR_D_DEN} * o.out_cnt)) AS BIGINT))
+                        AS BIGINT) AS in_mass
+            FROM edges e JOIN outdeg o ON e.src = o.src
+                         JOIN {p} p ON e.src = p.node
+            GROUP BY e.dst),
+        pr{r} AS (
+            SELECT n.node,
+                   CAST(FLOOR({(PR_D_DEN - PR_D_NUM) * PR_SCALE} * 1.0
+                              / ({PR_D_DEN} * (SELECT n_nodes FROM nn)))
+                        AS BIGINT)
+                   + COALESCE(c.in_mass, 0) AS pr
+            FROM nodes n LEFT JOIN c{r} c ON n.node = c.dst)"""
+
+
 ORACLES: dict[str, str] = {
+    "ext_pagerank_types": f"""
+        WITH seq AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events),
+        edges AS (SELECT src, dst, COUNT(*) AS cnt FROM seq
+                  WHERE dst IS NOT NULL GROUP BY src, dst),
+        nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM edges
+                      UNION ALL SELECT dst FROM edges) u),
+        nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        outdeg AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_cnt
+                   FROM edges GROUP BY src),
+        pr0 AS (SELECT node,
+                       CAST(FLOOR({PR_SCALE} * 1.0
+                                  / (SELECT n_nodes FROM nn)) AS BIGINT)
+                           AS pr
+                FROM nodes),
+        {", ".join(_pr_iter_sql(r).strip() for r in range(1, PR_ITERS + 1))}
+        SELECT node AS event_type, pr AS pr_ppm FROM pr{PR_ITERS}
+    """,
     "ext_gap_fill_daily": """
         WITH daily AS (
             SELECT user_id, CAST(ts AS DATE) AS day,
