@@ -613,6 +613,91 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff ACROSS RETAINED TABLE VERSIONS of the native
+    format — time travel as a first-class read.
+
+    Stages (once per sf_dir) two committed versions of an
+    orders-derived table through the ``format("minisql")`` writer with
+    ``option("retain", "true")`` — v1 as stored, v2 after the
+    deterministic DIFF_MOD mutation — then reads BOTH back with
+    ``option("versionAsOf", N)`` and reports row counts per diff
+    status. The oracle recomputes the same statuses straight from
+    ``orders``, so a green row proves the whole loop: writer commit →
+    version archive → time-travel read → diff. At 100 TB the same
+    read contract is a table format's snapshot log; the diff itself
+    is one full-outer join on the snapshot key."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mini_sql_engine_spark.sources import datasource
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cls = F.col("o_orderkey") % DIFF_MOD
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    v2 = (
+        v1.filter(cls != 3)
+        .withColumn(
+            "cents",
+            F.when(
+                cls.isin(4, 5), F.col("cents") + int(PRICE_BUMP) * 100
+            ).otherwise(F.col("cents")),
+        )
+        .unionAll(
+            v1.filter(cls == 6).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "cents"
+            )
+        )
+    )
+    digest = hashlib.md5(f"tt|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"minisql_tt_{digest}")
+    datasource.register(spark)
+    if not os.path.exists(os.path.join(stage, "metadata.txt")):
+        tmp = stage + f".tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for df in (v1, v2):
+            (
+                df.write.format("minisql")
+                .option("path", tmp)
+                .option("table", "orders_cents")
+                .option("retain", "true")
+                .mode("overwrite")
+                .save()
+            )
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # staging race lost; winner's copy is identical
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def read_version(n: int) -> DataFrame:
+        return (
+            spark.read.format("minisql")
+            .option("path", stage)
+            .option("table", "orders_cents")
+            .option("versionAsOf", str(n))
+            .load()
+        )
+
+    a, b = read_version(1).alias("a"), read_version(2).alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(F.col("a.cents") != F.col("b.cents"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -625,6 +710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_pseudonymize": pseudonymize,
     "ext_rollup_lattice": rollup_lattice,
     "ext_bloom_membership": bloom_membership,
+    "ext_time_travel_diff": time_travel_diff,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -635,6 +721,30 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    # recomputed straight from orders — green <=> writer commit,
+    # version archival, and the versionAsOf read all round-tripped
+    "ext_time_travel_diff": f"""
+        WITH v1 AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % {DIFF_MOD} IN (4, 5)
+                        THEN cents + {int(PRICE_BUMP) * 100}
+                        ELSE cents END AS cents
+            FROM v1 WHERE o_orderkey % {DIFF_MOD} != 3
+            UNION ALL
+            SELECT o_orderkey + 10000000, cents
+            FROM v1 WHERE o_orderkey % {DIFF_MOD} = 6),
+        d AS (
+            SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN b.o_orderkey IS NULL THEN 'removed'
+                        WHEN a.cents != b.cents THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey))
+        SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
+    """,
     "ext_bloom_membership": """
         WITH keys AS (SELECT c_name AS key FROM customer),
         kpos AS (

@@ -189,7 +189,20 @@ class MiniSQLDataSource(DataSource):
 
     def reader(self, schema: StructType) -> MiniSQLReader:
         table, data_dir = self._table_and_dir()
-        csv_path = os.path.join(data_dir, f"{table}.csv")
+        version = self.options.get("versionAsOf")
+        if version is not None:
+            # time travel: read an archived version written with
+            # option("retain", "true") instead of the current table
+            csv_path = os.path.join(
+                data_dir, ".versions", f"{table}.v{int(version)}.csv"
+            )
+            if not os.path.exists(csv_path):
+                raise EngineError(
+                    f"version {version} of table {table!r} not retained "
+                    f"(write with option('retain', 'true'))"
+                )
+        else:
+            csv_path = os.path.join(data_dir, f"{table}.csv")
         if not os.path.exists(csv_path):
             raise EngineError(f"table file not found: {csv_path}")
         return MiniSQLReader(
@@ -201,7 +214,13 @@ class MiniSQLDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "MiniSQLWriter":
         table, data_dir = self._table_and_dir()
-        return MiniSQLWriter(data_dir, table, [f.name for f in schema.fields], overwrite)
+        return MiniSQLWriter(
+            data_dir,
+            table,
+            [f.name for f in schema.fields],
+            overwrite,
+            retain=self.options.get("retain", "false").lower() == "true",
+        )
 
     def simpleStreamReader(self, schema: StructType) -> "MiniSQLStreamReader":
         table, data_dir = self._table_and_dir()
@@ -280,12 +299,18 @@ class MiniSQLWriter(DataSourceWriter):
     """
 
     def __init__(
-        self, data_dir: str, table: str, columns: list[str], overwrite: bool
+        self,
+        data_dir: str,
+        table: str,
+        columns: list[str],
+        overwrite: bool,
+        retain: bool = False,
     ) -> None:
         self.data_dir = data_dir
         self.table = table
         self.columns = columns
         self.overwrite = overwrite
+        self.retain = retain
         import uuid
 
         self.staging = os.path.join(data_dir, f".{table}.staging-{uuid.uuid4().hex[:8]}")
@@ -331,6 +356,26 @@ class MiniSQLWriter(DataSourceWriter):
                     with open(m.path) as frag:
                         shutil.copyfileobj(frag, out)
         os.replace(merged, final)
+        if self.retain:
+            # time travel: archive THIS committed version under
+            # .versions/<table>.v{N}.csv (N monotonic). The archive
+            # happens after the main swap — a crash in between loses
+            # only the archive copy of this one version, never current
+            # state. Versions are retained until manually vacuumed;
+            # read them back with option("versionAsOf", N). This is
+            # the single-file stand-in for a table format's snapshot
+            # log: same read contract, none of the manifest machinery.
+            vdir = os.path.join(self.data_dir, ".versions")
+            os.makedirs(vdir, exist_ok=True)
+            existing = [
+                int(f.rsplit(".v", 1)[1][:-4])
+                for f in os.listdir(vdir)
+                if f.startswith(f"{self.table}.v") and f.endswith(".csv")
+            ]
+            n = max(existing, default=0) + 1
+            vtmp = os.path.join(vdir, f".{self.table}.v{n}.tmp")
+            shutil.copyfile(final, vtmp)
+            os.replace(vtmp, os.path.join(vdir, f"{self.table}.v{n}.csv"))
         if self.table not in catalog:
             with open(meta_path, "a") as mf:
                 mf.write(

@@ -555,3 +555,19 @@ def test_zorder_beats_linear_sort_on_secondary_dim(spark, sf_dir):
     # price sort covers nearly the whole quantity domain per block
     assert ps["q_range_ppm"] > 900_000, ps
     assert zo["q_range_ppm"] < 700_000, zo
+
+
+def test_data_contract_fk_checks_are_anti_joins(spark, sf_dir):
+    """Referential-integrity checks must compile to LeftAnti joins
+    (key-only probes), never inner-join + filter or a cartesian."""
+    plan = _plan(ALL_QUERIES["ext_data_contract"](spark, sf_dir))
+    assert plan.count("LeftAnti") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_bitset_broadcasts(spark, sf_dir):
+    """The Bloom bitset (fixed-size by construction) must broadcast to
+    both probe sides — the probes never shuffle for the membership
+    join."""
+    plan = _plan(ALL_QUERIES["ext_bloom_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan

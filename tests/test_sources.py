@@ -374,3 +374,42 @@ def test_minisql_pushdown_off_by_default_is_reuse_safe(spark):
     filtered = sorted(map(tuple, base.filter(F.col("B") == 2).collect()))
     full = sorted(map(tuple, base.collect()))
     assert len(full) > len(filtered) > 0
+
+
+def test_minisql_time_travel_versions(spark, tmp_path):
+    """retain=true archives each committed version; versionAsOf reads
+    them back; current read is unaffected; unretained version errors."""
+    import pytest as _pytest
+
+    from mini_sql_engine_spark.sources import datasource
+
+    d = str(tmp_path)
+    datasource.register(spark)
+
+    def write(rows, mode):
+        (
+            spark.createDataFrame(rows, "a long, b long")
+            .coalesce(1)
+            .write.format("minisql")
+            .option("path", d)
+            .option("table", "tt")
+            .option("retain", "true")
+            .mode(mode)
+            .save()
+        )
+
+    def read(version=None):
+        r = spark.read.format("minisql").option("path", d).option("table", "tt")
+        if version is not None:
+            r = r.option("versionAsOf", str(version))
+        return sorted(tuple(x) for x in r.load().collect())
+
+    write([(1, 10), (2, 20)], "overwrite")
+    write([(3, 30)], "append")
+    write([(9, 90)], "overwrite")
+    assert read(1) == [(1, 10), (2, 20)]
+    assert read(2) == [(1, 10), (2, 20), (3, 30)]
+    assert read(3) == [(9, 90)]
+    assert read() == [(9, 90)]  # current = latest
+    with _pytest.raises(Exception, match="not retained"):
+        read(7)
