@@ -30,6 +30,16 @@ Scale notes (100 TB):
   a broadcast of the tiny class table back onto nation names.
 - breakout screen: one window per user (partition-local after a
   single hash shuffle on user_id) — no second pass, no self-join.
+
+Later round-4 additions in this module (scale notes in SCALE.md):
+incremental view maintenance (`ext_incremental_agg` — delta-only
+rollup absorption, oracle = full recompute), declarative data-contract
+validation (`ext_data_contract` — anti-join FK checks + conditional
+aggregates), export pseudonymization with injectivity audit
+(`ext_pseudonymize`), the rollup-lattice re-aggregability proof
+(`ext_rollup_lattice`), an in-engine Bloom filter with exact FPR audit
+(`ext_bloom_membership`), and the native-format time-travel diff
+(`ext_time_travel_diff` — retained versions read via versionAsOf).
 """
 
 from __future__ import annotations
