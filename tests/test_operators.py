@@ -572,3 +572,61 @@ def test_bpe_merge_round_is_leftmost_greedy(spark):
     }
     assert got["aaaa"] == ["aa", "aa"], got
     assert got["aaa"] == ["aa", "a"], got
+
+
+def test_bpe_merge_round_matches_python_reference(spark):
+    """Property test: one relational BPE round == a pure-Python
+    reference (pair counting, argmax tie-break, leftmost-greedy merge)
+    on adversarial two-letter words — run-overlap cases far beyond the
+    'aaaa' pin. Deterministic example set (no Spark-in-hypothesis):
+    exhaustive words up to length 4 over {a,b} with varied freqs."""
+    from mini_sql_engine_spark.operators.bpe_train import _merge_round
+
+    words = []
+    for ln in (1, 2, 3, 4):
+        for i in range(2**ln):
+            words.append("".join("ab"[(i >> b) & 1] for b in range(ln)))
+    types = {w: (hash_free := 1 + (len(w) * 7 + idx) % 5) for idx, w in enumerate(words)}
+
+    # pure-Python reference
+    from collections import Counter
+
+    cnt = Counter()
+    for w, f in types.items():
+        for x, y in zip(w, w[1:]):
+            cnt[(x, y)] += f
+    best_pair = min(cnt, key=lambda p: (-cnt[p], p))
+
+    def py_merge(toks):
+        out, i = [], 0
+        while i < len(toks):
+            if (
+                i + 1 < len(toks)
+                and (toks[i], toks[i + 1]) == best_pair
+            ):
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    expect = {w: py_merge(list(w)) for w in types}
+
+    rows = [
+        (w, f, p + 1, ch)
+        for w, f in types.items()
+        for p, ch in enumerate(w)
+    ]
+    t = spark.createDataFrame(
+        rows, "word string, freq long, pos int, sym string"
+    )
+    best, merged = _merge_round(t)
+    b = best.collect()[0]
+    assert (b.sym1, b.sym2) == best_pair
+    assert b.pair_count == cnt[best_pair]
+    got = {}
+    for r in merged.collect():
+        got.setdefault(r.word, []).append((r.pos, r.sym))
+    got = {w: [s for _, s in sorted(v)] for w, v in got.items()}
+    assert got == expect
