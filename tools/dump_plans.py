@@ -80,6 +80,15 @@ MARQUEE = [
     ("ext_pq_ann_recall", "PQ ADC: codebook and per-query lookup tables "
      "broadcast; the scoring join touches only (vec, m, code) rows — "
      "4 small ints per corpus vector, never the vectors"),
+    ("ext_data_contract", "contract checks: FK probes are LeftAnti joins "
+     "on key columns; every other check is a map-side-combinable "
+     "conditional aggregate into a 1-row exchange"),
+    ("ext_incremental_agg", "IVM: change rows aggregate to per-key "
+     "deltas map-side; ONE keyed full-outer join merges them into the "
+     "maintained view — per-batch cost is delta-sized"),
+    ("ext_pagerank_types", "integer-ppm power iterations: the corpus "
+     "cost is the edge window; iterations join type-cardinality "
+     "tables with the rank table broadcast"),
 ]
 
 
