@@ -842,7 +842,72 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("event_type"), F.col("pr").alias("pr_ppm"))
 
 
+AB_CONV_VALUE = 180.0  # high-value-purchase conversion threshold
+
+
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash split, per-variant
+    conversion, two-proportion pooled z-score.
+
+    Users split by salted hash (the assignment every experiment
+    platform uses — stable, uniform, no assignment table); conversion
+    is 'did the user ever purchase'. The z-score formula uses only
+    +,-,*,/ and sqrt — all IEEE correctly-rounded, so the value is
+    bit-identical in both engines when written as the same expression
+    tree (ln/exp would NOT be; that is why the lift CI stops at z).
+    One grouped agg over users; the variant rollup is 2 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    # conversion = a HIGH-VALUE purchase (> AB_CONV_VALUE): plain
+    # 'ever purchased' saturates to 100% on this fixture (pooled
+    # variance 0, z undefined); the threshold keeps both arms strictly
+    # inside (0, 1) at every sf
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE)
+            ).cast("int")
+        ).alias("conv")
+    )
+    per = (
+        users.select(
+            (md5_long(F.col("user_id").cast("string"), salt="ab") % 2).alias(
+                "variant"
+            ),
+            "conv",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_conv").alias("conv_a")
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    rate_a = F.col("conv_a") / F.col("n_a")
+    rate_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round((rate_a - rate_b) / se, 4).alias("z_score"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_ab_test_zscore": ab_test_zscore,
     "ext_pagerank_types": pagerank_event_types,
     "ext_gap_fill_daily": gap_fill_daily,
     "ext_attribution_last_touch": attribution_last_touch,
@@ -900,6 +965,32 @@ def _pr_iter_sql(r: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_ab_test_zscore": """
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            AND value > 180.0
+                       THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id),
+        per AS (
+            SELECT CAST(('0x' || substr(md5('ab:'
+                        || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2
+                       AS variant,
+                   COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+            FROM users GROUP BY 1),
+        a AS (SELECT n_users AS n_a, n_conv AS conv_a FROM per
+              WHERE variant = 0),
+        b AS (SELECT n_users AS n_b, n_conv AS conv_b FROM per
+              WHERE variant = 1)
+        SELECT n_a, conv_a, n_b, conv_b,
+               ROUND(conv_a / n_a, 6) AS rate_a,
+               ROUND(conv_b / n_b, 6) AS rate_b,
+               ROUND((conv_a / n_a - conv_b / n_b)
+                     / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                            * (1 - (conv_a + conv_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+        FROM a, b
+    """,
     "ext_pagerank_types": f"""
         WITH seq AS (
             SELECT event_type AS src,
