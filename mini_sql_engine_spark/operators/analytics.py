@@ -906,7 +906,78 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_BUCKET_W = 50.0  # fixed-width value buckets (domain 0..~500)
+DRIFT_BUCKETS = 10
+DRIFT_SCALE = 1_000_000  # chi-square reported as floor(1e6 * term) sum
+
+
+def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: two-sample chi-square over fixed
+    value buckets, for two deterministic sample pairs.
+
+    Pair "even_odd" splits events by event_id parity (a null
+    comparison — the statistic should be small) and "half_month" by
+    day-of-month halves (where real temporal drift would show). The
+    chi-square sum uses per-term floor(1e6 · (O−E)²/E) so the output
+    is an exactly-reproducible integer — the drift DASHBOARD number,
+    comparable across runs and engines (a float chi2 would be
+    reduction-order-dependent). One conditional aggregate per pair
+    over fixed-width buckets: map-side combinable, no shuffle beyond
+    the bucket rollup; the bucket table is constant-width at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / DRIFT_BUCKET_W).cast("long"),
+        F.lit(DRIFT_BUCKETS - 1),
+    )
+
+    def one_pair(name: str, ref_cond, cur_cond) -> DataFrame:
+        per = ev.groupBy(bucket.alias("bucket")).agg(
+            F.sum(ref_cond.cast("long")).alias("a"),
+            F.sum(cur_cond.cast("long")).alias("b"),
+        )
+        tot = per.agg(
+            F.sum("a").alias("na"), F.sum("b").alias("nb")
+        )
+        j = per.crossJoin(F.broadcast(tot)).filter(F.col("a") + F.col("b") > 0)
+        ea = (
+            (F.col("a") + F.col("b"))
+            * F.col("na")
+            / (F.col("na") + F.col("nb"))
+        )
+        eb = (
+            (F.col("a") + F.col("b"))
+            * F.col("nb")
+            / (F.col("na") + F.col("nb"))
+        )
+        term = F.floor(
+            F.lit(DRIFT_SCALE) * (F.col("a") - ea) * (F.col("a") - ea) / ea
+        ) + F.floor(
+            F.lit(DRIFT_SCALE) * (F.col("b") - eb) * (F.col("b") - eb) / eb
+        )
+        return j.agg(
+            F.lit(name).alias("pair"),
+            F.max("na").alias("n_ref"),
+            F.max("nb").alias("n_cur"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(term).cast("long").alias("chi2_scaled"),
+        )
+
+    even = one_pair(
+        "even_odd",
+        F.col("event_id") % 2 == 0,
+        F.col("event_id") % 2 == 1,
+    )
+    halves = one_pair(
+        "half_month",
+        F.dayofmonth("ts") <= 15,
+        F.dayofmonth("ts") > 15,
+    )
+    return even.unionByName(halves)
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_drift_chi2": drift_chi2,
     "ext_ab_test_zscore": ab_test_zscore,
     "ext_pagerank_types": pagerank_event_types,
     "ext_gap_fill_daily": gap_fill_daily,
@@ -964,7 +1035,49 @@ def _pr_iter_sql(r: int) -> str:
             FROM nodes n LEFT JOIN c{r} c ON n.node = c.dst)"""
 
 
+def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
+    return f"""
+        SELECT '{name}' AS pair, MAX(na) AS n_ref, MAX(nb) AS n_cur,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(
+                   CAST(FLOOR({DRIFT_SCALE} * (a - ea) * (a - ea) / ea)
+                        AS BIGINT)
+                 + CAST(FLOOR({DRIFT_SCALE} * (b - eb) * (b - eb) / eb)
+                        AS BIGINT)) AS BIGINT) AS chi2_scaled
+        FROM (
+            SELECT *,
+                   (a + b) * na / (na + nb) AS ea,
+                   (a + b) * nb / (na + nb) AS eb
+            FROM (
+                SELECT bucket,
+                       CAST(SUM(r) AS BIGINT) AS a,
+                       CAST(SUM(c) AS BIGINT) AS b,
+                       CAST(SUM(SUM(r)) OVER () AS BIGINT) AS na,
+                       CAST(SUM(SUM(c)) OVER () AS BIGINT) AS nb
+                FROM (
+                    SELECT LEAST(CAST(FLOOR(value / {DRIFT_BUCKET_W!r})
+                                      AS BIGINT), {DRIFT_BUCKETS - 1})
+                               AS bucket,
+                           CASE WHEN {ref} THEN 1 ELSE 0 END AS r,
+                           CASE WHEN {cur} THEN 1 ELSE 0 END AS c
+                    FROM events) x
+                GROUP BY bucket) g
+            WHERE a + b > 0) t
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ext_drift_chi2": (
+        _drift_pair_sql(
+            "even_odd", "event_id % 2 = 0", "event_id % 2 = 1"
+        )
+        + " UNION ALL "
+        + _drift_pair_sql(
+            "half_month",
+            "EXTRACT(day FROM ts) <= 15",
+            "EXTRACT(day FROM ts) > 15",
+        )
+    ),
     "ext_ab_test_zscore": """
         WITH users AS (
             SELECT user_id,
