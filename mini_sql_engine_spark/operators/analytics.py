@@ -976,7 +976,57 @@ def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return even.unionByName(halves)
 
 
+SLO_PPM = 50_000  # error budget: 5% of events may be errors
+SLO_WINDOW_D = 7  # trailing burn window (days)
+
+
+def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn: daily error rate + trailing 7-day burn
+    vs the SLO, with breach flags.
+
+    Rates are integer ppm (floor(1e6·errors/events)) so the report is
+    exactly reproducible; the trailing window runs over the
+    days-cardinality rollup (tiny at any scale — the raw-event pass
+    is one map-side-combinable conditional aggregate). The burn window
+    requires a FULL window (n_days = 7) before flagging, mirroring
+    the breakout screen's warm-up rule."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(SLO_WINDOW_D - 1), 0)
+    burn = F.floor(
+        F.lit(1_000_000) * F.sum("n_errors").over(w) / F.sum("n_events").over(w)
+    ).cast("long")
+    return daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.floor(F.lit(1_000_000) * F.col("n_errors") / F.col("n_events"))
+        .cast("long")
+        .alias("err_ppm"),
+        burn.alias("burn7_ppm"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    ).select(
+        "day",
+        "n_events",
+        "n_errors",
+        "err_ppm",
+        "burn7_ppm",
+        (
+            (F.col("n_days") == SLO_WINDOW_D)
+            & (F.col("burn7_ppm") > SLO_PPM)
+        )
+        .cast("int")
+        .alias("breach"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_slo_burn": slo_burn,
     "ext_drift_chi2": drift_chi2,
     "ext_ab_test_zscore": ab_test_zscore,
     "ext_pagerank_types": pagerank_event_types,
@@ -1067,6 +1117,30 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_slo_burn": f"""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+            FROM events GROUP BY 1),
+        win AS (
+            SELECT day, n_events, n_errors,
+                   CAST(FLOOR(1000000 * n_errors / n_events) AS BIGINT)
+                       AS err_ppm,
+                   CAST(FLOOR(1000000 * SUM(n_errors) OVER w
+                              / SUM(n_events) OVER w) AS BIGINT)
+                       AS burn7_ppm,
+                   COUNT(*) OVER w AS n_days
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {SLO_WINDOW_D - 1} PRECEDING
+                                  AND CURRENT ROW))
+        SELECT day, n_events, n_errors, err_ppm, burn7_ppm,
+               CAST(n_days = {SLO_WINDOW_D} AND burn7_ppm > {SLO_PPM}
+                    AS INT) AS breach
+        FROM win
+    """,
     "ext_drift_chi2": (
         _drift_pair_sql(
             "even_odd", "event_id % 2 = 0", "event_id % 2 = 1"
