@@ -708,6 +708,89 @@ def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BNOV_BITS = 131_072  # shingle-set Bloom width (2^17)
+BNOV_K = 3
+BNOV_MOD = 5  # doc_id % 5 == 0 is the ingest batch (~20%)
+
+
+def _bn_pos(col, j: int):
+    return md5_long(col, salt=f"bn{j}") % BNOV_BITS
+
+
+def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered novelty admission check for an ingest batch.
+
+    The existing corpus' distinct shingle set loads a Bloom bitset
+    (broadcast); each batch document's shingles probe it. A shingle
+    the filter rejects is DEFINITELY novel (no false negatives), so
+    `novel_bloom` — what the cheap prefilter alone can certify — is a
+    lower bound on `novel_exact` (the anti-join truth, also computed),
+    and their gap per document is the filter's measured false-positive
+    effect at this saturation. At 100 TB this is the admission shape:
+    the broadcast bitset screens the firehose without joining the
+    corpus; only filter-passing shingles (claimed-seen) would need the
+    exact index probe. One corpus pass builds the bitset (bit_or,
+    mergeable); the probe is map-side against the broadcast."""
+    from mini_sql_engine_spark.functions import textfns
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textfns.shingles("text"))).alias("sh"),
+    )
+    batch = sh.filter(F.col("doc_id") % BNOV_MOD == 0)
+    exist_sh = (
+        sh.filter(F.col("doc_id") % BNOV_MOD != 0).select("sh").distinct()
+    )
+    bitset = (
+        exist_sh.select(
+            F.explode(
+                F.array(*[_bn_pos(F.col("sh"), j) for j in range(BNOV_K)])
+            ).alias("pos")
+        )
+        .groupBy(F.floor(F.col("pos") / BF_WORD).cast("long").alias("word_idx"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {BF_WORD} AS INT)))"
+            ).alias("word")
+        )
+    )
+    probed = (
+        batch.select(
+            "doc_id",
+            "sh",
+            F.explode(
+                F.array(*[_bn_pos(F.col("sh"), j) for j in range(BNOV_K)])
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.floor(F.col("pos") / BF_WORD).cast("long").alias("word_idx"),
+            (F.col("pos") % BF_WORD).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(bitset), "word_idx", "left")  # absent word = 0
+        .groupBy("doc_id", "sh")
+        .agg(
+            F.expr("sum(coalesce(shiftright(word, bit) & 1, 0))").alias(
+                "n_set"
+            )
+        )
+    )
+    flags = probed.join(
+        exist_sh.withColumn("seen", F.lit(1)), "sh", "left"
+    ).select(
+        "doc_id",
+        (F.col("n_set") < BNOV_K).cast("long").alias("bloom_novel"),
+        F.col("seen").isNull().cast("long").alias("exact_novel"),
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("exact_novel").alias("novel_exact"),
+        F.sum("bloom_novel").alias("novel_bloom"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -721,6 +804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_rollup_lattice": rollup_lattice,
     "ext_bloom_membership": bloom_membership,
     "ext_time_travel_diff": time_travel_diff,
+    "ext_bloom_novelty": bloom_novelty,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -731,6 +815,40 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_bloom_novelty": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS shs
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                  FROM documents)),
+        sh AS (SELECT doc_id, unnest(shs) AS sh FROM base),
+        batch AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        exist AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 5 != 0),
+        epos AS (SELECT unnest([CAST(('0x' || substr(md5('bn0:' || sh), 1, 15)) AS BIGINT) % 131072 , CAST(('0x' || substr(md5('bn1:' || sh), 1, 15)) AS BIGINT) % 131072 , CAST(('0x' || substr(md5('bn2:' || sh), 1, 15)) AS BIGINT) % 131072]) AS pos FROM exist),
+        bitset AS (
+            SELECT CAST(FLOOR(pos / 63) AS BIGINT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+            FROM epos GROUP BY 1),
+        bpos AS (SELECT doc_id, sh, unnest([CAST(('0x' || substr(md5('bn0:' || sh), 1, 15)) AS BIGINT) % 131072 , CAST(('0x' || substr(md5('bn1:' || sh), 1, 15)) AS BIGINT) % 131072 , CAST(('0x' || substr(md5('bn2:' || sh), 1, 15)) AS BIGINT) % 131072]) AS pos
+                 FROM batch),
+        probed AS (
+            SELECT p.doc_id, p.sh,
+                   SUM(COALESCE((b.word >> CAST(p.pos % 63 AS INT)) & 1, 0))
+                       AS n_set
+            FROM bpos p LEFT JOIN bitset b
+              ON CAST(FLOOR(p.pos / 63) AS BIGINT) = b.word_idx
+            GROUP BY p.doc_id, p.sh),
+        flags AS (
+            SELECT p.doc_id,
+                   CASE WHEN p.n_set < 3 THEN 1 ELSE 0 END AS bloom_novel,
+                   CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END AS exact_novel
+            FROM probed p LEFT JOIN exist e ON p.sh = e.sh)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(exact_novel) AS BIGINT) AS novel_exact,
+               CAST(SUM(bloom_novel) AS BIGINT) AS novel_bloom
+        FROM flags GROUP BY doc_id
+    """,
     # recomputed straight from orders — green <=> writer commit,
     # version archival, and the versionAsOf read all round-tripped
     "ext_time_travel_diff": f"""
