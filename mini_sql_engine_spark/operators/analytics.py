@@ -1025,7 +1025,68 @@ def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_BUCKETS = 4  # quartile scores per dimension
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events.
+
+    Per user: Recency (days from last purchase to the corpus horizon),
+    Frequency (purchase count), Monetary (integer cents); each scored
+    into quartiles by ntile with deterministic (metric, user_id)
+    tie-breaks, then labeled champion / loyal / at_risk / other by the
+    standard score rules. The horizon is max(ts) over the corpus — a
+    1-row broadcast scalar, not a driver-side collect. Two shuffles
+    total (user rollup + the ntile sort over the users-cardinality
+    table); segments are a projection."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    horizon = purchases.agg(F.max(F.unix_micros("ts")).alias("h_us"))
+    base = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.floor((F.col("h_us") - F.col("last_us")) / 86_400_000_000)
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy("recency_days", "user_id")  # low recency = best
+    f_w = Window.orderBy(F.desc("frequency"), "user_id")
+    m_w = Window.orderBy(F.desc("monetary_cents"), "user_id")
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(RFM_BUCKETS).over(r_w).cast("long").alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(f_w).cast("long").alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") == 1)
+            & (F.col("m_score") == 1),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "loyal")
+        .when(F.col("r_score") == RFM_BUCKETS, "at_risk")
+        .otherwise("other"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_rfm_segments": rfm_segments,
     "ext_slo_burn": slo_burn,
     "ext_drift_chi2": drift_chi2,
     "ext_ab_test_zscore": ab_test_zscore,
@@ -1117,6 +1178,41 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_rfm_segments": f"""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        per AS (
+            SELECT user_id,
+                   MAX(epoch_us(ts)) AS last_us,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM p GROUP BY user_id),
+        base AS (
+            SELECT user_id,
+                   CAST(FLOOR(((SELECT MAX(epoch_us(ts)) FROM p) - last_us)
+                              / 86400000000) AS BIGINT) AS recency_days,
+                   frequency, monetary_cents
+            FROM per),
+        scored AS (
+            SELECT *,
+                   CAST(ntile({RFM_BUCKETS}) OVER (
+                       ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+                   CAST(ntile({RFM_BUCKETS}) OVER (
+                       ORDER BY frequency DESC, user_id) AS BIGINT)
+                       AS f_score,
+                   CAST(ntile({RFM_BUCKETS}) OVER (
+                       ORDER BY monetary_cents DESC, user_id) AS BIGINT)
+                       AS m_score
+            FROM base)
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               r_score, f_score, m_score,
+               CASE WHEN r_score = 1 AND f_score = 1 AND m_score = 1
+                    THEN 'champion'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'loyal'
+                    WHEN r_score = {RFM_BUCKETS} THEN 'at_risk'
+                    ELSE 'other' END AS segment
+        FROM scored
+    """,
     "ext_slo_burn": f"""
         WITH daily AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day,
