@@ -238,6 +238,39 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: modified z-score
+    0.6745·(x − median)/MAD with the Iglewicz–Hoaglin cutoff 3.5.
+    Mean/stddev outlier rules break exactly when you need them (the
+    outliers inflate the stddev that defines them); median/MAD have a
+    50% breakdown point, so this is the detector a metrics pipeline
+    should run on raw event values.
+
+    Two grouped exact-percentile passes (median, then median of
+    absolute deviations) with the tiny per-type stats broadcast back
+    onto the event stream — at 100 TB swap `percentile` for the
+    mergeable t-digest sketch (`percentile_approx`) and both passes
+    become single-shuffle map-side-combine aggs. Stats are rounded to
+    6 decimals before the z-score so 1-ulp interpolation differences
+    between engines cannot flip a threshold-boundary row."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    z = F.round(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+        .select("event_id", "event_type", F.round("value", 6).alias("value"), "robust_z")
+    )
+
+
 def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) of part metrics."""
     part = load_table(spark, sf_dir, "part")
@@ -1113,6 +1146,7 @@ QUERIES: dict[str, Callable] = {
     "ext_correlated_subquery": correlated_subquery,
     "ext_lateral_topk": lateral_topk,
     "ext_percentiles": percentiles_by_segment,
+    "ext_anomaly_mad": anomaly_mad,
     "ext_unpivot": unpivot_part_metrics,
     "ext_conditional_agg": conditional_aggregates,
     "ext_string_agg": string_agg_nations,
@@ -1566,6 +1600,26 @@ ORACLES: dict[str, str] = {
                ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
                ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90
         FROM customer GROUP BY c_mktsegment
+    """,
+    "ext_anomaly_mad": """
+        WITH m AS (
+            SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type
+        ),
+        d AS (
+            SELECT e.event_id, e.event_type, e.value, m.med
+            FROM events e JOIN m USING (event_type)
+        ),
+        md AS (
+            SELECT event_type,
+                   ROUND(quantile_cont(abs(value - med), 0.5), 6) AS mad
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, ROUND(d.value, 6) AS value,
+               ROUND(0.6745 * (d.value - d.med) / md.mad, 6) AS robust_z
+        FROM d JOIN md USING (event_type)
+        WHERE md.mad > 0
+          AND abs(ROUND(0.6745 * (d.value - d.med) / md.mad, 6)) > 3.5
     """,
     "ext_unpivot": """
         SELECT p_partkey, metric, value

@@ -706,6 +706,50 @@ def contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.selectExpr("node AS doc_id", "hops")
 
 
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph: edges, ordered
+    2-paths, closed triangles, and the closure rate (triangles /
+    2-paths). High closure means near-dup pairs form dense cliques
+    (template families — one canonical doc represents many), low
+    closure means chains (drift — transitive dedup would over-merge).
+    This single number decides whether cluster-collapse dedup
+    (dedup_clusters) is safe or whether pairwise-only removal is the
+    right policy, so it is the diagnostic to run BEFORE committing a
+    dedup strategy at corpus scale.
+
+    Plan: the pair table (already a<b ordered, so every triangle is
+    enumerated exactly once as a<b<c) is localCheckpointed once and
+    reused three times; the path and triangle joins shuffle only
+    (doc_id, doc_id) pairs — at 100 TB the near-dup edge list is the
+    small output of the dedup pass, orders of magnitude below corpus
+    size, and both joins key on node id so AQE handles hub-node skew.
+    The three single-row aggregates meet in broadcast cross joins."""
+    e = (
+        jaccard_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    paths = (
+        e.selectExpr("doc_a AS a", "doc_b AS b")
+        .join(e.selectExpr("doc_a AS b", "doc_b AS c"), "b")
+    )
+    tris = paths.join(e.selectExpr("doc_a AS a", "doc_b AS c"), ["a", "c"])
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_paths = paths.agg(F.count(F.lit(1)).alias("n_paths"))
+    n_tris = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_edges.crossJoin(n_paths)
+        .crossJoin(n_tris)
+        .withColumn(
+            "closure_rate",
+            F.when(
+                F.col("n_paths") > 0,
+                F.round(F.col("n_triangles") / F.col("n_paths"), 6),
+            ),
+        )
+    )
+
+
 # ---- oracles (DuckDB replays of the same constructions) --------------------
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -803,6 +847,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_containment": containment_pairs,
     "ext_dedup_cross_lang": cross_lang_dupes,
     "ext_dedup_dual_modality": dual_modality_dupes,
+    "ext_triangle_census": triangle_census,
 }
 
 def _emb_plane_sql(plane: list[float]) -> str:
@@ -938,6 +983,27 @@ ORACLES: dict[str, str] = {
 
 
 ORACLES.update({
+    "ext_triangle_census": f"""
+        WITH e AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) jp
+            WHERE jacc >= {JACCARD_T}
+        ),
+        p2 AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+        ),
+        t AS (
+            SELECT p2.a, p2.b, p2.c
+            FROM p2 JOIN e ON p2.a = e.doc_a AND p2.c = e.doc_b
+        )
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM p2) AS n_paths,
+               (SELECT COUNT(*) FROM t) AS n_triangles,
+               CASE WHEN (SELECT COUNT(*) FROM p2) > 0 THEN
+                   ROUND((SELECT COUNT(*) FROM t) * 1.0
+                         / (SELECT COUNT(*) FROM p2), 6)
+               END AS closure_rate
+    """,
     "ext_dedup_containment": f"""
         SELECT doc_a, doc_b,
                ROUND(inter * 1.0 / LEAST(na, nb), 6) AS containment

@@ -498,6 +498,43 @@ def pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPS = 1.0  # release budget; Laplace scale b = 1/eps for count queries
+_DP_U52 = 2**52  # uniform-seed resolution (fits exactly in a double)
+
+
+def dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, ε=1)
+    with a per-cell utility audit. Counts have sensitivity 1, so
+    adding Laplace(1/ε) noise gives ε-DP; the inverse-CDF transform
+    X = −b·sgn(u)·ln(1−2|u|) over a SEEDED md5-derived uniform makes
+    the draw deterministic — reproducible across engines, reruns and
+    partitionings, exactly like the sampling operators (a production
+    release would secret the seed; determinism here is what lets the
+    oracle replay the mechanism bit-for-bit). Output keeps the true
+    count and absolute error alongside the noisy release — the utility
+    report a privacy reviewer signs off on; the shipped release table
+    would drop `n_true`.
+
+    One map-side-combinable grouped count plus per-row codegen math —
+    no extra shuffle over the plain count at any scale. Stats rounded
+    to 6 decimals so cross-engine ln() ulp drift cannot surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    u = (
+        md5_long(F.concat_ws("|", "lang", "source"), salt="dp") % _DP_U52
+    ) / F.lit(float(_DP_U52)) - 0.5
+    noise = -(1.0 / DP_EPS) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return counts.select(
+        "lang",
+        "source",
+        "n_true",
+        F.round(F.col("n_true") + noise, 6).alias("n_released"),
+        F.round(F.abs(noise), 6).alias("abs_err"),
+    )
+
+
 def rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-rollup lattice: month re-aggregated FROM the daily
     rollup, proven equal to month-from-raw.
@@ -805,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_bloom_membership": bloom_membership,
     "ext_time_travel_diff": time_travel_diff,
     "ext_bloom_novelty": bloom_novelty,
+    "ext_dp_release": dp_release,
 }
 
 # DuckDB mirror of hashing.md5_long (same 60-bit truncation)
@@ -815,6 +853,23 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_dp_release": f"""
+        WITH c AS (
+            SELECT lang, source, COUNT(*) AS n_true
+            FROM documents GROUP BY lang, source
+        ),
+        s AS (
+            SELECT lang, source, n_true,
+                   ({_md5_long_sql("lang || '|' || source", "dp")})
+                       % {_DP_U52} / {float(_DP_U52)!r} - 0.5 AS u
+            FROM c
+        )
+        SELECT lang, source, n_true,
+               ROUND(n_true + (-(1.0 / {DP_EPS!r}) * sign(u)
+                               * ln(1 - 2 * abs(u))), 6) AS n_released,
+               ROUND(abs((1.0 / {DP_EPS!r}) * ln(1 - 2 * abs(u))), 6) AS abs_err
+        FROM s
+    """,
     "ext_bloom_novelty": """
         WITH base AS (
             SELECT doc_id,
