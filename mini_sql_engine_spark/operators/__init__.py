@@ -14,6 +14,7 @@ from collections.abc import Callable
 from mini_sql_engine_spark.operators import (
     analytics,
     asof,
+    auditing,
     bpe_train,
     curation,
     dedup,
@@ -66,6 +67,7 @@ _MODULES = [
     joins_ext,
     funcs_ext,
     analytics,
+    auditing,
 ]
 
 ALL_QUERIES: dict[str, Callable] = {}

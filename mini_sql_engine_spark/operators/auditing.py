@@ -1,0 +1,323 @@
+"""Ledger-auditing pack: Benford digit audit, CDC changelog apply,
+EWMA trend smoothing, Pareto (skyline) frontier.
+
+The reference engine's users run ad-hoc integrity checks over ingested
+fact tables (SURVEY.md §2.2 scans + aggregations); these four
+operators are the audit-side queries a data platform team layers on
+top of that surface. Each is a pure DataFrame computation with an
+exact DuckDB oracle; every output column is an integer, a raw
+pass-through value, or a formatted date string, so the driver's
+repr-exact hash compare cannot be tripped by float reduction order.
+
+- ``ext_benford_audit``: first-significant-digit distribution of
+  o_totalprice vs the Benford expectation — the classic synthetic- or
+  corrupted-data screen. Digits come from the decimal string (no
+  log10 near a power-of-ten boundary); observed and expected rates are
+  integer parts-per-million, the expected ppm embedded as literals
+  computed once in Python so both engines compare against identical
+  constants.
+- ``ext_cdc_apply``: ordered change-data-capture apply. A
+  deterministic changelog (INSERT for every key, UPDATE for keys
+  divisible by 3, DELETE for keys divisible by 7, strictly increasing
+  seq) is folded to final table state: last event per key wins,
+  deletes drop the key. This is the ordered-log counterpart of
+  ``ext_merge_upsert`` (single-batch MERGE) — the semantics a Delta/
+  Hudi/Iceberg CDF consumer applies.
+- ``ext_ewma_daily``: exponentially-weighted moving average of daily
+  revenue with alpha = 1/2 truncated to a {K}-day trailing window.
+  Weights are powers of two on integer cents, so the weighted sum is
+  an exact BIGINT in both engines; the only float op is one IEEE
+  divide of exactly-representable integers, identical everywhere.
+- ``ext_pareto_frontier``: the skyline of distinct (p_retailprice,
+  p_size) pairs — pairs no other pair beats on both price (lower
+  better) and size (higher better). The Spark side is the O(n log n)
+  sort + running-max formulation; the oracle is the literal NOT
+  EXISTS dominance definition, so the two engines agree from
+  independent constructions.
+
+Scale notes (100 TB):
+- benford: one map-side-combinable groupBy over 9 digit values; the
+  window total runs on the 9-row digit table. No data-sized shuffle
+  beyond the partial-agg combine.
+- cdc_apply: the changelog shuffles once on key (window per key);
+  at production scale this is the standard CDF-apply shape and the
+  per-key event count is bounded (3 here). A billion-key log is a
+  single hash-partitioned window — no global order anywhere.
+- ewma: the daily rollup reduces 100 TB of orders to a dates-sized
+  table (map-side combine), and the 16-lag window runs over that tiny
+  series on one task. Per-key EWMAs at scale would partition the same
+  window by key — same plan, hash-distributed.
+- pareto: the running-max skyline needs one global sort of the
+  DISTINCT pair table — pairs-sized, not data-sized (the groupBy
+  collapses duplicates map-side first). The quadratic NOT EXISTS
+  stays oracle-only.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mini_sql_engine_spark.catalog import load_table
+
+# --- benford --------------------------------------------------------
+
+# Expected first-digit rate, integer ppm: floor(log10(1 + 1/d) * 1e6).
+# Computed once here and embedded as literals in BOTH engines' plans.
+BENFORD_PPM: dict[int, int] = {
+    d: math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
+}
+
+# --- cdc ------------------------------------------------------------
+
+UPDATE_EVERY = 3  # keys divisible by this get an UPDATE event
+DELETE_EVERY = 7  # keys divisible by this get a DELETE event
+UPDATE_BUMP_CENTS = 12_345  # deterministic price bump on UPDATE
+
+# --- ewma -----------------------------------------------------------
+
+EWMA_K = 16  # trailing window length; weight of lag i is 2**(K-1-i)
+
+# --------------------------------------------------------------------
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents from a 2-decimal DOUBLE (TESTDATA.md: all
+    monetary columns carry 2 decimals; same construction as
+    ext_gap_fill_daily)."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs Benford, in ppm.
+
+    The digit is the first character of the integer part's decimal
+    string — never log10, whose ulp behaviour at 10^k boundaries could
+    differ between engines. rate_ppm = floor(n * 1e6 / total): the
+    numerator is an exact integer-valued double and the divide is one
+    IEEE op, identical in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in BENFORD_PPM.items() for x in (d, p)]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.floor(F.col("n") * 1_000_000 / total).cast("long").alias("rate_ppm"),
+        expected.cast("long").alias("benford_ppm"),
+        (
+            F.floor(F.col("n") * 1_000_000 / total).cast("long")
+            - expected.cast("long")
+        ).alias("delta_ppm"),
+    )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold a deterministic ordered changelog to final table state.
+
+    Events per key (seq strictly increasing): INSERT(cents) always;
+    UPDATE(cents + bump) when key % UPDATE_EVERY == 0; DELETE when
+    key % DELETE_EVERY == 0. Apply = keep the highest-seq event per
+    key, drop keys whose last event is the DELETE."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), _cents("o_totalprice").alias("cents")
+    )
+    ins = base.select(
+        "key", F.lit(1).alias("seq"), F.lit("I").alias("op"), "cents"
+    )
+    upd = base.filter(F.col("key") % UPDATE_EVERY == 0).select(
+        "key",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("cents") + UPDATE_BUMP_CENTS).alias("cents"),
+    )
+    dele = base.filter(F.col("key") % DELETE_EVERY == 0).select(
+        "key",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    wk = Window.partitionBy("key")
+    ranked = log.select(
+        "key",
+        "op",
+        "cents",
+        F.row_number()
+        .over(wk.orderBy(F.col("seq").desc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n_events"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("op").alias("last_op"),
+            F.col("cents").alias("final_cents"),
+            "n_events",
+        )
+    )
+
+
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA(alpha=1/2) of daily revenue, truncated to EWMA_K lags.
+
+    Daily totals are exact integer cents; the weighted numerator and
+    denominator are exact BIGINTs built from EWMA_K explicit lag()
+    terms with power-of-two weights (newest highest). ewma_cents =
+    floor(num / den) — num is integer-valued and < 2^53, so the one
+    IEEE divide is identical in both engines. Gaps in the calendar are
+    treated as absent observations (see ext_gap_fill_daily for the
+    densification operator)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.orderBy("day")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(EWMA_K):
+        weight = 1 << (EWMA_K - 1 - i)
+        lagged = F.lag("cents", i).over(w)
+        num = num + F.coalesce(lagged, F.lit(0)) * weight
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(0)
+    return daily.select(
+        "day",
+        "cents",
+        F.floor(num / den).cast("long").alias("ewma_cents"),
+    )
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of distinct (p_retailprice asc-better, p_size desc-
+    better) pairs, with the number of parts carrying each pair.
+
+    Sort pairs by (price asc, size desc); a pair is dominated iff the
+    running max of size over strictly-preceding rows reaches its own
+    size (preceding rows are cheaper, or same-price-bigger). One
+    global sort of the pairs table — the oracle checks the same set
+    against the quadratic NOT EXISTS dominance definition."""
+    pairs = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_retailprice", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = F.max("p_size").over(w)
+    return (
+        pairs.withColumn("best_before", best)
+        .filter(
+            F.col("best_before").isNull()
+            | (F.col("p_size") > F.col("best_before"))
+        )
+        .select(
+            "p_retailprice", F.col("p_size").cast("long").alias("p_size"),
+            "n_parts",
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_benford_audit": benford_audit,
+    "ext_cdc_apply": cdc_apply,
+    "ext_ewma_daily": ewma_daily,
+    "ext_pareto_frontier": pareto_frontier,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+)
+
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(cents, {i}) OVER (ORDER BY day), 0) * {1 << (EWMA_K - 1 - i)}"
+    for i in range(EWMA_K)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(cents, {i}) OVER (ORDER BY day) IS NOT NULL"
+    f" THEN {1 << (EWMA_K - 1 - i)} ELSE 0 END)"
+    for i in range(EWMA_K)
+)
+
+ORACLES: dict[str, str] = {
+    "ext_benford_audit": f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders),
+        counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit)
+        SELECT digit, n,
+               CAST(floor(n * 1000000 / SUM(n) OVER ()) AS BIGINT)
+                   AS rate_ppm,
+               CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS benford_ppm,
+               CAST(floor(n * 1000000 / SUM(n) OVER ()) AS BIGINT)
+                   - CAST(CASE digit {_BENFORD_CASE} END AS BIGINT)
+                   AS delta_ppm
+        FROM counts
+    """,
+    "ext_cdc_apply": f"""
+        WITH base AS (
+            SELECT o_orderkey AS key,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+        log AS (
+            SELECT key, 1 AS seq, 'I' AS op, cents FROM base
+            UNION ALL
+            SELECT key, 2, 'U', cents + {UPDATE_BUMP_CENTS}
+            FROM base WHERE key % {UPDATE_EVERY} = 0
+            UNION ALL
+            SELECT key, 3, 'D', CAST(NULL AS BIGINT)
+            FROM base WHERE key % {DELETE_EVERY} = 0),
+        ranked AS (
+            SELECT key, op, cents,
+                   ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC)
+                       AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT)
+                       AS n_events
+            FROM log)
+        SELECT key, op AS last_op, cents AS final_cents, n_events
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    "ext_ewma_daily": f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1)
+        SELECT day, cents,
+               CAST(floor(CAST({_EWMA_NUM} AS DOUBLE)
+                          / ({_EWMA_DEN})) AS BIGINT) AS ewma_cents
+        FROM daily
+    """,
+    "ext_pareto_frontier": """
+        WITH pairs AS (
+            SELECT p_retailprice, p_size, COUNT(*) AS n_parts
+            FROM part GROUP BY p_retailprice, p_size)
+        SELECT p_retailprice, CAST(p_size AS BIGINT) AS p_size, n_parts
+        FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+    """,
+}
