@@ -630,3 +630,71 @@ def test_bpe_merge_round_matches_python_reference(spark):
         got.setdefault(r.word, []).append((r.pos, r.sym))
     got = {w: [s for _, s in sorted(v)] for w, v in got.items()}
     assert got == expect
+
+
+# --- auditing pack (operators/auditing.py) --------------------------
+
+
+def test_pareto_frontier_tie_semantics(spark, tmp_path):
+    """Crafted skyline edge cases the sf fixtures may not hit: an exact
+    duplicate (price, size) pair stays ON the frontier as one row with
+    n_parts=2 (neither copy strictly dominates the other), same-price-
+    smaller-size and cheaper-equal-size rows are dominated."""
+    import pandas as pd
+
+    from mini_sql_engine_spark.operators.auditing import pareto_frontier
+
+    rows = [
+        (90.0, 10),  # frontier
+        (100.0, 12),  # frontier (pays more, gets more) ...
+        (100.0, 12),  # ... duplicate pair -> single row, n_parts=2
+        (100.0, 10),  # dominated by (90,10) and (100,12)
+        (80.0, 1),  # frontier (cheapest)
+        (95.0, 11),  # frontier
+        (96.0, 11),  # dominated by (95,11): costlier, same size
+    ]
+    pd.DataFrame(rows, columns=["p_retailprice", "p_size"]).to_parquet(
+        tmp_path / "part.parquet"
+    )
+    got = {
+        (r.p_retailprice, r.p_size): r.n_parts
+        for r in pareto_frontier(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (80.0, 1): 1,
+        (90.0, 10): 1,
+        (95.0, 11): 1,
+        (100.0, 12): 2,
+    }
+
+
+def test_ewma_daily_matches_python_reference(spark, sf_dir):
+    """Independent EWMA pin: the DuckDB oracle shares the 16-lag
+    construction, so re-derive the trailing weighted mean from the raw
+    parquet in plain Python (pandas daily rollup + explicit loop) and
+    require exact equality on every day."""
+    import pandas as pd
+
+    from mini_sql_engine_spark.operators.auditing import EWMA_K, ewma_daily
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (orders.o_totalprice * 100 + 0.5).apply(int)  # floor of x+.5
+    daily = (
+        pd.DataFrame(
+            {"day": orders.o_orderdate.dt.strftime("%Y-%m-%d"), "c": cents}
+        )
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+    )
+    vals = daily.tolist()
+    expect = {}
+    for t, day in enumerate(daily.index):
+        num = den = 0
+        for i in range(min(EWMA_K, t + 1)):
+            w = 1 << (EWMA_K - 1 - i)
+            num += vals[t - i] * w
+            den += w
+        expect[day] = (day, vals[t], num // den)
+    got = {r.day: (r.day, r.cents, r.ewma_cents) for r in ewma_daily(spark, sf_dir).collect()}
+    assert got == expect
