@@ -14,6 +14,7 @@ from collections.abc import Callable
 from mini_sql_engine_spark.operators import (
     analytics,
     asof,
+    association,
     auditing,
     bpe_train,
     curation,
@@ -68,6 +69,7 @@ _MODULES = [
     funcs_ext,
     analytics,
     auditing,
+    association,
 ]
 
 ALL_QUERIES: dict[str, Callable] = {}

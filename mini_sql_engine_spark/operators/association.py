@@ -1,0 +1,229 @@
+"""Association & blocking pack: market-basket pair mining and
+sorted-neighborhood dedup blocking.
+
+Two classic large-scale techniques the earlier packs don't cover:
+
+- ``ext_basket_pairs``: market-basket association over lineitem —
+  part pairs co-purchased in the same order, with support and lift in
+  integer ppm. The A-priori-style pair enumeration is bounded by
+  basket size (≤ ~13 distinct parts/order in this schema), so the
+  self-join explodes per-order, never across orders.
+- ``ext_dedup_sorted_neighborhood``: the Hernández–Stolfo
+  sorted-neighborhood method — the SORT-based alternative to the
+  hash-based LSH blockers in ``operators/dedup.py``. Docs are sorted
+  by a content prefix key, candidate pairs are the docs within a
+  fixed window of the sorted order, and candidates are verified with
+  the same exact Jaccard the all-pairs oracle uses. Found pairs are
+  by construction a subset of ``ext_dedup_jaccard``'s exact output —
+  the oracle pins exactly which subset (the window's).
+
+All outputs are integers or the shared round-6 Jaccard ratio (one
+IEEE divide of exact integers, identical in both engines).
+
+Scale notes (100 TB):
+- basket_pairs: one shuffle on orderkey groups each basket; the pair
+  explosion is per-basket quadratic but baskets are small and bounded
+  — the canonical A-priori candidate shape. Item counts and the
+  single-row order count are broadcast to the pair table, so the only
+  wide shuffle carries (pair → count) partials, map-side combined.
+- sorted_neighborhood: one global sort of (key, doc_id) — at cluster
+  scale ``repartitionByRange`` on the key plus a W-row boundary
+  overlap per range gives the identical candidate set with no global
+  single-task window (the standard distributed-SN construction; the
+  rank window here is its local[*] degenerate form). Candidate pairs
+  are W per doc — linear in corpus size, vs the inverted-index join's
+  posting-list quadratic worst case. Verification joins the shingle
+  arrays onto the thin candidate set only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.operators.dedup import (
+    _JACCARD_PAIRS,
+    _shingled,
+    JACCARD_T,
+)
+
+MIN_SUP = 2  # minimum co-occurrence count for a reported pair
+SN_KEY_TOKENS = 3  # prefix tokens forming the sorted-neighborhood key
+SN_WINDOW = 5  # candidate window width in the sorted order
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchased part pairs with support and lift in integer ppm.
+
+    support_ppm = floor(pair_orders * 1e6 / n_orders); lift_ppm =
+    floor(pair_orders * n_orders * 1e6 / (orders_a * orders_b)) — all
+    numerators exact integer-valued doubles < 2^53, one IEEE divide
+    each."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item_cnt = baskets.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("item_orders")
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= MIN_SUP)
+    )
+    ca = item_cnt.select(
+        F.col("part").alias("part_a"), F.col("item_orders").alias("orders_a")
+    )
+    cb = item_cnt.select(
+        F.col("part").alias("part_b"), F.col("item_orders").alias("orders_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.floor(F.col("pair_orders") * 1_000_000 / F.col("n_orders"))
+            .cast("long")
+            .alias("support_ppm"),
+            F.floor(
+                F.col("pair_orders")
+                * F.col("n_orders")
+                * 1_000_000
+                / (F.col("orders_a") * F.col("orders_b"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+def _sn_key(text_col: str) -> F.Column:
+    """First SN_KEY_TOKENS tokens of the lower/trimmed text — near-dup
+    docs share prefixes, so they land adjacent in the sorted order.
+    Documents are single-space word streams (TESTDATA.md), so a plain
+    space split matches DuckDB's string_split exactly."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    return F.concat_ws(" ", F.slice(toks, 1, SN_KEY_TOKENS))
+
+
+def sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: rank docs by prefix key, pair each
+    doc with the next SN_WINDOW docs in rank order, verify candidates
+    with exact Jaccard >= JACCARD_T on the shared shingle sets."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(_sn_key("text"), "doc_id"))
+        .alias("rnk"),
+    )
+    partner = ranked.select(
+        F.col("doc_id").alias("id_lo"),
+        F.explode(
+            F.sequence(F.col("rnk") + 1, F.col("rnk") + SN_WINDOW)
+        ).alias("rnk"),
+    )
+    cand = partner.join(ranked, "rnk").select(
+        F.least("id_lo", "doc_id").alias("doc_a"),
+        F.greatest("id_lo", "doc_id").alias("doc_b"),
+    )
+    sh = _shingled(spark, sf_dir)
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("na"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias(
+                "jacc"
+            ),
+        )
+        .filter(F.col("jacc") >= JACCARD_T)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_basket_pairs": basket_pairs,
+    "ext_dedup_sorted_neighborhood": sorted_neighborhood,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_basket_pairs": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        item_cnt AS (
+            SELECT l_partkey AS part, COUNT(*) AS item_orders
+            FROM baskets GROUP BY 1),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS pair_orders
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {MIN_SUP})
+        SELECT part_a, part_b, pair_orders,
+               CAST(floor(pair_orders * 1000000 / n_orders) AS BIGINT)
+                   AS support_ppm,
+               CAST(floor(pair_orders * n_orders * 1000000
+                          / (ca.item_orders * cb.item_orders)) AS BIGINT)
+                   AS lift_ppm
+        FROM pairs
+        JOIN item_cnt ca ON ca.part = pairs.part_a
+        JOIN item_cnt cb ON cb.part = pairs.part_b
+        CROSS JOIN tot
+    """,
+    "ext_dedup_sorted_neighborhood": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   array_to_string(
+                       (string_split(lower(trim(text)), ' '))
+                           [1:{SN_KEY_TOKENS}], ' ') AS key
+            FROM documents),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk
+            FROM keyed),
+        cand AS (
+            SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                   GREATEST(a.doc_id, b.doc_id) AS doc_b
+            FROM ranked a JOIN ranked b
+              ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW}),
+        jp AS ({_JACCARD_PAIRS})
+        SELECT jp.doc_a, jp.doc_b, jp.jacc
+        FROM jp JOIN cand
+          ON jp.doc_a = cand.doc_a AND jp.doc_b = cand.doc_b
+        WHERE jp.jacc >= {JACCARD_T}
+    """,
+}
