@@ -571,3 +571,24 @@ def test_bloom_bitset_broadcasts(spark, sf_dir):
     join."""
     plan = _plan(ALL_QUERIES["ext_bloom_membership"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_basket_pairs_broadcasts_side_tables(spark, sf_dir):
+    """ext_basket_pairs must broadcast the item-count and scalar
+    order-count sides onto the pair table (they are parts-sized and
+    1-row) and must not plan a cartesian product anywhere — the pair
+    explosion is the per-order equi self-join."""
+    plan = _plan(ALL_QUERIES["ext_basket_pairs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sorted_neighborhood_is_window_not_allpairs(spark, sf_dir):
+    """ext_dedup_sorted_neighborhood's candidates come from the
+    explode of W partner ranks (a Generate node joined back on rank) —
+    never a cartesian/nested-loop pairing; the Jaccard verify joins
+    shingle arrays onto that thin candidate set by doc id."""
+    plan = _plan(ALL_QUERIES["ext_dedup_sorted_neighborhood"](spark, sf_dir))
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
