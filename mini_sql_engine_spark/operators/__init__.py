@@ -21,6 +21,7 @@ from mini_sql_engine_spark.operators import (
     dedup,
     funcs_ext,
     governance,
+    graph_ops,
     joins_ext,
     layout,
     ml_lsh,
@@ -70,6 +71,7 @@ _MODULES = [
     analytics,
     auditing,
     association,
+    graph_ops,
 ]
 
 ALL_QUERIES: dict[str, Callable] = {}

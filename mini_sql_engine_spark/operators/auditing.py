@@ -28,6 +28,11 @@ repr-exact hash compare cannot be tripped by float reduction order.
   Weights are powers of two on integer cents, so the weighted sum is
   an exact BIGINT in both engines; the only float op is one IEEE
   divide of exactly-representable integers, identical everywhere.
+- ``ext_fd_violations``: functional-dependency audit over declared
+  FD specs (key → attribute that holds, denormalization FDs the data
+  violates) — lhs group counts, violating-group counts, integer-ppm
+  violation rate, worst rhs cardinality. One map-side-combinable
+  two-level aggregation per FD.
 - ``ext_pareto_frontier``: the skyline of distinct (p_retailprice,
   p_size) pairs — pairs no other pair beats on both price (lower
   better) and size (higher better). The Spark side is the O(n log n)
@@ -236,12 +241,70 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FD_SPECS: list[tuple[str, str, str, str]] = [
+    # (fd_name, table, lhs, rhs) — one FD per report row; mixes an FD
+    # that plainly holds (key → attribute) with ones the data violates,
+    # so both branches of the audit are exercised.
+    ("orders: o_orderkey -> o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+    ("orders: o_custkey -> o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("documents: source -> lang", "documents", "source", "lang"),
+]
+
+
+def fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared FD lhs -> rhs,
+    how many lhs groups exist, how many carry >1 distinct rhs value
+    (violations), the violation rate in integer ppm, and the worst
+    group's rhs cardinality. The discovery loop every data-quality
+    tool (Deequ/dbt tests) runs before trusting a join key or a
+    denormalized column."""
+    out: DataFrame | None = None
+    for fd_name, table, lhs, rhs in FD_SPECS:
+        groups = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        row = groups.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating"),
+            F.floor(
+                F.sum((F.col("n_rhs") > 1).cast("long"))
+                * 1_000_000
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("violation_ppm"),
+            F.max("n_rhs").cast("long").alias("max_rhs_distinct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_benford_audit": benford_audit,
     "ext_cdc_apply": cdc_apply,
     "ext_ewma_daily": ewma_daily,
     "ext_pareto_frontier": pareto_frontier,
+    "ext_fd_violations": fd_violations,
 }
+
+_FD_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{fd_name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(floor(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                      * 1000000 / COUNT(*)) AS BIGINT) AS violation_ppm,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_distinct
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+          FROM {table} GROUP BY {lhs})
+    """
+    for fd_name, table, lhs, rhs in FD_SPECS
+)
 
 _BENFORD_CASE = " ".join(
     f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
@@ -307,6 +370,7 @@ ORACLES: dict[str, str] = {
                           / ({_EWMA_DEN})) AS BIGINT) AS ewma_cents
         FROM daily
     """,
+    "ext_fd_violations": _FD_ORACLE,
     "ext_pareto_frontier": """
         WITH pairs AS (
             SELECT p_retailprice, p_size, COUNT(*) AS n_parts

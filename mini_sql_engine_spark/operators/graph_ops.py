@@ -1,0 +1,115 @@
+"""k-core decomposition of the near-duplicate graph.
+
+``ext_kcore_graph`` peels the Jaccard near-dup graph (same edge set as
+``ext_triangle_census`` / ``ext_dedup_clusters``) down to its K-core:
+repeatedly drop nodes with degree < K until a fixpoint. The surviving
+core is the "template family" heart of the duplicate structure — the
+set a clique-collapse dedup policy should treat as one unit, and the
+set where transitive over-merging is NOT a risk (every member is
+multiply connected). Output: each core member with its within-core
+degree.
+
+Iterative pattern (same as ``dedup_clusters`` / ``contamination_hops``):
+a driver loop over DataFrame ops, ``localCheckpoint`` per round to cut
+lineage, and a METADATA-ONLY convergence check (a scalar node count —
+never data collection). The oracle unrolls ``KCORE_MAX_PEEL`` peel
+rounds as CTEs; peeling is monotone, so once Spark's loop reaches the
+fixpoint every further unrolled round is a no-op and the two engines
+agree exactly. A pytest pins observed rounds ≤ KCORE_MAX_PEEL - 2 at
+driver scale so a testdata change that deepens peeling can't silently
+outrun the oracle's unroll.
+
+Scale notes (100 TB): the edge list is the near-dup pass's output —
+orders of magnitude below corpus size. Each round is one degree
+aggregation (map-side combinable) plus two semi-joins keyed on node
+id; AQE handles hub-node skew. Rounds needed = peel depth, bounded by
+graph degeneracy (shallow for near-dup graphs); distributed k-core at
+scale is exactly this loop with the edge table bucketed on src so
+per-round joins never reshuffle the static side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.operators.dedup import (
+    _JACCARD_PAIRS,
+    ITERATION_COUNTS,
+    JACCARD_T,
+    jaccard_dedup,
+)
+
+KCORE_K = 2  # minimum within-core degree
+KCORE_MAX_PEEL = 8  # oracle unroll depth; Spark asserts convergence first
+
+
+def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peel to the KCORE_K-core; return (doc_id, core_degree)."""
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    prev_nodes = None
+    for rounds in range(1, KCORE_MAX_PEEL + 1):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.selectExpr("src AS dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        # node count is monotonically non-increasing; unchanged ⇒ no
+        # node fell below K this round ⇒ fixpoint (scalar-only check)
+        cur_nodes = edges.select("src").distinct().count()
+        if cur_nodes == prev_nodes:
+            ITERATION_COUNTS["kcore_graph"] = rounds
+            break
+        prev_nodes = cur_nodes
+    else:
+        raise RuntimeError(
+            f"k-core peel not converged in {KCORE_MAX_PEEL} rounds"
+        )
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_kcore_graph": kcore_graph,
+}
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, KCORE_MAX_PEEL + 1):
+        rounds.append(
+            f"""k{r} AS MATERIALIZED (
+                SELECT s FROM (SELECT s, COUNT(*) AS c FROM e{r - 1}
+                               GROUP BY s)
+                WHERE c >= {KCORE_K}),
+            e{r} AS MATERIALIZED (
+                SELECT e.s, e.d FROM e{r - 1} e
+                JOIN k{r} a ON e.s = a.s
+                JOIN k{r} b ON e.d = b.s)"""
+        )
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        e0 AS MATERIALIZED (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs),
+        {", ".join(rounds)}
+        SELECT s AS doc_id, COUNT(*) AS core_degree
+        FROM e{KCORE_MAX_PEEL} GROUP BY s
+    """
+
+
+ORACLES: dict[str, str] = {
+    "ext_kcore_graph": _kcore_oracle(),
+}

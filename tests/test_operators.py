@@ -698,3 +698,17 @@ def test_ewma_daily_matches_python_reference(spark, sf_dir):
         expect[day] = (day, vals[t], num // den)
     got = {r.day: (r.day, r.cents, r.ewma_cents) for r in ewma_daily(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_kcore_rounds_within_oracle_unroll(spark):
+    """The k-core peel must converge well inside the oracle's
+    KCORE_MAX_PEEL unrolled rounds at driver scale — if testdata ever
+    deepens peeling near the unroll depth, fail here instead of
+    risking a Spark-converged / oracle-truncated mismatch. Also pin
+    the core's defining invariant: every member has degree >= K."""
+    from mini_sql_engine_spark.operators import graph_ops
+
+    out = graph_ops.kcore_graph(spark, "/root/testdata/sf0.01").collect()
+    rounds = graph_ops.ITERATION_COUNTS["kcore_graph"]
+    assert 1 <= rounds <= graph_ops.KCORE_MAX_PEEL - 2, rounds
+    assert all(r.core_degree >= graph_ops.KCORE_K for r in out)
