@@ -37,6 +37,7 @@ from mini_sql_engine_spark.operators import (
     udfs,
     window_funcs,
 )
+from mini_sql_engine_spark.streaming import joins_ext as streaming_joins_ext
 from mini_sql_engine_spark.streaming import upsert as streaming_upsert
 from mini_sql_engine_spark.streaming import windows as streaming_windows
 
@@ -72,6 +73,7 @@ _MODULES = [
     auditing,
     association,
     graph_ops,
+    streaming_joins_ext,
 ]
 
 ALL_QUERIES: dict[str, Callable] = {}

@@ -1,0 +1,107 @@
+"""Watermarked stream-stream LEFT OUTER join.
+
+``stream_click_nopurchase`` completes the streaming-join story begun by
+``stream_click_purchase_join`` (inner): clicks joined to purchases
+within a 1-hour horizon, where a click with NO purchase emits a
+null-purchase row — but only once the join is PROVABLY unmatched,
+i.e. when the global watermark passes the click's whole join window
+(click_ts + horizon). That is the defining semantics of streaming
+outer joins: unmatched results are delayed until state expiry, and
+rows whose window the final watermark never passes are never emitted.
+
+The oracle replays those semantics exactly in SQL: matched pairs are
+the plain time-bounded join; unmatched clicks are emitted iff
+``click_ts + horizon < final_watermark`` with ``final_watermark =
+least(max(click_ts), max(purchase_ts)) - delay`` — the min-across-
+streams watermark Spark computes after the last micro-batch (the
+engine's no-data batch then flushes exactly this expired state;
+verified deterministic across repeated replays).
+
+Scale notes (100 TB): identical state bounds to the inner join — a
+buffered click is evicted (and its unmatched row emitted) once the
+watermark passes click_ts + horizon, so state is O(events in the
+horizon), independent of stream length. The outer join adds no state,
+only the null emission on eviction. Both sides shuffle once on
+user_id; skewed users are AQE's problem, same as the inner join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.streaming.windows import (
+    events_stream,
+    stream_to_df,
+)
+
+HORIZON = "1 hour"
+DELAY = "2 hours"
+
+
+def click_nopurchase_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Left-outer stream-stream join, watermarked on both sides."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", DELAY)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", DELAY)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {HORIZON}"
+        ),
+        "left_outer",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+
+def stream_click_nopurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return stream_to_df(
+        spark, click_nopurchase_join(clicks, purchases), "append"
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_click_nopurchase": stream_click_nopurchase,
+}
+
+ORACLES: dict[str, str] = {
+    "stream_click_nopurchase": """
+        WITH c AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(ts) FROM c),
+                            (SELECT max(ts) FROM p))
+                      - INTERVAL 2 HOURS AS w)
+        SELECT c.user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id
+        FROM c, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+          AND c.ts + INTERVAL 1 HOUR < wm.w
+    """,
+}
