@@ -172,9 +172,30 @@ def sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_PAIRS_K = 20  # global ranked near-dup report size
+
+
+def dedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K most-similar doc pairs — the threshold-less ranked
+    near-dup report (what a curator eyeballs before picking JACCARD_T).
+    Candidates come from the shared inverted-index join; the global
+    top-K is a sort-limit (TakeOrdered — per-partition partial top-K,
+    then a K-row driver merge, never a full global sort). Determinism:
+    ties on the round-6 jacc break by (doc_a, doc_b)."""
+    from mini_sql_engine_spark.operators.dedup import _jaccard_pairs
+
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "jacc")
+        .orderBy(F.col("jacc").desc(), "doc_a", "doc_b")
+        .limit(TOP_PAIRS_K)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_basket_pairs": basket_pairs,
     "ext_dedup_sorted_neighborhood": sorted_neighborhood,
+    "ext_dedup_top_pairs": dedup_top_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -203,6 +224,11 @@ ORACLES: dict[str, str] = {
         JOIN item_cnt ca ON ca.part = pairs.part_a
         JOIN item_cnt cb ON cb.part = pairs.part_b
         CROSS JOIN tot
+    """,
+    "ext_dedup_top_pairs": f"""
+        SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) p
+        ORDER BY jacc DESC, doc_a, doc_b
+        LIMIT {TOP_PAIRS_K}
     """,
     "ext_dedup_sorted_neighborhood": f"""
         WITH keyed AS (

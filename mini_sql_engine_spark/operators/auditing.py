@@ -283,12 +283,34 @@ def fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation: revenue per priority as DECIMAL(18,2).
+
+    Decimal accumulation is exactly associative — unlike double sums,
+    the result is bit-identical under ANY partitioning or reduction
+    order, which is the correct type discipline for money at 100 TB
+    (no round-through-double tricks needed). Emitted as a string so
+    both engines' pandas bridges agree on dtype; the string is the
+    full exact decimal, not a rounding."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_benford_audit": benford_audit,
     "ext_cdc_apply": cdc_apply,
     "ext_ewma_daily": ewma_daily,
     "ext_pareto_frontier": pareto_frontier,
     "ext_fd_violations": fd_violations,
+    "ext_decimal_revenue": decimal_revenue,
 }
 
 _FD_ORACLE = " UNION ALL ".join(
@@ -371,6 +393,13 @@ ORACLES: dict[str, str] = {
         FROM daily
     """,
     "ext_fd_violations": _FD_ORACLE,
+    "ext_decimal_revenue": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
     "ext_pareto_frontier": """
         WITH pairs AS (
             SELECT p_retailprice, p_size, COUNT(*) AS n_parts
