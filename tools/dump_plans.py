@@ -89,6 +89,15 @@ MARQUEE = [
     ("ext_pagerank_types", "integer-ppm power iterations: the corpus "
      "cost is the edge window; iterations join type-cardinality "
      "tables with the rank table broadcast"),
+    ("ext_basket_pairs", "market-basket pairs: per-order bounded self-"
+     "join; item counts and the 1-row order total broadcast onto the "
+     "pair table — only (pair, count) partials ride the wide shuffle"),
+    ("ext_kcore_graph", "k-core peel: per-round degree partial-agg + "
+     "two semi-joins keyed on node id over the edges-sized table; "
+     "localCheckpoint keeps each round's plan flat"),
+    ("ext_pareto_frontier", "skyline: DISTINCT pair collapse map-side, "
+     "then one range-partitioned sort + running max over the "
+     "pairs-sized table — never a quadratic dominance join"),
 ]
 
 
