@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 from mini_sql_engine_spark.catalog import load_table
 from mini_sql_engine_spark.operators.dedup import (
     _JACCARD_PAIRS,
+    _MINHASH_ORACLE,
     _shingled,
     JACCARD_T,
 )
@@ -192,11 +193,119 @@ def dedup_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blocker_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker benchmark: recall of each candidate-generation strategy
+    against the exact-Jaccard ground truth at the shared threshold.
+
+    Every blocker here verifies candidates with the exact Jaccard, so
+    found ⊆ true and precision is 1 by construction — the report still
+    computes matched via a semi-join rather than assuming it, so a
+    blocker that ever emitted a non-true pair would surface as
+    matched < found. This is the decision table a curator reads before
+    picking a blocking strategy for a corpus: LSH trades a recall loss
+    for hash-bucket locality, sorted-neighborhood for sort locality.
+
+    Scale: each method's pair table is the (small) output of its own
+    blocking pass; all aggregates are single-row and meet in broadcast
+    cross joins — nothing data-sized moves."""
+    from mini_sql_engine_spark.operators.dedup import (
+        jaccard_dedup,
+        minhash_lsh_dedup,
+    )
+
+    exact = (
+        jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
+    true_cnt = exact.agg(F.count(F.lit(1)).alias("true_pairs"))
+    # each method table is consumed twice (count + semi-join) — one
+    # localCheckpoint avoids re-running the whole blocking pass per
+    # consumer (the SN global-rank window in particular)
+    methods: list[tuple[str, DataFrame]] = [
+        ("exact_inverted_index", exact),
+        (
+            "minhash_lsh",
+            minhash_lsh_dedup(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(),
+        ),
+        (
+            "sorted_neighborhood",
+            sorted_neighborhood(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(),
+        ),
+    ]
+    out: DataFrame | None = None
+    for name, df in methods:
+        found = df.agg(F.count(F.lit(1)).alias("found_pairs"))
+        matched = df.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("matched_pairs")
+        )
+        row = (
+            found.crossJoin(F.broadcast(matched))
+            .crossJoin(F.broadcast(true_cnt))
+            .select(
+                F.lit(name).alias("method"),
+                "found_pairs",
+                "true_pairs",
+                "matched_pairs",
+                F.floor(F.col("matched_pairs") * 1_000_000 / F.col("true_pairs"))
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_basket_pairs": basket_pairs,
     "ext_dedup_sorted_neighborhood": sorted_neighborhood,
     "ext_dedup_top_pairs": dedup_top_pairs,
+    "ext_blocker_recall_report": blocker_recall_report,
 }
+
+_SN_PAIRS_SQL = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               array_to_string(
+                   (string_split(lower(trim(text)), ' '))
+                       [1:{SN_KEY_TOKENS}], ' ') AS key
+        FROM documents),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk
+        FROM keyed),
+    cand AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM ranked a JOIN ranked b
+          ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW}),
+    jp AS ({_JACCARD_PAIRS})
+    SELECT jp.doc_a, jp.doc_b, jp.jacc
+    FROM jp JOIN cand
+      ON jp.doc_a = cand.doc_a AND jp.doc_b = cand.doc_b
+    WHERE jp.jacc >= {JACCARD_T}
+"""
+
+
+def _recall_row(label: str, rel: str) -> str:
+    """One method row of the blocker recall report (matched computed
+    via EXISTS against the exact set, never assumed)."""
+    matched = f"""(SELECT COUNT(*) FROM {rel} e
+                   WHERE EXISTS (SELECT 1 FROM exact x
+                                 WHERE x.doc_a = e.doc_a
+                                   AND x.doc_b = e.doc_b))"""
+    return f"""
+        SELECT '{label}' AS method,
+               (SELECT COUNT(*) FROM {rel}) AS found_pairs,
+               true_pairs,
+               {matched} AS matched_pairs,
+               CAST(floor({matched} * 1000000 / true_pairs) AS BIGINT)
+                   AS recall_ppm
+        FROM t"""
+
 
 ORACLES: dict[str, str] = {
     "ext_basket_pairs": f"""
@@ -230,26 +339,20 @@ ORACLES: dict[str, str] = {
         ORDER BY jacc DESC, doc_a, doc_b
         LIMIT {TOP_PAIRS_K}
     """,
-    "ext_dedup_sorted_neighborhood": f"""
-        WITH keyed AS (
-            SELECT doc_id,
-                   array_to_string(
-                       (string_split(lower(trim(text)), ' '))
-                           [1:{SN_KEY_TOKENS}], ' ') AS key
-            FROM documents),
-        ranked AS (
-            SELECT doc_id,
-                   ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk
-            FROM keyed),
-        cand AS (
-            SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
-                   GREATEST(a.doc_id, b.doc_id) AS doc_b
-            FROM ranked a JOIN ranked b
-              ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW}),
-        jp AS ({_JACCARD_PAIRS})
-        SELECT jp.doc_a, jp.doc_b, jp.jacc
-        FROM jp JOIN cand
-          ON jp.doc_a = cand.doc_a AND jp.doc_b = cand.doc_b
-        WHERE jp.jacc >= {JACCARD_T}
+    "ext_dedup_sorted_neighborhood": _SN_PAIRS_SQL,
+    "ext_blocker_recall_report": f"""
+        WITH exact AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        mh AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) m),
+        sn AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_SN_PAIRS_SQL}) s),
+        t AS (SELECT COUNT(*) AS true_pairs FROM exact)
+        {_recall_row("exact_inverted_index", "exact")}
+        UNION ALL
+        {_recall_row("minhash_lsh", "mh")}
+        UNION ALL
+        {_recall_row("sorted_neighborhood", "sn")}
     """,
 }

@@ -194,8 +194,70 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIT_LOOKBACK_US = 3_600_000_000  # PIT lookup asks "state 1 hour ago"
+
+
+def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD2 state dimension:
+    for every purchase, the user's state valid one hour BEFORE the
+    purchase (coalesced to 'unknown' before the first interval).
+
+    The Spark side uses the scalable PIT construction — NO interval
+    join: state-change rows and lookup rows union into one stream,
+    partitioned by user and ordered by (time, marker, event_id)
+    (change rows sort before lookups at equal time, matching the
+    [from, to) interval convention), and `last(state, ignorenulls)`
+    over the running frame carries the in-effect state onto each
+    lookup. One shuffle on user_id, O(1) window state — the pattern
+    that beats a range join at 100 TB because nothing is quadratic in
+    interval × lookup density. The oracle is the INDEPENDENT interval
+    construction: the SCD2 validity table left-joined on
+    valid_from <= t < valid_to."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.lit(0).alias("marker"),
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    lookups = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros("ts") - PIT_LOOKBACK_US).alias("t"),
+        F.lit(1).alias("marker"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "marker", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        runs.unionByName(lookups)
+        .withColumn("state_at", F.last("state", ignorenulls=True).over(w2))
+        .filter(F.col("marker") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.coalesce("state_at", F.lit("unknown")).alias("state_at"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_scd2_history": scd2_history,
+    "ext_scd2_pit_lookup": scd2_pit_lookup,
     "ext_trailing_time_window": trailing_time_window,
     "ext_running_total": running_total,
     "ext_moving_avg": moving_avg,
@@ -205,6 +267,31 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_scd2_pit_lookup": f"""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events),
+        runs AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+            FROM marked
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+        closed AS (
+            SELECT user_id, event_type, t,
+                   LEAD(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS next_t
+            FROM runs),
+        lookups AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) - {PIT_LOOKBACK_US} AS lt
+            FROM events WHERE event_type = 'purchase')
+        SELECT l.user_id, l.event_id AS purchase_id,
+               COALESCE(s.event_type, 'unknown') AS state_at
+        FROM lookups l LEFT JOIN closed s
+          ON s.user_id = l.user_id
+         AND s.t <= l.lt AND (s.next_t IS NULL OR l.lt < s.next_t)
+    """,
     "ext_scd2_history": """
         WITH marked AS (
             SELECT user_id, event_type, ts, event_id,
