@@ -304,6 +304,107 @@ def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GA_YEAR0 = 1996  # growth-accounting base period
+GA_YEAR1 = 1997  # growth-accounting comparison period
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge per priority: the delta between
+    GA_YEAR0 and GA_YEAR1 revenue decomposed into a volume effect
+    (order-count change at base-period average price) and a price
+    effect (the exact residual). volume_effect = floor(Δvol · rev0 /
+    vol0) — one IEEE divide of exact integers; price_effect =
+    Δrev − volume_effect, exact by construction, so the bridge always
+    reconciles to the cent."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    per = (
+        orders.filter(F.col("yr").isin(GA_YEAR0, GA_YEAR1))
+        .groupBy("o_orderpriority", "yr")
+        .agg(
+            F.sum(_cents("o_totalprice")).alias("rev"),
+            F.count(F.lit(1)).alias("vol"),
+        )
+    )
+    p0 = per.filter(F.col("yr") == GA_YEAR0).select(
+        "o_orderpriority",
+        F.col("rev").alias("rev0"),
+        F.col("vol").alias("vol0"),
+    )
+    p1 = per.filter(F.col("yr") == GA_YEAR1).select(
+        "o_orderpriority",
+        F.col("rev").alias("rev1"),
+        F.col("vol").alias("vol1"),
+    )
+    j = p0.join(p1, "o_orderpriority")
+    vol_eff = F.floor(
+        (F.col("vol1") - F.col("vol0")) * F.col("rev0") / F.col("vol0")
+    ).cast("long")
+    return j.select(
+        "o_orderpriority",
+        "rev0",
+        "rev1",
+        "vol0",
+        "vol1",
+        (F.col("rev1") - F.col("rev0")).alias("delta_rev"),
+        vol_eff.alias("volume_effect"),
+        (F.col("rev1") - F.col("rev0") - vol_eff).alias("price_effect"),
+    )
+
+
+SEASONAL_LAGS = 4  # same-weekday occurrences in the naive forecast
+
+
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive seasonal forecast backtest: predict each day's revenue as
+    the mean of the previous SEASONAL_LAGS same-weekday revenues, then
+    report per-weekday MAPE in integer ppm. The baseline every real
+    forecast must beat — running it in-engine makes the bar explicit.
+    forecast = floor(sum of 4 lags / 4) on integer cents; ape_ppm =
+    floor(|actual − forecast| · 1e6 / actual); mape_ppm = floor(sum /
+    n) — every op integer-exact or one IEEE divide of exact ints."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.weekday(F.to_date(F.col("o_orderdate"))).alias("wd"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("wd").orderBy("day")
+    lag_sum = sum(
+        (F.lag("cents", i).over(w) for i in range(1, SEASONAL_LAGS + 1)),
+        F.lit(0).cast("long"),
+    )
+    n_lags = sum(
+        (
+            F.when(F.lag("cents", i).over(w).isNotNull(), 1).otherwise(0)
+            for i in range(1, SEASONAL_LAGS + 1)
+        ),
+        F.lit(0),
+    )
+    scored = (
+        daily.withColumn("n_lags", n_lags)
+        .withColumn("forecast", F.floor(lag_sum / F.col("n_lags")).cast("long"))
+        .filter(F.col("n_lags") == SEASONAL_LAGS)
+        .withColumn(
+            "ape_ppm",
+            F.floor(
+                F.abs(F.col("cents") - F.col("forecast"))
+                * 1_000_000
+                / F.col("cents")
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(F.sum("ape_ppm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mape_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_benford_audit": benford_audit,
     "ext_cdc_apply": cdc_apply,
@@ -311,6 +412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_pareto_frontier": pareto_frontier,
     "ext_fd_violations": fd_violations,
     "ext_decimal_revenue": decimal_revenue,
+    "ext_growth_accounting": growth_accounting,
+    "ext_seasonal_baseline": seasonal_baseline,
 }
 
 _FD_ORACLE = " UNION ALL ".join(
@@ -393,6 +496,52 @@ ORACLES: dict[str, str] = {
         FROM daily
     """,
     "ext_fd_violations": _FD_ORACLE,
+    "ext_growth_accounting": f"""
+        WITH per AS (
+            SELECT o_orderpriority, year(o_orderdate) AS yr,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev,
+                   COUNT(*) AS vol
+            FROM orders
+            WHERE year(o_orderdate) IN ({GA_YEAR0}, {GA_YEAR1})
+            GROUP BY 1, 2),
+        p0 AS (SELECT o_orderpriority, rev AS rev0, vol AS vol0
+               FROM per WHERE yr = {GA_YEAR0}),
+        p1 AS (SELECT o_orderpriority, rev AS rev1, vol AS vol1
+               FROM per WHERE yr = {GA_YEAR1})
+        SELECT p0.o_orderpriority, rev0, rev1, vol0, vol1,
+               rev1 - rev0 AS delta_rev,
+               CAST(floor((vol1 - vol0) * rev0 * 1.0 / vol0) AS BIGINT)
+                   AS volume_effect,
+               rev1 - rev0
+                   - CAST(floor((vol1 - vol0) * rev0 * 1.0 / vol0) AS BIGINT)
+                   AS price_effect
+        FROM p0 JOIN p1 USING (o_orderpriority)
+    """,
+    "ext_seasonal_baseline": f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   isodow(o_orderdate) - 1 AS wd,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2),
+        lagged AS (
+            SELECT wd, cents,
+                   {" + ".join(f"COALESCE(lag(cents, {i}) OVER (PARTITION BY wd ORDER BY day), 0)" for i in range(1, SEASONAL_LAGS + 1))}
+                       AS lag_sum,
+                   {" + ".join(f"(CASE WHEN lag(cents, {i}) OVER (PARTITION BY wd ORDER BY day) IS NOT NULL THEN 1 ELSE 0 END)" for i in range(1, SEASONAL_LAGS + 1))}
+                       AS n_lags
+            FROM daily),
+        scored AS (
+            SELECT wd, cents,
+                   CAST(floor(lag_sum * 1.0 / n_lags) AS BIGINT) AS forecast
+            FROM lagged WHERE n_lags = {SEASONAL_LAGS})
+        SELECT CAST(wd AS INTEGER) AS wd, COUNT(*) AS n_days,
+               CAST(floor(SUM(CAST(floor(abs(cents - forecast) * 1000000.0
+                                         / cents) AS BIGINT)) * 1.0
+                          / COUNT(*)) AS BIGINT) AS mape_ppm
+        FROM scored GROUP BY wd
+    """,
     "ext_decimal_revenue": """
         SELECT o_orderpriority,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
