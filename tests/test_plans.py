@@ -592,3 +592,31 @@ def test_sorted_neighborhood_is_window_not_allpairs(spark, sf_dir):
     assert "Generate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pit_lookup_single_user_shuffle(spark, sf_dir):
+    """ext_scd2_pit_lookup must be ONE hash exchange on user_id (both
+    the run-detection window and the PIT carry-forward window share the
+    user partitioning) — and never an interval/nested-loop join; the
+    interval formulation is oracle-only."""
+    plan = _plan(ALL_QUERIES["ext_scd2_pit_lookup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_growth_accounting_broadcasts_period_tables(spark, sf_dir):
+    """The two per-period aggregates are priority-sized (5 rows) — the
+    bridge join must broadcast, never shuffle the already-tiny sides
+    into a sort-merge join."""
+    plan = _plan(ALL_QUERIES["ext_growth_accounting"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seasonal_baseline_window_is_keyed(spark, sf_dir):
+    """The lag window partitions by weekday — no global single-task
+    window anywhere in the seasonal backtest."""
+    plan = _plan(ALL_QUERIES["ext_seasonal_baseline"](spark, sf_dir))
+    assert "Exchange hashpartitioning(wd" in plan, plan
+    assert "Exchange SinglePartition" not in plan or "partial" in plan, plan
