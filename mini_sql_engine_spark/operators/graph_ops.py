@@ -78,8 +78,27 @@ def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many components of each
+    size the near-dup graph contains (size 1 = unique docs). THE
+    one-glance dedup summary — a heavy tail of big clusters means
+    template families and argues for clique-collapse; all-pairs-sized
+    clusters mean chains. Composition of ``dedup_clusters``; two
+    map-side-combinable aggregations over the docs-sized label table."""
+    from mini_sql_engine_spark.operators.dedup import dedup_clusters
+
+    return (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_kcore_graph": kcore_graph,
+    "ext_cluster_size_histogram": cluster_size_histogram,
 }
 
 
@@ -110,6 +129,19 @@ def _kcore_oracle() -> str:
     """
 
 
+def _cluster_sizes_oracle() -> str:
+    from mini_sql_engine_spark.operators import dedup
+
+    clusters_sql = dedup.ORACLES["ext_dedup_clusters"]
+    return f"""
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM ({clusters_sql}) c GROUP BY cluster_id)
+        GROUP BY cluster_size
+    """
+
+
 ORACLES: dict[str, str] = {
     "ext_kcore_graph": _kcore_oracle(),
+    "ext_cluster_size_histogram": _cluster_sizes_oracle(),
 }
