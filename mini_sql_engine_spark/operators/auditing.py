@@ -304,6 +304,48 @@ def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIMS = 64  # embeddings table dimensionality (TESTDATA.md)
+EMB_MICRO = 1_000_000  # micro-unit quantization (same as quality.KM_SCALE)
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift screen: per-dimension mean of two
+    deterministic snapshots (vec_id parity stands in for old/new
+    model versions) in integer micro-units, plus the shift. The
+    monitor an embedding pipeline runs after a model swap — a large
+    per-dimension shift means re-indexing/re-clustering is due.
+
+    Exactness: float32 components widen to double exactly, quantize to
+    micro-unit longs (floor), sums of longs are exactly associative,
+    and the mean is one floor-divide of exact integers — deterministic
+    under any partitioning, in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "snap",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * EMB_MICRO)
+        .cast("long")
+        .alias("micro"),
+    )
+    agg = vals.groupBy("dim").agg(
+        F.sum(F.when(F.col("snap") == 0, F.col("micro"))).alias("sum_old"),
+        F.sum((F.col("snap") == 0).cast("long")).alias("n_old"),
+        F.sum(F.when(F.col("snap") == 1, F.col("micro"))).alias("sum_new"),
+        F.sum((F.col("snap") == 1).cast("long")).alias("n_new"),
+    )
+    mean_old = F.floor(F.col("sum_old") / F.col("n_old")).cast("long")
+    mean_new = F.floor(F.col("sum_new") / F.col("n_new")).cast("long")
+    return agg.select(
+        "dim",
+        mean_old.alias("mean_old_micro"),
+        mean_new.alias("mean_new_micro"),
+        (mean_new - mean_old).alias("shift_micro"),
+    )
+
+
 GA_YEAR0 = 1996  # growth-accounting base period
 GA_YEAR1 = 1997  # growth-accounting comparison period
 
@@ -414,6 +456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_decimal_revenue": decimal_revenue,
     "ext_growth_accounting": growth_accounting,
     "ext_seasonal_baseline": seasonal_baseline,
+    "ext_embedding_drift": embedding_drift,
 }
 
 _FD_ORACLE = " UNION ALL ".join(
@@ -496,6 +539,30 @@ ORACLES: dict[str, str] = {
         FROM daily
     """,
     "ext_fd_violations": _FD_ORACLE,
+    "ext_embedding_drift": f"""
+        WITH vals AS (
+            SELECT vec_id % 2 AS snap, d.i AS dim,
+                   CAST(floor(CAST(embedding[d.i] AS DOUBLE) * {EMB_MICRO})
+                        AS BIGINT) AS micro
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIMS})) AS i) d),
+        agg AS (
+            SELECT dim,
+                   SUM(CASE WHEN snap = 0 THEN micro END) AS sum_old,
+                   SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS n_old,
+                   SUM(CASE WHEN snap = 1 THEN micro END) AS sum_new,
+                   SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS n_new
+            FROM vals GROUP BY dim)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(floor(sum_old * 1.0 / n_old) AS BIGINT)
+                   AS mean_old_micro,
+               CAST(floor(sum_new * 1.0 / n_new) AS BIGINT)
+                   AS mean_new_micro,
+               CAST(floor(sum_new * 1.0 / n_new) AS BIGINT)
+                   - CAST(floor(sum_old * 1.0 / n_old) AS BIGINT)
+                   AS shift_micro
+        FROM agg
+    """,
     "ext_growth_accounting": f"""
         WITH per AS (
             SELECT o_orderpriority, year(o_orderdate) AS yr,

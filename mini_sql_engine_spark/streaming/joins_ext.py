@@ -76,11 +76,56 @@ def stream_click_nopurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow backfill replay: the production pattern for
+    "process everything that exists, then STOP" — unlike a continuous
+    trigger the query self-terminates after draining the source, and
+    unlike the deprecated Trigger.Once it respects source rate limits
+    by running multiple bounded micro-batches. Result must equal the
+    continuous replay of the same watermarked tumbling aggregation, so
+    it shares ``stream_tumbling_counts``'s batch oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from mini_sql_engine_spark.streaming.windows import (
+        events_stream,
+        tumbling_counts,
+    )
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    chk = os.path.join(tempfile.gettempdir(), f"chk_{name}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            tumbling_counts(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # AvailableNow self-terminates when drained
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_nopurchase": stream_click_nopurchase,
+    "stream_available_now": stream_available_now,
 }
 
+def _tumbling_oracle() -> str:
+    from mini_sql_engine_spark.streaming import windows
+
+    return windows.ORACLES["stream_tumbling_counts"]
+
+
 ORACLES: dict[str, str] = {
+    "stream_available_now": _tumbling_oracle(),
     "stream_click_nopurchase": """
         WITH c AS (SELECT user_id, ts, event_id FROM events
                    WHERE event_type = 'click'),
