@@ -1118,7 +1118,32 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition month: of the customers whose
+    FIRST order fell in month M, what fraction ever ordered again —
+    the one-number growth metric behind every cohort chart. Two
+    map-side-combinable aggregations (per-customer first date + order
+    count, then per-month rollup); rate in integer ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort_month"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return per_cust.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("n_orders") > 1).cast("long")).alias("n_repeaters"),
+        F.floor(
+            F.sum((F.col("n_orders") > 1).cast("long"))
+            * 1_000_000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("repeat_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_repeat_purchase_rate": repeat_purchase_rate,
     "ext_rfm_segments": rfm_segments,
     "ext_slo_burn": slo_burn,
     "ext_drift_chi2": drift_chi2,
@@ -1212,6 +1237,19 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_repeat_purchase_rate": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   strftime(MIN(o_orderdate), '%Y-%m') AS cohort_month,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey)
+        SELECT cohort_month, COUNT(*) AS n_customers,
+               CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeaters,
+               CAST(floor(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)
+                          * 1000000 / COUNT(*)) AS BIGINT) AS repeat_ppm
+        FROM per_cust GROUP BY cohort_month
+    """,
     "ext_rfm_segments": f"""
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         per AS (

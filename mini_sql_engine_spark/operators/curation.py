@@ -264,6 +264,35 @@ def key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed log dedup: keep the FIRST event per (user,
+    event_type, calendar day) — the log-hygiene pass every event
+    pipeline runs before aggregation (exact dedup would collapse
+    legitimate repeats across days; global dropDuplicates keeps
+    unbounded state in streams). One window keyed on (user, type,
+    day); the keeper is the (ts, event_id)-minimal row, so the output
+    is engine-independent. At 100 TB: a single hash shuffle on the
+    dedup key; state per key is one row; the streaming twin is
+    dropDuplicatesWithinWatermark with a 1-day delay
+    (stream_dedup_watermarked)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_id").alias("keep_event_id"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_boilerplate_ngrams": boilerplate_ngrams,
     "ext_key_skew": key_skew,
@@ -271,6 +300,7 @@ QUERIES: dict[str, Callable] = {
     "ext_data_profile": data_profile,
     "ext_doc_len_outliers": doc_len_outliers,
     "ext_emb_quality": embedding_quality,
+    "ext_dedup_windowed": dedup_windowed,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -282,6 +312,18 @@ _SKEW_RELS = (
 )
 
 ORACLES: dict[str, str] = {
+    "ext_dedup_windowed": """
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               event_id AS keep_event_id
+        FROM (SELECT user_id, event_type, ts, event_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY user_id, event_type,
+                                      strftime(ts, '%Y-%m-%d')
+                         ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
     "ext_key_skew": " UNION ALL ".join(
         f"""
         SELECT '{rel}' AS rel, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
