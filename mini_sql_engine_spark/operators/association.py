@@ -259,7 +259,53 @@ def blocker_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal curation diagnostic: near-duplicate incidence per
+    quality decile. Joins the per-doc heuristic quality score (deciled
+    by ntile over (quality, doc_id) — deterministic total order) with
+    membership in the exact-Jaccard near-dup pair set, and reports the
+    dup rate per decile in integer ppm. If low-quality deciles
+    duplicate more (they usually do — boilerplate is both low-quality
+    and repetitive), quality filtering EARLY shrinks the dedup join's
+    candidate volume — this report is the evidence for that pipeline
+    ordering decision.
+
+    Scale: the quality projection is a pure scan-side expression; the
+    decile is one docs-sized sort (repartitionByRange at cluster
+    scale); dup membership is a semi-join against the near-dup pair
+    output, which is orders of magnitude below corpus size."""
+    from mini_sql_engine_spark.operators.dedup import jaccard_dedup
+    from mini_sql_engine_spark.operators.text import quality
+
+    q = quality(spark, sf_dir).select("doc_id", "quality")
+    deciled = q.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("quality", "doc_id")).cast("long"),
+    )
+    pairs = jaccard_dedup(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    flagged = deciled.join(
+        dup_docs.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("is_dup", F.lit(0)).cast("long")).alias("n_dup"),
+        F.floor(
+            F.sum(F.coalesce("is_dup", F.lit(0)).cast("long"))
+            * 1_000_000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_quality_dup_correlation": quality_dup_correlation,
     "ext_basket_pairs": basket_pairs,
     "ext_dedup_sorted_neighborhood": sorted_neighborhood,
     "ext_dedup_top_pairs": dedup_top_pairs,
@@ -307,7 +353,48 @@ def _recall_row(label: str, rel: str) -> str:
         FROM t"""
 
 
+def _quality_dup_oracle() -> str:
+    from mini_sql_engine_spark.operators.text import _STOPWORDS_SQL, _TOKS
+
+    return f"""
+        WITH m AS (
+            SELECT doc_id,
+                   ROUND(0.4 * least(len(text) / 200.0, 1.0)
+                       + 0.3 * (1.0 - least(
+                             (len(text) - len(regexp_replace(text,
+                                  '[^A-Za-z0-9\\s]', '', 'g')))
+                                 * 1.0 / greatest(len(text), 1) * 5, 1.0))
+                       + 0.3 * least(
+                             len(list_filter({_TOKS},
+                                 t -> list_contains({_STOPWORDS_SQL}, t)))
+                                 * 1.0 / greatest(len({_TOKS}), 1) * 4,
+                             1.0), 6) AS quality
+            FROM documents),
+        deciled AS (
+            SELECT doc_id,
+                   CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT)
+                       AS decile
+            FROM m),
+        dup_docs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM ({_JACCARD_PAIRS}) p
+                WHERE jacc >= {JACCARD_T}
+                UNION
+                SELECT doc_b FROM ({_JACCARD_PAIRS}) p2
+                WHERE jacc >= {JACCARD_T}))
+        SELECT decile, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN dup_docs.doc_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(floor(SUM(CASE WHEN dup_docs.doc_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) * 1000000
+                          / COUNT(*)) AS BIGINT) AS dup_ppm
+        FROM deciled LEFT JOIN dup_docs USING (doc_id)
+        GROUP BY decile
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ext_quality_dup_correlation": _quality_dup_oracle(),
     "ext_basket_pairs": f"""
         WITH baskets AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
