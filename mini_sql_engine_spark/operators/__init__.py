@@ -33,6 +33,7 @@ from mini_sql_engine_spark.operators import (
     rollups,
     similarity,
     text,
+    textprep,
     tpch,
     udfs,
     window_funcs,
@@ -74,6 +75,7 @@ _MODULES = [
     association,
     graph_ops,
     streaming_joins_ext,
+    textprep,
 ]
 
 ALL_QUERIES: dict[str, Callable] = {}

@@ -1,0 +1,160 @@
+"""Training-data text preparation: span-corruption masking and
+vocabulary OOV coverage.
+
+- ``ext_span_corruption``: T5-style span corruption applied
+  deterministically — every GAP-th length-SPAN_LEN token span is
+  replaced by a numbered sentinel ``<extra_id_k>``. Output carries the
+  masked text itself plus the span accounting (token/mask/span
+  counts), i.e. the actual seq2seq pretraining input, not just
+  statistics. The deterministic rule (position arithmetic, no RNG)
+  is what makes the construction exactly replayable in both engines;
+  a production run swaps the rule for a seeded hash over (doc_id,
+  span_id) — same plan shape.
+- ``ext_vocab_oov_rate``: out-of-vocabulary rate per language against
+  the corpus' own top-V token vocabulary (count-desc, token-asc
+  tie-break — deterministic at the cutoff). THE report that sizes a
+  tokenizer vocabulary: a lang with high OOV ppm against the shared
+  vocab needs either more vocab or its own tokenizer.
+
+Scale notes (100 TB):
+- span corruption is a pure scan-side expression pipeline (tokens →
+  indexed transform → filter → concat): zero shuffles, whole rows
+  never leave their partition; the sentinel arithmetic is per-token
+  integer math inside the JVM.
+- vocab building is one token-count aggregation (map-side combined)
+  + a top-V sort-limit (partial top-V per partition); the V-row vocab
+  broadcasts to the OOV probe, so the corpus-sized side never
+  shuffles for the membership test. Per-lang rollup is a second
+  map-side-combinable aggregation of integer counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import textfns
+from mini_sql_engine_spark.operators.text import _TOKS
+
+SPAN_LEN = 3  # tokens per masked span
+GAP = 5  # every GAP-th span is masked (mask ratio = 1/GAP)
+VOCAB_V = 500  # vocabulary size for the OOV report
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask every GAP-th SPAN_LEN-token span with <extra_id_k>."""
+    toks = textfns.tokens("text")
+    # token at 0-based position p belongs to span s = p // SPAN_LEN;
+    # span s is masked iff s % GAP == 0; sentinel number k = s // GAP
+    def _span(i: F.Column) -> F.Column:
+        return F.floor((i - 1) / SPAN_LEN).cast("long")
+
+    masked_arr = F.transform(
+        toks,
+        lambda t, i0: F.when(
+            (_span(i0 + 1) % GAP == 0) & ((i0 % SPAN_LEN) == 0),
+            F.concat(
+                F.lit("<extra_id_"),
+                (_span(i0 + 1) / GAP).cast("long").cast("string"),
+                F.lit(">"),
+            ),
+        )
+        .when(_span(i0 + 1) % GAP == 0, F.lit(None).cast("string"))
+        .otherwise(t),
+    )
+    kept = F.filter(masked_arr, lambda x: x.isNotNull())
+    n_tokens = F.size(toks).cast("long")
+    n_masked = (
+        n_tokens
+        - F.size(F.filter(masked_arr, lambda x: x.isNotNull())).cast("long")
+        + F.size(
+            F.filter(masked_arr, lambda x: x.startswith("<extra_id_"))
+        ).cast("long")
+    )
+    n_spans = F.size(
+        F.filter(masked_arr, lambda x: x.startswith("<extra_id_"))
+    ).cast("long")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        F.concat_ws(" ", kept).alias("masked_text"),
+    )
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate (ppm) vs the corpus top-VOCAB_V vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(textfns.tokens("text")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t")
+        .limit(VOCAB_V)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    probed = tok.join(F.broadcast(vocab), "t", "left")
+    return probed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.floor(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            * 1_000_000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("oov_ppm"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_span_corruption": span_corruption,
+    "ext_vocab_oov_rate": vocab_oov_rate,
+}
+
+ORACLES: dict[str, str] = {
+    "ext_span_corruption": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   [CASE
+                        WHEN (((i - 1) // {SPAN_LEN}) % {GAP}) = 0
+                             AND ((i - 1) % {SPAN_LEN}) = 0
+                        THEN '<extra_id_'
+                             || CAST(((i - 1) // {SPAN_LEN}) // {GAP}
+                                     AS VARCHAR) || '>'
+                        WHEN (((i - 1) // {SPAN_LEN}) % {GAP}) = 0
+                        THEN NULL
+                        ELSE toks[i]
+                    END for i in range(1, len(toks) + 1)] AS marr
+            FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - len(list_filter(marr, x -> x IS NOT NULL))
+                    + len(list_filter(marr,
+                          x -> x LIKE '<extra_id_%')) AS BIGINT) AS n_masked,
+               CAST(len(list_filter(marr, x -> x LIKE '<extra_id_%'))
+                    AS BIGINT) AS n_spans,
+               array_to_string(list_filter(marr, x -> x IS NOT NULL), ' ')
+                   AS masked_text
+        FROM m
+    """,
+    "ext_vocab_oov_rate": f"""
+        WITH tok AS (
+            SELECT lang, unnest({_TOKS}) AS t FROM documents),
+        vocab AS (
+            SELECT t FROM (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
+            ORDER BY cnt DESC, t LIMIT {VOCAB_V})
+        SELECT lang, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(floor(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                          * 1000000 / COUNT(*)) AS BIGINT) AS oov_ppm
+        FROM tok LEFT JOIN vocab USING (t)
+        GROUP BY lang
+    """,
+}
