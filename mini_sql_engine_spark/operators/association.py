@@ -304,8 +304,34 @@ def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_FAM_K = 10  # tokens in the shared-prefix fingerprint
+
+
+def prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-prefix duplicate families: docs whose first
+    PREFIX_FAM_K normalized tokens are identical. The truncated-crawl
+    signal — re-fetched pages and boilerplate-headed docs share exact
+    prefixes long before their token SETS look similar, so this
+    catches a family the Jaccard blockers see only weakly. One
+    map-side-combinable groupBy on a fingerprint string; families of
+    size 1 are dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    fp = F.concat_ws(" ", F.slice(toks, 1, PREFIX_FAM_K))
+    return (
+        docs.select("doc_id", fp.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("family_size"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("family_size") > 1)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_quality_dup_correlation": quality_dup_correlation,
+    "ext_prefix_families": prefix_families,
     "ext_basket_pairs": basket_pairs,
     "ext_dedup_sorted_neighborhood": sorted_neighborhood,
     "ext_dedup_top_pairs": dedup_top_pairs,
@@ -394,6 +420,15 @@ def _quality_dup_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_prefix_families": f"""
+        SELECT prefix, COUNT(*) AS family_size, MIN(doc_id) AS keep_id
+        FROM (SELECT doc_id,
+                     array_to_string(
+                         (string_split(lower(trim(text)), ' '))
+                             [1:{PREFIX_FAM_K}], ' ') AS prefix
+              FROM documents)
+        GROUP BY prefix HAVING COUNT(*) > 1
+    """,
     "ext_quality_dup_correlation": _quality_dup_oracle(),
     "ext_basket_pairs": f"""
         WITH baskets AS (

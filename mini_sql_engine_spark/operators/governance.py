@@ -828,7 +828,78 @@ def bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ERASURE_EVERY = 97  # deterministic delete-request list: custkey % 97 == 0
+
+
+def erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) audit: simulate a deletion
+    request list (every ERASURE_EVERY-th customer), apply the purge as
+    anti-joins across every table keyed by the subject, and PROVE the
+    purge with a residual count that must be zero. Orders cascade to
+    their lineitems (erasing a customer erases their orders' items) —
+    the fan-out a real erasure pipeline must get right.
+
+    Scale: the delete list is customers/ERASURE_EVERY rows — broadcast
+    to every anti-join; each table is scanned once; residual checks
+    are semi-joins against the same broadcast list. Nothing data-sized
+    shuffles."""
+    subjects = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % ERASURE_EVERY == 0)
+        .select(F.col("c_custkey").alias("skey"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased_orders = orders.join(
+        F.broadcast(subjects), orders.o_custkey == subjects.skey, "left_semi"
+    ).select("o_orderkey")
+
+    def audit(
+        name: str, df: DataFrame, key: F.Column, purge_keys: DataFrame,
+        pk: str,
+    ) -> DataFrame:
+        purged = df.join(
+            F.broadcast(purge_keys), key == purge_keys[pk], "left_semi"
+        )
+        remaining = df.join(
+            F.broadcast(purge_keys), key == purge_keys[pk], "left_anti"
+        )
+        residual = remaining.join(
+            F.broadcast(purge_keys), key == purge_keys[pk], "left_semi"
+        )
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_total"))
+            .crossJoin(purged.agg(F.count(F.lit(1)).alias("n_purged")))
+            .crossJoin(
+                residual.agg(F.count(F.lit(1)).alias("n_residual"))
+            )
+            .select(F.lit(name).alias("table"), "n_total", "n_purged",
+                    "n_residual")
+        )
+
+    out = (
+        audit("customer", cust, F.col("c_custkey"), subjects, "skey")
+        .unionByName(
+            audit("orders", orders, F.col("o_custkey"), subjects, "skey")
+        )
+        .unionByName(
+            audit(
+                "lineitem",
+                li,
+                F.col("l_orderkey"),
+                erased_orders.select(
+                    F.col("o_orderkey").alias("skey")
+                ),
+                "skey",
+            )
+        )
+    )
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_erasure_audit": erasure_audit,
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
     "ext_weighted_sample": weighted_sample,
@@ -853,6 +924,39 @@ def _md5_long_sql(expr: str, salt: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_erasure_audit": f"""
+        WITH subjects AS (
+            SELECT c_custkey AS skey FROM customer
+            WHERE c_custkey % {ERASURE_EVERY} = 0),
+        erased_orders AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT skey FROM subjects))
+        SELECT 'customer' AS "table",
+               (SELECT COUNT(*) FROM customer) AS n_total,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_custkey IN (SELECT skey FROM subjects)) AS n_purged,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT skey FROM subjects)
+                  AND c_custkey IN (SELECT skey FROM subjects))
+                   AS n_residual
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey IN (SELECT skey FROM subjects)),
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT skey FROM subjects)
+                  AND o_custkey IN (SELECT skey FROM subjects))
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM erased_orders)),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM erased_orders)
+                  AND l_orderkey IN (SELECT o_orderkey FROM erased_orders))
+    """,
     "ext_dp_release": f"""
         WITH c AS (
             SELECT lang, source, COUNT(*) AS n_true
