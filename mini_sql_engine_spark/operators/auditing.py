@@ -346,6 +346,53 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ABC_A_PPM = 800_000  # cumulative-revenue share boundary for class A
+ABC_B_PPM = 950_000  # boundary for class B; the tail is class C
+
+
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) revenue classification of parts: rank parts
+    by lineitem revenue, classify by cumulative revenue share — A up
+    to 80%, B to 95%, C the tail. The inventory-policy classic; at
+    100 TB the per-part rollup is one map-side-combinable aggregation
+    and the cumulative window runs over the parts-sized table
+    (repartitionByRange at cluster scale). Revenue is integer cents;
+    shares are floor-ppm of exact integer ratios, and ties in the
+    revenue sort break by part key, so class assignment is
+    deterministic in both engines. Output is the per-class summary
+    (part counts, revenue share)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    cum_ppm = F.floor(
+        F.sum("rev").over(w) * 1_000_000 / total
+    ).cast("long")
+    classed = per_part.withColumn(
+        "cls",
+        F.when(cum_ppm <= ABC_A_PPM, "A")
+        .when(cum_ppm <= ABC_B_PPM, "B")
+        .otherwise("C"),
+    )
+    by_cls = classed.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("rev_cents"),
+    )
+    cls_total = F.sum("rev_cents").over(Window.partitionBy())
+    return by_cls.select(
+        "cls",
+        "n_parts",
+        "rev_cents",
+        F.floor(F.col("rev_cents") * 1_000_000 / cls_total)
+        .cast("long")
+        .alias("rev_share_ppm"),
+    )
+
+
 GA_YEAR0 = 1996  # growth-accounting base period
 GA_YEAR1 = 1997  # growth-accounting comparison period
 
@@ -457,6 +504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_growth_accounting": growth_accounting,
     "ext_seasonal_baseline": seasonal_baseline,
     "ext_embedding_drift": embedding_drift,
+    "ext_abc_analysis": abc_analysis,
 }
 
 _FD_ORACLE = " UNION ALL ".join(
@@ -539,6 +587,35 @@ ORACLES: dict[str, str] = {
         FROM daily
     """,
     "ext_fd_violations": _FD_ORACLE,
+    "ext_abc_analysis": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey),
+        classed AS (
+            SELECT rev,
+                   CASE WHEN CAST(floor(SUM(rev) OVER (
+                                 ORDER BY rev DESC, l_partkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                             * 1000000.0 / SUM(rev) OVER ()) AS BIGINT)
+                             <= {ABC_A_PPM} THEN 'A'
+                        WHEN CAST(floor(SUM(rev) OVER (
+                                 ORDER BY rev DESC, l_partkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                             * 1000000.0 / SUM(rev) OVER ()) AS BIGINT)
+                             <= {ABC_B_PPM} THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM per_part)
+        SELECT cls, COUNT(*) AS n_parts,
+               CAST(SUM(rev) AS BIGINT) AS rev_cents,
+               CAST(floor(SUM(rev) * 1000000.0
+                          / (SELECT SUM(rev) FROM per_part)) AS BIGINT)
+                   AS rev_share_ppm
+        FROM classed GROUP BY cls
+    """,
     "ext_embedding_drift": f"""
         WITH vals AS (
             SELECT vec_id % 2 AS snap, d.i AS dim,

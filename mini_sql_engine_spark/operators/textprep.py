@@ -112,9 +112,60 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CTX_N = 10  # most-frequent context tokens to inspect
+NEXT_K = 3  # next-token alternatives reported per context
+
+
+def next_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM inspection: for the CTX_N most frequent context
+    tokens, the NEXT_K most likely next tokens with probability in
+    integer ppm — the eyeball check on what a unigram-context LM
+    would actually predict, and the dataflow of every "top completions
+    per prefix" report. Deterministic ties: contexts and next tokens
+    both break on (count desc, token asc).
+
+    Scale: bigram and context counts are map-side-combinable aggs; the
+    CTX_N context table broadcasts into the probability join, and the
+    per-context top-K is one window over contexts' bigram rows only."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        F.explode(textfns.shingles("text", 2)).alias("bg")
+    ).filter(F.size(F.split(F.col("bg"), " ")) == 2)
+    pairs = bi.select(
+        F.split("bg", " ")[0].alias("ctx"),
+        F.split("bg", " ")[1].alias("nxt"),
+    )
+    pair_cnt = pairs.groupBy("ctx", "nxt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ctx_cnt = pairs.groupBy("ctx").agg(F.count(F.lit(1)).alias("ctx_total"))
+    top_ctx = (
+        ctx_cnt.orderBy(F.col("ctx_total").desc(), "ctx")
+        .limit(CTX_N)
+    )
+    w = Window.partitionBy("ctx").orderBy(F.col("cnt").desc(), "nxt")
+    return (
+        pair_cnt.join(F.broadcast(top_ctx), "ctx")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEXT_K)
+        .select(
+            "ctx",
+            F.col("rk").cast("long").alias("rk"),
+            "nxt",
+            "cnt",
+            F.floor(F.col("cnt") * 1_000_000 / F.col("ctx_total"))
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_span_corruption": span_corruption,
     "ext_vocab_oov_rate": vocab_oov_rate,
+    "ext_next_token_topk": next_token_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -142,6 +193,28 @@ ORACLES: dict[str, str] = {
                array_to_string(list_filter(marr, x -> x IS NOT NULL), ' ')
                    AS masked_text
         FROM m
+    """,
+    "ext_next_token_topk": f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        pairs AS (
+            SELECT toks[i] AS ctx, toks[i + 1] AS nxt
+            FROM t, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2),
+        pair_cnt AS (
+            SELECT ctx, nxt, COUNT(*) AS cnt FROM pairs GROUP BY ctx, nxt),
+        ctx_cnt AS (
+            SELECT ctx, COUNT(*) AS ctx_total FROM pairs GROUP BY ctx),
+        top_ctx AS (
+            SELECT ctx, ctx_total FROM ctx_cnt
+            ORDER BY ctx_total DESC, ctx LIMIT {CTX_N}),
+        ranked AS (
+            SELECT p.ctx, p.nxt, p.cnt, tc.ctx_total,
+                   ROW_NUMBER() OVER (PARTITION BY p.ctx
+                                      ORDER BY p.cnt DESC, p.nxt) AS rk
+            FROM pair_cnt p JOIN top_ctx tc USING (ctx))
+        SELECT ctx, CAST(rk AS BIGINT) AS rk, nxt, cnt,
+               CAST(floor(cnt * 1000000 / ctx_total) AS BIGINT) AS prob_ppm
+        FROM ranked WHERE rk <= {NEXT_K}
     """,
     "ext_vocab_oov_rate": f"""
         WITH tok AS (
