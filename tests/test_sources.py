@@ -413,3 +413,91 @@ def test_minisql_time_travel_versions(spark, tmp_path):
     assert read() == [(9, 90)]  # current = latest
     with _pytest.raises(Exception, match="not retained"):
         read(7)
+
+
+def test_csv_malformed_record_modes(spark, tmp_path):
+    """Engine-source robustness on dirty CSV input: PERMISSIVE captures
+    the bad line in the corrupt-record column with nulls elsewhere,
+    DROPMALFORMED silently drops it, FAILFAST kills the job — the three
+    contracts a 100 TB ingest must choose between (PERMISSIVE + a
+    quarantine filter being the production default: never lose a batch
+    to one bad row)."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,2\n3,notanumber\n5,6\n")
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = {tuple(r) for r in perm.collect()}
+    assert (1, 2, None) in rows and (5, 6, None) in rows
+    assert any(r[2] == "3,notanumber" for r in rows)
+
+    drop = (
+        spark.read.schema(
+            StructType(
+                [StructField("a", LongType()), StructField("b", LongType())]
+            )
+        )
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(map(tuple, drop.collect())) == [(1, 2), (5, 6)]
+
+    with pytest.raises(Exception) as exc:
+        (
+            spark.read.schema(
+                StructType(
+                    [StructField("a", LongType()), StructField("b", LongType())]
+                )
+            )
+            .option("mode", "FAILFAST")
+            .csv(str(p))
+            .collect()
+        )
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_minisql_writer_ignores_stale_staging(spark, tmp_path):
+    """Crash robustness: a staging dir left behind by a dead writer
+    (fragments never committed) must not corrupt the table — the
+    reader consumes only the committed <table>.csv, and a subsequent
+    clean write succeeds alongside the debris."""
+    import os
+    import shutil as _sh
+
+    from mini_sql_engine_spark.sources import datasource
+
+    datasource.register(spark)
+    d = str(tmp_path / "native")
+    _sh.copytree(MINI_DIR, d)
+
+    # simulate a crashed job: orphan staging fragments, no commit
+    stale = os.path.join(d, ".table3.staging-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-orphan.csv"), "w") as fh:
+        fh.write("999,999\n")
+
+    df = spark.range(0, 5).selectExpr("id AS X", "id * 2 AS Y")
+    (df.write.format("minisql").option("path", d).option("table", "table3")
+       .mode("overwrite").save())
+    back = (spark.read.format("minisql").option("path", d)
+            .option("table", "table3").load())
+    got = sorted(map(tuple, back.collect()))
+    assert got == [(i, i * 2) for i in range(5)]  # orphan rows absent
