@@ -329,9 +329,65 @@ def prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality report: for every true near-dup pair,
+    the K-component signature's Jaccard ESTIMATE (matching components
+    / K) against the exact Jaccard, both in integer ppm, plus the
+    signed error. The in-engine evidence for sizing MINHASH_K: if the
+    error column is too wide, K is too small for the threshold in
+    use. Exactness: est_ppm = floor(matches·1e6/K) and jacc_ppm =
+    floor(inter·1e6/union) are both integer ratios — no float
+    round-trip anywhere."""
+    from mini_sql_engine_spark.functions.hashing import minhash_signature
+    from mini_sql_engine_spark.operators.dedup import (
+        MINHASH_K,
+        _shingled,
+        jaccard_dedup,
+    )
+
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingled(spark, sf_dir)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(inter * 1_000_000 / union).cast("long").alias("jacc_ppm"),
+            F.floor(matches * 1_000_000 / F.lit(MINHASH_K))
+            .cast("long")
+            .alias("est_ppm"),
+            (
+                F.floor(matches * 1_000_000 / F.lit(MINHASH_K)).cast("long")
+                - F.floor(inter * 1_000_000 / union).cast("long")
+            ).alias("err_ppm"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_quality_dup_correlation": quality_dup_correlation,
     "ext_prefix_families": prefix_families,
+    "ext_minhash_estimator_error": minhash_estimator_error,
     "ext_basket_pairs": basket_pairs,
     "ext_dedup_sorted_neighborhood": sorted_neighborhood,
     "ext_dedup_top_pairs": dedup_top_pairs,
@@ -419,7 +475,43 @@ def _quality_dup_oracle() -> str:
     """
 
 
+def _minhash_err_oracle() -> str:
+    from mini_sql_engine_spark.operators.dedup import (
+        _BASE,
+        _SIG_EXPRS,
+        MINHASH_K,
+    )
+
+    matches = " + ".join(
+        f"(CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+        WITH mh_base AS MATERIALIZED ({_BASE}),
+        sig AS MATERIALIZED (SELECT doc_id, sh, {_SIG_EXPRS} FROM mh_base),
+        exact AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+                  WHERE jacc >= {JACCARD_T}),
+        j AS (
+            SELECT e.doc_a, e.doc_b,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS un,
+                   {matches} AS matches
+            FROM exact e
+            JOIN sig a ON a.doc_id = e.doc_a
+            JOIN sig b ON b.doc_id = e.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(floor(inter * 1000000 / un) AS BIGINT) AS jacc_ppm,
+               CAST(floor(matches * 1000000 / {MINHASH_K}) AS BIGINT)
+                   AS est_ppm,
+               CAST(floor(matches * 1000000 / {MINHASH_K}) AS BIGINT)
+                   - CAST(floor(inter * 1000000 / un) AS BIGINT) AS err_ppm
+        FROM j
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ext_minhash_estimator_error": _minhash_err_oracle(),
     "ext_prefix_families": f"""
         SELECT prefix, COUNT(*) AS family_size, MIN(doc_id) AS keep_id
         FROM (SELECT doc_id,

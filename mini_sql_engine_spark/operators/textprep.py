@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import load_table
 from mini_sql_engine_spark.functions import textfns
+from mini_sql_engine_spark.operators.dedup import _BASE as _DEDUP_BASE
 from mini_sql_engine_spark.operators.text import _TOKS
 
 SPAN_LEN = 3  # tokens per masked span
@@ -162,10 +163,46 @@ def next_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAPS_BUCKET = 50  # docs per bucket in the vocabulary-growth curve
+
+
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: walking the corpus in
+    doc_id order, how many NEVER-SEEN-BEFORE shingles each
+    HEAPS_BUCKET-doc bucket contributes, plus the cumulative
+    vocabulary. The planning curve for dedup indexes and tokenizer
+    vocabularies: a flattening curve says the corpus is saturating
+    (more data, few new types); a linear one says keep crawling.
+
+    Plan: shingle first-occurrence = one min(doc_id) aggregation per
+    shingle (map-side combinable — never a sort of the corpus);
+    bucketing and the cumulative sum run over the buckets-sized
+    histogram."""
+    from mini_sql_engine_spark.operators.dedup import _shingled
+    from pyspark.sql.window import Window
+
+    sh = _shingled(spark, sf_dir)
+    first = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    buckets = first.groupBy(
+        F.floor(F.col("first_doc") / HEAPS_BUCKET).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        "bucket", "n_new", F.sum("n_new").over(w).alias("cum_vocab")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_span_corruption": span_corruption,
     "ext_vocab_oov_rate": vocab_oov_rate,
     "ext_next_token_topk": next_token_topk,
+    "ext_heaps_law_curve": heaps_law_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -193,6 +230,23 @@ ORACLES: dict[str, str] = {
                array_to_string(list_filter(marr, x -> x IS NOT NULL), ' ')
                    AS masked_text
         FROM m
+    """,
+    "ext_heaps_law_curve": f"""
+        WITH base AS ({_DEDUP_BASE}),
+        first AS (
+            SELECT s, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(sh) AS s FROM base)
+            GROUP BY s),
+        buckets AS (
+            SELECT CAST(floor(first_doc / {HEAPS_BUCKET}) AS BIGINT)
+                       AS bucket,
+                   COUNT(*) AS n_new
+            FROM first GROUP BY 1)
+        SELECT bucket, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_vocab
+        FROM buckets
     """,
     "ext_next_token_topk": f"""
         WITH t AS (SELECT {_TOKS} AS toks FROM documents),
