@@ -1142,7 +1142,41 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inactivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution in power-of-two microsecond buckets
+    — the evidence behind a sessionization gap choice (the 30-minute
+    constant in ext_session_paths should sit past the histogram's
+    elbow). Bucket = floor(log2(gap_us)) computed EXACTLY as
+    length(bin(gap)) - 1 — integer string arithmetic, no float log
+    whose last-ulp could flip a power-of-two boundary differently per
+    engine. One keyed window (lag per user), then a buckets-sized
+    rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    )
+    bucket = (F.length(F.bin("gap_us")) - 1).cast("long")
+    return gaps.groupBy(bucket.alias("log2_gap_us")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_inactivity_histogram": inactivity_histogram,
     "ext_repeat_purchase_rate": repeat_purchase_rate,
     "ext_rfm_segments": rfm_segments,
     "ext_slo_burn": slo_burn,
@@ -1237,6 +1271,20 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_inactivity_histogram": """
+        WITH gaps AS (
+            SELECT epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events)
+        SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_gap_us,
+               COUNT(*) AS n_gaps,
+               MIN(gap_us) AS min_gap_us,
+               MAX(gap_us) AS max_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+        GROUP BY 1
+    """,
     "ext_repeat_purchase_rate": """
         WITH per_cust AS (
             SELECT o_custkey,

@@ -206,14 +206,91 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zo.unionByName(ps)
 
 
+TARGET_PART_BYTES = 128 * 1024 * 1024  # maxPartitionBytes-style target
+NUM_W = 8  # bytes charged per numeric/timestamp column (uncompressed)
+
+
+def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-count advisor: per-table logical byte estimate
+    (NUM_W bytes per numeric/timestamp column + exact octet length per
+    string column, summed over rows) and the partition count that
+    hits TARGET_PART_BYTES — the calculation behind
+    spark.sql.files.maxPartitionBytes / shuffle.partitions sizing,
+    run in-engine over the actual data. One map-side-combinable
+    aggregate per table; the estimate is deliberately the UNCOMPRESSED
+    logical width (what shuffles and fills executor memory), not the
+    parquet on-disk size."""
+    specs: list[tuple[str, list[str], list[str]]] = [
+        # (table, numeric-ish columns, string columns)
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_linenumber", "l_quantity", "l_extendedprice",
+                      "l_discount", "l_shipdate"], ["l_returnflag"]),
+        ("orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"], ["o_orderstatus", "o_orderpriority"]),
+        ("events", ["event_id", "ts", "user_id", "value"],
+         ["event_type", "props"]),
+        ("documents", ["doc_id", "n_chars"], ["text", "lang", "source"]),
+    ]
+    out: DataFrame | None = None
+    for table, nums, strs in specs:
+        df = load_table(spark, sf_dir, table)
+        row_bytes = F.lit(NUM_W * len(nums))
+        for s in strs:
+            row_bytes = row_bytes + F.coalesce(
+                F.octet_length(F.col(s)), F.lit(0)
+            )
+        row = df.agg(
+            F.lit(table).alias("table"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_bytes).cast("long").alias("est_bytes"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.sum(row_bytes) / TARGET_PART_BYTES),
+            )
+            .cast("long")
+            .alias("rec_partitions"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_zone_map_pruning": zone_map_pruning,
     "ext_compaction_plan": compaction_plan,
     "ext_zorder_clustering": zorder_clustering,
+    "ext_partition_advisor": partition_advisor,
 }
 
 
+_ADVISOR_SPECS = [
+    ("lineitem", 8, ["l_returnflag"]),
+    ("orders", 4, ["o_orderstatus", "o_orderpriority"]),
+    ("events", 4, ["event_type", "props"]),
+    ("documents", 2, ["text", "lang", "source"]),
+]
+
+
+def _advisor_oracle() -> str:
+    rows = []
+    for table, n_num, strs in _ADVISOR_SPECS:
+        width = f"{NUM_W * n_num}" + "".join(
+            f" + COALESCE(octet_length(encode({s})), 0)" for s in strs
+        )
+        rows.append(
+            f"""
+            SELECT '{table}' AS "table", COUNT(*) AS n_rows,
+                   CAST(SUM({width}) AS BIGINT) AS est_bytes,
+                   CAST(GREATEST(1, CEIL(SUM({width}) * 1.0
+                        / {TARGET_PART_BYTES})) AS BIGINT)
+                       AS rec_partitions
+            FROM {table}"""
+        )
+    return " UNION ALL ".join(rows)
+
+
 ORACLES: dict[str, str] = {
+    "ext_partition_advisor": _advisor_oracle(),
     "ext_zone_map_pruning": f"""
         WITH native AS (
             SELECT o_totalprice,
