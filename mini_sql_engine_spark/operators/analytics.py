@@ -1175,7 +1175,90 @@ def inactivity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency distribution: for every purchase, the
+    time since the SAME user's most recent prior click, bucketed into
+    power-of-two microsecond classes (exact length(bin(gap))
+    arithmetic, like ext_inactivity_histogram). The funnel-latency
+    metric behind attribution-window choices: the 1-hour horizon in
+    the stream-stream join should cover the histogram's mass. Plan:
+    one keyed window over the (click|purchase) union carries the last
+    click time onto each purchase — the PIT construction again, no
+    interval join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    gaps = (
+        ev.withColumn("last_click_us", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull()
+        )
+        .select(
+            (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us")
+        )
+        .filter(F.col("gap_us") > 0)
+    )
+    bucket = (F.length(F.bin("gap_us")) - 1).cast("long")
+    return gaps.groupBy(bucket.alias("log2_latency_us")).agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+
+
+HHI_REGION_TABLE = "supplier"
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl) index per supplier nation:
+    HHI_ppm = floor(Σ rev_i² · 1e6 / (Σ rev_i)²) over each nation's
+    suppliers' lineitem revenue (whole dollars — keeps the squares
+    inside exact integer range; the final ratio is IEEE-identical in
+    both engines from the same exact integer inputs). 10000 ppm = a
+    perfectly fragmented market; 1e6 = a monopoly supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)) / 100
+            )
+            .cast("long")
+            .alias("rev_usd")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_usd").alias("total_usd"),
+        F.floor(
+            F.sum(F.col("rev_usd") * F.col("rev_usd")).cast("double")
+            * 1_000_000
+            / (
+                F.sum("rev_usd").cast("double")
+                * F.sum("rev_usd").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("hhi_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_time_to_convert": time_to_convert,
+    "ext_supplier_hhi": supplier_hhi,
     "ext_inactivity_histogram": inactivity_histogram,
     "ext_repeat_purchase_rate": repeat_purchase_rate,
     "ext_rfm_segments": rfm_segments,
@@ -1271,6 +1354,42 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_time_to_convert": """
+        WITH ev AS (
+            SELECT user_id, event_type, ts, event_id FROM events
+            WHERE event_type IN ('click', 'purchase')),
+        carried AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t,
+                   MAX(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_us
+            FROM ev),
+        gaps AS (
+            SELECT t - last_click_us AS gap_us FROM carried
+            WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+              AND t - last_click_us > 0)
+        SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_latency_us,
+               COUNT(*) AS n_conversions
+        FROM gaps GROUP BY 1
+    """,
+    "ext_supplier_hhi": """
+        WITH rev AS (
+            SELECT s.s_nationkey,
+                   CAST(floor(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                       AS BIGINT)) / 100) AS BIGINT)
+                       AS rev_usd
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey)
+        SELECT s_nationkey, COUNT(*) AS n_suppliers,
+               CAST(SUM(rev_usd) AS BIGINT) AS total_usd,
+               CAST(floor(CAST(SUM(rev_usd * rev_usd) AS DOUBLE) * 1000000
+                          / (CAST(SUM(rev_usd) AS DOUBLE)
+                             * CAST(SUM(rev_usd) AS DOUBLE))) AS BIGINT)
+                   AS hhi_ppm
+        FROM rev GROUP BY s_nationkey
+    """,
     "ext_inactivity_histogram": """
         WITH gaps AS (
             SELECT epoch_us(ts)
