@@ -346,6 +346,87 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCATTER_TOPK = 20  # most-coupled dimension pairs reported
+
+
+def emb_scatter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-coupled embedding dimension pairs by |uncentered
+    scatter| Σ_v q_i(v)·q_j(v) on micro-unit-quantized components —
+    the integer-exact core of the covariance/PCA-prep dataflow
+    (centering subtracts the ext_embedding_drift means; the scatter
+    matrix is the part that touches every vector). Plan: one
+    posexplode per vector, a per-vector dim×dim self-join bounded by
+    64 dims, and a map-side-combinable (d1, d2) rollup — the same
+    shape as a distributed Gram-matrix computation, where at 100 TB
+    each partition computes its local scatter and the combine adds
+    exact integers (associative, partitioning-independent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * EMB_MICRO)
+        .cast("long")
+        .alias("micro"),
+    )
+    a, b = vals.alias("a"), vals.alias("b")
+    scatter = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") < F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("d1"), F.col("b.dim").alias("d2")
+        )
+        .agg(F.sum(F.col("a.micro") * F.col("b.micro")).alias("scatter"))
+    )
+    return (
+        scatter.orderBy(F.abs(F.col("scatter")).desc(), "d1", "d2")
+        .limit(SCATTER_TOPK)
+    )
+
+
+def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-inequality Gini coefficient across customers, in ppm:
+    G = (2·Σ(rank·rev) − (n+1)·Σrev) / (n·Σrev) over revenues sorted
+    ascending with deterministic rank ties (rev, custkey). Complements
+    ext_supplier_hhi (concentration) with the inequality view. All
+    Σ terms are exact BIGINTs (rank ≤ n, integer cents); the final
+    ratio runs in double from those exact integers — identical IEEE
+    ops both engines. One customer rollup + one ranks-sized window."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev"))
+    )
+    ranked = per_cust.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy("rev", "o_custkey"))
+        .cast("long"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("total_cents"),
+        F.floor(
+            (
+                F.lit(2.0) * F.sum(F.col("rnk") * F.col("rev")).cast("double")
+                - (F.count(F.lit(1)) + 1).cast("double")
+                * F.sum("rev").cast("double")
+            )
+            * 1_000_000
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("rev").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
 ABC_A_PPM = 800_000  # cumulative-revenue share boundary for class A
 ABC_B_PPM = 950_000  # boundary for class B; the tail is class C
 
@@ -505,6 +586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_seasonal_baseline": seasonal_baseline,
     "ext_embedding_drift": embedding_drift,
     "ext_abc_analysis": abc_analysis,
+    "ext_gini_coefficient": gini_coefficient,
+    "ext_emb_scatter_topk": emb_scatter_topk,
 }
 
 _FD_ORACLE = " UNION ALL ".join(
@@ -587,6 +670,43 @@ ORACLES: dict[str, str] = {
         FROM daily
     """,
     "ext_fd_violations": _FD_ORACLE,
+    "ext_emb_scatter_topk": f"""
+        WITH vals AS (
+            SELECT vec_id, d.i AS dim,
+                   CAST(floor(CAST(embedding[d.i] AS DOUBLE) * {EMB_MICRO})
+                        AS BIGINT) AS micro
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIMS})) AS i) d)
+        SELECT a.dim AS d1, b.dim AS d2,
+               CAST(SUM(a.micro * b.micro) AS BIGINT) AS scatter
+        FROM vals a JOIN vals b
+          ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY a.dim, b.dim
+        ORDER BY abs(CAST(SUM(a.micro * b.micro) AS BIGINT)) DESC, d1, d2
+        LIMIT {SCATTER_TOPK}
+    """,
+    "ext_gini_coefficient": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY o_custkey),
+        ranked AS (
+            SELECT rev,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey)
+                        AS BIGINT) AS rnk
+            FROM per_cust)
+        SELECT COUNT(*) AS n_customers,
+               CAST(SUM(rev) AS BIGINT) AS total_cents,
+               CAST(floor((2.0 * CAST(SUM(rnk * rev) AS DOUBLE)
+                           - CAST(COUNT(*) + 1 AS DOUBLE)
+                             * CAST(SUM(rev) AS DOUBLE))
+                          * 1000000
+                          / (CAST(COUNT(*) AS DOUBLE)
+                             * CAST(SUM(rev) AS DOUBLE))) AS BIGINT)
+                   AS gini_ppm
+        FROM ranked
+    """,
     "ext_abc_analysis": f"""
         WITH per_part AS (
             SELECT l_partkey,
