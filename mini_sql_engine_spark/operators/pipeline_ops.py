@@ -339,7 +339,51 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT2 = 80  # exact stratified split: train share
+SPLIT_VAL_PCT2 = 90  # train+val boundary; tail is test
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion stratified train/val/test assignment: within
+    each (lang, source) stratum, docs are ranked by md5(doc_id) (a
+    deterministic shuffle) and split by RANK thresholds — so every
+    stratum hits the 80/10/10 proportions exactly (±1 doc), unlike
+    hash-modulo splits (ext_hash_sample / ext_split_leakage), which
+    only hit them in expectation. The assignment is still stable
+    under re-runs and engine changes because the rank order is the
+    md5 order. Output: per (lang, source, split) doc counts.
+
+    Scale: one hash-partitioned window per stratum (rank), then a
+    map-side-combinable rollup; no global order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_long(F.col("doc_id").cast("string"), salt="strat"), "doc_id"
+    )
+    wc = Window.partitionBy("lang", "source")
+    ranked = docs.select(
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    split = (
+        F.when(
+            F.col("rnk") * 100 <= F.col("n") * SPLIT_TRAIN_PCT2, "train"
+        )
+        .when(F.col("rnk") * 100 <= F.col("n") * SPLIT_VAL_PCT2, "val")
+        .otherwise("test")
+    )
+    return ranked.groupBy("lang", "source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_stratified_split": stratified_split,
     "ext_length_buckets": length_bucket_padding,
     "pipeline_curate_corpus": curate_corpus,
     "ext_pack_sequences": pack_sequences,
@@ -357,6 +401,23 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_stratified_split": f"""
+        WITH ranked AS (
+            SELECT lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY CAST(('0x' || substr(md5('strat:'
+                                     || CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT), doc_id) AS rnk,
+                   COUNT(*) OVER (PARTITION BY lang, source) AS n
+            FROM documents)
+        SELECT lang, source,
+               CASE WHEN rnk * 100 <= n * {SPLIT_TRAIN_PCT2} THEN 'train'
+                    WHEN rnk * 100 <= n * {SPLIT_VAL_PCT2} THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM ranked GROUP BY 1, 2, 3
+    """,
     "ext_length_buckets": r"""
         WITH sized AS (
             SELECT len(string_split_regex(text, '\s+')) AS n_tok
