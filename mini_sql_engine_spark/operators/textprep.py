@@ -34,7 +34,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns
 from mini_sql_engine_spark.operators.dedup import _BASE as _DEDUP_BASE
 from mini_sql_engine_spark.operators.text import _TOKS
@@ -88,7 +88,7 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language OOV rate (ppm) vs the corpus top-VOCAB_V vocab."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tok = docs.select("lang", F.explode(textfns.tokens("text")).alias("t"))
     vocab = (
         tok.groupBy("t")
@@ -130,7 +130,9 @@ def next_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-context top-K is one window over contexts' bigram rows only."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the bigram explosion across cores (single-split local scan
+    # otherwise; no-op at production scale — see catalog helper)
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     bi = docs.select(
         F.explode(textfns.shingles("text", 2)).alias("bg")
     ).filter(F.size(F.split(F.col("bg"), " ")) == 2)
