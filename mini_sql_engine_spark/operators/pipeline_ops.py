@@ -26,7 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions.hashing import md5_long
 from mini_sql_engine_spark.functions.skew import salted_join
 
@@ -382,7 +382,76 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256  # hashed-unigram feature buckets
+DSIR_TARGET_LANG = "en"  # docs in the target domain for the importance ratio
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public method):
+    score every raw doc by how target-like its hashed-unigram feature
+    distribution is. Features = tokens hashed into DSIR_BUCKETS; the
+    weight is the bag-of-buckets log-likelihood ratio
+    sum_b log(p_target(b) / p_raw(b)) with Laplace smoothing, where
+    target = the DSIR_TARGET_LANG slice and raw = the whole corpus.
+    Output: (doc_id, n_tokens, weight) — the ranking a selection pass
+    (temperature/Gumbel top-k) consumes. Weight is rounded to 4
+    decimals so per-doc float-sum accumulation order (Spark partial
+    aggs vs DuckDB single-node) cannot surface.
+
+    Scale notes (100 TB): both bucket histograms are map-side-combined
+    aggregations whose shuffle is bounded by DSIR_BUCKETS, not corpus
+    size; the 256-row log-ratio table broadcasts onto the token stream,
+    so the only corpus-sized shuffle is the final doc_id rollup of thin
+    (doc_id, lr) rows. This is why DSIR-style selection scales where a
+    model-based scorer needs a GPU fleet: the whole pass is two integer
+    histograms and one hash join.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("t"),
+    ).select(
+        "doc_id", "lang", (md5_long(F.col("t")) % DSIR_BUCKETS).alias("b")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("weight"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_dsir_weights": dsir_weights,
     "ext_stratified_split": stratified_split,
     "ext_length_buckets": length_bucket_padding,
     "pipeline_curate_corpus": curate_corpus,
@@ -401,6 +470,29 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_dsir_weights": rf"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                       % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, lang,
+                         UNNEST(string_split_regex(text, '\s+')) AS t
+                  FROM documents)),
+        raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM tok
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+        tot AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                       (SELECT SUM(ct) FROM tgt) AS tt),
+        lr AS (
+            SELECT raw.b,
+                   LN((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                 - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)) AS lr
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(SUM(lr), 4) AS weight
+        FROM tok JOIN lr USING (b)
+        GROUP BY doc_id
+    """,
     "ext_stratified_split": f"""
         WITH ranked AS (
             SELECT lang, source,
