@@ -1256,7 +1256,56 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVER_WINDOW_US = 5 * 60 * 1_000_000  # each event covers 5 min of activity
+
+
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals covered time per user: every event opens a
+    fixed COVER_WINDOW_US activity interval; overlapping intervals are
+    merged (gaps-and-islands) and the user's covered wall-clock is the
+    sum of merged-island lengths — the classic "billable uptime" /
+    "active minutes" metric that naive sum-of-durations double-counts.
+    Island detection: a row starts a new island iff its start exceeds
+    the running MAX(end) over all earlier rows of the user (running max,
+    not lag — an earlier long interval can swallow several later ones).
+    Output: (user_id, n_intervals, covered_us), all exact integers.
+
+    Scale notes (100 TB): one hash exchange on user_id feeds both the
+    running-max window and the island rollup; rows stay thin
+    (user_id, start, end). Per-user state is a single running max —
+    no island materializes more than its member rows, no driver
+    participation. The sweep-line cousin (`concurrency_sweep`) answers
+    "how many open now"; this answers "how long was anything open".
+    """
+    from pyspark.sql import Window
+
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("s")
+    ).withColumn("e", F.col("s") + COVER_WINDOW_US)
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("len_us").alias("covered_us"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_interval_union": interval_union_coverage,
     "ext_time_to_convert": time_to_convert,
     "ext_supplier_hhi": supplier_hhi,
     "ext_inactivity_histogram": inactivity_histogram,
@@ -1354,6 +1403,36 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_interval_union": f"""
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {COVER_WINDOW_US} AS e
+            FROM events),
+        m AS (
+            SELECT user_id, s, e,
+                   MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_end
+            FROM iv),
+        f AS (
+            SELECT user_id, s, e,
+                   CASE WHEN prev_end IS NULL OR s > prev_end
+                        THEN 1 ELSE 0 END AS new_island
+            FROM m),
+        isl AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY user_id
+                                         ORDER BY s, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS island
+            FROM f),
+        merged AS (
+            SELECT user_id, island, MAX(e) - MIN(s) AS len_us
+            FROM isl GROUP BY user_id, island)
+        SELECT user_id, COUNT(*) AS n_intervals,
+               CAST(SUM(len_us) AS BIGINT) AS covered_us
+        FROM merged GROUP BY user_id
+    """,
     "ext_time_to_convert": """
         WITH ev AS (
             SELECT user_id, event_type, ts, event_id FROM events
