@@ -450,7 +450,118 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GUMBEL_K = 200  # documents selected per pass
+GUMBEL_RES = 1_000_000  # uniform-noise resolution (hash buckets)
+
+
+def gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-K data selection (public trick: Gumbel-max sampling
+    WITHOUT replacement ∝ exp(score) == take the K largest
+    score + Gumbel(0,1) keys). Score here is ln(n_chars) — i.e. sample
+    ∝ document length — with the noise derived from a salted hash so
+    the draw is deterministic and engine-portable:
+    u = (h % RES + 0.5) / RES, g = -ln(-ln(u)). Output: the selected
+    K docs with their rounded keys, ranked.
+
+    Scale notes (100 TB): a global top-K never globally sorts — Spark's
+    sort+limit physical plan is TakeOrdered (per-partition heap of K,
+    then a K·partitions merge on the driver), so cost is one scan plus
+    a tiny merge regardless of corpus size. The noise is a hash of the
+    row key, not rand(): re-runs and retried tasks produce the same
+    sample — the property that makes distributed sampling reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.col("doc_id").cast("string"), salt="gumbel") % GUMBEL_RES
+        + 0.5
+    ) / float(GUMBEL_RES)
+    key = F.log(F.col("n_chars").cast("double")) - F.log(-F.log(u))
+    ranked = (
+        docs.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(GUMBEL_K)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    # unpartitioned window is fine HERE: it runs over the K surviving
+    # rows post-limit, never the corpus
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("key", 4).alias("gumbel_key"),
+    )
+
+
+N_SHARDS = 8  # training-shard fan-out
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: serpentine (snake-draft)
+    placement of docs into N_SHARDS by token count, done WITHIN integer
+    log2 length bands so no global ordering is ever needed — docs in a
+    band are within 2× of each other, so snaking a band is near-
+    perfectly balanced and the shard totals are sums of near-balanced
+    bands. Output: per shard, doc/token totals and the deviation from
+    the mean shard load in basis points (integer inputs → IEEE-stable).
+
+    Scale notes (100 TB): the serpentine needs a rank, but only within
+    (band) — the window partitions by band, so the work is parallel
+    across ~20 bands and each band's sort is a partial order, never a
+    single-partition global window. (A global row_number over 100 TB
+    funnels every row through one task — the design this banding
+    exists to avoid.) The final rollup is N_SHARDS rows.
+    """
+    from pyspark.sql import Window
+
+    # band = bit_length(n-1): integer-exact power-of-2 banding (float
+    # log2 at a 2^k boundary is engine-dependent — see length_bucket)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("n_chars") <= 1, F.lit(0))
+        .otherwise(F.expr("length(bin(n_chars - 1))"))
+        .alias("band"),
+        F.col("n_chars").alias("n_toks"),
+    )
+    w = Window.partitionBy("band").orderBy(
+        F.col("n_toks").desc(), "doc_id"
+    )
+    placed = docs.withColumn(
+        "rn", (F.row_number().over(w) - 1).cast("long")
+    ).select(
+        "n_toks",
+        F.when(
+            F.floor(F.col("rn") / N_SHARDS) % 2 == 0,
+            F.col("rn") % N_SHARDS,
+        )
+        .otherwise(N_SHARDS - 1 - F.col("rn") % N_SHARDS)
+        .alias("shard"),
+    )
+    per_shard = placed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+    )
+    tot = per_shard.agg(
+        (F.sum("sum_tokens") / F.lit(float(N_SHARDS))).alias("mean_load")
+    )
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            (F.col("sum_tokens") - F.col("mean_load"))
+            * 10000.0
+            / F.col("mean_load"),
+            2,
+        ).alias("dev_bps"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_gumbel_topk": gumbel_topk,
+    "ext_shard_assignment": shard_assignment,
     "ext_dsir_weights": dsir_weights,
     "ext_stratified_split": stratified_split,
     "ext_length_buckets": length_bucket_padding,
@@ -470,6 +581,52 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_gumbel_topk": f"""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   LN(n_chars * 1.0)
+                   - LN(-LN((CAST('0x' || substr(md5('gumbel:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15)
+                              AS BIGINT) % {GUMBEL_RES} + 0.5)
+                            / {GUMBEL_RES}.0)) AS key
+            FROM documents),
+        topk AS (SELECT * FROM scored
+                 ORDER BY key DESC, doc_id LIMIT {GUMBEL_K})
+        SELECT ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank,
+               doc_id, lang, n_chars, ROUND(key, 4) AS gumbel_key
+        FROM topk
+    """,
+    "ext_shard_assignment": f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars <= 1 THEN 0
+                        ELSE len(bin(n_chars - 1)) END AS band,
+                   n_chars AS n_toks
+            FROM documents),
+        placed AS (
+            SELECT n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY band
+                                      ORDER BY n_toks DESC, doc_id)
+                       - 1 AS rn
+            FROM docs),
+        sharded AS (
+            SELECT n_toks,
+                   CASE WHEN (rn // {N_SHARDS}) % 2 = 0
+                        THEN rn % {N_SHARDS}
+                        ELSE {N_SHARDS} - 1 - rn % {N_SHARDS}
+                   END AS shard
+            FROM placed),
+        per_shard AS (
+            SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+            FROM sharded GROUP BY shard),
+        tot AS (SELECT SUM(sum_tokens) / {N_SHARDS}.0 AS mean_load
+                FROM per_shard)
+        SELECT shard, n_docs, sum_tokens,
+               ROUND((sum_tokens - mean_load) * 10000.0 / mean_load, 2)
+                   AS dev_bps
+        FROM per_shard CROSS JOIN tot
+    """,
     "ext_dsir_weights": rf"""
         WITH tok AS (
             SELECT doc_id, lang,
