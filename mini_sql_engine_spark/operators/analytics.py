@@ -1304,7 +1304,119 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64  # bottom-k sketch size
+_MAX60 = float(1 << 60)  # md5_long range, for hash → (0,1) normalization
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    event type over daily-active (user, day) keys: keep the K smallest
+    distinct hash values; the estimator is (K−1)/u_K where u_K is the
+    K-th smallest hash normalized to (0,1). Unlike HLL (rows-only in
+    this suite), KMV is fully deterministic from the hash function, so
+    the sketch itself is exactly oracle-checkable — the output carries
+    the exact count and the signed estimator error side by side.
+
+    Scale notes (100 TB): the sketch is mergeable (union = bottom-K of
+    the union), so per-partition bottom-K heaps combine map-side; the
+    shuffle is K rows per (group, partition), never data-sized. Here
+    the bottom-K is expressed as a rank-≤-K window over the distinct
+    thin (type, hash) rows — Spark pushes the rank filter into the
+    sort. Distinct-hash semantics (collisions merge) is the sketch's
+    own definition, identically on both engines.
+    """
+    from pyspark.sql import Window
+
+    keys = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("key"),
+    )
+    hashed = keys.select(
+        "event_type", md5_long(F.col("key"), salt="kmv").alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottom = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k_seen"),
+            F.max("h").alias("u_k"),
+        )
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("u_k") / F.lit(_MAX60))
+    )
+    return (
+        exact.join(F.broadcast(bottom), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 4).alias("kmv_est"),
+            F.round(
+                (est - F.col("n_exact")) * 100.0 / F.col("n_exact"), 4
+            ).alias("err_pct"),
+        )
+    )
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per return flag: clip extended
+    prices to the [p1, p99] exact percentile bounds, then compare the
+    raw and winsorized means — the standard outlier-robust location
+    estimate that, unlike trimming, keeps n constant. All arithmetic
+    runs in exact integer cents (bounds integerized by round-half-up)
+    so the means are order-of-accumulation-proof on both engines.
+
+    Scale notes (100 TB): two passes over the fact table — a grouped
+    exact-percentile pass whose tiny (group, lo, hi) result broadcasts
+    back onto the stream, then one map-side-combinable rollup. The
+    group key has only 3 values; at real scale swap `percentile` for
+    the mergeable t-digest `percentile_approx` (same shape, one pass,
+    bounded rank error) as `ext_percentiles` documents.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("pc"),
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.floor(F.expr("percentile(pc, 0.01)") + 0.5)
+        .cast("long")
+        .alias("lo_c"),
+        F.floor(F.expr("percentile(pc, 0.99)") + 0.5)
+        .cast("long")
+        .alias("hi_c"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag").withColumn(
+        "cl", F.least(F.greatest("pc", "lo_c"), "hi_c")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("lo_c") / 100.0, 2).alias("lo"),
+        F.round(F.max("hi_c") / 100.0, 2).alias("hi"),
+        F.round(F.sum("pc") / (100.0 * F.count(F.lit(1))), 4).alias(
+            "mean_raw"
+        ),
+        F.round(F.sum("cl") / (100.0 * F.count(F.lit(1))), 4).alias(
+            "mean_winsorized"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_kmv_distinct": kmv_distinct,
+    "ext_winsorized_stats": winsorized_stats,
     "ext_interval_union": interval_union_coverage,
     "ext_time_to_convert": time_to_convert,
     "ext_supplier_hhi": supplier_hhi,
@@ -1403,6 +1515,60 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_kmv_distinct": f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5('kmv:'
+                            || CAST(user_id AS VARCHAR) || ':'
+                            || strftime(ts, '%Y-%m-%d')), 1, 15)
+                        AS BIGINT) AS h
+            FROM events),
+        bottom AS (
+            SELECT event_type, COUNT(*) AS k_seen, MAX(h) AS u_k
+            FROM (SELECT event_type, h,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM hashed)
+            WHERE rn <= {KMV_K} GROUP BY event_type),
+        exact AS (
+            SELECT event_type, COUNT(*) AS n_exact
+            FROM hashed GROUP BY event_type),
+        est AS (
+            SELECT exact.event_type, n_exact,
+                   CASE WHEN k_seen < {KMV_K} THEN k_seen * 1.0
+                        ELSE {KMV_K - 1}.0
+                             / (u_k / {float(1 << 60)!r})
+                   END AS e
+            FROM exact JOIN bottom USING (event_type))
+        SELECT event_type, n_exact, ROUND(e, 4) AS kmv_est,
+               ROUND((e - n_exact) * 100.0 / n_exact, 4) AS err_pct
+        FROM est
+    """,
+    "ext_winsorized_stats": """
+        WITH pc AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS pc
+            FROM lineitem),
+        b AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(quantile_cont(pc, 0.01) + 0.5) AS BIGINT)
+                       AS lo_c,
+                   CAST(FLOOR(quantile_cont(pc, 0.99) + 0.5) AS BIGINT)
+                       AS hi_c
+            FROM pc GROUP BY l_returnflag),
+        j AS (
+            SELECT pc.l_returnflag, pc.pc, lo_c, hi_c,
+                   LEAST(GREATEST(pc.pc, lo_c), hi_c) AS cl
+            FROM pc JOIN b USING (l_returnflag))
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(MAX(lo_c) / 100.0, 2) AS lo,
+               ROUND(MAX(hi_c) / 100.0, 2) AS hi,
+               ROUND(SUM(pc) / (100.0 * COUNT(*)), 4) AS mean_raw,
+               ROUND(SUM(cl) / (100.0 * COUNT(*)), 4)
+                   AS mean_winsorized
+        FROM j GROUP BY l_returnflag
+    """,
     "ext_interval_union": f"""
         WITH iv AS (
             SELECT user_id, epoch_us(ts) AS s,
