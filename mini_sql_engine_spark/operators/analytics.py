@@ -1414,7 +1414,89 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORR_LAGS = (1, 7)  # day-over-day and week-over-week
+
+
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily order-revenue series (lags
+    1 and 7 — the day-over-day momentum and weekly seasonality
+    gauges). Pearson r is computed from the CLOSED FORM
+    (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) where every S
+    is an exact DECIMAL(38,0) sum of integer cents (and cent
+    products) — never a float accumulation, so the result is
+    bit-identical regardless of partial-agg order. Built-in corr()
+    would be one pass but order-dependent in the last ulp; a metrics
+    gate needs the reproducible form. Missing calendar days simply
+    drop the pair (inner join on day+lag), as documented.
+
+    Scale notes (100 TB): the daily rollup is dates-sized (map-side
+    combined); the lagged self-join runs on that tiny series
+    (broadcast), and each lag reduces to ONE 5-decimal-sum aggregate
+    row. Adding lags adds broadcast joins over the same cached daily
+    table, not passes over the fact data.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+        .localCheckpoint()  # consumed 2× per lag; cut the re-scan
+    )
+    dec = "decimal(19,0)"
+    outs = []
+    for lag in AUTOCORR_LAGS:
+        lead = daily.select(
+            F.date_add("day", -lag).alias("day"),
+            F.col("rev").alias("rev_y"),
+        )
+        pairs = daily.join(lead, "day").select(
+            F.col("rev").cast(dec).alias("x"),
+            F.col("rev_y").cast(dec).alias("y"),
+        )
+        s = pairs.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        outs.append(
+            s.select(
+                F.lit(lag).cast("long").alias("lag"),
+                F.col("n").cast("long").alias("n_pairs"),
+                F.round(
+                    (
+                        (F.col("n") * F.col("sxy")).cast("double")
+                        - (F.col("sx") * F.col("sy")).cast("double")
+                    )
+                    / (
+                        F.sqrt(
+                            (F.col("n") * F.col("sxx")).cast("double")
+                            - (F.col("sx") * F.col("sx")).cast("double")
+                        )
+                        * F.sqrt(
+                            (F.col("n") * F.col("syy")).cast("double")
+                            - (F.col("sy") * F.col("sy")).cast("double")
+                        )
+                    ),
+                    6,
+                ).alias("r"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_autocorr_daily": autocorr_daily,
     "ext_kmv_distinct": kmv_distinct,
     "ext_winsorized_stats": winsorized_stats,
     "ext_interval_union": interval_union_coverage,
@@ -1514,7 +1596,38 @@ def _drift_pair_sql(name: str, ref: str, cur: str) -> str:
     """
 
 
+def _autocorr_lag_sql(lag: int) -> str:
+    # exact int128 sums, double conversion in the SAME op order as the
+    # Spark decimal path — both sides convert each closed-form term
+    # from an exact integer, so r is bit-identical
+    return f"""
+        SELECT CAST({lag} AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               ROUND((CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                     / (SQRT(CAST(n * sxx AS DOUBLE)
+                             - CAST(sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy AS DOUBLE)
+                               - CAST(sy * sy AS DOUBLE))), 6) AS r
+        FROM (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                   SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM (SELECT a.rev AS x, b.rev AS y
+                  FROM daily a JOIN daily b ON b.day = a.day + {lag}))
+    """
+
+
 ORACLES: dict[str, str] = {
+    "ext_autocorr_daily": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS HUGEINT) AS rev
+            FROM orders GROUP BY 1)
+        {_autocorr_lag_sql(1)}
+        UNION ALL
+        {_autocorr_lag_sql(7)}
+    """,
     "ext_kmv_distinct": f"""
         WITH hashed AS (
             SELECT DISTINCT event_type,

@@ -559,7 +559,63 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NUCLEUS_PCT = 90  # keep the smallest top-quality prefix ≥ this token share
+
+
+def nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus selection per language: rank documents
+    by length descending and keep the smallest prefix whose token mass
+    reaches NUCLEUS_PCT% of the language total — the corpus-curation
+    analogue of nucleus sampling (cut the long tail, keep the mass).
+    A doc is kept iff the cumulative mass BEFORE it is still under the
+    target, so the boundary doc that crosses the threshold is included
+    — all-integer arithmetic, no percent rounding at the cut. Output:
+    per language, total vs kept docs/tokens and the realized share.
+
+    Scale notes (100 TB): as written the rank is a per-language window
+    — few partition keys, heavy sort. The scale path keeps the same
+    semantics in two cheap passes: per (lang, bit-length band) token
+    sums locate the band the threshold falls in (bands are a ~60-row
+    table), then only that single boundary band needs row-level
+    ranking; every other band is kept or dropped wholesale. The
+    window form is used here because it is the exactness oracle the
+    banded rewrite must reproduce.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("toks")
+    )
+    wo = Window.partitionBy("lang").orderBy(
+        F.col("toks").desc(), "doc_id"
+    )
+    cum = F.sum("toks").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("toks").over(Window.partitionBy("lang"))
+    flagged = docs.select(
+        "lang",
+        "toks",
+        ((cum - F.col("toks")) * 100 < tot * NUCLEUS_PCT)
+        .cast("long")
+        .alias("keep"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(F.col("keep") * F.col("toks")).alias("kept_tokens"),
+        F.round(
+            F.sum(F.col("keep") * F.col("toks"))
+            * 100.0
+            / F.sum("toks"),
+            4,
+        ).alias("kept_share_pct"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_nucleus_selection": nucleus_selection,
     "ext_gumbel_topk": gumbel_topk,
     "ext_shard_assignment": shard_assignment,
     "ext_dsir_weights": dsir_weights,
@@ -581,6 +637,26 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_nucleus_selection": f"""
+        WITH flagged AS (
+            SELECT lang, n_chars AS toks,
+                   CASE WHEN (SUM(n_chars) OVER (
+                                  PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_chars) * 100
+                             < SUM(n_chars) OVER (PARTITION BY lang)
+                               * {NUCLEUS_PCT}
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(keep * toks) AS BIGINT) AS kept_tokens,
+               ROUND(SUM(keep * toks) * 100.0 / SUM(toks), 4)
+                   AS kept_share_pct
+        FROM flagged GROUP BY lang
+    """,
     "ext_gumbel_topk": f"""
         WITH scored AS (
             SELECT doc_id, lang, n_chars,
