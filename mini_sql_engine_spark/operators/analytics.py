@@ -1495,7 +1495,115 @@ def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct count: pack user ids into 64-bit chunk
+    bitmaps (chunk = id div 64, bit = id mod 64), BIT_OR the masks per
+    (event_type, chunk), then SUM(bit_count(mask)) — the roaring-
+    bitmap-style exact distinct that replaces a wide `count(distinct)`
+    expand with plain integer aggregation. The exact countDistinct
+    runs alongside and the output carries both, pinning the bitmap
+    path to the truth.
+
+    Scale notes (100 TB): the shuffle after the map-side BIT_OR is
+    bounded by groups × ceil(id_space/64) mask rows — for a 10^9-user
+    id space that is ~16M longs per group, independent of event count;
+    the masks then collapse to one long per group. This is the
+    standard bitmap rollup for dense integer key spaces; for sparse or
+    non-integer keys, hash to a dense space first (collisions then
+    make it a sketch — see `ext_kmv_distinct` for the principled one).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("user_id") / 64).cast("long").alias("chunk"),
+        (F.col("user_id") % 64).cast("int").alias("bit"),
+    )
+    masks = ev.groupBy("event_type", "chunk").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask")
+    )
+    bitmap = masks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.bit_count("mask")).alias("n_distinct_bitmap"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_distinct_exact"))
+    )
+    return bitmap.join(F.broadcast(exact), "event_type")
+
+
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of daily order revenue on the calendar
+    day index: slope (cents/day), intercept and R² from the normal-
+    equation closed form, with every moment an exact DECIMAL(38,0)
+    sum of integers (x = epoch day, y = cents) — the same
+    order-of-accumulation-proof construction as `ext_autocorr_daily`,
+    extended from correlation to regression. Both engines evaluate
+    the IDENTICAL expression tree over the exact moments, so the
+    doubles agree to the bit before rounding.
+
+    Scale notes (100 TB): the (priority, day) rollup is the only
+    fact-sized pass (map-side combined); the five moments per group
+    reduce to one row each, and the closed form is driver-free
+    arithmetic on those rows. This is how you regress on 100 TB
+    without MLlib: aggregate moments, not rows.
+    """
+    dec = "decimal(19,0)"
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01")
+            ).alias("xd"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_orderpriority", "xd")
+        .agg(F.sum("cents").alias("rev"))
+        .select(
+            "o_orderpriority",
+            F.col("xd").cast(dec).alias("x"),
+            F.col("rev").cast(dec).alias("y"),
+        )
+    )
+    m = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy")).cast("double") - (
+        F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = (F.col("n") * F.col("sxx")).cast("double") - (
+        F.col("sx") * F.col("sx")
+    ).cast("double")
+    deny = (F.col("n") * F.col("syy")).cast("double") - (
+        F.col("sy") * F.col("sy")
+    ).cast("double")
+    return m.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num / den, 6).alias("slope_cents_per_day"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - num / den * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            2,
+        ).alias("intercept_cents"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_bitmap_distinct": bitmap_distinct,
+    "ext_ols_trend": ols_trend,
     "ext_autocorr_daily": autocorr_daily,
     "ext_kmv_distinct": kmv_distinct,
     "ext_winsorized_stats": winsorized_stats,
@@ -1618,6 +1726,57 @@ def _autocorr_lag_sql(lag: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_bitmap_distinct": """
+        WITH masks AS (
+            SELECT event_type, user_id // 64 AS chunk,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 64 AS INT))
+                       AS mask
+            FROM events GROUP BY event_type, chunk),
+        bitmap AS (
+            SELECT event_type, COUNT(*) AS n_chunks,
+                   CAST(SUM(bit_count(mask)) AS BIGINT)
+                       AS n_distinct_bitmap
+            FROM masks GROUP BY event_type),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id)
+                       AS n_distinct_exact
+            FROM events GROUP BY event_type)
+        SELECT bitmap.event_type, n_chunks, n_distinct_bitmap,
+               n_distinct_exact
+        FROM bitmap JOIN exact USING (event_type)
+    """,
+    "ext_ols_trend": """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS HUGEINT)
+                       AS x,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS HUGEINT) AS y
+            FROM orders
+            GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+        m AS (
+            SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM daily GROUP BY o_orderpriority),
+        f AS (
+            SELECT o_orderpriority, n, sx, sy,
+                   CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE)
+                       AS num,
+                   CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE)
+                       AS den,
+                   CAST(n * syy AS DOUBLE) - CAST(sy * sy AS DOUBLE)
+                       AS deny
+            FROM m)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n_days,
+               ROUND(num / den, 6) AS slope_cents_per_day,
+               ROUND((CAST(sy AS DOUBLE)
+                      - num / den * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 2) AS intercept_cents,
+               ROUND(num * num / (den * deny), 6) AS r2
+        FROM f
+    """,
     "ext_autocorr_daily": f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
