@@ -1496,8 +1496,10 @@ def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitmap-index distinct count: pack user ids into 64-bit chunk
-    bitmaps (chunk = id div 64, bit = id mod 64), BIT_OR the masks per
+    """Bitmap-index distinct count: pack user ids into 32-bit chunk
+    bitmaps (chunk = id div 32, bit = id mod 32 — 32 not 64 because a
+    portable engine pair must avoid the 1<<63 sign-boundary shift,
+    which DuckDB rejects as overflow), BIT_OR the masks per
     (event_type, chunk), then SUM(bit_count(mask)) — the roaring-
     bitmap-style exact distinct that replaces a wide `count(distinct)`
     expand with plain integer aggregation. The exact countDistinct
@@ -1505,8 +1507,8 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     path to the truth.
 
     Scale notes (100 TB): the shuffle after the map-side BIT_OR is
-    bounded by groups × ceil(id_space/64) mask rows — for a 10^9-user
-    id space that is ~16M longs per group, independent of event count;
+    bounded by groups × ceil(id_space/32) mask rows — for a 10^9-user
+    id space that is ~31M longs per group, independent of event count;
     the masks then collapse to one long per group. This is the
     standard bitmap rollup for dense integer key spaces; for sparse or
     non-integer keys, hash to a dense space first (collisions then
@@ -1514,8 +1516,8 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(F.col("user_id") / 64).cast("long").alias("chunk"),
-        (F.col("user_id") % 64).cast("int").alias("bit"),
+        F.floor(F.col("user_id") / 32).cast("long").alias("chunk"),
+        (F.col("user_id") % 32).cast("int").alias("bit"),
     )
     masks = ev.groupBy("event_type", "chunk").agg(
         F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask")
@@ -1728,8 +1730,8 @@ def _autocorr_lag_sql(lag: int) -> str:
 ORACLES: dict[str, str] = {
     "ext_bitmap_distinct": """
         WITH masks AS (
-            SELECT event_type, user_id // 64 AS chunk,
-                   BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 64 AS INT))
+            SELECT event_type, user_id // 32 AS chunk,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
                        AS mask
             FROM events GROUP BY event_type, chunk),
         bitmap AS (
