@@ -1603,7 +1603,125 @@ def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median quantity per return flag: the smallest
+    quantity q where the cumulative revenue of rows with quantity ≤ q
+    reaches half the group's total (lower weighted median). Entirely
+    integer arithmetic — the crossing test is 2·cum ≥ total on exact
+    cents, so no midpoint float ever forms. The plain (unweighted)
+    median ignores that a 50-unit line carries 50× the money of a
+    1-unit line; the weighted one answers "half the revenue sits at or
+    below THIS quantity".
+
+    Scale notes (100 TB): pre-aggregate to (group, quantity) cells
+    first — the window then runs over ≤|quantity domain| rows per
+    group, not fact rows, and the fact-sized work is one map-side-
+    combinable rollup. The crossing row is selected with min-over-
+    filter, no driver logic.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.sum("cents").alias("w"))
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("qty")
+    cum = F.sum("w").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("w").over(Window.partitionBy("l_returnflag"))
+    crossed = cells.select(
+        "l_returnflag",
+        "qty",
+        tot.alias("total_cents"),
+        (cum * 2 >= tot).alias("crossed"),
+    ).filter("crossed")
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("qty").alias("weighted_median_qty"),
+        F.max("total_cents").alias("total_cents"),
+    )
+
+
+CUSUM_TOP = 5  # report the top-|S| candidate changepoint days
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the daily revenue series: the
+    classic cumulative-sum statistic S_i = Σ_{j≤i}(y_j − ȳ), whose
+    extremum marks the most likely single changepoint. Computed
+    SCALED BY n — S'_i = n·cum_i − i·total — so the statistic stays
+    exact integer arithmetic (no float mean subtraction to accumulate
+    error); the reported deviation divides back once at the end.
+    Output: the CUSUM_TOP days with the largest |S'|, their mean-
+    relative deviation in cents and the sign (+1 level-up / −1
+    level-down regime before vs after).
+
+    Scale notes (100 TB): the only fact-sized pass is the daily
+    rollup; the ordered window then runs on the dates-sized series
+    (thousands of rows at any corpus size), and top-|S| is a
+    TakeOrdered, not a sort. Exactness at scale forces the n-scaling:
+    n·cum reaches ~10^20 at 100 TB, hence DECIMAL(38,0)/int128, not
+    long.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("decimal(19,0)").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("rev").alias("total"),
+    )
+    wo = Window.orderBy("day")
+    scored = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum",
+            F.sum("rev").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "i", F.row_number().over(wo).cast("decimal(19,0)")
+        )
+        .withColumn(
+            "s",
+            F.col("n") * F.col("cum") - F.col("i") * F.col("total"),
+        )
+    )
+    return (
+        scored.orderBy(F.abs("s").desc(), "day")
+        .limit(CUSUM_TOP)
+        .select(
+            "day",
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double") / 100.0,
+                2,
+            ).alias("cusum_usd"),
+            F.signum(F.col("s").cast("double")).cast("long").alias("sign"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_weighted_median": weighted_median,
+    "ext_cusum_changepoint": cusum_changepoint,
     "ext_bitmap_distinct": bitmap_distinct,
     "ext_ols_trend": ols_trend,
     "ext_autocorr_daily": autocorr_daily,
@@ -1728,6 +1846,46 @@ def _autocorr_lag_sql(lag: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_weighted_median": """
+        WITH cells AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2),
+        c AS (
+            SELECT l_returnflag, qty,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS total
+            FROM cells)
+        SELECT l_returnflag, MIN(qty) AS weighted_median_qty,
+               CAST(MAX(total) AS BIGINT) AS total_cents
+        FROM c WHERE cum * 2 >= total GROUP BY l_returnflag
+    """,
+    "ext_cusum_changepoint": f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS HUGEINT) AS rev
+            FROM orders GROUP BY 1),
+        t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rev) AS total
+              FROM daily),
+        sc AS (
+            SELECT day, n, total,
+                   SUM(rev) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT)
+                       AS i
+            FROM daily CROSS JOIN t),
+        s AS (SELECT day, n * cum - i * total AS s, n FROM sc)
+        SELECT day,
+               ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2)
+                   AS cusum_usd,
+               CAST(SIGN(CAST(s AS DOUBLE)) AS BIGINT) AS sign
+        FROM s ORDER BY ABS(s) DESC, day LIMIT {CUSUM_TOP}
+    """,
     "ext_bitmap_distinct": """
         WITH masks AS (
             SELECT event_type, user_id // 32 AS chunk,
