@@ -1719,7 +1719,170 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event types: Jaccard of
+    the daily-active (user, day) key sets for every unordered type
+    pair — the segment-overlap matrix behind "do clickers also buy".
+    Output: both set sizes, the intersection and the Jaccard (exact
+    integer ratio, rounded once at the end).
+
+    Scale notes (100 TB): the self-join runs on DISTINCT thin
+    (type, key-hash) rows — the join key is the member, so the shuffle
+    is set-sized, not event-sized, and each member contributes at most
+    |types|² pair rows (types is small). Per-type sizes broadcast back
+    onto the tiny pair table. For hundreds of segments, switch to the
+    sketch route (`ext_kmv_intersection`) — same shape, constant-size
+    state per segment.
+    """
+    keys = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("key"),
+    )
+    hashed = keys.select(
+        "event_type", md5_long(F.col("key"), salt="kmv").alias("h")
+    ).distinct()
+    sizes = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    inter = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set intersection from KMV bottom-K sketches:
+    for each event-type pair, intersect the two sketches, keep common
+    hashes below θ = min(θ_a, θ_b) (θ of a saturated sketch is its
+    K-th value; of an unsaturated one, 1.0 — it holds the whole set),
+    and estimate |A∩B| ≈ |common < θ| / θ. The exact intersection
+    (from `ext_audience_overlap`'s construction) rides along, so the
+    artifact shows the estimator error the sketch trades for its
+    constant size. Deterministic end-to-end — same salted hash, no
+    randomness.
+
+    Scale notes (100 TB): this is the whole point of the sketch — the
+    pairwise stage touches only K-row sketches (segments × K longs,
+    broadcastable for thousands of segments), never the member sets.
+    Building the sketches is the same mergeable bottom-K pass as
+    `ext_kmv_distinct`.
+    """
+    from pyspark.sql import Window
+
+    keys = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("key"),
+    )
+    hashed = keys.select(
+        "event_type", md5_long(F.col("key"), salt="kmv").alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    theta = sk.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(1 << 60))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    ta = theta.select(
+        F.col("event_type").alias("type_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    tb = theta.select(
+        F.col("event_type").alias("type_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    common = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.h").alias("h"),
+        )
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .filter(F.col("h") < F.least("theta_a", "theta_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_below"),
+            F.max(F.least("theta_a", "theta_b")).alias("theta"),
+        )
+    )
+    exact_full = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"), F.col("x.h") == F.col("y.h")
+        )
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    est = F.col("n_below") / (
+        F.col("theta").cast("double") / F.lit(_MAX60)
+    )
+    return (
+        exact_full.join(F.broadcast(common), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_inter_exact",
+            F.round(est, 4).alias("kmv_est"),
+            F.round(
+                (est - F.col("n_inter_exact"))
+                * 100.0
+                / F.col("n_inter_exact"),
+                4,
+            ).alias("err_pct"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_audience_overlap": audience_overlap,
+    "ext_kmv_intersection": kmv_intersection,
     "ext_weighted_median": weighted_median,
     "ext_cusum_changepoint": cusum_changepoint,
     "ext_bitmap_distinct": bitmap_distinct,
@@ -1845,7 +2008,75 @@ def _autocorr_lag_sql(lag: int) -> str:
     """
 
 
+_KMV_HASHED = """
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5('kmv:'
+                        || CAST(user_id AS VARCHAR) || ':'
+                        || strftime(ts, '%Y-%m-%d')), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+"""
+
 ORACLES: dict[str, str] = {
+    "ext_audience_overlap": f"""
+        WITH hashed AS ({_KMV_HASHED}),
+        sizes AS (SELECT event_type, COUNT(*) AS n
+                  FROM hashed GROUP BY event_type),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_inter
+            FROM hashed a JOIN hashed b
+              ON a.h = b.h AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+               ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+    """,
+    "ext_kmv_intersection": f"""
+        WITH hashed AS ({_KMV_HASHED}),
+        sk AS (
+            SELECT event_type, h
+            FROM (SELECT event_type, h,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn
+                  FROM hashed)
+            WHERE rn <= {KMV_K}),
+        theta AS (
+            SELECT event_type,
+                   CASE WHEN COUNT(*) < {KMV_K}
+                        THEN CAST({1 << 60} AS BIGINT)
+                        ELSE MAX(h) END AS theta
+            FROM sk GROUP BY event_type),
+        common AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_below,
+                   MAX(LEAST(ta.theta, tb.theta)) AS theta
+            FROM sk a
+            JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+            JOIN theta ta ON ta.event_type = a.event_type
+            JOIN theta tb ON tb.event_type = b.event_type
+            WHERE a.h < LEAST(ta.theta, tb.theta)
+            GROUP BY 1, 2),
+        exact_full AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_inter_exact
+            FROM hashed a JOIN hashed b
+              ON a.h = b.h AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT e.type_a, e.type_b, n_inter_exact,
+               ROUND(n_below
+                     / (CAST(theta AS DOUBLE) / {float(1 << 60)!r}), 4)
+                   AS kmv_est,
+               ROUND((n_below
+                      / (CAST(theta AS DOUBLE) / {float(1 << 60)!r})
+                      - n_inter_exact) * 100.0 / n_inter_exact, 4)
+                   AS err_pct
+        FROM exact_full e
+        JOIN common c ON c.type_a = e.type_a AND c.type_b = e.type_b
+    """,
     "ext_weighted_median": """
         WITH cells AS (
             SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
