@@ -1880,7 +1880,58 @@ def kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed with mergeable
+    chunk bitmaps instead of 7 overlapping COUNT(DISTINCT) passes:
+    each (day, chunk) activity mask is SCATTERED to the 7 windows it
+    participates in (a constant ×7 explode), masks BIT_OR-merge per
+    (window-day, chunk), and bit_count sums give the exact distinct.
+    `distinct users this week` for every day in one relational pass —
+    the pre-aggregated daily state is what an incremental/streaming
+    materialization would checkpoint.
+
+    Scale notes (100 TB): event-sized work is only the daily mask
+    build (map-side combined); the scatter multiplies the already
+    tiny (days × active-chunks) state by the window length, never the
+    events. Window length W costs ×W state — for W=90 switch to a
+    two-level day→week pyramid (OR of 13 weekly masks + edge days).
+    Compare `ext_running_distinct_users` (cumulative exact via min
+    first-seen day) — that trick cannot do sliding windows; bitmaps
+    can.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("user_id") / 32).cast("long").alias("chunk"),
+        (F.col("user_id") % 32).cast("int").alias("bit"),
+    )
+    masks = ev.groupBy("day", "chunk").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask")
+    )
+    scattered = masks.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "chunk",
+        "mask",
+    ).select(
+        F.date_add("day", F.col("off")).alias("day"), "chunk", "mask"
+    )
+    win = scattered.groupBy("day", "chunk").agg(
+        F.expr("bit_or(mask)").alias("m7")
+    )
+    days = ev.select("day").distinct()
+    return (
+        win.join(days, "day")
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("m7")).alias("n_distinct_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_distinct_7d",
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_sliding_bitmap_distinct": sliding_bitmap_distinct,
     "ext_audience_overlap": audience_overlap,
     "ext_kmv_intersection": kmv_intersection,
     "ext_weighted_median": weighted_median,
@@ -2018,6 +2069,26 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_sliding_bitmap_distinct": """
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, user_id // 32 AS chunk,
+                   CAST(user_id % 32 AS INT) AS bit
+            FROM events),
+        masks AS (
+            SELECT day, chunk, BIT_OR(CAST(1 AS BIGINT) << bit) AS mask
+            FROM ev GROUP BY 1, 2),
+        scattered AS (
+            SELECT day + CAST(off AS INT) AS day, chunk, mask
+            FROM masks
+            CROSS JOIN (SELECT UNNEST(range(7)) AS off)),
+        win AS (
+            SELECT day, chunk, BIT_OR(mask) AS m7
+            FROM scattered GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM ev)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(SUM(bit_count(m7)) AS BIGINT) AS n_distinct_7d
+        FROM win JOIN days USING (day) GROUP BY day
+    """,
     "ext_audience_overlap": f"""
         WITH hashed AS ({_KMV_HASHED}),
         sizes AS (SELECT event_type, COUNT(*) AS n

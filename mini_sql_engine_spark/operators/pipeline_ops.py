@@ -614,7 +614,71 @@ def nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HRW_WORKERS = 10  # rendezvous-hash worker pool size
+HRW_REMOVED = 3  # the worker that "fails" in the rebalance scenario
+
+
+def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing of documents onto a
+    worker pool, plus the failover rebalance: each doc goes to the
+    worker maximizing hash(doc, worker); when worker HRW_REMOVED
+    dies, ONLY its docs move (the consistent-hashing guarantee — a
+    mod-N scheme would reshuffle ~everything). Output: per surviving
+    worker, the steady-state load, the post-failover load, and how
+    many docs it inherited. Ties in the argmax are broken by worker
+    id, deterministically.
+
+    Scale notes (100 TB): the doc × worker score table is an explode
+    by a CONSTANT small factor (the pool size) followed by a thin
+    max_by per doc — embarrassingly parallel, no shuffle until the
+    |workers|-row load rollup. For thousands of workers, score only
+    each doc's top-C candidate workers via a two-level pool
+    (rendezvous over groups, then within the group).
+    """
+    workers = F.array(*[F.lit(i) for i in range(HRW_WORKERS)])
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(workers).alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            md5_long(
+                F.concat_ws(
+                    "#", F.col("doc_id").cast("string"), F.col("w")
+                ),
+                salt="hrw",
+            ).alias("score"),
+        )
+    )
+    # argmax by (score, w): max_by with a struct orders lexicographically
+    pick = scored.groupBy("doc_id").agg(
+        F.max(F.struct("score", "w")).alias("best"),
+        F.max(
+            F.when(
+                F.col("w") != HRW_REMOVED, F.struct("score", "w")
+            )
+        ).alias("best_after"),
+    )
+    placed = pick.select(
+        F.col("best.w").alias("w_before"),
+        F.col("best_after.w").alias("w_after"),
+    )
+    return (
+        placed.groupBy(F.col("w_after").cast("long").alias("worker"))
+        .agg(
+            F.sum(
+                (F.col("w_before") == F.col("w_after")).cast("long")
+            ).alias("n_steady"),
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum(
+                (F.col("w_before") != F.col("w_after")).cast("long")
+            ).alias("n_inherited"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_rendezvous_routing": rendezvous_routing,
     "ext_nucleus_selection": nucleus_selection,
     "ext_gumbel_topk": gumbel_topk,
     "ext_shard_assignment": shard_assignment,
@@ -637,6 +701,41 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_rendezvous_routing": f"""
+        WITH scored AS (
+            SELECT doc_id, w,
+                   CAST('0x' || substr(md5('hrw:'
+                            || CAST(doc_id AS VARCHAR) || '#'
+                            || CAST(w AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS score
+            FROM documents
+            CROSS JOIN (SELECT UNNEST(range({HRW_WORKERS})) AS w)),
+        before AS (
+            SELECT doc_id, w AS w_before
+            FROM (SELECT doc_id, w,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, w DESC)
+                             AS rn
+                  FROM scored)
+            WHERE rn = 1),
+        after AS (
+            SELECT doc_id, w AS w_after
+            FROM (SELECT doc_id, w,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, w DESC)
+                             AS rn
+                  FROM scored WHERE w != {HRW_REMOVED})
+            WHERE rn = 1)
+        SELECT w_after AS worker,
+               CAST(SUM(CASE WHEN w_before = w_after
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_steady,
+               COUNT(*) AS n_after,
+               CAST(SUM(CASE WHEN w_before != w_after
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inherited
+        FROM before JOIN after USING (doc_id)
+        GROUP BY w_after
+    """,
     "ext_nucleus_selection": f"""
         WITH flagged AS (
             SELECT lang, n_chars AS toks,
