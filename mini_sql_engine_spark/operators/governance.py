@@ -898,7 +898,140 @@ def erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-differential-privacy frequency estimation (randomized
+    response, p=1/2): each event reports its TRUE type with
+    probability ½, else a uniformly drawn type — so no single report
+    reveals anything — and the aggregator debiases with
+    n̂_t = 2·c_t − n/k. Complements `ext_dp_release` (central DP:
+    trusted aggregator adds noise once) with the local model (no
+    trusted aggregator at all). The coin flips are salted hashes of
+    the event id, so the whole mechanism is deterministic and
+    exactly oracle-checkable, estimator error included.
+
+    Scale notes (100 TB): the type dictionary (k rows) broadcasts;
+    everything else is one map-side-combinable count per reported
+    type plus a 1-row total. The perturbation is per-row projection
+    work — the shape LDP was designed for: the server only ever sees
+    k counters.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("eid"), "event_type"
+    )
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("event_type")).cast("long")
+            - 1,
+        )
+    )
+    kn = types.agg(F.count(F.lit(1)).alias("k"))
+    perturbed = (
+        ev.crossJoin(F.broadcast(kn))
+        .withColumn(
+            "truthful", md5_long(F.col("eid"), salt="ldp1") % 2 == 0
+        )
+        .withColumn(
+            "ridx",
+            F.when(
+                ~F.col("truthful"),
+                md5_long(F.col("eid"), salt="ldp2") % F.col("k"),
+            ),
+        )
+        .join(
+            F.broadcast(types.select(F.col("idx").alias("ridx"),
+                                     F.col("event_type").alias("rtype"))),
+            "ridx",
+            "left",
+        )
+        .select(
+            F.coalesce("rtype", "event_type").alias("reported"),
+            "event_type",
+            "k",
+        )
+    )
+    reported = perturbed.groupBy(
+        F.col("reported").alias("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_reported"), F.max("k").alias("k"))
+    truth = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    est = (
+        2.0 * F.col("n_reported") - F.col("n") * 1.0 / F.col("k")
+    )
+    return (
+        truth.join(F.broadcast(reported), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_true",
+            "n_reported",
+            F.round(est, 4).alias("ldp_est"),
+            F.round(
+                (est - F.col("n_true")) * 100.0 / F.col("n_true"), 4
+            ).alias("err_pct"),
+        )
+    )
+
+
+_FP_TABLES = {
+    "nation": "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' "
+    "|| CAST(n_regionkey AS VARCHAR)",
+    "region": "CAST(r_regionkey AS VARCHAR) || '|' || r_name",
+    "supplier": "CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' "
+    "|| CAST(s_nationkey AS VARCHAR)",
+}
+_FP_SPARK = {
+    "nation": "concat_ws('|', CAST(n_nationkey AS STRING), n_name, "
+    "CAST(n_regionkey AS STRING))",
+    "region": "concat_ws('|', CAST(r_regionkey AS STRING), r_name)",
+    "supplier": "concat_ws('|', CAST(s_suppkey AS STRING), s_name, "
+    "CAST(s_nationkey AS STRING))",
+}
+
+
+def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset fingerprint: per table, XOR-fold of
+    per-row canonical-string hashes plus the row count — a commutative
+    checksum two replicas can compute independently (any partitioning,
+    any row order) and compare in O(1). XOR cancels even-multiplicity
+    duplicate rows, which is why the count rides along; a
+    multiplicity-sensitive variant would sum hashes in int128 instead.
+    Key/string columns only — float columns would need a canonical
+    decimal rendering first.
+
+    Scale notes (100 TB): bit_xor is a map-side-combinable aggregate —
+    the fingerprint of a 100 TB table shuffles one long per partition.
+    This is the cheap answer to "did the migration copy everything",
+    before any row-level diff (`ext_snapshot_diff`) runs.
+    """
+    outs = []
+    for t, expr in _FP_SPARK.items():
+        df = load_table(spark, sf_dir, t).select(
+            F.expr(expr).alias("canon")
+        )
+        outs.append(
+            df.select(md5_long(F.col("canon"), salt="fp").alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("fingerprint"),
+            )
+            .select(
+                F.lit(t).alias("table_name"), "n_rows", "fingerprint"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_ldp_frequency": ldp_frequency,
+    "ext_dataset_fingerprint": dataset_fingerprint,
     "ext_erasure_audit": erasure_audit,
     "ext_fuzzy_vocab_join": fuzzy_vocab_join,
     "ext_cms_frequency": cms_frequency,
@@ -923,7 +1056,50 @@ def _md5_long_sql(expr: str, salt: str) -> str:
     )
 
 
+_FP_ORACLE_PARTS = " UNION ALL ".join(
+    f"""
+        SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+               BIT_XOR(CAST('0x' || substr(md5('fp:' || {expr}), 1, 15)
+                            AS BIGINT)) AS fingerprint
+        FROM {t}
+    """
+    for t, expr in _FP_TABLES.items()
+)
+
 ORACLES: dict[str, str] = {
+    "ext_ldp_frequency": """
+        WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid,
+                           event_type FROM events),
+        types AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+            FROM (SELECT DISTINCT event_type FROM ev)),
+        kn AS (SELECT COUNT(*) AS k FROM types),
+        pert AS (
+            SELECT CASE WHEN CAST('0x' || substr(md5('ldp1:' || eid),
+                                                 1, 15) AS BIGINT)
+                             % 2 = 0
+                        THEN ev.event_type
+                        ELSE t.event_type END AS reported
+            FROM ev CROSS JOIN kn
+            LEFT JOIN types t
+              ON t.idx = CAST('0x' || substr(md5('ldp2:' || eid),
+                                             1, 15) AS BIGINT) % k),
+        rep AS (
+            SELECT reported AS event_type, COUNT(*) AS n_reported
+            FROM pert GROUP BY reported),
+        truth AS (
+            SELECT event_type, COUNT(*) AS n_true
+            FROM ev GROUP BY event_type),
+        tot AS (SELECT COUNT(*) AS n FROM ev)
+        SELECT truth.event_type, n_true, n_reported,
+               ROUND(2.0 * n_reported - n * 1.0 / k, 4) AS ldp_est,
+               ROUND((2.0 * n_reported - n * 1.0 / k - n_true)
+                     * 100.0 / n_true, 4) AS err_pct
+        FROM truth JOIN rep USING (event_type)
+        CROSS JOIN tot CROSS JOIN kn
+    """,
+    "ext_dataset_fingerprint": _FP_ORACLE_PARTS,
     "ext_erasure_audit": f"""
         WITH subjects AS (
             SELECT c_custkey AS skey FROM customer
