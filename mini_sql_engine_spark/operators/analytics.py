@@ -1930,7 +1930,103 @@ def sliding_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness screen per event type: the Fano factor
+    (variance/mean) of the DAILY event counts — ≈1 for a Poisson
+    (memoryless) stream, ≫1 for bursty traffic, ≪1 for throttled/
+    regular traffic. Sample variance comes from exact integer moments
+    ((n·Σx² − (Σx)²)/(n·(n−1))), so the statistic is accumulation-
+    order-proof like `ext_ols_trend`. The classifier column applies
+    the conventional 0.9/1.1 cutoffs.
+
+    Scale notes (100 TB): daily counts are a map-side-combined
+    rollup; the moments reduce dates-sized rows to one row per type.
+    Nothing here ever holds more than (types × days) thin rows.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    var = (
+        (F.col("n") * F.col("ss")).cast("double")
+        - (F.col("s") * F.col("s")).cast("double")
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    fano = var / mean
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var, 4).alias("var_daily"),
+        F.round(fano, 4).alias("fano"),
+        F.when(fano > 1.1, F.lit("bursty"))
+        .when(fano < 0.9, F.lit("regular"))
+        .otherwise(F.lit("poisson-like"))
+        .alias("regime"),
+    )
+
+
+EQD_BUCKETS = 10  # equi-depth histogram bucket count
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of extended price — the
+    optimizer-statistics histogram that adapts bucket widths to the
+    data (a fixed-width histogram wastes buckets on empty ranges and
+    crushes the mode into one bin; see `ext_histogram` for that
+    primitive). Boundaries are the exact i/B percentiles of integer
+    cents; rows are assigned by counting boundaries strictly below
+    the value, so boundary ties land deterministically in the lower
+    bucket on both engines. Output: per bucket its realized row count
+    and [lo, hi] — near-equal counts, data-driven widths.
+
+    Scale notes (100 TB): NO global sort and NO ntile window — the
+    B−1 boundary values broadcast as a tiny array and assignment is a
+    per-row scan expression, then one (bucket, agg) shuffle of B
+    rows. At real scale compute boundaries with the mergeable
+    t-digest (`percentile_approx`) instead of exact percentile; the
+    assignment side is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("pc")
+    )
+    qs = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
+    bounds = li.agg(
+        *[
+            F.floor(F.expr(f"percentile(pc, {q!r})") + 0.5)
+            .cast("long")
+            .alias(f"b{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucket = sum(
+        (F.col("pc") > F.col(f"b{i}")).cast("long") for i in range(len(qs))
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "pc")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("pc") / 100.0, 2).alias("lo"),
+            F.round(F.max("pc") / 100.0, 2).alias("hi"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_burstiness_fano": burstiness_fano,
+    "ext_equidepth_histogram": equidepth_histogram,
     "ext_sliding_bitmap_distinct": sliding_bitmap_distinct,
     "ext_audience_overlap": audience_overlap,
     "ext_kmv_intersection": kmv_intersection,
@@ -2069,6 +2165,53 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_burstiness_fano": """
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS HUGEINT) AS c
+            FROM events GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(c) AS s, SUM(c * c) AS ss
+            FROM daily GROUP BY event_type),
+        f AS (
+            SELECT event_type, n,
+                   (CAST(n * ss AS DOUBLE) - CAST(s * s AS DOUBLE))
+                       / CAST(n * (n - 1) AS DOUBLE) AS var,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+            FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               ROUND(mean, 4) AS mean_daily,
+               ROUND(var, 4) AS var_daily,
+               ROUND(var / mean, 4) AS fano,
+               CASE WHEN var / mean > 1.1 THEN 'bursty'
+                    WHEN var / mean < 0.9 THEN 'regular'
+                    ELSE 'poisson-like' END AS regime
+        FROM f
+    """,
+    "ext_equidepth_histogram": f"""
+        WITH pc AS (
+            SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS pc
+            FROM lineitem),
+        bounds AS (
+            SELECT {", ".join(
+                f"CAST(FLOOR(quantile_cont(pc, {i / EQD_BUCKETS!r}) + 0.5)"
+                f" AS BIGINT) AS b{i - 1}"
+                for i in range(1, EQD_BUCKETS)
+            )}
+            FROM pc),
+        assigned AS (
+            SELECT ({" + ".join(
+                f"CASE WHEN pc > b{i} THEN 1 ELSE 0 END"
+                for i in range(EQD_BUCKETS - 1)
+            )}) AS bucket, pc
+            FROM pc CROSS JOIN bounds)
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+               ROUND(MIN(pc) / 100.0, 2) AS lo,
+               ROUND(MAX(pc) / 100.0, 2) AS hi
+        FROM assigned GROUP BY bucket
+    """,
     "ext_sliding_bitmap_distinct": """
         WITH ev AS (
             SELECT CAST(ts AS DATE) AS day, user_id // 32 AS chunk,
