@@ -2024,7 +2024,143 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO credit allocation per user: click values accrue a credit
+    pool, purchase values consume it first-in-first-out — the classic
+    inventory/lot-matching problem, solved relationally by turning
+    both sides into CUMULATIVE ranges ([cum−x, cum) per event) and
+    joining overlapping intervals; the overlap length IS the
+    allocated amount. No loops, no state machine — two windows and a
+    range join, all in exact cents. Output per user: allocation
+    count, matched cents, and the unmatched remainder on each side.
+
+    Scale notes (100 TB): both windows and the range join partition
+    by user_id — one hash exchange each, per-user sequential scans.
+    Intra-user skew (a mega-user's quadratic overlap pairs) is
+    bounded because FIFO overlaps form a staircase: each click range
+    overlaps at most (its span ÷ typical purchase) purchases, so the
+    join output is ~linear in events, not quadratic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+    def ranged(typ: str, lo: str, hi: str) -> DataFrame:
+        side = ev.filter(F.col("event_type") == typ)
+        cum = F.sum("cents").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return side.select(
+            "user_id",
+            (cum - F.col("cents")).alias(lo),
+            cum.alias(hi),
+        )
+
+    clicks = ranged("click", "cs", "ce")
+    buys = ranged("purchase", "ps", "pe")
+    alloc = (
+        clicks.join(buys, "user_id")
+        .filter((F.col("cs") < F.col("pe")) & (F.col("ps") < F.col("ce")))
+        .select(
+            "user_id",
+            (
+                F.least("ce", "pe") - F.greatest("cs", "ps")
+            ).alias("matched"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_allocs"),
+            F.sum("matched").alias("matched_cents"),
+        )
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents")).otherwise(
+                0
+            )
+        ).alias("click_cents"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("cents")
+            ).otherwise(0)
+        ).alias("purchase_cents"),
+    )
+    return (
+        totals.join(alloc, "user_id")
+        .select(
+            "user_id",
+            "n_allocs",
+            "matched_cents",
+            (F.col("click_cents") - F.col("matched_cents")).alias(
+                "unused_credit_cents"
+            ),
+            (F.col("purchase_cents") - F.col("matched_cents")).alias(
+                "uncovered_purchase_cents"
+            ),
+        )
+    )
+
+
+def peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on daily order revenue: a day is a peak iff it
+    strictly beats both neighbors AND exceeds 1.5× its trailing
+    7-day mean — the neighbor test kills plateaus, the prominence
+    test kills noise ripples. The prominence comparison runs as
+    14·rev > 3·sum7 in exact cents (no float mean), so a boundary
+    day cannot flip between engines. Output: the peak days with
+    revenue and prominence ratio.
+
+    Scale notes (100 TB): all windows run on the dates-sized daily
+    rollup; the only fact-sized pass is the map-side-combined daily
+    sum. Same series-on-top-of-rollup shape as
+    `ext_cusum_changepoint`.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev")
+        )
+    )
+    wo = Window.orderBy("day")
+    sum7 = F.sum("rev").over(wo.rowsBetween(-6, 0))
+    n7 = F.count(F.lit(1)).over(wo.rowsBetween(-6, 0))
+    scored = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 1).over(wo).alias("prev"),
+        F.lead("rev", 1).over(wo).alias("nxt"),
+        sum7.alias("s7"),
+        n7.alias("n7"),
+    ).filter(
+        (F.col("rev") > F.col("prev"))
+        & (F.col("rev") > F.col("nxt"))
+        & (F.col("n7") == 7)
+        & (F.col("rev") * 14 > F.col("s7") * 3)
+    )
+    return scored.select(
+        "day",
+        F.round(F.col("rev") / 100.0, 2).alias("rev_usd"),
+        F.round(F.col("rev") * 7.0 / F.col("s7"), 4).alias(
+            "prominence"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_fifo_allocation": fifo_allocation,
+    "ext_peak_days": peak_days,
     "ext_burstiness_fano": burstiness_fano,
     "ext_equidepth_histogram": equidepth_histogram,
     "ext_sliding_bitmap_distinct": sliding_bitmap_distinct,
@@ -2165,6 +2301,73 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_fifo_allocation": """
+        WITH ev AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+        clicks AS (
+            SELECT user_id,
+                   SUM(cents) OVER w - cents AS cs,
+                   SUM(cents) OVER w AS ce
+            FROM ev WHERE event_type = 'click'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        buys AS (
+            SELECT user_id,
+                   SUM(cents) OVER w - cents AS ps,
+                   SUM(cents) OVER w AS pe
+            FROM ev WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        alloc AS (
+            SELECT c.user_id, COUNT(*) AS n_allocs,
+                   CAST(SUM(LEAST(ce, pe) - GREATEST(cs, ps))
+                        AS BIGINT) AS matched_cents
+            FROM clicks c JOIN buys b
+              ON c.user_id = b.user_id
+             AND cs < pe AND ps < ce
+            GROUP BY c.user_id),
+        totals AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                                 THEN cents ELSE 0 END) AS BIGINT)
+                       AS click_cents,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN cents ELSE 0 END) AS BIGINT)
+                       AS purchase_cents
+            FROM ev GROUP BY user_id)
+        SELECT user_id, n_allocs, matched_cents,
+               click_cents - matched_cents AS unused_credit_cents,
+               purchase_cents - matched_cents
+                   AS uncovered_purchase_cents
+        FROM totals JOIN alloc USING (user_id)
+    """,
+    "ext_peak_days": """
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+        scored AS (
+            SELECT day, rev,
+                   LAG(rev, 1) OVER (ORDER BY day) AS prev,
+                   LEAD(rev, 1) OVER (ORDER BY day) AS nxt,
+                   SUM(rev) OVER (ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW) AS s7,
+                   COUNT(*) OVER (ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW) AS n7
+            FROM daily)
+        SELECT day, ROUND(rev / 100.0, 2) AS rev_usd,
+               ROUND(rev * 7.0 / s7, 4) AS prominence
+        FROM scored
+        WHERE rev > prev AND rev > nxt AND n7 = 7
+          AND rev * 14 > s7 * 3
+    """,
     "ext_burstiness_fano": """
         WITH daily AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
