@@ -2158,7 +2158,117 @@ def peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DID_CUT = "2024-01-16"  # pre/post boundary (events span Jan 2024)
+
+
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value: treatment is a
+    deterministic hash split of users, periods split at DID_CUT, and
+    the estimator is (T_post − T_pre) − (C_post − C_pre) on mean
+    purchase value — the design that removes both the level gap
+    between arms and the common time trend, where a naive post-only
+    comparison confounds the two. All four cell means are exact-cent
+    sums over exact counts folded into ONE conditional-aggregate row,
+    so no float ever crosses a group boundary.
+
+    Scale notes (100 TB): one map-side-combined pass producing a
+    single 8-counter row; the estimator is row-local arithmetic.
+    Conditional aggregation (not 4 filtered subqueries) is what keeps
+    it one scan.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (
+                md5_long(F.col("user_id").cast("string"), salt="did") % 2
+                == 0
+            ).alias("treated"),
+            (F.date_format("ts", "yyyy-MM-dd") >= DID_CUT).alias("post"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+
+    def cell(tr: bool, po: bool, what: str):
+        cond = (F.col("treated") == tr) & (F.col("post") == po)
+        if what == "s":
+            return F.sum(F.when(cond, F.col("cents")).otherwise(0))
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    m = ev.agg(
+        *[
+            cell(tr, po, w).alias(f"{w}_{int(tr)}{int(po)}")
+            for tr in (False, True)
+            for po in (False, True)
+            for w in ("s", "n")
+        ]
+    )
+    mean = {
+        (tr, po): F.col(f"s_{int(tr)}{int(po)}")
+        / 100.0
+        / F.col(f"n_{int(tr)}{int(po)}")
+        for tr in (False, True)
+        for po in (False, True)
+    }
+    return m.select(
+        F.round(mean[(True, False)], 4).alias("treat_pre"),
+        F.round(mean[(True, True)], 4).alias("treat_post"),
+        F.round(mean[(False, False)], 4).alias("ctrl_pre"),
+        F.round(mean[(False, True)], 4).alias("ctrl_post"),
+        F.round(
+            (mean[(True, True)] - mean[(True, False)])
+            - (mean[(False, True)] - mean[(False, False)]),
+            4,
+        ).alias("did_usd"),
+    )
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment design: minimum detectable effect per event type at
+    80% power / 5% α for an equal-split test on event value —
+    MDE = 2.8·√(2σ²/n)/mean (the standard two-sample approximation),
+    with σ² and the mean from exact integer moments. This is the
+    query an experimentation platform runs BEFORE the test, and the
+    honest answer to "can we even measure a 1% lift here"; the
+    z-score query (`ext_ab_test_zscore`) is the after.
+
+    Scale notes (100 TB): one map-side-combined moments pass, one row
+    per type — same moments-not-rows shape as `ext_ols_trend`.
+    """
+    m = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("decimal(19,0)")
+            .alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+    )
+    var = (
+        (F.col("n") * F.col("ss")).cast("double")
+        - (F.col("s") * F.col("s")).cast("double")
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    n_arm = F.col("n").cast("double") / 2.0
+    mde = F.lit(2.8) * F.sqrt(2.0 * var / n_arm) / mean
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(mean / 100.0, 4).alias("mean_usd"),
+        F.round(F.sqrt(var) / 100.0, 4).alias("stddev_usd"),
+        F.round(mde * 100.0, 4).alias("mde_pct"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_diff_in_diff": diff_in_diff,
+    "ext_ab_power_mde": ab_power_mde,
     "ext_fifo_allocation": fifo_allocation,
     "ext_peak_days": peak_days,
     "ext_burstiness_fano": burstiness_fano,
@@ -2301,6 +2411,64 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_diff_in_diff": f"""
+        WITH ev AS (
+            SELECT CAST('0x' || substr(md5('did:'
+                            || CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 2 = 0 AS treated,
+                   strftime(ts, '%Y-%m-%d') >= '{DID_CUT}' AS post,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+        m AS (
+            SELECT
+                SUM(CASE WHEN treated AND NOT post
+                         THEN cents ELSE 0 END) AS s_10,
+                SUM(CASE WHEN treated AND NOT post
+                         THEN 1 ELSE 0 END) AS n_10,
+                SUM(CASE WHEN treated AND post
+                         THEN cents ELSE 0 END) AS s_11,
+                SUM(CASE WHEN treated AND post
+                         THEN 1 ELSE 0 END) AS n_11,
+                SUM(CASE WHEN NOT treated AND NOT post
+                         THEN cents ELSE 0 END) AS s_00,
+                SUM(CASE WHEN NOT treated AND NOT post
+                         THEN 1 ELSE 0 END) AS n_00,
+                SUM(CASE WHEN NOT treated AND post
+                         THEN cents ELSE 0 END) AS s_01,
+                SUM(CASE WHEN NOT treated AND post
+                         THEN 1 ELSE 0 END) AS n_01
+            FROM ev)
+        SELECT ROUND(s_10 / 100.0 / n_10, 4) AS treat_pre,
+               ROUND(s_11 / 100.0 / n_11, 4) AS treat_post,
+               ROUND(s_00 / 100.0 / n_00, 4) AS ctrl_pre,
+               ROUND(s_01 / 100.0 / n_01, 4) AS ctrl_post,
+               ROUND((s_11 / 100.0 / n_11 - s_10 / 100.0 / n_10)
+                     - (s_01 / 100.0 / n_01 - s_00 / 100.0 / n_00), 4)
+                   AS did_usd
+        FROM m
+    """,
+    "ext_ab_power_mde": """
+        WITH m AS (
+            SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(c) AS s, SUM(c * c) AS ss
+            FROM (SELECT event_type,
+                         CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS c
+                  FROM events)
+            GROUP BY event_type),
+        f AS (
+            SELECT event_type, n,
+                   (CAST(n * ss AS DOUBLE) - CAST(s * s AS DOUBLE))
+                       / CAST(n * (n - 1) AS DOUBLE) AS var,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+            FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               ROUND(mean / 100.0, 4) AS mean_usd,
+               ROUND(SQRT(var) / 100.0, 4) AS stddev_usd,
+               ROUND(2.8 * SQRT(2.0 * var
+                                / (CAST(n AS DOUBLE) / 2.0))
+                     / mean * 100.0, 4) AS mde_pct
+        FROM f
+    """,
     "ext_fifo_allocation": """
         WITH ev AS (
             SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
