@@ -43,6 +43,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mini_sql_engine_spark.functions.hashing import md5_long
 from mini_sql_engine_spark.sources import datasource
 
 STATE_COLS = ["user_id", "n_events", "total_cents"]
@@ -139,20 +140,29 @@ def merge_batch(
     )
 
 
-def _multi_file_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
-    """readStream over a thin (event_id, user_id, value) copy of events
-    staged as n_files parquet files, so maxFilesPerTrigger=1 yields
-    n_files distinct micro-batches (the single testdata file would give
-    one batch — no upsert to observe). Staged once per sf_dir; the
-    atomic directory rename makes concurrent stagers safe."""
+def _multi_file_events(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    cols: tuple[str, ...] = ("event_id", "user_id", "value"),
+    schema: str = "event_id long, user_id long, value double",
+) -> DataFrame:
+    """readStream over a thin column subset of events staged as
+    n_files parquet files, so maxFilesPerTrigger=1 yields n_files
+    distinct micro-batches (the single testdata file would give one
+    batch — no incremental behavior to observe). Staged once per
+    (sf_dir, cols); the atomic directory rename makes concurrent
+    stagers safe."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    digest = hashlib.md5(f"{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    digest = hashlib.md5(
+        f"{sf_dir}|{n_files}|{','.join(cols)}".encode()
+    ).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"events_upsert_{digest}")
     if not os.path.exists(stage):
         tmp = stage + f".tmp-{os.getpid()}"
         (
             spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            .select("event_id", "user_id", "value")
+            .select(*cols)
             .repartition(n_files)
             .write.mode("overwrite")
             .parquet(tmp)
@@ -163,7 +173,6 @@ def _multi_file_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> Da
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    schema = "event_id long, user_id long, value double"
     return (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
@@ -263,9 +272,130 @@ def stream_native_tail_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(spark, agg, "complete")
 
 
+_BM_SENTINEL = -1  # tid of the replay-guard row in the bitmap state
+
+
+def merge_bitmap_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: OR this batch's (type-hash, chunk) user
+    bitmaps into the native-format state table, idempotently (same
+    sentinel replay guard as `merge_batch`). Bitwise OR is the whole
+    trick: it is associative, commutative AND idempotent, so replays
+    and partial re-merges can never overcount — the property exact
+    streaming COUNT(DISTINCT) needs and plain counters lack."""
+    spark = batch_df.sparkSession
+    state = _read_state(spark, data_dir, table)
+    if state is None:
+        cur = spark.createDataFrame([], "tid long, chunk long, mask long")
+    else:
+        state = state.localCheckpoint()
+        last = (
+            state.filter(F.col("tid") == _BM_SENTINEL)
+            .agg(F.max("chunk"))
+            .collect()[0][0]
+        )  # scalar control value, never data
+        if last is not None and batch_id <= int(last):
+            return
+        cur = state.filter(F.col("tid") != _BM_SENTINEL)
+    delta = (
+        batch_df.select(
+            md5_long(F.col("event_type")).alias("tid"),
+            F.floor(F.col("user_id") / 32).cast("long").alias("chunk"),
+            (F.col("user_id") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("tid", "chunk")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias(
+                "d_mask"
+            )
+        )
+    )
+    merged = cur.join(delta, ["tid", "chunk"], "full_outer").select(
+        "tid",
+        "chunk",
+        F.coalesce("mask", F.lit(0))
+        .bitwiseOR(F.coalesce("d_mask", F.lit(0)))
+        .alias("mask"),
+    )
+    sentinel = spark.createDataFrame(
+        [(_BM_SENTINEL, int(batch_id), 0)], "tid long, chunk long, mask long"
+    )
+    datasource.register(spark)
+    (
+        merged.unionByName(sentinel)
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_bitmap_distinct_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming EXACT COUNT(DISTINCT) — the aggregation streaming
+    engines usually refuse (state would be member-sized) — made
+    incremental with the 32-bit chunk bitmaps of
+    `ext_bitmap_distinct`: each micro-batch ORs its masks into a
+    native-format state table via foreachBatch; the final read folds
+    masks to counts. State is ceil(id_space/32) longs per type —
+    bounded, mergeable, replay-idempotent. Equals the one-shot batch
+    COUNT(DISTINCT) (the DuckDB oracle) exactly.
+
+    Type names ride as 60-bit hashes in the integer-typed native
+    table and are joined back from the (tiny) type dictionary at
+    read time.
+    """
+    data_dir = tempfile.mkdtemp(prefix="minisql_bitmap_")
+    chk = tempfile.mkdtemp(prefix="chk_bitmap_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_events(
+                spark,
+                sf_dir,
+                cols=("event_id", "user_id", "event_type"),
+                schema="event_id long, user_id long, event_type string",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_bitmap_batch(
+                    df, bid, data_dir, "type_bitmaps"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = _read_state(spark, data_dir, "type_bitmaps")
+    counts = (
+        state.filter(F.col("tid") != _BM_SENTINEL)
+        .groupBy("tid")
+        .agg(F.sum(F.bit_count("mask")).alias("n_distinct_users"))
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    types = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_type")
+        .distinct()
+        .select(
+            md5_long(F.col("event_type")).alias("tid"), "event_type"
+        )
+    )
+    return counts.join(F.broadcast(types), "tid").select(
+        "event_type", "n_distinct_users"
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "stream_upsert_totals": stream_upsert_user_totals,
     "stream_native_tail": stream_native_tail_totals,
+    "stream_bitmap_distinct": stream_bitmap_distinct_counts,
 }
 
 _USER_TOTALS_SQL = """
@@ -282,4 +412,9 @@ ORACLES: dict[str, str] = {
     # foreachBatch MERGE state vs native-format tail replay
     "stream_upsert_totals": _USER_TOTALS_SQL,
     "stream_native_tail": _USER_TOTALS_SQL,
+    "stream_bitmap_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type
+    """,
 }
