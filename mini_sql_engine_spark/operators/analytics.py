@@ -30,7 +30,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from mini_sql_engine_spark.catalog import load_table, register_sf_tables
+from mini_sql_engine_spark.catalog import (
+    ensure_min_partitions,
+    load_table,
+    register_sf_tables,
+)
 from mini_sql_engine_spark.functions.hashing import md5_long
 
 ALL = "(all)"  # marker for super-aggregate rows (testdata is NOT NULL,
@@ -1995,22 +1999,95 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest (`percentile_approx`) instead of exact percentile; the
     assignment side is unchanged.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("long")
-        .alias("pc")
-    )
-    qs = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
-    bounds = li.agg(
-        *[
-            F.floor(F.expr(f"percentile(pc, {q!r})") + 0.5)
+    from pyspark.sql import Window
+
+    li = (
+        ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
             .cast("long")
-            .alias(f"b{i}")
-            for i, q in enumerate(qs)
+            .alias("pc")
+        )
+        .localCheckpoint()  # consumed by bounds AND assignment: decode once
+    )
+    # Boundaries WITHOUT the percentile aggregate: Spark's exact
+    # percentile buffers the whole column into one reducer (~10×
+    # slower here and memory-bound at scale). Instead: value-
+    # distribution rollup (map-side combined), cumulative counts over
+    # the DISTINCT values, then an 18-row rank lookup. Rank math is
+    # exact integer rational — lo_rank = (n−1)·i div B,
+    # frac = ((n−1)·i mod B)/B — so both engines pick identical order
+    # statistics (float (n−1)·q at a divisibility boundary does not).
+    cells = li.groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("pc")
+    dist = cells.select(
+        "pc",
+        F.coalesce(
+            F.sum("c").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        spark.range(1, EQD_BUCKETS)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            F.expr(f"(n - 1) * i div {EQD_BUCKETS}").alias("lo_r"),
+            (
+                ((F.col("n") - 1) * F.col("i") % EQD_BUCKETS)
+                / float(EQD_BUCKETS)
+            ).alias("frac"),
+            F.col("n"),
+        )
+        .select(
+            "i",
+            "lo_r",
+            "frac",
+            F.least(F.col("lo_r") + 1, F.col("n") - 1).alias("hi_r"),
+        )
+    )
+    lo = (
+        dist.join(
+            F.broadcast(ranks),
+            (F.col("cum_prev") <= F.col("lo_r"))
+            & (F.col("lo_r") < F.col("cum")),
+        )
+        .select("i", "frac", F.col("pc").alias("v_lo"))
+    )
+    hi = (
+        dist.join(
+            F.broadcast(ranks),
+            (F.col("cum_prev") <= F.col("hi_r"))
+            & (F.col("hi_r") < F.col("cum")),
+        )
+        .select(F.col("i").alias("i2"), F.col("pc").alias("v_hi"))
+    )
+    blong = lo.join(F.broadcast(hi), F.col("i") == F.col("i2")).select(
+        "i",
+        F.floor(
+            F.col("v_lo")
+            + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")
+            + 0.5
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    bounds = blong.agg(
+        *[
+            F.max(F.when(F.col("i") == k + 1, F.col("b"))).alias(f"b{k}")
+            for k in range(EQD_BUCKETS - 1)
         ]
     )
     bucket = sum(
-        (F.col("pc") > F.col(f"b{i}")).cast("long") for i in range(len(qs))
+        (F.col("pc") > F.col(f"b{i}")).cast("long")
+        for i in range(EQD_BUCKETS - 1)
     )
     return (
         li.crossJoin(F.broadcast(bounds))
@@ -2565,13 +2642,43 @@ ORACLES: dict[str, str] = {
             SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
                        AS pc
             FROM lineitem),
+        cells AS (SELECT pc, COUNT(*) AS c FROM pc GROUP BY pc),
+        dist AS (
+            SELECT pc,
+                   COALESCE(SUM(c) OVER (ORDER BY pc
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_prev,
+                   SUM(c) OVER (ORDER BY pc
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM cells),
+        nn AS (SELECT COUNT(*) AS n FROM pc),
+        ranks AS (
+            SELECT i, (n - 1) * i // {EQD_BUCKETS} AS lo_r,
+                   ((n - 1) * i % {EQD_BUCKETS})
+                       / {float(EQD_BUCKETS)!r} AS frac,
+                   LEAST((n - 1) * i // {EQD_BUCKETS} + 1, n - 1)
+                       AS hi_r
+            FROM (SELECT UNNEST(range(1, {EQD_BUCKETS})) AS i)
+            CROSS JOIN nn),
+        lo AS (
+            SELECT i, frac, pc AS v_lo
+            FROM dist JOIN ranks
+              ON cum_prev <= lo_r AND lo_r < cum),
+        hi AS (
+            SELECT i AS i2, pc AS v_hi
+            FROM dist JOIN ranks
+              ON cum_prev <= hi_r AND hi_r < cum),
+        blong AS (
+            SELECT i, CAST(FLOOR(v_lo + (v_hi - v_lo) * frac + 0.5)
+                           AS BIGINT) AS b
+            FROM lo JOIN hi ON i = i2),
         bounds AS (
             SELECT {", ".join(
-                f"CAST(FLOOR(quantile_cont(pc, {i / EQD_BUCKETS!r}) + 0.5)"
-                f" AS BIGINT) AS b{i - 1}"
-                for i in range(1, EQD_BUCKETS)
+                f"MAX(CASE WHEN i = {k + 1} THEN b END) AS b{k}"
+                for k in range(EQD_BUCKETS - 1)
             )}
-            FROM pc),
+            FROM blong),
         assigned AS (
             SELECT ({" + ".join(
                 f"CASE WHEN pc > b{i} THEN 1 ELSE 0 END"

@@ -357,8 +357,8 @@ def stream_bitmap_distinct_counts(
             _multi_file_events(
                 spark,
                 sf_dir,
-                cols=("event_id", "user_id", "event_type"),
-                schema="event_id long, user_id long, event_type string",
+                cols=("user_id", "event_type"),
+                schema="user_id long, event_type string",
             )
             .writeStream.foreachBatch(
                 lambda df, bid: merge_bitmap_batch(
