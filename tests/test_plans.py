@@ -620,3 +620,63 @@ def test_seasonal_baseline_window_is_keyed(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_seasonal_baseline"](spark, sf_dir))
     assert "Exchange hashpartitioning(wd" in plan, plan
     assert "Exchange SinglePartition" not in plan or "partial" in plan, plan
+
+
+def test_gumbel_topk_is_take_ordered(spark, sf_dir):
+    """Global top-K must plan as TakeOrdered (per-partition heaps +
+    driver merge), never a full global sort."""
+    plan = _plan(ALL_QUERIES["ext_gumbel_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shard_assignment_window_is_banded(spark, sf_dir):
+    """The serpentine rank partitions by band — no single-task global
+    row_number anywhere."""
+    plan = _plan(ALL_QUERIES["ext_shard_assignment"](spark, sf_dir))
+    assert "Exchange hashpartitioning(band" in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """The 256-row log-likelihood-ratio table must broadcast onto the
+    token stream; the token stream itself is never broadcast."""
+    plan = _plan(ALL_QUERIES["ext_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_equidepth_bounds_broadcast_no_percentile_buffer(spark, sf_dir):
+    """Boundary row broadcasts into the assignment (nested-loop over
+    ONE row is fine); the plan must not contain Spark's buffering
+    exact-percentile aggregate."""
+    plan = _plan(ALL_QUERIES["ext_equidepth_histogram"](spark, sf_dir))
+    assert "percentile" not in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_interval_union_single_user_exchange(spark, sf_dir):
+    """Running-max island detection and the rollups reuse ONE
+    user_id hash exchange."""
+    plan = _plan(ALL_QUERIES["ext_interval_union"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_kmv_sketch_sides_broadcast(spark, sf_dir):
+    """KMV estimator joins tiny sketch/size tables — every join in the
+    distinct estimator must be broadcast, never shuffle both sides."""
+    plan = _plan(ALL_QUERIES["ext_kmv_distinct"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitmap_distinct_no_expand(spark, sf_dir):
+    """The bitmap path must aggregate masks (bit_or), not rewrite into
+    the count-distinct Expand; the exact arm rides in the same plan, so
+    assert the mask aggregate is present."""
+    plan = _plan(ALL_QUERIES["ext_bitmap_distinct"](spark, sf_dir))
+    assert "bit_or" in plan, plan
+
+
+def test_fifo_allocation_user_keyed_join(spark, sf_dir):
+    """The FIFO range join must carry the user_id equi-key (hash
+    exchanges on user_id), not degrade to a pure cartesian."""
+    plan = _plan(ALL_QUERIES["ext_fifo_allocation"](spark, sf_dir))
+    assert "Exchange hashpartitioning(user_id" in plan, plan
+    assert "CartesianProduct" not in plan, plan
