@@ -2343,7 +2343,129 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max |F_click(v) −
+    F_purchase(v)| over the merged value ladder — the distribution-
+    shape test that catches what a mean test can't (same mean,
+    different shape). The CDFs are exact integer cumulative counts
+    over the distinct-cents ladder; D and its location come from a
+    TakeOrdered argmax (ties broken toward the smaller value), and
+    the 5% rejection threshold 1.36·√((n_a+n_b)/(n_a·n_b)) rides
+    along. max-of-doubles is order-insensitive, so unlike a float SUM
+    this is deterministic with no special construction.
+
+    Scale notes (100 TB): one map-side-combined (value, side) rollup,
+    one cumulative window over the distinct-value ladder, argmax as
+    TakeOrdered. Nothing holds more than the distinct-value table.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+    )
+    cells = ev.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    tot = ev.agg(
+        F.sum(F.col("is_a").cast("long")).alias("na"),
+        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+    )
+    wo = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = cells.select(
+        "v",
+        F.sum("ca").over(wo).alias("cum_a"),
+        F.sum("cb").over(wo).alias("cum_b"),
+    ).crossJoin(F.broadcast(tot))
+    d = F.abs(
+        F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
+    )
+    return (
+        ladder.select(
+            "na", "nb", "v", d.alias("d")
+        )
+        .orderBy(F.col("d").desc(), "v")
+        .limit(1)
+        .select(
+            "na",
+            "nb",
+            F.round("d", 6).alias("d_stat"),
+            F.round(F.col("v") / 100.0, 2).alias("at_usd"),
+            F.round(
+                F.lit(1.36)
+                * F.sqrt(
+                    (F.col("na") + F.col("nb"))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                6,
+            ).alias("d_crit_5pct"),
+        )
+    )
+
+
+VSHAPE_NUM, VSHAPE_DEN = 11, 10  # ≥10% move: 10·outer ≥ 11·bottom
+
+
+def vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection, emulated with lag
+    windows: find V-shapes in daily revenue — a ≥10% drop into a
+    bottom day immediately followed by a ≥10% recovery. Both
+    threshold tests run as integer cross-multiplication
+    (10·neighbor ≥ 11·bottom), so no float ratio ever decides a
+    match. Output: each bottom day with its drop and recovery
+    percentages. The same lag-chain technique extends to any
+    fixed-length pattern (W-shapes, three-rising-peaks, …) — the
+    relational emulation of Flink/Trino MATCH_RECOGNIZE for patterns
+    of bounded length.
+
+    Scale notes (100 TB): lag windows on the dates-sized rollup; the
+    only fact-sized pass is the daily sum. Unbounded-length patterns
+    need real state machines (see the streaming pack); bounded ones
+    compile to lag chains like this.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev")
+        )
+    )
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 1).over(wo).alias("prev"),
+        F.lead("rev", 1).over(wo).alias("nxt"),
+    ).filter(
+        (F.col("prev") * VSHAPE_DEN >= F.col("rev") * VSHAPE_NUM)
+        & (F.col("nxt") * VSHAPE_DEN >= F.col("rev") * VSHAPE_NUM)
+    )
+    return lagged.select(
+        "day",
+        F.round(F.col("rev") / 100.0, 2).alias("bottom_usd"),
+        F.round(
+            (F.col("prev") - F.col("rev")) * 100.0 / F.col("prev"), 4
+        ).alias("drop_pct"),
+        F.round(
+            (F.col("nxt") - F.col("rev")) * 100.0 / F.col("rev"), 4
+        ).alias("recovery_pct"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_ks_two_sample": ks_two_sample,
+    "ext_vshape_patterns": vshape_patterns,
     "ext_diff_in_diff": diff_in_diff,
     "ext_ab_power_mde": ab_power_mde,
     "ext_fifo_allocation": fifo_allocation,
@@ -2488,6 +2610,58 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_ks_two_sample": """
+        WITH ev AS (
+            SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                   event_type = 'click' AS is_a
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        cells AS (
+            SELECT v,
+                   SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+            FROM ev GROUP BY v),
+        tot AS (
+            SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                   SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+            FROM ev),
+        ladder AS (
+            SELECT v,
+                   SUM(ca) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_a,
+                   SUM(cb) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_b
+            FROM cells),
+        scored AS (
+            SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                   v, ABS(cum_a / na - cum_b / nb) AS d
+            FROM ladder CROSS JOIN tot)
+        SELECT na, nb, ROUND(d, 6) AS d_stat,
+               ROUND(v / 100.0, 2) AS at_usd,
+               ROUND(1.36 * SQRT((na + nb)
+                                 / (CAST(na AS DOUBLE) * nb)), 6)
+                   AS d_crit_5pct
+        FROM scored ORDER BY d DESC, v LIMIT 1
+    """,
+    "ext_vshape_patterns": f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+        lagged AS (
+            SELECT day, rev,
+                   LAG(rev, 1) OVER (ORDER BY day) AS prev,
+                   LEAD(rev, 1) OVER (ORDER BY day) AS nxt
+            FROM daily)
+        SELECT day, ROUND(rev / 100.0, 2) AS bottom_usd,
+               ROUND((prev - rev) * 100.0 / prev, 4) AS drop_pct,
+               ROUND((nxt - rev) * 100.0 / rev, 4) AS recovery_pct
+        FROM lagged
+        WHERE prev * {VSHAPE_DEN} >= rev * {VSHAPE_NUM}
+          AND nxt * {VSHAPE_DEN} >= rev * {VSHAPE_NUM}
+    """,
     "ext_diff_in_diff": f"""
         WITH ev AS (
             SELECT CAST('0x' || substr(md5('did:'
