@@ -677,7 +677,149 @@ def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NANO = 1_000_000_000  # fixed-point scale for order-free float sums
+
+
+def _qsum(term) -> F.Column:
+    """Deterministic distributed float sum: quantize each term to
+    integer nano-units (each term is computed identically on both
+    engines from exact integers), SUM the longs exactly, divide back
+    once. Integer addition is associative, so partial-agg order can
+    never change the result — the pattern that makes entropy-style
+    Σ f(count) reductions safe at any parallelism, where a raw double
+    SUM differs in the last ulps per run. Costs 1e-9 quantization per
+    term, far below reporting precision."""
+    return F.sum(F.floor(term * _NANO + 0.5).cast("long"))
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between document
+    language and source — the feature-relevance / leakage probe: how
+    many nats does knowing the source tell you about the language?
+    MI = Σ_cells (n/N)·ln(n·N/(n_l·n_s)), entropies likewise — every
+    term a deterministic double from exact counts, every SUM the
+    fixed-point `_qsum` reduction, so the result is bit-stable under
+    any aggregation order. NMI = MI / min(H_lang, H_source).
+
+    Scale notes (100 TB): three map-side-combined rollups (cells and
+    two margins, each ≤ |domain| rows), margins broadcast back onto
+    the cell table, one quantized sum each. Nothing is ever collected
+    or single-threaded — contrast an ordered-fold (collect_list +
+    aggregate) construction, which funnels terms into one task to pin
+    the order; quantization makes order irrelevant instead.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ml = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    ms = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    nn = docs.agg(F.count(F.lit(1)).alias("nt"))
+    mi_terms = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (
+                (F.col("n") / F.col("nt"))
+                * F.log(
+                    (F.col("n").cast("double") * F.col("nt"))
+                    / (F.col("nl").cast("double") * F.col("ns"))
+                )
+            ).alias("t")
+        )
+    )
+    mi = mi_terms.agg(
+        _qsum(F.col("t")).alias("mi_q"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    hl = (
+        ml.crossJoin(F.broadcast(nn))
+        .select(
+            (
+                -(F.col("nl") / F.col("nt"))
+                * F.log(F.col("nl") / F.col("nt"))
+            ).alias("t")
+        )
+        .agg(_qsum(F.col("t")).alias("hl_q"))
+    )
+    hs = (
+        ms.crossJoin(F.broadcast(nn))
+        .select(
+            (
+                -(F.col("ns") / F.col("nt"))
+                * F.log(F.col("ns") / F.col("nt"))
+            ).alias("t")
+        )
+        .agg(_qsum(F.col("t")).alias("hs_q"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "n_cells",
+            F.round(F.col("mi_q") / _NANO, 6).alias("mi_nats"),
+            F.round(F.col("hl_q") / _NANO, 6).alias("h_lang"),
+            F.round(F.col("hs_q") / _NANO, 6).alias("h_source"),
+            F.round(
+                F.col("mi_q")
+                / F.least("hl_q", "hs_q").cast("double"),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source — the
+    vocabulary-diversity gauge (low entropy ⇒ templated/boilerplate
+    feeds; high ⇒ diverse natural text), plus perplexity 2^H_bits and
+    type count. The Σ p·ln p runs over the full vocabulary via the
+    `_qsum` fixed-point reduction, which is what makes a
+    many-thousand-term float sum reproducible across engines and
+    aggregation orders — the construction the 7-term MI query merely
+    demonstrates actually earning its keep here.
+
+    Scale notes (100 TB): (source, token) type counts are map-side
+    combined; per-source totals broadcast back; one quantized sum per
+    source. The token explosion is the only corpus-sized stage.
+    """
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    )
+    types = docs.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    term = -(F.col("c") / F.col("n")) * F.log(
+        F.col("c") / F.col("n")
+    )
+    ent = (
+        types.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            _qsum(term).alias("h_q"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .join(F.broadcast(totals), "source")
+    )
+    h_nats = F.col("h_q") / _NANO
+    return ent.select(
+        "source",
+        "n",
+        "n_types",
+        F.round(h_nats, 6).alias("entropy_nats"),
+        F.round(
+            F.pow(F.lit(2.0), h_nats / F.log(F.lit(2.0))), 4
+        ).alias("perplexity"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_token_entropy": token_entropy,
+    "ext_mutual_information": mutual_information,
     "ext_rendezvous_routing": rendezvous_routing,
     "ext_nucleus_selection": nucleus_selection,
     "ext_gumbel_topk": gumbel_topk,
@@ -701,6 +843,58 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_token_entropy": rf"""
+        WITH tok AS (
+            SELECT source, UNNEST(string_split_regex(text, '\s+')) AS t
+            FROM documents),
+        types AS (SELECT source, t, COUNT(*) AS c
+                  FROM tok GROUP BY 1, 2),
+        totals AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1),
+        ent AS (
+            SELECT source,
+                   CAST(SUM(CAST(FLOOR(-(c / n) * LN(c / n)
+                            * {_NANO} + 0.5) AS BIGINT)) AS BIGINT)
+                       AS h_q,
+                   COUNT(*) AS n_types
+            FROM types JOIN totals USING (source)
+            GROUP BY source)
+        SELECT ent.source, n, n_types,
+               ROUND(h_q / {_NANO}, 6) AS entropy_nats,
+               ROUND(POW(2.0, h_q / {_NANO} / LN(2.0)), 4)
+                   AS perplexity
+        FROM ent JOIN totals USING (source)
+    """,
+    "ext_mutual_information": f"""
+        WITH d AS (SELECT lang, source FROM documents),
+        cells AS (SELECT lang, source, COUNT(*) AS n
+                  FROM d GROUP BY 1, 2),
+        ml AS (SELECT lang, COUNT(*) AS nl FROM d GROUP BY 1),
+        ms AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS nt FROM d),
+        mi AS (
+            SELECT CAST(SUM(CAST(FLOOR((n / nt)
+                       * LN((CAST(n AS DOUBLE) * nt)
+                            / (CAST(nl AS DOUBLE) * ns))
+                       * {_NANO} + 0.5) AS BIGINT)) AS BIGINT) AS mi_q,
+                   COUNT(*) AS n_cells
+            FROM cells JOIN ml USING (lang) JOIN ms USING (source)
+            CROSS JOIN nn),
+        hl AS (
+            SELECT CAST(SUM(CAST(FLOOR(-(nl / nt) * LN(nl / nt)
+                       * {_NANO} + 0.5) AS BIGINT)) AS BIGINT) AS hl_q
+            FROM ml CROSS JOIN nn),
+        hs AS (
+            SELECT CAST(SUM(CAST(FLOOR(-(ns / nt) * LN(ns / nt)
+                       * {_NANO} + 0.5) AS BIGINT)) AS BIGINT) AS hs_q
+            FROM ms CROSS JOIN nn)
+        SELECT n_cells,
+               ROUND(mi_q / {_NANO}, 6) AS mi_nats,
+               ROUND(hl_q / {_NANO}, 6) AS h_lang,
+               ROUND(hs_q / {_NANO}, 6) AS h_source,
+               ROUND(mi_q / CAST(LEAST(hl_q, hs_q) AS DOUBLE), 6)
+                   AS nmi
+        FROM mi CROSS JOIN hl CROSS JOIN hs
+    """,
     "ext_rendezvous_routing": f"""
         WITH scored AS (
             SELECT doc_id, w,
