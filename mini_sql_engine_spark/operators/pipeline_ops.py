@@ -817,7 +817,122 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the sources' token
+    distributions — the symmetric, bounded ([0, ln 2]) drift metric
+    for "are these two feeds the same kind of text", robust where KL
+    blows up on vocabulary mismatch. Absent-token terms contribute
+    only their present side (the JS definition), so the full-outer
+    vocabulary union needs no smoothing. Terms reduce via `_qsum`;
+    the normalized column divides by ln 2 → [0, 1].
+
+    Scale notes (100 TB): the (source, token) type table is the only
+    corpus-derived input; the pair stage self-joins it ON TOKEN (thin
+    rows, set-sized shuffle) so each vocabulary type fans out to at
+    most |sources|² pair terms — same member-keyed shape as
+    `ext_audience_overlap`.
+    """
+    tok = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    )
+    types = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    dist = types.join(F.broadcast(totals), "source").select(
+        "source", "t", (F.col("c") / F.col("n")).alias("p")
+    )
+    # union-vocabulary per PAIR: explode each side's rows to every
+    # counterpart source, then full-outer per (pair, token) — a plain
+    # full-outer on token alone would cross unrelated sources
+    srcs = totals.select(F.col("source").alias("s2"))
+    left = (
+        dist.crossJoin(F.broadcast(srcs))
+        .filter(F.col("source") < F.col("s2"))
+        .select(
+            F.col("source").alias("sa"),
+            F.col("s2").alias("sb"),
+            "t",
+            F.col("p").alias("pa"),
+        )
+    )
+    right = (
+        dist.crossJoin(F.broadcast(srcs))
+        .filter(F.col("s2") < F.col("source"))
+        .select(
+            F.col("s2").alias("sa"),
+            F.col("source").alias("sb"),
+            "t",
+            F.col("p").alias("pb"),
+        )
+    )
+    merged = left.join(right, ["sa", "sb", "t"], "full_outer").select(
+        "sa",
+        "sb",
+        F.coalesce("pa", F.lit(0.0)).alias("p"),
+        F.coalesce("pb", F.lit(0.0)).alias("q"),
+    )
+    term = F.when(
+        F.col("p") > 0,
+        0.5
+        * F.col("p")
+        * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0,
+        0.5
+        * F.col("q")
+        * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    return (
+        merged.groupBy("sa", "sb")
+        .agg(_qsum(term).alias("js_q"), F.count(F.lit(1)).alias("n_types"))
+        .select(
+            "sa",
+            "sb",
+            "n_types",
+            F.round(F.col("js_q") / _NANO, 6).alias("js_nats"),
+            F.round(F.col("js_q") / _NANO / F.log(F.lit(2.0)), 6).alias(
+                "js_norm"
+            ),
+        )
+    )
+
+
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighting diagnostic: Kish effective sample size
+    (Σw)²/Σw² of the length-proportional weights, per language — the
+    number that says how many EQUAL-weight documents a weighted
+    corpus is actually worth (ess_ratio ≪ 1 ⇒ a few huge docs
+    dominate and the weighting scheme is burning data). Entirely
+    exact integer moments (w = n_chars), no floats until the final
+    ratio.
+
+    Scale notes (100 TB): one map-side-combined moments pass, one row
+    per language. DECIMAL(38,0) for Σw² — 10^8 per squared doc-length
+    times 10^9 docs overflows a long.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("decimal(19,0)").alias("w")
+    )
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    ess = (F.col("sw") * F.col("sw")).cast("double") / F.col(
+        "sww"
+    ).cast("double")
+    return m.select(
+        "lang",
+        "n_docs",
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_ratio"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_js_divergence": js_divergence,
+    "ext_effective_sample_size": effective_sample_size,
     "ext_token_entropy": token_entropy,
     "ext_mutual_information": mutual_information,
     "ext_rendezvous_routing": rendezvous_routing,
@@ -843,6 +958,65 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_js_divergence": rf"""
+        WITH tok AS (
+            SELECT source, UNNEST(string_split_regex(text, '\s+')) AS t
+            FROM documents),
+        types AS (SELECT source, t, COUNT(*) AS c
+                  FROM tok GROUP BY 1, 2),
+        totals AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1),
+        dist AS (
+            SELECT source, t, c / n AS p
+            FROM types JOIN totals USING (source)),
+        srcs AS (SELECT source AS s2 FROM totals),
+        l AS (
+            SELECT source AS sa, s2 AS sb, t, p AS pa
+            FROM dist CROSS JOIN srcs WHERE source < s2),
+        r AS (
+            SELECT s2 AS sa, source AS sb, t, p AS pb
+            FROM dist CROSS JOIN srcs WHERE s2 < source),
+        merged AS (
+            SELECT COALESCE(l.sa, r.sa) AS sa,
+                   COALESCE(l.sb, r.sb) AS sb,
+                   COALESCE(pa, 0.0) AS p, COALESCE(pb, 0.0) AS q
+            FROM l FULL OUTER JOIN r
+              ON l.sa = r.sa AND l.sb = r.sb AND l.t = r.t),
+        terms AS (
+            SELECT sa, sb,
+                   (CASE WHEN p > 0
+                         THEN 0.5 * p * LN(2.0 * p / (p + q))
+                         ELSE 0.0 END
+                    + CASE WHEN q > 0
+                           THEN 0.5 * q * LN(2.0 * q / (p + q))
+                           ELSE 0.0 END) AS term
+            FROM merged),
+        agg AS (
+            SELECT sa, sb,
+                   CAST(SUM(CAST(FLOOR(term * {_NANO} + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS js_q,
+                   COUNT(*) AS n_types
+            FROM terms GROUP BY 1, 2)
+        SELECT sa, sb, n_types,
+               ROUND(js_q / {_NANO}, 6) AS js_nats,
+               ROUND(js_q / {_NANO} / LN(2.0), 6) AS js_norm
+        FROM agg
+    """,
+    "ext_effective_sample_size": """
+        WITH m AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                       AS sw,
+                   CAST(SUM(CAST(n_chars AS HUGEINT)
+                            * CAST(n_chars AS HUGEINT)) AS HUGEINT)
+                       AS sww
+            FROM documents GROUP BY lang)
+        SELECT lang, n_docs,
+               ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE), 4)
+                   AS ess,
+               ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE)
+                     / n_docs, 6) AS ess_ratio
+        FROM m
+    """,
     "ext_token_entropy": rf"""
         WITH tok AS (
             SELECT source, UNNEST(string_split_regex(text, '\s+')) AS t
