@@ -1029,7 +1029,72 @@ def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with
+    DIFFERENT schemas (an early 2-column feed, then the feed after a
+    column was added) land in one directory; `mergeSchema` unifies
+    them and back-fills the missing column with NULLs. The output is
+    the per-column presence audit (rows vs non-nulls) a migration
+    review reads to see exactly which slice predates the column —
+    the ingest-side contract check that schema drift is ADDITIVE.
+
+    Batches stage once per sf_dir under an atomic rename (same
+    pattern as the streaming feeds); the audit re-derives from the
+    documents table, so the DuckDB oracle never needs the temp dir.
+
+    Scale notes (100 TB): mergeSchema reconciles FOOTERS (per-file
+    metadata), not data; the audit is one map-side-combined
+    conditional aggregate. Schema-on-read unification is exactly what
+    keeps a century of accumulated batches queryable without a
+    rewrite.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(f"schemaevo|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"schema_evo_{digest}")
+    if not os.path.exists(stage):
+        tmp = stage + f".tmp-{os.getpid()}"
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "batch=v1"))
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("append")
+            .parquet(os.path.join(tmp, "batch=v2"))
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(stage, "batch=v1"), os.path.join(stage, "batch=v2")
+    )
+    aggs = []
+    for c in ("doc_id", "lang", "n_chars"):
+        aggs += [
+            F.count(F.lit(1)).alias(f"rows_{c}"),
+            F.count(c).alias(f"nn_{c}"),
+        ]
+    one = merged.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', rows_{c}, nn_{c}" for c in ("doc_id", "lang", "n_chars")
+    )
+    return one.selectExpr(
+        f"stack(3, {stack}) AS (col_name, n_rows, n_nonnull)"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_schema_evolution": schema_evolution,
     "ext_ldp_frequency": ldp_frequency,
     "ext_dataset_fingerprint": dataset_fingerprint,
     "ext_erasure_audit": erasure_audit,
@@ -1067,6 +1132,17 @@ _FP_ORACLE_PARTS = " UNION ALL ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_schema_evolution": """
+        SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) AS n_nonnull FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(*) FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*),
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM documents
+    """,
     "ext_ldp_frequency": """
         WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid,
                            event_type FROM events),
