@@ -2463,7 +2463,109 @@ def vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_NANO = 1_000_000_000  # fixed-point scale for the log-survival sum
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for click→purchase conversion with
+    RIGHT CENSORING: per user, time from first click to first
+    subsequent purchase (event) or to last activity (censored — the
+    observation that plain "average days to convert" silently throws
+    away). S(t) = Π(1 − d_i/n_i) over event days, computed as the
+    exp of an integer-quantized cumulative Σ ln(1 − d/n) — products
+    of floats order-deterministically, same fixed-point trick as the
+    entropy pack. Output per event day: risk-set size, events,
+    survival and the discrete hazard d/n.
+
+    Scale notes (100 TB): per-user reduction is one map-side-combined
+    pass; the curve machinery (risk sets via reverse cumulative
+    counts, the quantized log-sum) runs on the DURATIONS-sized
+    day-grid, thousands of rows at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("day"))
+            ).alias("t0"),
+            F.max("day").alias("last_seen"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            per_user.select("user_id", "t0"), "user_id"
+        )
+        .filter(F.col("day") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("t_buy"))
+    )
+    durs = per_user.join(first_buy, "user_id", "left").select(
+        F.datediff(
+            F.coalesce("t_buy", "last_seen"), F.col("t0")
+        ).cast("long").alias("dur"),
+        F.col("t_buy").isNotNull().cast("long").alias("d"),
+    )
+    cells = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("d").alias("d_at"),
+    )
+    n_total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    wo = Window.orderBy("dur")
+    graded = (
+        cells.crossJoin(F.broadcast(n_total))
+        .select(
+            "dur",
+            "n_at",
+            "d_at",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum("n_at").over(
+                        wo.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+        .filter(F.col("d_at") > 0)
+    )
+    # the last event time can absorb the whole risk set (d = n):
+    # ln(0) → substitute a -100-nat sentinel, which exp-rounds to the
+    # correct S = 0 without an infinity crossing either engine
+    logterm = F.when(
+        F.col("d_at") < F.col("n_risk"),
+        F.floor(
+            F.log(1.0 - F.col("d_at") / F.col("n_risk")) * _KM_NANO + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(-100 * _KM_NANO).cast("long"))
+    curve = graded.select(
+        "dur", "n_risk", "d_at", logterm.alias("lq")
+    ).withColumn(
+        "cum_lq",
+        F.sum("lq").over(
+            Window.orderBy("dur").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return curve.select(
+        F.col("dur").alias("t_days"),
+        "n_risk",
+        F.col("d_at").alias("d_events"),
+        F.round(F.exp(F.col("cum_lq") / _KM_NANO), 6).alias("survival"),
+        F.round(F.col("d_at") / F.col("n_risk"), 6).alias("hazard"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_kaplan_meier": kaplan_meier,
     "ext_ks_two_sample": ks_two_sample,
     "ext_vshape_patterns": vshape_patterns,
     "ext_diff_in_diff": diff_in_diff,
@@ -2610,6 +2712,56 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_kaplan_meier": f"""
+        WITH ev AS (
+            SELECT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events),
+        per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN day END) AS t0,
+                   MAX(day) AS last_seen
+            FROM ev GROUP BY user_id
+            HAVING MIN(CASE WHEN event_type = 'click' THEN day END)
+                   IS NOT NULL),
+        first_buy AS (
+            SELECT e.user_id, MIN(e.day) AS t_buy
+            FROM ev e JOIN per_user p ON e.user_id = p.user_id
+            WHERE e.event_type = 'purchase' AND e.day >= p.t0
+            GROUP BY e.user_id),
+        durs AS (
+            SELECT CAST(datediff('day', t0,
+                                 COALESCE(t_buy, last_seen))
+                        AS BIGINT) AS dur,
+                   CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS d
+            FROM per_user LEFT JOIN first_buy USING (user_id)),
+        cells AS (SELECT dur, COUNT(*) AS n_at, SUM(d) AS d_at
+                  FROM durs GROUP BY dur),
+        nt AS (SELECT COUNT(*) AS n_total FROM durs),
+        graded AS (
+            SELECT dur, d_at,
+                   n_total - COALESCE(SUM(n_at) OVER (
+                       ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+            FROM cells CROSS JOIN nt),
+        evrows AS (SELECT * FROM graded WHERE d_at > 0),
+        curve AS (
+            SELECT dur, n_risk, d_at,
+                   SUM(CASE WHEN d_at < n_risk
+                            THEN CAST(FLOOR(LN(1.0 - d_at / n_risk)
+                                 * {_KM_NANO} + 0.5) AS BIGINT)
+                            ELSE CAST({-100 * _KM_NANO} AS BIGINT)
+                       END)
+                       OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_lq
+            FROM evrows)
+        SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_at AS BIGINT) AS d_events,
+               ROUND(EXP(cum_lq / {_KM_NANO}), 6) AS survival,
+               ROUND(d_at / n_risk, 6) AS hazard
+        FROM curve
+    """,
     "ext_ks_two_sample": """
         WITH ev AS (
             SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
