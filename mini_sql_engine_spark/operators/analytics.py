@@ -2564,7 +2564,94 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 40  # bootstrap replicates
+BOOT_RES = 1_000_000  # uniform resolution for the hash-derived draws
+# cumulative Poisson(1) pmf, capped at k=7 — the weight ladder
+_POIS_CUM = (
+    0.36787944, 0.73575888, 0.92073549, 0.98101184,
+    0.99634015, 0.99940582, 0.99991676,
+)
+
+
+def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean purchase value — the
+    resampling scheme that works when the data won't fit one machine:
+    instead of drawing n rows with replacement (which needs global
+    coordination), each row independently receives a Poisson(1)
+    weight per replicate; replicate means are weighted means. Here
+    the "draws" are salted hashes pushed through the Poisson(1)
+    inverse CDF ladder, so the whole procedure is deterministic and
+    the CI is exactly reproducible. The interval is the 2nd/39th of
+    the 40 ordered replicate means (the discrete 2.5%/97.5% ranks —
+    no interpolation, no float percentile).
+
+    Scale notes (100 TB): the explode is a constant ×B fan-out of
+    thin (replicate, weight, cents) rows feeding one
+    map-side-combined weighted-sum pass; replicate means are B rows.
+    This is THE distributed bootstrap — per-row independence is the
+    entire design.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("string").alias("eid"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    reps = ev.select(
+        "eid",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
+    )
+    u = (
+        md5_long(
+            F.concat_ws("#", F.col("eid"), F.col("rep")), salt="boot"
+        )
+        % BOOT_RES
+        + 0.5
+    ) / float(BOOT_RES)
+    w = F.lit(7)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS_CUM[k], k).otherwise(w)
+    means = (
+        reps.select("rep", w.cast("long").alias("w"), "cents")
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents"))
+                / (100.0 * F.sum("w"))
+            ).alias("m")
+        )
+    )
+    wo = Window.orderBy("m", "rep")
+    ranked = means.select(
+        F.row_number().over(wo).alias("rk"), "m"
+    )
+    point = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("mean"),
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("lo"))
+    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(
+        F.col("m").alias("hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            F.round("mean", 4).alias("mean_usd"),
+            F.round("lo", 4).alias("ci_lo_usd"),
+            F.round("hi", 4).alias("ci_hi_usd"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_poisson_bootstrap": poisson_bootstrap,
     "ext_kaplan_meier": kaplan_meier,
     "ext_ks_two_sample": ks_two_sample,
     "ext_vshape_patterns": vshape_patterns,
@@ -2712,6 +2799,46 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_poisson_bootstrap": f"""
+        WITH ev AS (
+            SELECT CAST(event_id AS VARCHAR) AS eid,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+        reps AS (
+            SELECT eid, cents, CAST(r AS BIGINT) AS rep
+            FROM ev
+            CROSS JOIN (SELECT UNNEST(range({BOOT_B})) AS r)),
+        ws AS (
+            SELECT rep, cents,
+                   (CAST('0x' || substr(md5('boot:' || eid || '#'
+                             || CAST(rep AS VARCHAR)), 1, 15)
+                         AS BIGINT) % {BOOT_RES} + 0.5)
+                       / {BOOT_RES}.0 AS u
+            FROM reps),
+        weighted AS (
+            SELECT rep, cents,
+                   CASE {" ".join(
+                       f"WHEN u < {c!r} THEN {k}"
+                       for k, c in enumerate(_POIS_CUM)
+                   )} ELSE 7 END AS w
+            FROM ws),
+        means AS (
+            SELECT rep, SUM(w * cents) / (100.0 * SUM(w)) AS m
+            FROM weighted GROUP BY rep),
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY m, rep) AS rk, m
+            FROM means),
+        point AS (
+            SELECT COUNT(*) AS n,
+                   SUM(cents) / (100.0 * COUNT(*)) AS mean
+            FROM ev)
+        SELECT n, ROUND(mean, 4) AS mean_usd,
+               ROUND((SELECT m FROM ranked WHERE rk = 2), 4)
+                   AS ci_lo_usd,
+               ROUND((SELECT m FROM ranked WHERE rk = {BOOT_B - 1}), 4)
+                   AS ci_hi_usd
+        FROM point
+    """,
     "ext_kaplan_meier": f"""
         WITH ev AS (
             SELECT user_id, event_type, CAST(ts AS DATE) AS day
