@@ -2650,7 +2650,153 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: use each user's PRE-period purchase
+    total as the covariate for their post-period metric —
+    θ = cov(X,Y)/var(X), adjusted metric Y − θ(X − X̄) — the standard
+    trick that shrinks experiment variance by exactly ρ²·100% and
+    therefore the needed sample size by the same factor (pair with
+    `ext_ab_power_mde`: CUPED is how you BUY a smaller MDE without
+    more traffic). θ and ρ² come from exact DECIMAL moments over
+    per-user integer cents (users absent in a period contribute 0 —
+    the covariate must be defined for everyone).
+
+    Scale notes (100 TB): one conditional-aggregate pass to per-user
+    (pre, post) cents, one moments pass, row-local closed form —
+    moments-not-rows again.
+    """
+    cut = DID_CUT
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.date_format("ts", "yyyy-MM-dd") < cut,
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("decimal(19,0)")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.date_format("ts", "yyyy-MM-dd") >= cut,
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy")).cast("double") - (
+        F.col("sx") * F.col("sy")
+    ).cast("double")
+    denx = (F.col("n") * F.col("sxx")).cast("double") - (
+        F.col("sx") * F.col("sx")
+    ).cast("double")
+    deny = (F.col("n") * F.col("syy")).cast("double") - (
+        F.col("sy") * F.col("sy")
+    ).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(
+            F.col("sy").cast("double")
+            / F.col("n").cast("double")
+            / 100.0,
+            4,
+        ).alias("mean_post_usd"),
+        F.round(num / denx, 6).alias("theta"),
+        F.round(num * num / (denx * deny) * 100.0, 4).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum test (click vs purchase values) with the
+    tie correction — the distribution-free location test that pairs
+    with `ext_ks_two_sample`'s shape test. All ranking runs on the
+    distinct-value ladder in integers: doubled average ranks
+    (2·rank = 2·cum_prev + t + 1) keep tied ranks exact, the tie
+    term Σ(t³−t) is an exact integer sum, and the z-score is the
+    only float — built once from exact moments.
+
+    Scale notes (100 TB): identical shape to the KS ladder — one
+    map-side-combined value rollup, one cumulative window over
+    distinct values, a 1-row closed form.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+    )
+    cells = ev.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    wo = Window.orderBy("v")
+    ladder = cells.select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+    )
+    sums = ladder.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_prev") + F.col("t") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    mu2 = F.col("na") * F.col("nb")  # 2·E[U] = na·nb
+    var = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return sums.select(
+        F.col("na"),
+        F.col("nb"),
+        (u2 / F.lit(2.0)).alias("u_a"),
+        F.round(
+            (u2 - mu2).cast("double") / (2.0 * F.sqrt(var)), 6
+        ).alias("z"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_cuped_adjustment": cuped_adjustment,
+    "ext_mann_whitney": mann_whitney,
     "ext_poisson_bootstrap": poisson_bootstrap,
     "ext_kaplan_meier": kaplan_meier,
     "ext_ks_two_sample": ks_two_sample,
@@ -2799,6 +2945,79 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_cuped_adjustment": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d')
+                                      < '{DID_CUT}'
+                                 THEN CAST(FLOOR(value * 100 + 0.5)
+                                           AS BIGINT)
+                                 ELSE 0 END) AS HUGEINT) AS x,
+                   CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d')
+                                      >= '{DID_CUT}'
+                                 THEN CAST(FLOOR(value * 100 + 0.5)
+                                           AS BIGINT)
+                                 ELSE 0 END) AS HUGEINT) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                   SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM per_user),
+        f AS (
+            SELECT n, sy,
+                   CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE)
+                       AS num,
+                   CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE)
+                       AS denx,
+                   CAST(n * syy AS DOUBLE) - CAST(sy * sy AS DOUBLE)
+                       AS deny
+            FROM m)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+                   AS mean_post_usd,
+               ROUND(num / denx, 6) AS theta,
+               ROUND(num * num / (denx * deny) * 100.0, 4)
+                   AS var_reduction_pct
+        FROM f
+    """,
+    "ext_mann_whitney": """
+        WITH ev AS (
+            SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                   event_type = 'click' AS is_a
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        cells AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cb
+            FROM ev GROUP BY v),
+        ladder AS (
+            SELECT v, ca, cb, ca + cb AS t,
+                   COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_prev
+            FROM cells),
+        sums AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   CAST(SUM(ca * (2 * cum_prev + t + 1)) AS BIGINT)
+                       AS r2a,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+            FROM ladder)
+        SELECT na, nb,
+               (r2a - na * (na + 1)) / 2.0 AS u_a,
+               ROUND(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+                     / (2.0 * SQRT(CAST(na AS DOUBLE) * nb / 12.0
+                         * (CAST(na + nb + 1 AS DOUBLE)
+                            - CAST(ties AS DOUBLE)
+                              / (CAST(na + nb AS DOUBLE)
+                                 * CAST(na + nb - 1 AS DOUBLE))))),
+                     6) AS z
+        FROM sums
+    """,
     "ext_poisson_bootstrap": f"""
         WITH ev AS (
             SELECT CAST(event_id AS VARCHAR) AS eid,
