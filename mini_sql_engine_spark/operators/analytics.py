@@ -36,6 +36,8 @@ from mini_sql_engine_spark.catalog import (
     register_sf_tables,
 )
 from mini_sql_engine_spark.functions.hashing import md5_long
+from mini_sql_engine_spark.functions.numeric import NANO as _NANO
+from mini_sql_engine_spark.functions.numeric import qsum as _qsum
 
 ALL = "(all)"  # marker for super-aggregate rows (testdata is NOT NULL,
 # so coalescing grouped NULLs to a marker is unambiguous)
@@ -2794,7 +2796,190 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BH_Q = 0.10  # false-discovery-rate target
+# Abramowitz–Stegun 26.2.17 constants for Φ(x), |err| < 7.5e-8 —
+# pure +,*,/,exp arithmetic, so both engines produce identical doubles
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_SQRT_2PI = 2.5066282746310002
+
+
+def _phi_tail(z):
+    """Upper-tail 1−Φ(z) for z ≥ 0, A&S polynomial (column expr)."""
+    k = 1.0 / (1.0 + _AS_P * z)
+    poly = (
+        _AS_B[0] * k
+        + _AS_B[1] * k * k
+        + _AS_B[2] * k * k * k
+        + _AS_B[3] * k * k * k * k
+        + _AS_B[4] * k * k * k * k * k
+    )
+    return F.exp(-z * z / 2.0) / _SQRT_2PI * poly
+
+
+def bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction across the per-type
+    mean-value z-tests — the multiple-testing step every metrics
+    sweep needs once it tests more than one hypothesis (5 tests at
+    α=0.05 ⇒ ~23% chance of a false alarm uncorrected). p-values come
+    from the A&S 26.2.17 normal-CDF polynomial (pure arithmetic —
+    deterministic across engines, unlike a library erf); BH rejects
+    every test ranked ≤ k* = max{i : p_i ≤ i·q/m}. Moments-based z,
+    ladder logic in windows, all on m rows.
+
+    Scale notes (100 TB): one moments pass per type; everything after
+    is m-row arithmetic. The z here is one-sample vs the global mean
+    — swap in any per-group test, the BH machinery is unchanged.
+    """
+    from pyspark.sql import Window
+
+    m = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("decimal(19,0)")
+            .alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+    )
+    g = m.agg(
+        F.sum("n").alias("gn"),
+        F.sum("s").alias("gs"),
+        F.sum("ss").alias("gss"),
+    )
+    j = m.crossJoin(F.broadcast(g))
+    gvar = (
+        (F.col("gn") * F.col("gss")).cast("double")
+        - (F.col("gs") * F.col("gs")).cast("double")
+    ) / (F.col("gn") * (F.col("gn") - 1)).cast("double")
+    gmean = F.col("gs").cast("double") / F.col("gn").cast("double")
+    tmean = F.col("s").cast("double") / F.col("n").cast("double")
+    z = (tmean - gmean) / F.sqrt(gvar / F.col("n").cast("double"))
+    scored = j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        z.alias("z"),
+        (2.0 * _phi_tail(F.abs(z))).alias("p"),
+    )
+    wo = Window.orderBy("p", "event_type")
+    mtot = Window.partitionBy()
+    ranked = scored.select(
+        "event_type",
+        "n_events",
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative z rounds to
+        # the signed zero on one engine and not the other)
+        (F.round("z", 4) + 0.0).alias("z"),
+        F.round("p", 8).alias("p"),
+        F.row_number().over(wo).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(mtot).alias("m"),
+    ).withColumn(
+        "bh_cut", F.col("rank") * BH_Q / F.col("m")
+    )
+    kstar = ranked.filter(F.col("p") <= F.col("bh_cut")).agg(
+        F.max("rank").alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "n_events",
+            "z",
+            "p",
+            "rank",
+            F.round("bh_cut", 8).alias("bh_cut"),
+            (
+                F.col("rank") <= F.coalesce("kstar", F.lit(0))
+            ).alias("reject"),
+        )
+    )
+
+
+TFIDF_DF_MAX_PCT = 50  # drop tokens in more than half the docs
+TFIDF_TOPK = 20
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity — the CLASSIC sparse vector
+    join, complementing the set-based (Jaccard/MinHash) and dense
+    (embedding) routes: docs as tf·idf vectors over a df-capped
+    vocabulary, pairwise dot products via the inverted index (only
+    co-occurring tokens ever meet), cosine from `_qsum`-quantized
+    dot products and norms so the float sums are order-proof. Output:
+    the TFIDF_TOPK most cosine-similar pairs.
+
+    Scale notes (100 TB): the self-join is keyed on the TOKEN, so
+    shuffle volume is index-sized and the df cap bounds each token's
+    fan-out (df² pairs) — the same stop-word economics as
+    `ext_dedup_jaccard`; the norm pass is one map-side-combined
+    rollup. Dot products accumulate as exact longs.
+    """
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    )
+    tf = docs.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    nn = docs.agg(F.countDistinct("doc_id").alias("nd"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df.crossJoin(F.broadcast(nn)).filter(
+        F.col("df") * 100 <= F.col("nd") * TFIDF_DF_MAX_PCT
+    )
+    w = (
+        tf.join(vocab, "t")
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        _qsum(F.col("w") * F.col("w")).alias("nq")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, F.col("a.t") == F.col("b.t"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            _qsum(F.col("a.w") * F.col("b.w")).alias("dq"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nq").alias("qa")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nq").alias("qb")
+    )
+    cos = (F.col("dq") / _NANO) / (
+        F.sqrt(F.col("qa") / _NANO) * F.sqrt(F.col("qb") / _NANO)
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(TFIDF_TOPK)
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_bh_fdr": bh_fdr,
+    "ext_tfidf_cosine_pairs": tfidf_cosine_pairs,
     "ext_cuped_adjustment": cuped_adjustment,
     "ext_mann_whitney": mann_whitney,
     "ext_poisson_bootstrap": poisson_bootstrap,
@@ -2945,6 +3130,87 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_bh_fdr": f"""
+        WITH m AS (
+            SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(c) AS s, SUM(c * c) AS ss
+            FROM (SELECT event_type,
+                         CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS c
+                  FROM events)
+            GROUP BY event_type),
+        g AS (SELECT SUM(n) AS gn, SUM(s) AS gs, SUM(ss) AS gss
+              FROM m),
+        scored AS (
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                   (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))
+                   / SQRT(((CAST(gn * gss AS DOUBLE)
+                            - CAST(gs * gs AS DOUBLE))
+                           / CAST(gn * (gn - 1) AS DOUBLE))
+                          / CAST(n AS DOUBLE)) AS z
+            FROM m CROSS JOIN g),
+        withp AS (
+            SELECT event_type, n_events, z,
+                   2.0 * (EXP(-ABS(z) * ABS(z) / 2.0)
+                          / {_SQRT_2PI!r}
+                          * ({_AS_B[0]!r} * k
+                             + {_AS_B[1]!r} * k * k
+                             + {_AS_B[2]!r} * k * k * k
+                             + {_AS_B[3]!r} * k * k * k * k
+                             + {_AS_B[4]!r} * k * k * k * k * k))
+                       AS p
+            FROM (SELECT *, 1.0 / (1.0 + {_AS_P!r} * ABS(z)) AS k
+                  FROM scored)),
+        ranked AS (
+            SELECT event_type, n_events, ROUND(z, 4) + 0.0 AS z,
+                   ROUND(p, 8) AS p,
+                   ROW_NUMBER() OVER (ORDER BY p, event_type) AS rank,
+                   COUNT(*) OVER () AS m
+            FROM withp),
+        kstar AS (
+            SELECT MAX(rank) AS kstar FROM ranked
+            WHERE p <= rank * {BH_Q} / m)
+        SELECT event_type, n_events, z, p, rank,
+               ROUND(rank * {BH_Q} / m, 8) AS bh_cut,
+               rank <= COALESCE(kstar, 0) AS reject
+        FROM ranked CROSS JOIN kstar
+    """,
+    "ext_tfidf_cosine_pairs": rf"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS t
+            FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),
+        df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        vocab AS (
+            SELECT t, df, nd FROM df CROSS JOIN nn
+            WHERE df * 100 <= nd * {TFIDF_DF_MAX_PCT}),
+        w AS (
+            SELECT doc_id, tf.t,
+                   tf * LN(CAST(nd AS DOUBLE) / df) AS w
+            FROM tf JOIN vocab ON tf.t = vocab.t),
+        norms AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(FLOOR(w * w * {_NANO} + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS nq
+            FROM w GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(CAST(FLOOR(a.w * b.w * {_NANO} + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS dq,
+                   COUNT(*) AS n_shared
+            FROM w a JOIN w b
+              ON a.t = b.t AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared,
+               ROUND((dq / {_NANO})
+                     / (SQRT(na.nq / {_NANO}) * SQRT(nb.nq / {_NANO})),
+                     6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        ORDER BY cosine DESC, doc_a, doc_b LIMIT {TFIDF_TOPK}
+    """,
     "ext_cuped_adjustment": f"""
         WITH per_user AS (
             SELECT user_id,

@@ -677,19 +677,8 @@ def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NANO = 1_000_000_000  # fixed-point scale for order-free float sums
-
-
-def _qsum(term) -> F.Column:
-    """Deterministic distributed float sum: quantize each term to
-    integer nano-units (each term is computed identically on both
-    engines from exact integers), SUM the longs exactly, divide back
-    once. Integer addition is associative, so partial-agg order can
-    never change the result — the pattern that makes entropy-style
-    Σ f(count) reductions safe at any parallelism, where a raw double
-    SUM differs in the last ulps per run. Costs 1e-9 quantization per
-    term, far below reporting precision."""
-    return F.sum(F.floor(term * _NANO + 0.5).cast("long"))
+from mini_sql_engine_spark.functions.numeric import NANO as _NANO
+from mini_sql_engine_spark.functions.numeric import qsum as _qsum
 
 
 def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
