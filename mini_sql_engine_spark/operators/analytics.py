@@ -2977,7 +2977,93 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY = ("hash", "join", "window")  # fixed keyword query
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOPK = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed keyword query — the IR
+    scoring the reference-class engines bolt on as FTS extensions,
+    expressed relationally: score(d) = Σ_q idf(q) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)) with the Robertson idf
+    ln(1 + (N−df+0.5)/(df+0.5)). Per-doc score sums run through the
+    qsum fixed-point reduction (≤|query| terms, but order-proof on
+    principle). Output: top BM25_TOPK docs, tie-broken by doc_id.
+
+    Scale notes (100 TB): the inverted-index probe touches only the
+    query terms' postings (semi-join pushdown on the token column —
+    at scale, a partition/bucket on token makes this a pruned scan);
+    doc lengths and the 3-row term-stats table broadcast. Scoring
+    never scans non-matching docs.
+    """
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    )
+    dl = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").alias("total_len"),
+    )
+    postings = (
+        docs.filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = postings.groupBy("t").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("nd") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1.0
+                        - BM25_B
+                        + BM25_B
+                        * F.col("dl")
+                        / (
+                            F.col("total_len").cast("double")
+                            / F.col("nd")
+                        )
+                    )
+                )
+            ).alias("term_score"),
+            F.lit(1).cast("long").alias("hit"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            _qsum(F.col("term_score")).alias("sq"),
+            F.sum("hit").alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round(F.col("sq") / _NANO, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_bm25_search": bm25_search,
     "ext_bh_fdr": bh_fdr,
     "ext_tfidf_cosine_pairs": tfidf_cosine_pairs,
     "ext_cuped_adjustment": cuped_adjustment,
@@ -3130,6 +3216,37 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_bm25_search": rf"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS t
+            FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd,
+                         CAST(SUM(dl) AS BIGINT) AS total_len
+                  FROM dl),
+        postings AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM tok
+            WHERE t IN {BM25_QUERY!r}
+            GROUP BY doc_id, t),
+        dfs AS (SELECT t, COUNT(DISTINCT doc_id) AS df
+                FROM postings GROUP BY t),
+        scored AS (
+            SELECT doc_id,
+                   LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl
+                         / (CAST(total_len AS DOUBLE) / nd)))
+                       AS term_score
+            FROM postings JOIN dfs USING (t) JOIN dl USING (doc_id)
+            CROSS JOIN stats)
+        SELECT doc_id, COUNT(*) AS n_terms_hit,
+               ROUND(CAST(SUM(CAST(FLOOR(term_score * {_NANO} + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                     / {_NANO}, 6) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
     "ext_bh_fdr": f"""
         WITH m AS (
             SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
