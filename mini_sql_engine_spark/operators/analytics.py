@@ -3062,7 +3062,147 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOPK = 10
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: combine the BM25 keyword ranking with
+    a tf-based lexical-overlap ranking for the same query via
+    Reciprocal Rank Fusion — score(d) = Σ_lists 1/(K + rank_d) — the
+    standard trick for merging incomparable score scales (BM25 floats
+    vs cosine vs anything) using only RANKS. Docs missing from a list
+    simply contribute nothing (full-outer join). Output: the fused
+    top-RRF_TOPK with both source ranks.
+
+    Scale notes (100 TB): both input rankings are top-K TakeOrdered
+    results — K-row tables; fusion is a K-row full-outer join. The
+    expensive parts are the underlying retrievals, already bounded.
+    """
+    from pyspark.sql import Window
+
+    bm = bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_bm25"),
+    )
+    # second list: rank by raw query-term hit COUNT (coverage-first
+    # lexical overlap — deliberately a different scale/shape)
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    )
+    cov = (
+        docs.filter(F.col("t").isin(*BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.countDistinct("t").alias("terms"),
+        )
+        .orderBy(
+            F.col("terms").desc(), F.col("hits").desc(), "doc_id"
+        )
+        .limit(BM25_TOPK)
+    )
+    cv = cov.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("terms").desc(), F.col("hits").desc(), "doc_id"
+            )
+        )
+        .cast("long")
+        .alias("r_cov"),
+    )
+    fused = bm.join(cv, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_bm25",
+        "r_cov",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("r_cov")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id", "r_bm25", "r_cov", F.round("rrf", 6).alias("rrf")
+        )
+    )
+
+
+SNIP_W = 10  # snippet window length in tokens
+
+
+def snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-passage (KWIC) snippet extraction: for every document
+    matching the keyword query, find the SNIP_W-token window packing
+    the most query-term hits and emit it as text. Window scoring is
+    scatter-based — each hit position votes for the ≤W window starts
+    that would contain it, one groupBy picks the densest start
+    (ties → leftmost) — the same scatter-to-windows shape as the
+    sliding bitmap, reused on token positions. Output: doc_id, hit
+    stats and the reconstructed snippet.
+
+    Scale notes (100 TB): only matching docs' positions explode (×W
+    on HIT positions, not all tokens); the per-doc argmax is a keyed
+    max_by, no global sort.
+    """
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("p", "t")
+    ).filter(F.col("t").isin(*BM25_QUERY))
+    votes = pos.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("p") - SNIP_W + 1, F.lit(0)), F.col("p")
+            )
+        ).alias("start"),
+    )
+    best = (
+        votes.groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "hits", (-F.col("start")).alias("neg_start")
+                )
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.hits").alias("win_hits"),
+            (-F.col("b.neg_start")).cast("long").alias("win_start"),
+        )
+    )
+    return (
+        best.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "win_hits",
+            "win_start",
+            F.array_join(
+                F.slice(
+                    "toks", F.col("win_start").cast("int") + 1, SNIP_W
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_rrf_fusion": rrf_fusion,
+    "ext_snippet_extraction": snippet_extraction,
     "ext_bm25_search": bm25_search,
     "ext_bh_fdr": bh_fdr,
     "ext_tfidf_cosine_pairs": tfidf_cosine_pairs,
@@ -3216,6 +3356,93 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_rrf_fusion": rf"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS t
+            FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd,
+                         CAST(SUM(dl) AS BIGINT) AS total_len
+                  FROM dl),
+        postings AS (
+            SELECT doc_id, t, COUNT(*) AS tf FROM tok
+            WHERE t IN {BM25_QUERY!r}
+            GROUP BY doc_id, t),
+        dfs AS (SELECT t, COUNT(DISTINCT doc_id) AS df
+                FROM postings GROUP BY t),
+        scored AS (
+            SELECT doc_id,
+                   LN(1.0 + (nd - df + 0.5) / (df + 0.5))
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl
+                         / (CAST(total_len AS DOUBLE) / nd)))
+                       AS term_score
+            FROM postings JOIN dfs USING (t) JOIN dl USING (doc_id)
+            CROSS JOIN stats),
+        bmtop AS (
+            SELECT doc_id,
+                   ROUND(CAST(SUM(CAST(FLOOR(term_score * {_NANO}
+                                             + 0.5) AS BIGINT))
+                              AS BIGINT) / {_NANO}, 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}),
+        bm AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS r_bm25
+            FROM bmtop),
+        covtop AS (
+            SELECT doc_id, COUNT(*) AS hits,
+                   COUNT(DISTINCT t) AS terms
+            FROM tok WHERE t IN {BM25_QUERY!r}
+            GROUP BY doc_id
+            ORDER BY terms DESC, hits DESC, doc_id
+            LIMIT {BM25_TOPK}),
+        cv AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY terms DESC, hits DESC,
+                                      doc_id) AS r_cov
+            FROM covtop),
+        fused AS (
+            SELECT COALESCE(bm.doc_id, cv.doc_id) AS doc_id,
+                   r_bm25, r_cov,
+                   COALESCE(1.0 / ({RRF_K} + r_bm25), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + r_cov), 0.0) AS rrf
+            FROM bm FULL OUTER JOIN cv ON bm.doc_id = cv.doc_id)
+        SELECT doc_id, r_bm25, r_cov, ROUND(rrf, 6) AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+    "ext_snippet_extraction": rf"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS toks
+            FROM documents),
+        pos0 AS (
+            SELECT doc_id, UNNEST(toks) AS t,
+                   UNNEST(range(len(toks))) AS p
+            FROM docs),
+        pos AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM pos0
+                WHERE t IN {BM25_QUERY!r}),
+        votes AS (
+            SELECT doc_id,
+                   UNNEST(range(GREATEST(p - {SNIP_W} + 1, 0), p + 1))
+                       AS start
+            FROM pos),
+        cand AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+                        COUNT(*) AS hits
+                 FROM votes GROUP BY 1, 2),
+        best AS (
+            SELECT doc_id, hits AS win_hits, start AS win_start
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, start) AS rn
+                  FROM cand)
+            WHERE rn = 1)
+        SELECT b.doc_id, win_hits, win_start,
+               array_to_string(list_slice(toks,
+                   CAST(win_start + 1 AS INT),
+                   CAST(win_start + {SNIP_W} AS INT)), ' ') AS snippet
+        FROM best b JOIN docs USING (doc_id)
+    """,
     "ext_bm25_search": rf"""
         WITH tok AS (
             SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS t
