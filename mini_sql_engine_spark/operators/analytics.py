@@ -3200,7 +3200,127 @@ def snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do two user cohorts (deterministic hash split)
+    convert at the same rate, accounting for censoring? The
+    Kaplan–Meier curve (`ext_kaplan_meier`) describes ONE arm; the
+    log-rank statistic (Σ(d₁−E₁))²/ΣV with hypergeometric E and V at
+    each event day is the hypothesis test between two. Risk sets come
+    from dur ≥ t aggregation against the (tiny) event-day list; the
+    two float sums run through qsum. Output: one row with per-arm
+    sizes, observed vs expected events and the χ²(1) statistic.
+
+    Scale notes (100 TB): same shape as KM — one user-level pass,
+    then all machinery on the day-grid × 2 arms. The event-day join
+    is broadcast (days are few); nothing data-sized is ever
+    crossed.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("day"))
+            ).alias("t0"),
+            F.max("day").alias("last_seen"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user.select("user_id", "t0"), "user_id")
+        .filter(F.col("day") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("t_buy"))
+    )
+    durs = per_user.join(first_buy, "user_id", "left").select(
+        (
+            md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+        ).alias("arm"),
+        F.datediff(F.coalesce("t_buy", "last_seen"), F.col("t0"))
+        .cast("long")
+        .alias("dur"),
+        F.col("t_buy").isNotNull().cast("long").alias("d"),
+    )
+    cells = durs.groupBy("arm", "dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("d").alias("d_at"),
+    )
+    ev_days = (
+        cells.filter(F.col("d_at") > 0)
+        .select(F.col("dur").alias("t"))
+        .distinct()
+    )
+    at_t = (
+        cells.join(F.broadcast(ev_days), F.col("dur") >= F.col("t"))
+        .groupBy("t", "arm")
+        .agg(
+            F.sum("n_at").alias("n_risk"),
+            F.sum(
+                F.when(F.col("dur") == F.col("t"), F.col("d_at")).otherwise(
+                    0
+                )
+            ).alias("d_t"),
+        )
+    )
+    a1 = at_t.filter(F.col("arm") == 1).select(
+        "t", F.col("n_risk").alias("n1"), F.col("d_t").alias("d1")
+    )
+    a0 = at_t.filter(F.col("arm") == 0).select(
+        "t", F.col("n_risk").alias("n0"), F.col("d_t").alias("d0")
+    )
+    terms = a1.join(a0, "t").select(
+        "t",
+        "d1",
+        (F.col("n1") + F.col("n0")).alias("n"),
+        (F.col("d1") + F.col("d0")).alias("d"),
+        "n1",
+        "n0",
+    )
+    e1 = F.col("d").cast("double") * F.col("n1") / F.col("n")
+    v = (
+        F.col("d").cast("double")
+        * F.col("n1")
+        * F.col("n0")
+        * (F.col("n") - F.col("d"))
+        / (
+            F.col("n").cast("double")
+            * F.col("n")
+            * (F.col("n") - 1)
+        )
+    )
+    agg = terms.filter(F.col("n") > 1).agg(
+        F.sum("d1").alias("o1"),
+        _qsum(e1).alias("e1_q"),
+        _qsum(v).alias("v_q"),
+    )
+    sizes = durs.groupBy("arm").agg(F.count(F.lit(1)).alias("nu"))
+    n1u = sizes.filter(F.col("arm") == 1).select(
+        F.col("nu").alias("n_arm1")
+    )
+    n0u = sizes.filter(F.col("arm") == 0).select(
+        F.col("nu").alias("n_arm0")
+    )
+    diff = F.col("o1") - F.col("e1_q") / _NANO
+    return (
+        agg.crossJoin(F.broadcast(n1u))
+        .crossJoin(F.broadcast(n0u))
+        .select(
+            "n_arm1",
+            "n_arm0",
+            F.col("o1").alias("observed1"),
+            F.round(F.col("e1_q") / _NANO, 4).alias("expected1"),
+            F.round(
+                diff * diff / (F.col("v_q") / _NANO), 4
+            ).alias("chi2"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_logrank_test": logrank_test,
     "ext_rrf_fusion": rrf_fusion,
     "ext_snippet_extraction": snippet_extraction,
     "ext_bm25_search": bm25_search,
@@ -3356,6 +3476,71 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_logrank_test": f"""
+        WITH ev AS (
+            SELECT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events),
+        per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN day END) AS t0,
+                   MAX(day) AS last_seen
+            FROM ev GROUP BY user_id
+            HAVING MIN(CASE WHEN event_type = 'click' THEN day END)
+                   IS NOT NULL),
+        first_buy AS (
+            SELECT e.user_id, MIN(e.day) AS t_buy
+            FROM ev e JOIN per_user p ON e.user_id = p.user_id
+            WHERE e.event_type = 'purchase' AND e.day >= p.t0
+            GROUP BY e.user_id),
+        durs AS (
+            SELECT CAST('0x' || substr(md5('arm:'
+                            || CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 2 AS arm,
+                   CAST(datediff('day', t0,
+                                 COALESCE(t_buy, last_seen))
+                        AS BIGINT) AS dur,
+                   CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS d
+            FROM per_user LEFT JOIN first_buy USING (user_id)),
+        cells AS (SELECT arm, dur, COUNT(*) AS n_at,
+                         CAST(SUM(d) AS BIGINT) AS d_at
+                  FROM durs GROUP BY 1, 2),
+        ev_days AS (SELECT DISTINCT dur AS t FROM cells
+                    WHERE d_at > 0),
+        at_t AS (
+            SELECT t, arm, CAST(SUM(n_at) AS BIGINT) AS n_risk,
+                   CAST(SUM(CASE WHEN dur = t THEN d_at ELSE 0 END)
+                        AS BIGINT) AS d_t
+            FROM cells JOIN ev_days ON dur >= t
+            GROUP BY t, arm),
+        terms AS (
+            SELECT a1.t, a1.d_t AS d1,
+                   a1.n_risk + a0.n_risk AS n,
+                   a1.d_t + a0.d_t AS d,
+                   a1.n_risk AS n1, a0.n_risk AS n0
+            FROM (SELECT * FROM at_t WHERE arm = 1) a1
+            JOIN (SELECT * FROM at_t WHERE arm = 0) a0
+              ON a1.t = a0.t),
+        agg AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) * n1 / n
+                            * {_NANO} + 0.5) AS BIGINT)) AS BIGINT)
+                       AS e1_q,
+                   CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) * n1 * n0
+                            * (n - d)
+                            / (CAST(n AS DOUBLE) * n * (n - 1))
+                            * {_NANO} + 0.5) AS BIGINT)) AS BIGINT)
+                       AS v_q
+            FROM terms WHERE n > 1),
+        sizes AS (SELECT arm, COUNT(*) AS nu FROM durs GROUP BY arm)
+        SELECT (SELECT nu FROM sizes WHERE arm = 1) AS n_arm1,
+               (SELECT nu FROM sizes WHERE arm = 0) AS n_arm0,
+               o1 AS observed1,
+               ROUND(e1_q / {_NANO}, 4) AS expected1,
+               ROUND((o1 - e1_q / {_NANO}) * (o1 - e1_q / {_NANO})
+                     / (v_q / {_NANO}), 4) AS chi2
+        FROM agg
+    """,
     "ext_rrf_fusion": rf"""
         WITH tok AS (
             SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS t
