@@ -2636,13 +2636,16 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("mean"),
     )
-    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("lo"))
-    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(
-        F.col("m").alias("hi")
+    # ONE aggregate picks both CI ranks — filtering `ranked` twice
+    # would duplicate its whole subtree (and its scan) in the plan
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("m"))).alias(
+            "hi"
+        ),
     )
     return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        point.crossJoin(F.broadcast(ci))
         .select(
             "n",
             F.round("mean", 4).alias("mean_usd"),

@@ -680,3 +680,40 @@ def test_fifo_allocation_user_keyed_join(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_fifo_allocation"](spark, sf_dir))
     assert "Exchange hashpartitioning(user_id" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_stats_broadcast(spark, sf_dir):
+    """BM25's doc-length/term-stat sides broadcast; no sort-merge
+    join anywhere in the scoring plan."""
+    plan = _plan(ALL_QUERIES["ext_bm25_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ks_argmax_is_take_ordered(spark, sf_dir):
+    """KS D-argmax must plan as TakeOrdered, not a global sort."""
+    plan = _plan(ALL_QUERIES["ext_ks_two_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_pairs_join_is_token_keyed(spark, sf_dir):
+    """The sparse cosine self-join must key on the token (hash
+    exchange on t), never a cartesian."""
+    plan = _plan(ALL_QUERIES["ext_tfidf_cosine_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange hashpartitioning(t" in plan, plan
+
+
+def test_poisson_bootstrap_single_pass(spark, sf_dir):
+    """Replicate means come from ONE aggregate over the exploded
+    rows — no per-replicate rescans (≤1 scan of the events parquet
+    on the replicate path + 1 for the point estimate)."""
+    plan = _plan(ALL_QUERIES["ext_poisson_bootstrap"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_sliding_bitmap_no_count_distinct_expand(spark, sf_dir):
+    """The sliding distinct must aggregate masks, not rewrite into
+    the count-distinct Expand."""
+    plan = _plan(ALL_QUERIES["ext_sliding_bitmap_distinct"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "bit_or" in plan, plan
