@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns
+from mini_sql_engine_spark.functions.hashing import md5_long
 from mini_sql_engine_spark.operators.dedup import _BASE as _DEDUP_BASE
 from mini_sql_engine_spark.operators.text import _TOKS
 
@@ -200,7 +201,115 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 2  # negatives drawn per positive token
+NEG_DOC_MOD = 7  # positives come from the doc_id % MOD == 0 sample
+NEG_RES = 1000  # weight quantization for the cumulative table
+NEG_TOPK = 20
+
+
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative sampling as a dataflow: draw NEG_K
+    "noise" tokens per positive ∝ freq^0.75 (the smoothing that keeps
+    rare words reachable), with draws inverted through a broadcast
+    CUMULATIVE-weight table — the relational alias table. freq^0.75
+    is computed as sqrt(sqrt(c³)): sqrt is IEEE-correctly-rounded so
+    both engines quantize identical weights, where pow(c, 0.75)
+    (exp·ln under the hood) is not. Output: the NEG_TOPK most-drawn
+    noise tokens with drawn-vs-expected ppm — the sampler's own
+    calibration check.
+
+    Scale notes (100 TB): the vocabulary table (with cumulative
+    ranges) broadcasts; each positive row computes its draws by pure
+    hashing and range-joins the broadcast — no shuffle grows with the
+    corpus, and the positives here are a deterministic doc sample.
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("p", "t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    weighted = vocab.select(
+        "t",
+        F.floor(
+            F.sqrt(F.sqrt((F.col("c") * F.col("c") * F.col("c")).cast("double")))
+            * NEG_RES
+            + 0.5
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    wo = Window.orderBy("t")
+    ranges = weighted.select(
+        "t",
+        "w",
+        F.coalesce(
+            F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("lo"),
+        F.sum("w")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("hi"),
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    pos = toks.filter(F.col("doc_id") % NEG_DOC_MOD == 0)
+    draws = (
+        pos.select(
+            "doc_id",
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                md5_long(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id"),
+                        F.col("p"),
+                        F.col("k"),
+                    ),
+                    salt="neg",
+                )
+                % F.col("tw")
+            ).alias("h")
+        )
+    )
+    drawn = (
+        draws.join(
+            F.broadcast(ranges),
+            (F.col("lo") <= F.col("h")) & (F.col("h") < F.col("hi")),
+        )
+        .groupBy("t", "w")
+        .agg(F.count(F.lit(1)).alias("n_drawn"))
+    )
+    n_draws = draws.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        drawn.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_draws))
+        .select(
+            "t",
+            "n_drawn",
+            F.floor(
+                F.col("n_drawn").cast("double") * 1_000_000 / F.col("nd")
+            )
+            .cast("long")
+            .alias("drawn_ppm"),
+            F.floor(
+                F.col("w").cast("double") * 1_000_000 / F.col("tw")
+            )
+            .cast("long")
+            .alias("expected_ppm"),
+        )
+        .orderBy(F.col("n_drawn").desc(), "t")
+        .limit(NEG_TOPK)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_negative_sampling": negative_sampling,
     "ext_span_corruption": span_corruption,
     "ext_vocab_oov_rate": vocab_oov_rate,
     "ext_next_token_topk": next_token_topk,
@@ -208,6 +317,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ext_negative_sampling": f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_TOKS}) AS t,
+                   UNNEST(range(len({_TOKS}))) AS p
+            FROM documents),
+        vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        weighted AS (
+            SELECT t,
+                   CAST(FLOOR(SQRT(SQRT(CAST(c * c * c AS DOUBLE)))
+                              * {NEG_RES} + 0.5) AS BIGINT) AS w
+            FROM vocab),
+        ranges AS (
+            SELECT t, w,
+                   COALESCE(SUM(w) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS lo,
+                   SUM(w) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hi
+            FROM weighted),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM weighted),
+        draws AS (
+            SELECT CAST('0x' || substr(md5('neg:'
+                       || CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(p AS VARCHAR) || ':'
+                       || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % tw AS h
+            FROM (SELECT doc_id, p, UNNEST(range(1, {NEG_K} + 1)) AS k
+                  FROM tok WHERE doc_id % {NEG_DOC_MOD} = 0)
+            CROSS JOIN tot),
+        drawn AS (
+            SELECT t, w, COUNT(*) AS n_drawn
+            FROM draws JOIN ranges ON lo <= h AND h < hi
+            GROUP BY t, w),
+        nd AS (SELECT COUNT(*) AS nd FROM draws)
+        SELECT t, n_drawn,
+               CAST(FLOOR(CAST(n_drawn AS DOUBLE) * 1000000 / nd)
+                    AS BIGINT) AS drawn_ppm,
+               CAST(FLOOR(CAST(w AS DOUBLE) * 1000000 / tw)
+                    AS BIGINT) AS expected_ppm
+        FROM drawn CROSS JOIN tot CROSS JOIN nd
+        ORDER BY n_drawn DESC, t LIMIT {NEG_TOPK}
+    """,
     "ext_span_corruption": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         m AS (
