@@ -919,7 +919,144 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEL_K = 400  # documents selected by the Gumbel draw
+
+
+def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION counterpart to `pipeline_curate_corpus`: a full
+    data-selection pass as ONE Catalyst plan — quality gate → exact
+    dedup (fingerprint keeper) → DSIR importance weights on the
+    survivors → Gumbel top-K selection ∝ exp(weight) → banded
+    serpentine shard packing of the selected set. Every stage is an
+    individually-oracled operator; this entry proves the SELECTION
+    pack composes end-to-end with no driver materialization. Output:
+    the per-shard load sheet a trainer consumes.
+
+    Scale notes (100 TB): the gates shrink what dedup shuffles, dedup
+    shrinks what DSIR tokenizes, the 256-row ratio table broadcasts,
+    top-K is TakeOrdered, and the shard rank windows partition by
+    bit-length band — every stage inherits its standalone operator's
+    scale shape, and stages only ever shrink the data.
+    """
+    from pyspark.sql import Window
+
+    from mini_sql_engine_spark.functions import textfns
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", r"\s+")
+    gated = (
+        docs.withColumn("n_toks", F.size(toks))
+        .withColumn(
+            "dtr",
+            F.round(
+                F.size(F.array_distinct(toks)) / F.size(toks), 6
+            ),
+        )
+        .filter((F.col("n_toks") >= 8) & (F.col("dtr") >= 0.5))
+    )
+    keep = (
+        gated.select("doc_id", textfns.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = gated.join(keep, "doc_id", "left_semi")
+    tok = surv.select(
+        "doc_id", "lang", F.explode(toks).alias("t")
+    ).select(
+        "doc_id", "lang", (md5_long(F.col("t")) % DSIR_BUCKETS).alias("b")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("tt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
+                )
+            ).alias("lr"),
+        )
+    )
+    wts = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("weight"),
+        )
+    )
+    u = (
+        md5_long(F.col("doc_id").cast("string"), salt="gumbsel")
+        % GUMBEL_RES
+        + 0.5
+    ) / float(GUMBEL_RES)
+    sel = (
+        wts.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("weight") - F.log(-F.log(u))).alias("key"),
+        )
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(SEL_K)
+    )
+    banded = sel.select(
+        "doc_id",
+        F.when(F.col("n_tokens") <= 1, F.lit(0))
+        .otherwise(F.expr("length(bin(n_tokens - 1))"))
+        .alias("band"),
+        F.col("n_tokens").alias("n_toks"),
+    )
+    w = Window.partitionBy("band").orderBy(
+        F.col("n_toks").desc(), "doc_id"
+    )
+    placed = banded.withColumn(
+        "rn", (F.row_number().over(w) - 1).cast("long")
+    ).select(
+        "n_toks",
+        F.when(
+            F.floor(F.col("rn") / N_SHARDS) % 2 == 0,
+            F.col("rn") % N_SHARDS,
+        )
+        .otherwise(N_SHARDS - 1 - F.col("rn") % N_SHARDS)
+        .alias("shard"),
+    )
+    per_shard = placed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+    )
+    stot = per_shard.agg(
+        (F.sum("sum_tokens") / F.lit(float(N_SHARDS))).alias("mean_load")
+    )
+    return per_shard.crossJoin(F.broadcast(stot)).select(
+        "shard",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            (F.col("sum_tokens") - F.col("mean_load"))
+            * 10000.0
+            / F.col("mean_load"),
+            2,
+        ).alias("dev_bps"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "pipeline_select_shards": select_shards,
     "ext_js_divergence": js_divergence,
     "ext_effective_sample_size": effective_sample_size,
     "ext_token_entropy": token_entropy,
@@ -947,6 +1084,82 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "pipeline_select_shards": rf"""
+        WITH toksed AS (
+            SELECT doc_id, lang, text,
+                   string_split_regex(text, '\s+') AS toks
+            FROM documents),
+        gated AS (
+            SELECT doc_id, lang, text, toks, len(toks) AS n_toks
+            FROM toksed
+            WHERE len(toks) >= 8
+              AND ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                  >= 0.5),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(regexp_replace(trim(lower(text)),
+                                            '\s+', ' ', 'g')) AS fp
+                  FROM gated) f
+            GROUP BY fp),
+        surv AS (SELECT g.* FROM gated g
+                 WHERE doc_id IN (SELECT doc_id FROM keep)),
+        tok AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                       % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, lang, UNNEST(toks) AS t FROM surv)),
+        raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM tok
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+        tot AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                       (SELECT SUM(ct) FROM tgt) AS tt),
+        lr AS (
+            SELECT raw.b,
+                   LN((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                 - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)) AS lr
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        wts AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(SUM(lr), 4) AS weight
+            FROM tok JOIN lr USING (b) GROUP BY doc_id),
+        sel AS (
+            SELECT doc_id, n_tokens,
+                   weight - LN(-LN((CAST('0x' || substr(md5('gumbsel:'
+                              || CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % {GUMBEL_RES} + 0.5)
+                         / {GUMBEL_RES}.0)) AS key
+            FROM wts ORDER BY key DESC, doc_id LIMIT {SEL_K}),
+        banded AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens <= 1 THEN 0
+                        ELSE len(bin(n_tokens - 1)) END AS band,
+                   n_tokens AS n_toks
+            FROM sel),
+        placed AS (
+            SELECT n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY band
+                                      ORDER BY n_toks DESC, doc_id)
+                       - 1 AS rn
+            FROM banded),
+        sharded AS (
+            SELECT n_toks,
+                   CASE WHEN (rn // {N_SHARDS}) % 2 = 0
+                        THEN rn % {N_SHARDS}
+                        ELSE {N_SHARDS} - 1 - rn % {N_SHARDS}
+                   END AS shard
+            FROM placed),
+        per_shard AS (
+            SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+            FROM sharded GROUP BY shard),
+        stot AS (SELECT SUM(sum_tokens) / {N_SHARDS}.0 AS mean_load
+                 FROM per_shard)
+        SELECT shard, n_docs, sum_tokens,
+               ROUND((sum_tokens - mean_load) * 10000.0 / mean_load, 2)
+                   AS dev_bps
+        FROM per_shard CROSS JOIN stot
+    """,
     "ext_js_divergence": rf"""
         WITH tok AS (
             SELECT source, UNNEST(string_split_regex(text, '\s+')) AS t
