@@ -3322,7 +3322,99 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT median of daily revenue — the robust
+    moving-location smoother (a moving MEAN lets one flash-sale day
+    poison a week of the series; the median shrugs). `percentile`
+    runs as a WINDOW aggregate over the ROWS frame, interpolation
+    semantics matching DuckDB quantile_cont (the parity pinned by
+    `ext_percentiles`). Only full 7-day windows emit.
+
+    Scale notes (100 TB): the window runs on the dates-sized rollup —
+    order statistics in moving frames are O(W log W) per row on
+    thousands of rows, not a fact-table concern. For value-stream
+    sliding medians at scale, the scatter-to-windows + per-window
+    exact rank trick (`ext_equidepth_histogram`'s machinery) applies.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev")
+        )
+    )
+    wo = Window.orderBy("day").rowsBetween(-6, 0)
+    rolled = daily.select(
+        "day",
+        F.round(F.col("rev") / 100.0, 2).alias("rev_usd"),
+        F.round(
+            F.expr("percentile(rev, 0.5)").over(wo) / 100.0, 4
+        ).alias("med7_usd"),
+        F.count(F.lit(1)).over(wo).alias("n7"),
+    )
+    return rolled.filter(F.col("n7") == 7).drop("n7")
+
+
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative-revenue curve: the largest
+    peak-to-trough fall of the running total — the running-extremum
+    pattern (cummax of cumsum) every risk report runs, entirely in
+    exact integer cents. Output: the CUSUM_TOP deepest drawdown days
+    with the peak value and depth in basis points of the peak.
+
+    Scale notes (100 TB): two stacked unbounded-preceding windows on
+    the dates-sized series, TakeOrdered for the report — same shape
+    as `ext_cusum_changepoint`.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev")
+        )
+    )
+    wo = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day",
+        F.sum("rev").over(wo).alias("cum"),
+    ).select(
+        "day",
+        "cum",
+        F.max("cum").over(wo).alias("peak"),
+    )
+    dd = curve.select(
+        "day",
+        F.round(F.col("cum") / 100.0, 2).alias("cum_usd"),
+        F.round(F.col("peak") / 100.0, 2).alias("peak_usd"),
+        (F.col("peak") - F.col("cum")).alias("dd_cents"),
+        F.floor(
+            (F.col("peak") - F.col("cum")).cast("double")
+            * 10000
+            / F.col("peak")
+        )
+        .cast("long")
+        .alias("dd_bps"),
+    )
+    return (
+        dd.orderBy(F.col("dd_cents").desc(), "day")
+        .limit(CUSUM_TOP)
+        .drop("dd_cents")
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_sliding_median": sliding_median,
+    "ext_max_drawdown": max_drawdown,
     "ext_logrank_test": logrank_test,
     "ext_rrf_fusion": rrf_fusion,
     "ext_snippet_extraction": snippet_extraction,
@@ -3479,6 +3571,46 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_sliding_median": """
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+        rolled AS (
+            SELECT day, ROUND(rev / 100.0, 2) AS rev_usd,
+                   ROUND(quantile_cont(rev, 0.5) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       / 100.0, 4) AS med7_usd,
+                   COUNT(*) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+            FROM daily)
+        SELECT day, rev_usd, med7_usd FROM rolled WHERE n7 = 7
+    """,
+    "ext_max_drawdown": f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+        curve AS (
+            SELECT day,
+                   SUM(rev) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+            FROM daily),
+        peaks AS (
+            SELECT day, cum,
+                   MAX(cum) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS peak
+            FROM curve)
+        SELECT day, ROUND(cum / 100.0, 2) AS cum_usd,
+               ROUND(peak / 100.0, 2) AS peak_usd,
+               CAST(FLOOR(CAST(peak - cum AS DOUBLE) * 10000 / peak)
+                    AS BIGINT) AS dd_bps
+        FROM peaks ORDER BY peak - cum DESC, day LIMIT {CUSUM_TOP}
+    """,
     "ext_logrank_test": f"""
         WITH ev AS (
             SELECT user_id, event_type, CAST(ts AS DATE) AS day
