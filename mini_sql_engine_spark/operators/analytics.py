@@ -3412,7 +3412,162 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method z-test on a RATIO metric — revenue-per-click
+    between two hash-split arms. Ratio metrics (the majority of real
+    experiment metrics) violate the i.i.d. assumption a plain t-test
+    needs, because numerator and denominator share the user; the
+    delta method var(R) ≈ (σx² + R²σy² − 2Rσxy)/(n·μy²) from
+    USER-level moments is the standard correction. All moments are
+    exact DECIMAL sums of integer cents/counts; the z is one
+    mirrored expression tree.
+
+    Scale notes (100 TB): one conditional-aggregate pass to user
+    rows, one 6-moment rollup per arm, row-local closed form —
+    moments-not-rows, like OLS/CUPED.
+    """
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("decimal(19,0)")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+        .select(
+            (
+                md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy").cast("double")
+    nd = F.col("n").cast("double")
+    varx = (
+        (F.col("n") * F.col("sxx")).cast("double")
+        - (F.col("sx") * F.col("sx")).cast("double")
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    vary = (
+        (F.col("n") * F.col("syy")).cast("double")
+        - (F.col("sy") * F.col("sy")).cast("double")
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    covxy = (
+        (F.col("n") * F.col("sxy")).cast("double")
+        - (F.col("sx") * F.col("sy")).cast("double")
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    muy = F.col("sy").cast("double") / nd
+    var_r = (varx + r * r * vary - 2.0 * r * covxy) / (
+        nd * muy * muy
+    )
+    arms = m.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        r.alias("r"),
+        var_r.alias("vr"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"),
+        F.col("r").alias("r1"),
+        F.col("vr").alias("v1"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"),
+        F.col("r").alias("r0"),
+        F.col("vr").alias("v0"),
+    )
+    return a1.crossJoin(F.broadcast(a0)).select(
+        "n1",
+        "n0",
+        F.round(F.col("r1") / 100.0, 6).alias("rpc1_usd"),
+        F.round(F.col("r0") / 100.0, 6).alias("rpc0_usd"),
+        F.round(
+            (F.col("r1") - F.col("r0"))
+            / F.sqrt(F.col("v1") + F.col("v0")),
+            4,
+        ).alias("z"),
+    )
+
+
+def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by first-seen week, each
+    cohort's CUMULATIVE purchase revenue per user tracked by age
+    week — the money companion to `ext_cohort_retention`'s count
+    matrix, and the table LTV forecasting reads its diagonals from.
+    Exact cents all the way; the per-user division happens once at
+    the end.
+
+    Scale notes (100 TB): first-seen per user is one
+    map-side-combined pass; the triangle itself is
+    (cohorts × ages)-sized, cumulated with a per-cohort window.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("day")).cast("date").alias("cohort")
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("day"), F.col("cohort")) / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    wo = Window.partitionBy("cohort").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.withColumn("cum", F.sum("rev").over(wo))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "age_week",
+            "n_users",
+            F.round(
+                F.col("cum").cast("double") / 100.0 / F.col("n_users"),
+                4,
+            ).alias("cum_ltv_usd"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_ratio_metric_delta": ratio_metric_delta,
+    "ext_ltv_triangle": ltv_triangle,
     "ext_sliding_median": sliding_median,
     "ext_max_drawdown": max_drawdown,
     "ext_logrank_test": logrank_test,
@@ -3571,6 +3726,83 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_ratio_metric_delta": """
+        WITH per_user AS (
+            SELECT CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100 + 0.5)
+                                      AS BIGINT) ELSE 0 END)
+                        AS HUGEINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS HUGEINT) AS y
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id),
+        m AS (
+            SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                   SUM(x * y) AS sxy
+            FROM per_user GROUP BY arm),
+        f AS (
+            SELECT arm, CAST(n AS BIGINT) AS n_users,
+                   CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+                   ((CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE))
+                    / CAST(n * (n - 1) AS DOUBLE)
+                    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * ((CAST(n * syy AS DOUBLE)
+                          - CAST(sy * sy AS DOUBLE))
+                         / CAST(n * (n - 1) AS DOUBLE))
+                    - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * ((CAST(n * sxy AS DOUBLE)
+                          - CAST(sx * sy AS DOUBLE))
+                         / CAST(n * (n - 1) AS DOUBLE)))
+                   / (CAST(n AS DOUBLE)
+                      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS vr
+            FROM m)
+        SELECT a1.n_users AS n1, a0.n_users AS n0,
+               ROUND(a1.r / 100.0, 6) AS rpc1_usd,
+               ROUND(a0.r / 100.0, 6) AS rpc0_usd,
+               ROUND((a1.r - a0.r) / SQRT(a1.vr + a0.vr), 4) AS z
+        FROM (SELECT * FROM f WHERE arm = 1) a1
+        CROSS JOIN (SELECT * FROM f WHERE arm = 0) a0
+    """,
+    "ext_ltv_triangle": """
+        WITH ev AS (
+            SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+        first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(day)) AS DATE) AS cohort
+            FROM ev GROUP BY user_id),
+        sizes AS (SELECT cohort, COUNT(*) AS n_users
+                  FROM first_seen GROUP BY cohort),
+        rev AS (
+            SELECT cohort,
+                   CAST(FLOOR(datediff('day', cohort, day) / 7)
+                        AS BIGINT) AS age_week,
+                   CAST(SUM(cents) AS BIGINT) AS rev
+            FROM ev JOIN first_seen USING (user_id)
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2),
+        cum AS (
+            SELECT cohort, age_week,
+                   SUM(rev) OVER (PARTITION BY cohort ORDER BY age_week
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+            FROM rev)
+        SELECT strftime(cum.cohort, '%Y-%m-%d') AS cohort, age_week,
+               n_users,
+               ROUND(CAST(cum AS DOUBLE) / 100.0 / n_users, 4)
+                   AS cum_ltv_usd
+        FROM cum JOIN sizes ON sizes.cohort = cum.cohort
+    """,
     "ext_sliding_median": """
         WITH daily AS (
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
