@@ -3565,7 +3565,81 @@ def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise day-to-day
+    revenue slopes — a 29.3%-breakdown estimator that shrugs off the
+    outlier days that drag `ext_ols_trend`'s least-squares line (the
+    OLS slope rides along for the contrast). Slopes are exact-integer
+    ratios evaluated once into doubles; the median is the exact
+    interpolated percentile (`percentile` ≡ quantile_cont, parity
+    pinned by ext_percentiles).
+
+    Scale notes (100 TB): pairwise slopes are O(days²) — fine for a
+    dates-sized series (thousands of days → millions of thin pairs),
+    and the documented scale path for longer series is the
+    sampled/windowed Theil–Sen variant (slopes only across a banded
+    day-offset subset), not a bigger sort.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01")
+            ).alias("xd")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev")
+        )
+        .localCheckpoint()  # consumed by pairs AND the OLS moments
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.xd") < F.col("b.xd")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.xd") - F.col("a.xd"))
+        ).alias("slope")
+    )
+    ts = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+    )
+    dec = "decimal(19,0)"
+    m = daily.select(
+        F.col("xd").cast(dec).alias("x"), F.col("rev").cast(dec).alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    ols = m.select(
+        F.col("n").cast("long").alias("n_days"),
+        (
+            (
+                (F.col("n") * F.col("sxy")).cast("double")
+                - (F.col("sx") * F.col("sy")).cast("double")
+            )
+            / (
+                (F.col("n") * F.col("sxx")).cast("double")
+                - (F.col("sx") * F.col("sx")).cast("double")
+            )
+        ).alias("ols_slope"),
+    )
+    return ols.crossJoin(F.broadcast(ts)).select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("ts_slope") / 100.0, 6).alias(
+            "theil_sen_usd_per_day"
+        ),
+        F.round(F.col("ols_slope") / 100.0, 6).alias("ols_usd_per_day"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_theil_sen_slope": theil_sen_slope,
     "ext_ratio_metric_delta": ratio_metric_delta,
     "ext_ltv_triangle": ltv_triangle,
     "ext_sliding_median": sliding_median,
@@ -3726,6 +3800,41 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_theil_sen_slope": """
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS xd,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+        slopes AS (
+            SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.xd - a.xd)
+                       AS slope
+            FROM daily a JOIN daily b ON a.xd < b.xd),
+        ts AS (SELECT COUNT(*) AS n_pairs,
+                      quantile_cont(slope, 0.5) AS ts_slope
+               FROM slopes),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(xd AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(rev AS HUGEINT)) AS HUGEINT) AS sy,
+                   SUM(CAST(xd AS HUGEINT) * CAST(rev AS HUGEINT))
+                       AS sxy,
+                   SUM(CAST(xd AS HUGEINT) * CAST(xd AS HUGEINT))
+                       AS sxx
+            FROM daily),
+        ols AS (
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   (CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                   / (CAST(n * sxx AS DOUBLE)
+                      - CAST(sx * sx AS DOUBLE)) AS ols_slope
+            FROM m)
+        SELECT n_days, n_pairs,
+               ROUND(ts_slope / 100.0, 6) AS theil_sen_usd_per_day,
+               ROUND(ols_slope / 100.0, 6) AS ols_usd_per_day
+        FROM ols CROSS JOIN ts
+    """,
     "ext_ratio_metric_delta": """
         WITH per_user AS (
             SELECT CAST('0x' || substr(md5('arm:'
