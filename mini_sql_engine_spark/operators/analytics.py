@@ -3565,20 +3565,24 @@ def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TS_MAX_OFFSET = 60  # banded Theil-Sen: pair days at most this far apart
+
+
 def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil–Sen robust trend: the MEDIAN of all pairwise day-to-day
-    revenue slopes — a 29.3%-breakdown estimator that shrugs off the
-    outlier days that drag `ext_ols_trend`'s least-squares line (the
-    OLS slope rides along for the contrast). Slopes are exact-integer
-    ratios evaluated once into doubles; the median is the exact
-    interpolated percentile (`percentile` ≡ quantile_cont, parity
+    """Banded Theil–Sen robust trend: the MEDIAN of pairwise revenue
+    slopes across day pairs at most TS_MAX_OFFSET apart — the
+    windowed variant of the 29.3%-breakdown estimator that shrugs
+    off the outlier days dragging `ext_ols_trend`'s least-squares
+    line (the OLS slope rides along for contrast). Banding is not
+    just an optimization: short-offset slopes weight local trend
+    over level shifts, and it turns the O(days²) pair set into
+    O(days·W) — this IS the estimator long series run. Slopes are
+    exact-integer ratios evaluated once into doubles; the median is
+    the exact interpolated percentile (≡ quantile_cont, parity
     pinned by ext_percentiles).
 
-    Scale notes (100 TB): pairwise slopes are O(days²) — fine for a
-    dates-sized series (thousands of days → millions of thin pairs),
-    and the documented scale path for longer series is the
-    sampled/windowed Theil–Sen variant (slopes only across a banded
-    day-offset subset), not a bigger sort.
+    Scale notes (100 TB): days·W thin pairs from a dates-sized
+    self-join; the percentile buffers only the banded pair set.
     """
     daily = (
         load_table(spark, sf_dir, "orders")
@@ -3595,7 +3599,11 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # consumed by pairs AND the OLS moments
     )
     a, b = daily.alias("a"), daily.alias("b")
-    slopes = a.join(b, F.col("a.xd") < F.col("b.xd")).select(
+    slopes = a.join(
+        b,
+        (F.col("a.xd") < F.col("b.xd"))
+        & (F.col("b.xd") - F.col("a.xd") <= TS_MAX_OFFSET),
+    ).select(
         (
             (F.col("b.rev") - F.col("a.rev")).cast("double")
             / (F.col("b.xd") - F.col("a.xd"))
@@ -3800,7 +3808,7 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
-    "ext_theil_sen_slope": """
+    "ext_theil_sen_slope": f"""
         WITH daily AS (
             SELECT CAST(datediff('day', DATE '1970-01-01',
                                  CAST(o_orderdate AS DATE)) AS BIGINT)
@@ -3811,7 +3819,8 @@ ORACLES: dict[str, str] = {
         slopes AS (
             SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.xd - a.xd)
                        AS slope
-            FROM daily a JOIN daily b ON a.xd < b.xd),
+            FROM daily a JOIN daily b
+              ON a.xd < b.xd AND b.xd - a.xd <= {TS_MAX_OFFSET}),
         ts AS (SELECT COUNT(*) AS n_pairs,
                       quantile_cont(slope, 0.5) AS ts_slope
                FROM slopes),
