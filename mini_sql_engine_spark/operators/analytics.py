@@ -3646,7 +3646,105 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHAP_CHANNELS = ("click", "view", "signup")
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution over the three
+    marketing channels — the coalition-game answer to "which channel
+    deserves the conversion" that last-touch (`ext_attribution_
+    last_touch`) answers by fiat. Coalition value v(S) = conversions
+    from users whose pre-purchase touched-channel set ⊆ S; with 3
+    channels the Shapley sum has closed weights (2,1,1,2)/6, so the
+    whole computation runs ×6 in EXACT INTEGERS from the 7
+    touched-set counts and divides once at the end. The channel
+    values sum to total attributed conversions — the additivity
+    axiom, visible in the output as a self-check column.
+
+    Scale notes (100 TB): one conditional-aggregate pass to per-user
+    touch flags, one 8-cell rollup, then constant combinatorics. The
+    n-channel general case is exponential by nature — 3-5 channels
+    is exactly where exact Shapley is used in practice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    first_buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_buy"))
+    )
+    flags = (
+        ev.join(first_buy, "user_id")
+        .filter(F.col("ts_us") < F.col("t_buy"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    (F.col("event_type") == ch).cast("long")
+                ).alias(f"f_{i}")
+                for i, ch in enumerate(_SHAP_CHANNELS)
+            ]
+        )
+        .filter(F.col("f_0") + F.col("f_1") + F.col("f_2") > 0)
+    )
+    cells = flags.groupBy("f_0", "f_1", "f_2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def cnt(a: int, b: int, c: int):
+        return F.sum(
+            F.when(
+                (F.col("f_0") == a)
+                & (F.col("f_1") == b)
+                & (F.col("f_2") == c),
+                F.col("c"),
+            ).otherwise(0)
+        )
+
+    one = cells.agg(
+        cnt(1, 0, 0).alias("cA"),
+        cnt(0, 1, 0).alias("cB"),
+        cnt(0, 0, 1).alias("cC"),
+        cnt(1, 1, 0).alias("cAB"),
+        cnt(1, 0, 1).alias("cAC"),
+        cnt(0, 1, 1).alias("cBC"),
+        cnt(1, 1, 1).alias("cABC"),
+    )
+    # v(S) = Σ_{T⊆S} count_T; Shapley_i·6 = 2[v(i)] + 1[v(i∪j)−v(j)]
+    # + 1[v(i∪k)−v(k)] + 2[v(ijk)−v(jk)]  (v(∅)=0)
+    A, B, C = F.col("cA"), F.col("cB"), F.col("cC")
+    AB, AC, BC, ABC = (
+        F.col("cAB"),
+        F.col("cAC"),
+        F.col("cBC"),
+        F.col("cABC"),
+    )
+    vA, vB, vC = A, B, C
+    vAB, vAC, vBC = A + B + AB, A + C + AC, B + C + BC
+    vABC = A + B + C + AB + AC + BC + ABC
+    sh = {
+        "click": 2 * vA + (vAB - vB) + (vAC - vC) + 2 * (vABC - vBC),
+        "view": 2 * vB + (vAB - vA) + (vBC - vC) + 2 * (vABC - vAC),
+        "signup": 2 * vC + (vAC - vA) + (vBC - vB) + 2 * (vABC - vAB),
+    }
+    total = vABC
+    wide = one.select(
+        *[v.alias(f"s6_{ch}") for ch, v in sh.items()],
+        total.alias("total_conv"),
+    )
+    stack = ", ".join(f"'{ch}', s6_{ch}" for ch in sh)
+    return wide.selectExpr(
+        f"stack(3, {stack}) AS (channel, s6)", "total_conv"
+    ).select(
+        "channel",
+        F.round(F.col("s6") / 6.0, 4).alias("shapley_conversions"),
+        "total_conv",
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_shapley_attribution": shapley_attribution,
     "ext_theil_sen_slope": theil_sen_slope,
     "ext_ratio_metric_delta": ratio_metric_delta,
     "ext_ltv_triangle": ltv_triangle,
@@ -3808,6 +3906,65 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_shapley_attribution": """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events),
+        first_buy AS (
+            SELECT user_id, MIN(ts_us) AS t_buy FROM ev
+            WHERE event_type = 'purchase' GROUP BY user_id),
+        flags AS (
+            SELECT ev.user_id,
+                   MAX(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS f0,
+                   MAX(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS f1,
+                   MAX(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS f2
+            FROM ev JOIN first_buy USING (user_id)
+            WHERE ts_us < t_buy
+            GROUP BY ev.user_id
+            HAVING MAX(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END)
+                 + MAX(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END)
+                 + MAX(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) > 0),
+        one AS (
+            SELECT
+                SUM(CASE WHEN f0=1 AND f1=0 AND f2=0 THEN 1 ELSE 0 END) AS cA,
+                SUM(CASE WHEN f0=0 AND f1=1 AND f2=0 THEN 1 ELSE 0 END) AS cB,
+                SUM(CASE WHEN f0=0 AND f1=0 AND f2=1 THEN 1 ELSE 0 END) AS cC,
+                SUM(CASE WHEN f0=1 AND f1=1 AND f2=0 THEN 1 ELSE 0 END) AS cAB,
+                SUM(CASE WHEN f0=1 AND f1=0 AND f2=1 THEN 1 ELSE 0 END) AS cAC,
+                SUM(CASE WHEN f0=0 AND f1=1 AND f2=1 THEN 1 ELSE 0 END) AS cBC,
+                SUM(CASE WHEN f0=1 AND f1=1 AND f2=1 THEN 1 ELSE 0 END) AS cABC
+            FROM flags),
+        sh AS (
+            SELECT
+                2*cA + (cA+cB+cAB - cB) + (cA+cC+cAC - cC)
+                + 2*((cA+cB+cC+cAB+cAC+cBC+cABC) - (cB+cC+cBC))
+                    AS s6_click,
+                2*cB + (cA+cB+cAB - cA) + (cB+cC+cBC - cC)
+                + 2*((cA+cB+cC+cAB+cAC+cBC+cABC) - (cA+cC+cAC))
+                    AS s6_view,
+                2*cC + (cA+cC+cAC - cA) + (cB+cC+cBC - cB)
+                + 2*((cA+cB+cC+cAB+cAC+cBC+cABC) - (cA+cB+cAB))
+                    AS s6_signup,
+                CAST(cA+cB+cC+cAB+cAC+cBC+cABC AS BIGINT)
+                    AS total_conv
+            FROM one)
+        SELECT channel, ROUND(s6 / 6.0, 4) AS shapley_conversions,
+               total_conv
+        FROM (
+            SELECT 'click' AS channel, CAST(s6_click AS BIGINT) AS s6,
+                   total_conv FROM sh
+            UNION ALL
+            SELECT 'view', CAST(s6_view AS BIGINT), total_conv FROM sh
+            UNION ALL
+            SELECT 'signup', CAST(s6_signup AS BIGINT), total_conv
+            FROM sh)
+    """,
     "ext_theil_sen_slope": f"""
         WITH daily AS (
             SELECT CAST(datediff('day', DATE '1970-01-01',
