@@ -712,3 +712,115 @@ def test_kcore_rounds_within_oracle_unroll(spark):
     rounds = graph_ops.ITERATION_COUNTS["kcore_graph"]
     assert 1 <= rounds <= graph_ops.KCORE_MAX_PEEL - 2, rounds
     assert all(r.core_degree >= graph_ops.KCORE_K for r in out)
+
+
+# ---- round-4 tail pack invariants ----------------------------------------
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """The bitmap rollup's count must equal countDistinct on every
+    group — the operator carries both; assert they never diverge."""
+    from mini_sql_engine_spark.operators.analytics import bitmap_distinct
+
+    for r in bitmap_distinct(spark, sf_dir).collect():
+        assert r.n_distinct_bitmap == r.n_distinct_exact, r
+
+
+def test_rendezvous_failover_moves_only_dead_workers_keys(spark, sf_dir):
+    """Consistent-hashing guarantee: surviving workers keep every key
+    they had (n_steady == their pre-failover load), and the dead
+    worker's id never appears post-failover."""
+    from mini_sql_engine_spark.operators.pipeline_ops import (
+        HRW_REMOVED,
+        rendezvous_routing,
+    )
+
+    rows = rendezvous_routing(spark, sf_dir).collect()
+    assert all(r.worker != HRW_REMOVED for r in rows)
+    # inherited docs come only from the removed worker: total inherited
+    # == removed worker's steady-state load == total docs - sum(steady)
+    total_after = sum(r.n_after for r in rows)
+    steady = sum(r.n_steady for r in rows)
+    inherited = sum(r.n_inherited for r in rows)
+    assert total_after == steady + inherited
+
+
+def test_shapley_additivity(spark, sf_dir):
+    """Shapley axioms: channel values sum to the grand coalition's
+    value (total attributed conversions), to rounding."""
+    from mini_sql_engine_spark.operators.analytics import (
+        shapley_attribution,
+    )
+
+    rows = shapley_attribution(spark, sf_dir).collect()
+    # each channel value is rounded to 4 decimals → ≤ 3·5e-5 slack
+    assert (
+        abs(sum(r.shapley_conversions for r in rows) - rows[0].total_conv)
+        < 2e-4
+    )
+
+
+def test_nucleus_boundary_doc_included(spark, sf_dir):
+    """The doc that crosses the token-mass threshold is KEPT: kept
+    share must reach the target percentage in every language."""
+    from mini_sql_engine_spark.operators.pipeline_ops import (
+        NUCLEUS_PCT,
+        nucleus_selection,
+    )
+
+    for r in nucleus_selection(spark, sf_dir).collect():
+        assert r.kept_tokens * 100 >= r.total_tokens * NUCLEUS_PCT, r
+
+
+def test_shard_assignment_balance(spark, sf_dir):
+    """Serpentine banded packing: every shard within ±5% of the mean
+    token load on the fixtures (the point of the construction)."""
+    from mini_sql_engine_spark.operators.pipeline_ops import shard_assignment
+
+    rows = shard_assignment(spark, sf_dir).collect()
+    assert all(abs(r.dev_bps) < 500 for r in rows), rows
+
+
+def test_kmv_exact_fallback_when_unsaturated(spark, sf_dir):
+    """KMV with k_seen < K must report the EXACT count (estimate ==
+    n_exact, err == 0) — the sketch holds the whole set."""
+    from mini_sql_engine_spark.operators.analytics import KMV_K, kmv_distinct
+
+    for r in kmv_distinct(spark, sf_dir).collect():
+        if r.n_exact < KMV_K:
+            assert r.kmv_est == float(r.n_exact) and r.err_pct == 0.0, r
+
+
+def test_equidepth_buckets_are_near_equal(spark, sf_dir):
+    """Equi-depth means equi-depth: every bucket within 2% of n/B on
+    the near-unique-value price column."""
+    from mini_sql_engine_spark.operators.analytics import (
+        EQD_BUCKETS,
+        equidepth_histogram,
+    )
+
+    rows = equidepth_histogram(spark, sf_dir).collect()
+    n = sum(r.n_rows for r in rows)
+    assert len(rows) == EQD_BUCKETS
+    for r in rows:
+        assert abs(r.n_rows - n / EQD_BUCKETS) <= n * 0.02, rows
+
+
+def test_fifo_allocation_conservation(spark, sf_dir):
+    """Matched never exceeds either side; unmatched remainders are
+    non-negative and exact complements."""
+    from mini_sql_engine_spark.operators.analytics import fifo_allocation
+
+    for r in fifo_allocation(spark, sf_dir).collect():
+        assert r.unused_credit_cents >= 0 and r.uncovered_purchase_cents >= 0, r
+        assert r.matched_cents >= 0
+
+
+def test_gumbel_topk_is_deterministic_sample(spark, sf_dir):
+    """Two runs draw the identical sample — hash-derived noise, not
+    rand()."""
+    from mini_sql_engine_spark.operators.pipeline_ops import gumbel_topk
+
+    a = [r.doc_id for r in gumbel_topk(spark, sf_dir).collect()]
+    b = [r.doc_id for r in gumbel_topk(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
