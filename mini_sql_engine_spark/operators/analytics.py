@@ -3743,7 +3743,144 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def journey_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey predictability: the conditional entropy of the NEXT
+    event given the current one, per state — the information-theoretic
+    summary of `ext_event_transitions`' matrix (H ≈ 0: railroad
+    journeys, a next-step cache would hit; H ≈ ln k: anything can
+    happen). Per-state H = −Σ_j (c_ij/c_i)·ln(c_ij/c_i) reduces
+    through qsum; h_norm divides by ln(branches) into [0,1].
+
+    Scale notes (100 TB): one user-keyed window builds the bigram
+    stream; everything after lives on the (states × states) count
+    matrix.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    bi = (
+        ev.withColumn("nxt", F.lead("event_type", 1).over(wo))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    outc = bi.groupBy("cur").agg(
+        F.sum("c").alias("ci"), F.count(F.lit(1)).alias("n_branches")
+    )
+    term = -(F.col("c") / F.col("ci")) * F.log(
+        F.col("c") / F.col("ci")
+    )
+    h = (
+        bi.join(F.broadcast(outc), "cur")
+        .groupBy("cur")
+        .agg(_qsum(term).alias("hq"))
+        .join(F.broadcast(outc), "cur")
+    )
+    hn = F.col("hq") / _NANO
+    return h.select(
+        "cur",
+        F.col("ci").alias("n_transitions"),
+        "n_branches",
+        F.round(hn, 6).alias("h_nats"),
+        F.round(
+            F.when(
+                F.col("n_branches") > 1,
+                hn / F.log(F.col("n_branches").cast("double")),
+            ).otherwise(0.0),
+            6,
+        ).alias("h_norm"),
+    )
+
+
+PERM_B = 200  # permutation replicates
+
+
+def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test on per-user purchase totals between the two
+    hash arms — exact-inference sibling of the z/t machinery: the
+    null distribution is built by RELABELING users (hash-derived
+    labels per replicate, so deterministic), and the p-value is the
+    add-one-smoothed fraction of replicates at least as extreme as
+    the observed mean difference. No normality assumption anywhere —
+    the test the small-n / skewed-metric case needs.
+
+    Scale notes (100 TB): users × PERM_B thin explode feeding one
+    conditional-aggregate pass (map-side combined); every replicate
+    statistic is a 4-sum closed form. Same ×B economics as the
+    Poisson bootstrap.
+    """
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    obs = per_user.select(
+        (
+            md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+        ).alias("arm"),
+        "x",
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("obs"),
+    )
+    reps = per_user.select(
+        "user_id",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(PERM_B))).alias("b"),
+    ).select(
+        "b",
+        "x",
+        (
+            md5_long(
+                F.concat_ws("#", F.col("user_id"), F.col("b")),
+                salt="perm",
+            )
+            % 2
+        ).alias("arm"),
+    )
+    stats = reps.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("stat")
+    )
+    extreme = stats.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (F.abs(F.col("stat")) >= F.abs(F.col("obs")))
+            .cast("long")
+        ).alias("n_extreme")
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "n_users",
+            F.round(F.col("obs") / 100.0, 4).alias("obs_diff_usd"),
+            F.lit(PERM_B).cast("long").alias("n_perms"),
+            F.round(
+                (F.col("n_extreme") + 1.0) / (PERM_B + 1.0), 4
+            ).alias("p_value"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_permutation_test": permutation_test,
+    "ext_journey_entropy": journey_entropy,
     "ext_shapley_attribution": shapley_attribution,
     "ext_theil_sen_slope": theil_sen_slope,
     "ext_ratio_metric_delta": ratio_metric_delta,
@@ -3906,6 +4043,83 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_permutation_test": f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id),
+        obs AS (
+            SELECT COUNT(*) AS n_users,
+                   SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                   / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                     / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS obs
+            FROM (SELECT x,
+                         CAST('0x' || substr(md5('arm:'
+                             || CAST(user_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 2 AS arm
+                  FROM per_user)),
+        reps AS (
+            SELECT b, x,
+                   CAST('0x' || substr(md5('perm:'
+                       || CAST(user_id AS VARCHAR) || '#'
+                       || CAST(b AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm
+            FROM per_user
+            CROSS JOIN (SELECT UNNEST(range(1, {PERM_B} + 1)) AS b)),
+        stats AS (
+            SELECT b,
+                   SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                   / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                     / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS stat
+            FROM reps GROUP BY b),
+        extreme AS (
+            SELECT CAST(SUM(CASE WHEN ABS(stat) >= ABS(obs)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_extreme
+            FROM stats CROSS JOIN obs)
+        SELECT n_users,
+               ROUND(obs / 100.0, 4) AS obs_diff_usd,
+               CAST({PERM_B} AS BIGINT) AS n_perms,
+               ROUND((n_extreme + 1.0) / ({PERM_B} + 1.0), 4)
+                   AS p_value
+        FROM obs CROSS JOIN extreme
+    """,
+    "ext_journey_entropy": f"""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                   event_id
+            FROM events),
+        bi AS (
+            SELECT cur, nxt, COUNT(*) AS c
+            FROM (SELECT event_type AS cur,
+                         LEAD(event_type, 1) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS nxt
+                  FROM ev)
+            WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        outc AS (
+            SELECT cur, CAST(SUM(c) AS BIGINT) AS ci,
+                   COUNT(*) AS n_branches
+            FROM bi GROUP BY cur),
+        h AS (
+            SELECT cur,
+                   CAST(SUM(CAST(FLOOR(-(c / ci) * LN(c / ci)
+                            * {_NANO} + 0.5) AS BIGINT)) AS BIGINT)
+                       AS hq
+            FROM bi JOIN outc USING (cur) GROUP BY cur)
+        SELECT h.cur, ci AS n_transitions, n_branches,
+               ROUND(hq / {_NANO}, 6) AS h_nats,
+               ROUND(CASE WHEN n_branches > 1
+                          THEN hq / {_NANO}
+                               / LN(CAST(n_branches AS DOUBLE))
+                          ELSE 0.0 END, 6) AS h_norm
+        FROM h JOIN outc USING (cur)
+    """,
     "ext_shapley_attribution": """
         WITH ev AS (
             SELECT user_id, event_type, epoch_us(ts) AS ts_us
