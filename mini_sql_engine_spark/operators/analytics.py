@@ -3878,7 +3878,134 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECAY_HALF_LIFE_D = 7.0  # engagement half-life in days
+DECAY_TOPK = 25
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring: each event contributes
+    2^(−age/half-life) — the recency weighting every recommender /
+    churn feature store runs, where a raw count says a user who
+    binged last year equals one active yesterday. Decayed event mass
+    and decayed purchase revenue accumulate through qsum (exp terms
+    are floats; quantized longs make the sums order-proof). Output:
+    the DECAY_TOPK most-engaged users, scored as of the corpus' last
+    day.
+
+    Scale notes (100 TB): pure projection + one map-side-combined
+    user rollup + TakeOrdered; the as-of anchor is a broadcast
+    1-row max. Incremental refresh multiplies yesterday's scores by
+    the day factor and adds the new day — the same associativity the
+    quantization relies on.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    anchor = ev.agg(F.max("day").alias("d0"))
+    aged = ev.crossJoin(F.broadcast(anchor)).withColumn(
+        "w",
+        F.pow(
+            F.lit(2.0),
+            -F.datediff(F.col("d0"), F.col("day"))
+            / F.lit(DECAY_HALF_LIFE_D),
+        ),
+    )
+    scored = aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _qsum(F.col("w")).alias("eng_q"),
+        _qsum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("w") * F.col("cents") / 100.0,
+            ).otherwise(0.0)
+        ).alias("rev_q"),
+    )
+    return (
+        scored.select(
+            "user_id",
+            "n_events",
+            F.round(F.col("eng_q") / _NANO, 4).alias("decayed_events"),
+            F.round(F.col("rev_q") / _NANO, 4).alias("decayed_rev_usd"),
+        )
+        .orderBy(F.col("decayed_events").desc(), "user_id")
+        .limit(DECAY_TOPK)
+    )
+
+
+def simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: per market segment, compare the two
+    hash arms' purchase-conversion rates AND the pooled rates — a
+    segment whose effect sign disagrees with the pooled sign is
+    flagged, the classic aggregation reversal that makes a pooled-only
+    readout lie. All rates are exact integer ratios; the flag is a
+    sign comparison of identically-computed doubles.
+
+    Scale notes (100 TB): two conditional-aggregate rollups
+    (per-segment and pooled, the latter broadcast back) — one user
+    pass feeds both.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("converted")
+        )
+        .select(
+            "user_id",
+            "converted",
+            (
+                md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+            ).alias("arm"),
+        )
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = users.join(F.broadcast(seg), "user_id")
+
+    def rates(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)
+            ).alias("c1"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)
+            ).alias("c0"),
+        )
+
+    per_seg = rates(joined, ["c_mktsegment"]).filter(
+        (F.col("n1") > 0) & (F.col("n0") > 0)
+    )  # degenerate segments (an empty arm) have no defined diff
+    pooled = rates(joined, []).select(
+        (
+            F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")
+        ).alias("pooled_diff")
+    )
+    seg_diff = F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")
+    return per_seg.crossJoin(F.broadcast(pooled)).select(
+        "c_mktsegment",
+        "n1",
+        "n0",
+        F.round(F.col("c1") / F.col("n1"), 6).alias("rate1"),
+        F.round(F.col("c0") / F.col("n0"), 6).alias("rate0"),
+        F.round(seg_diff, 6).alias("seg_diff"),
+        F.round("pooled_diff", 6).alias("pooled_diff"),
+        (
+            F.signum(seg_diff) != F.signum(F.col("pooled_diff"))
+        ).alias("reversed"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_decayed_engagement": decayed_engagement,
+    "ext_simpson_screen": simpson_screen,
     "ext_permutation_test": permutation_test,
     "ext_journey_entropy": journey_entropy,
     "ext_shapley_attribution": shapley_attribution,
@@ -4043,6 +4170,74 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_decayed_engagement": f"""
+        WITH ev AS (
+            SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+        anchor AS (SELECT MAX(day) AS d0 FROM ev),
+        aged AS (
+            SELECT user_id, event_type, cents,
+                   POW(2.0, -datediff('day', day, d0)
+                             / {DECAY_HALF_LIFE_D!r}) AS w
+            FROM ev CROSS JOIN anchor),
+        scored AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(w * {_NANO} + 0.5) AS BIGINT))
+                        AS BIGINT) AS eng_q,
+                   CAST(SUM(CAST(FLOOR(CASE WHEN event_type = 'purchase'
+                                 THEN w * cents / 100.0 ELSE 0.0 END
+                                 * {_NANO} + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_q
+            FROM aged GROUP BY user_id)
+        SELECT user_id, n_events,
+               ROUND(eng_q / {_NANO}, 4) AS decayed_events,
+               ROUND(rev_q / {_NANO}, 4) AS decayed_rev_usd
+        FROM scored
+        ORDER BY decayed_events DESC, user_id LIMIT {DECAY_TOPK}
+    """,
+    "ext_simpson_screen": """
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS converted,
+                   CAST('0x' || substr(md5('arm:'
+                       || CAST(MIN(user_id) AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm
+            FROM events GROUP BY user_id),
+        joined AS (
+            SELECT u.*, c.c_mktsegment
+            FROM users u
+            JOIN customer c ON c.c_custkey = u.user_id),
+        per_seg AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN arm = 1 THEN converted
+                            ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN arm = 0 THEN converted
+                            ELSE 0 END) AS BIGINT) AS c0
+            FROM joined GROUP BY c_mktsegment
+            HAVING SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0),
+        pooled AS (
+            SELECT SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                   / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                     / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS pooled_diff
+            FROM joined)
+        SELECT c_mktsegment, n1, n0,
+               ROUND(c1 / n1, 6) AS rate1,
+               ROUND(c0 / n0, 6) AS rate0,
+               ROUND(c1 / n1 - c0 / n0, 6) AS seg_diff,
+               ROUND(pooled_diff, 6) AS pooled_diff,
+               SIGN(c1 / n1 - c0 / n0) <> SIGN(pooled_diff)
+                   AS reversed
+        FROM per_seg CROSS JOIN pooled
+    """,
     "ext_permutation_test": f"""
         WITH per_user AS (
             SELECT user_id,
