@@ -4003,7 +4003,112 @@ def simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHURN_CUT = "2024-01-24"  # feature/label boundary (events span Jan)
+
+
+def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn dataset builder: features computed ONLY
+    from events before CHURN_CUT (counts, spend, recency, active
+    days), label = "no activity on or after the cut" — the
+    point-in-time discipline that keeps target information out of
+    the features, which a naive full-range feature join silently
+    violates. One conditional-aggregate pass builds both sides;
+    anything in the feature columns after the cut would be a bug the
+    oracle catches.
+
+    Scale notes (100 TB): single map-side-combined user rollup; the
+    cut is a pushdown-friendly literal predicate inside conditional
+    aggregates, so no second scan and no join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    pre = F.col("day") < CHURN_CUT
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(pre.cast("long")).alias("n_events_pre"),
+            F.sum(
+                F.when(
+                    pre & (F.col("event_type") == "purchase"),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).alias("spend_pre_cents"),
+            F.countDistinct(F.when(pre, F.col("day"))).alias(
+                "active_days_pre"
+            ),
+            F.max(F.when(pre, F.col("day"))).alias("last_seen_pre"),
+            F.max((~pre).cast("long")).alias("active_post"),
+        )
+        .filter(F.col("n_events_pre") > 0)
+        .select(
+            "user_id",
+            "n_events_pre",
+            "spend_pre_cents",
+            "active_days_pre",
+            F.datediff(F.lit(CHURN_CUT), F.col("last_seen_pre"))
+            .cast("long")
+            .alias("recency_days"),
+            (1 - F.col("active_post")).alias("churned"),
+        )
+    )
+
+
+TE_SMOOTH_M = 20.0  # m-estimate pseudo-count
+
+
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (m-estimate) target encoding of market segment
+    against purchase conversion: enc = (S + m·μ)/(n + m) — the
+    Bayesian shrinkage that keeps rare categories from memorizing
+    their few labels (raw category means are the classic overfit).
+    Both the raw and smoothed encodings emit, so the shrinkage is
+    visible per category. Exact counts everywhere; two divisions at
+    the end.
+
+    Scale notes (100 TB): one user pass, one category rollup, the
+    global prior broadcast — the encoding table is |categories| rows
+    and broadcasts back onto training joins downstream.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("y")
+        )
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = users.join(F.broadcast(seg), "user_id")
+    cat = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    prior = joined.agg(
+        (F.sum("y") / F.count(F.lit(1))).alias("mu")
+    )
+    return cat.crossJoin(F.broadcast(prior)).select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("s") + TE_SMOOTH_M * F.col("mu"))
+            / (F.col("n") + TE_SMOOTH_M),
+            6,
+        ).alias("encoded"),
+        F.round("mu", 6).alias("prior"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_churn_features": churn_features,
+    "ext_target_encoding": target_encoding,
     "ext_decayed_engagement": decayed_engagement,
     "ext_simpson_screen": simpson_screen,
     "ext_permutation_test": permutation_test,
@@ -4170,6 +4275,56 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_churn_features": f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN day < '{CHURN_CUT}'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events_pre,
+               CAST(SUM(CASE WHEN day < '{CHURN_CUT}'
+                                  AND event_type = 'purchase'
+                             THEN cents ELSE 0 END) AS BIGINT)
+                   AS spend_pre_cents,
+               CAST(COUNT(DISTINCT CASE WHEN day < '{CHURN_CUT}'
+                                        THEN day END) AS BIGINT)
+                   AS active_days_pre,
+               CAST(datediff('day',
+                    CAST(MAX(CASE WHEN day < '{CHURN_CUT}'
+                             THEN day END) AS DATE),
+                    DATE '{CHURN_CUT}') AS BIGINT) AS recency_days,
+               CAST(1 - MAX(CASE WHEN day >= '{CHURN_CUT}'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS churned
+        FROM ev GROUP BY user_id
+        HAVING SUM(CASE WHEN day < '{CHURN_CUT}'
+                        THEN 1 ELSE 0 END) > 0
+    """,
+    "ext_target_encoding": f"""
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY user_id),
+        joined AS (
+            SELECT u.*, c.c_mktsegment
+            FROM users u JOIN customer c ON c.c_custkey = u.user_id),
+        cat AS (
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM joined GROUP BY c_mktsegment),
+        prior AS (
+            SELECT SUM(y) / COUNT(*) AS mu FROM joined)
+        SELECT c_mktsegment, n,
+               ROUND(s / n, 6) AS raw_rate,
+               ROUND((s + {TE_SMOOTH_M!r} * mu) / (n + {TE_SMOOTH_M!r}),
+                     6) AS encoded,
+               ROUND(mu, 6) AS prior
+        FROM cat CROSS JOIN prior
+    """,
     "ext_decayed_engagement": f"""
         WITH ev AS (
             SELECT user_id, event_type, CAST(ts AS DATE) AS day,
