@@ -4106,7 +4106,159 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (blocked) treatment-effect estimate: the per-market-
+    segment arm differences averaged with segment-size weights — the
+    adjustment that removes confounding carried by the blocking
+    variable, where the pooled difference (`ext_simpson_screen`'s
+    flag) can even flip sign. Per-segment means are exact ratios;
+    the weighted combine runs through qsum. Output: the stratified
+    ATE next to the naive pooled difference.
+
+    Scale notes (100 TB): one user pass, one per-segment rollup,
+    |segments| weighted terms — the classic "stratify then average"
+    at aggregation cost, no matching pairs materialized.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("x")
+        )
+        .select(
+            "user_id",
+            "x",
+            (
+                md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+            ).alias("arm"),
+        )
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = users.join(F.broadcast(seg), "user_id")
+    per_seg = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("x")).otherwise(0)
+            ).alias("s1"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("x")).otherwise(0)
+            ).alias("s0"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    ntot = per_seg.agg(F.sum("n_seg").alias("nt"))
+    term = (
+        F.col("n_seg")
+        / F.col("nt")
+        * (
+            F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+        )
+    )
+    strat = per_seg.crossJoin(F.broadcast(ntot)).agg(
+        _qsum(term).alias("ate_q"),
+        F.sum("n_seg").alias("n_used"),
+    )
+    pooled = joined.agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("pooled")
+    )
+    return strat.crossJoin(F.broadcast(pooled)).select(
+        F.col("n_used").alias("n_users"),
+        F.round(F.col("ate_q") / _NANO / 100.0, 4).alias(
+            "stratified_ate_usd"
+        ),
+        F.round(F.col("pooled") / 100.0, 4).alias("pooled_diff_usd"),
+    )
+
+
+QTE_PS = (0.25, 0.5, 0.75)
+
+
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the arm difference at the 25th,
+    50th and 75th percentiles of purchase value — the distributional
+    readout a mean-only test hides (an effect that lifts the tail
+    but not the median is invisible to `ext_ab_test_zscore`). Exact
+    interpolated percentiles per arm on integer cents, one row per
+    quantile.
+
+    Scale notes (100 TB): grouped exact percentiles — swap in the
+    mergeable t-digest at real scale, as ext_percentiles documents;
+    the QTE arithmetic is per-row on 3×2 numbers.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (
+                md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+            ).alias("arm"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+    )
+    m = ev.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.expr(f"percentile(c, {p!r})"), 6).alias(
+                f"q_{int(p * 100)}"
+            )
+            for p in QTE_PS
+        ],
+    )
+    a1 = m.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"),
+        *[
+            F.col(f"q_{int(p * 100)}").alias(f"t_{int(p * 100)}")
+            for p in QTE_PS
+        ],
+    )
+    a0 = m.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"),
+        *[
+            F.col(f"q_{int(p * 100)}").alias(f"c_{int(p * 100)}")
+            for p in QTE_PS
+        ],
+    )
+    wide = a1.crossJoin(F.broadcast(a0))
+    rows = []
+    for p in QTE_PS:
+        k = int(p * 100)
+        rows.append(
+            wide.select(
+                F.lit(k).cast("long").alias("pct"),
+                "n1",
+                "n0",
+                F.round(F.col(f"t_{k}") / 100.0, 4).alias("treat_usd"),
+                F.round(F.col(f"c_{k}") / 100.0, 4).alias("ctrl_usd"),
+                F.round(
+                    (F.col(f"t_{k}") - F.col(f"c_{k}")) / 100.0, 4
+                ).alias("qte_usd"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_stratified_effect": stratified_effect,
+    "ext_quantile_treatment_effect": quantile_treatment_effect,
     "ext_churn_features": churn_features,
     "ext_target_encoding": target_encoding,
     "ext_decayed_engagement": decayed_engagement,
@@ -4275,6 +4427,88 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_stratified_effect": f"""
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100 + 0.5)
+                                      AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm
+            FROM events GROUP BY user_id),
+        joined AS (
+            SELECT u.*, c.c_mktsegment
+            FROM users u JOIN customer c ON c.c_custkey = u.user_id),
+        per_seg AS (
+            SELECT c_mktsegment, COUNT(*) AS n_seg,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                        AS BIGINT) AS s1,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                        AS BIGINT) AS s0
+            FROM joined GROUP BY c_mktsegment
+            HAVING SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0),
+        ntot AS (SELECT CAST(SUM(n_seg) AS BIGINT) AS nt
+                 FROM per_seg),
+        strat AS (
+            SELECT CAST(SUM(CAST(FLOOR(n_seg / nt
+                       * (s1 / n1 - s0 / n0) * {_NANO} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS ate_q,
+                   CAST(SUM(n_seg) AS BIGINT) AS n_used
+            FROM per_seg CROSS JOIN ntot),
+        pooled AS (
+            SELECT SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                   / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                     / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                       AS pooled
+            FROM joined)
+        SELECT n_used AS n_users,
+               ROUND(ate_q / {_NANO} / 100.0, 4)
+                   AS stratified_ate_usd,
+               ROUND(pooled / 100.0, 4) AS pooled_diff_usd
+        FROM strat CROSS JOIN pooled
+    """,
+    "ext_quantile_treatment_effect": f"""
+        WITH ev AS (
+            SELECT CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'),
+        m AS (
+            SELECT arm, COUNT(*) AS n,
+                   {", ".join(
+                       f"ROUND(quantile_cont(c, {p!r}), 6)"
+                       f" AS q_{int(p * 100)}"
+                       for p in QTE_PS
+                   )}
+            FROM ev GROUP BY arm),
+        wide AS (
+            SELECT a1.n AS n1, a0.n AS n0,
+                   {", ".join(
+                       f"a1.q_{int(p * 100)} AS t_{int(p * 100)}, "
+                       f"a0.q_{int(p * 100)} AS c_{int(p * 100)}"
+                       for p in QTE_PS
+                   )}
+            FROM (SELECT * FROM m WHERE arm = 1) a1
+            CROSS JOIN (SELECT * FROM m WHERE arm = 0) a0)
+        {" UNION ALL ".join(
+            f'''SELECT CAST({int(p * 100)} AS BIGINT) AS pct, n1, n0,
+                   ROUND(t_{int(p * 100)} / 100.0, 4) AS treat_usd,
+                   ROUND(c_{int(p * 100)} / 100.0, 4) AS ctrl_usd,
+                   ROUND((t_{int(p * 100)} - c_{int(p * 100)})
+                         / 100.0, 4) AS qte_usd
+            FROM wide'''
+            for p in QTE_PS
+        )}
+    """,
     "ext_churn_features": f"""
         WITH ev AS (
             SELECT user_id, event_type,
