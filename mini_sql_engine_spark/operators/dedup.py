@@ -832,7 +832,86 @@ _SIMHASH_ORACLE = f"""
     WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
 """
 
+LOC_SHARDS = 8  # shard fan-out for the locality comparison
+
+
+def locality_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware data layout: shard documents by their FIRST MinHash
+    band key instead of by doc id, and measure how many near-dup
+    pairs land in the same shard under each policy. Near-dup work
+    (verification, clustering, canonical-keep) is shard-LOCAL exactly
+    when pairs co-locate — random sharding scatters them (≈1/N
+    co-location), band sharding puts every pair that agrees on band 0
+    together by construction. The output quantifies that gap on the
+    real near-dup pairs; it is the numbers behind "partition by LSH
+    band before deduplicating at 100 TB".
+
+    Scale notes (100 TB): per-doc keys are projection work over the
+    memoized shingle relation; the pair table is the (small) verified
+    near-dup set, joined twice against the thin key table.
+    """
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sig = _shingled(spark, sf_dir).withColumn(
+        "sig", minhash_signature(F.col("sh"), MINHASH_K)
+    )
+    # band-0 key spelled out to match the oracle's fragment exactly
+    # (the band index rides in the hash input)
+    band0 = F.md5(
+        F.concat_ws(
+            ",",
+            F.lit("0"),
+            *[
+                F.col("sig").getItem(r).cast("string")
+                for r in range(MINHASH_ROWS)
+            ],
+        )
+    )
+    keys = sig.select(
+        "doc_id",
+        (
+            md5_long(F.col("doc_id").cast("string"), salt="shard")
+            % LOC_SHARDS
+        ).alias("s_rand"),
+        (md5_long(band0, salt="shard") % LOC_SHARDS).alias("s_loc"),
+    )
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s_rand").alias("ra"),
+        F.col("s_loc").alias("la"),
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s_rand").alias("rb"),
+        F.col("s_loc").alias("lb"),
+    )
+    return (
+        pairs.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("ra") == F.col("rb")).cast("long")).alias(
+                "coloc_random"
+            ),
+            F.sum((F.col("la") == F.col("lb")).cast("long")).alias(
+                "coloc_banded"
+            ),
+        )
+        .select(
+            "n_pairs",
+            "coloc_random",
+            "coloc_banded",
+            F.round(
+                F.col("coloc_random") * 100.0 / F.col("n_pairs"), 4
+            ).alias("pct_random"),
+            F.round(
+                F.col("coloc_banded") * 100.0 / F.col("n_pairs"), 4
+            ).alias("pct_banded"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_locality_sharding": locality_sharding,
     "ext_dedup_exact": exact_dedup,
     "ext_dedup_exact_by_key": exact_dedup_by_key,
     "ext_dedup_jaccard": jaccard_dedup,
@@ -872,6 +951,38 @@ _EMB_BANDS_UNION_SQL = " UNION ALL ".join(
 
 
 ORACLES: dict[str, str] = {
+    "ext_locality_sharding": f"""
+        WITH base AS ({_BASE}),
+        sig AS (SELECT doc_id, sh, {_SIG_EXPRS} FROM base),
+        keys AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('shard:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % {LOC_SHARDS} AS s_rand,
+                   CAST('0x' || substr(md5('shard:'
+                       || md5('0' || ',' || CAST(s0 AS VARCHAR) || ',' || CAST(s1 AS VARCHAR) || ',' || CAST(s2 AS VARCHAR) || ',' || CAST(s3 AS VARCHAR))), 1, 15)
+                       AS BIGINT) % {LOC_SHARDS} AS s_loc
+            FROM sig),
+        pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        j AS (
+            SELECT ka.s_rand AS ra, ka.s_loc AS la,
+                   kb.s_rand AS rb, kb.s_loc AS lb
+            FROM pairs
+            JOIN keys ka ON ka.doc_id = pairs.doc_a
+            JOIN keys kb ON kb.doc_id = pairs.doc_b)
+        SELECT COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS coloc_random,
+               CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS coloc_banded,
+               ROUND(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                     * 100.0 / COUNT(*), 4) AS pct_random,
+               ROUND(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                     * 100.0 / COUNT(*), 4) AS pct_banded
+        FROM j
+    """,
     "ext_dedup_exact": """
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
