@@ -910,7 +910,77 @@ def locality_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AA_TOPK = 10
+
+
+def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the near-dup graph: score
+    non-adjacent doc pairs by Σ 1/ln(deg(w)) over common neighbors w
+    — "likely the same content family even though no blocker paired
+    them yet", the graph-ML answer to dedup recall gaps
+    (`ext_blocker_recall_report` measures them; this ranks where to
+    look). Rare shared neighbors count more than promiscuous hubs —
+    that's the 1/ln(deg) against plain common-neighbor counting.
+    Weights reduce through the qsum fixed-point longs; existing
+    edges are anti-joined out. Output: top AA_TOPK predicted links.
+
+    Scale notes (100 TB): 2-paths come from one self-join of the
+    (small) verified edge list keyed on the middle vertex; the
+    degree table broadcasts. Everything is edge-set-sized — the
+    fact-scale work already happened in the dedup pass that built
+    the edges.
+    """
+    from mini_sql_engine_spark.functions.numeric import NANO, qsum
+
+    e = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sym = e.unionByName(
+        e.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()  # consumed by degrees, 2-paths and the anti-join
+    deg = sym.groupBy(F.col("doc_a").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    l, r = sym.alias("l"), sym.alias("r")
+    two_paths = (
+        l.join(r, F.col("l.doc_b") == F.col("r.doc_a"))
+        .filter(F.col("l.doc_a") < F.col("r.doc_b"))
+        .select(
+            F.col("l.doc_a").alias("u"),
+            F.col("r.doc_b").alias("v"),
+            F.col("l.doc_b").alias("w"),
+        )
+    )
+    scored = (
+        two_paths.join(F.broadcast(deg), "w")
+        .filter(F.col("deg") > 1)
+        .groupBy("u", "v")
+        .agg(
+            qsum(1.0 / F.log(F.col("deg").cast("double"))).alias("aa_q"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    predicted = scored.join(
+        e.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        predicted.select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "n_common",
+            F.round(F.col("aa_q") / NANO, 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "doc_a", "doc_b")
+        .limit(AA_TOPK)
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_adamic_adar": adamic_adar,
     "ext_locality_sharding": locality_sharding,
     "ext_dedup_exact": exact_dedup,
     "ext_dedup_exact_by_key": exact_dedup_by_key,
@@ -951,6 +1021,38 @@ _EMB_BANDS_UNION_SQL = " UNION ALL ".join(
 
 
 ORACLES: dict[str, str] = {
+    "ext_adamic_adar": f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        sym AS (SELECT doc_a, doc_b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+        deg AS (SELECT doc_a AS w, COUNT(*) AS deg
+                FROM sym GROUP BY doc_a),
+        two_paths AS (
+            SELECT l.doc_a AS u, r.doc_b AS v, l.doc_b AS w
+            FROM sym l JOIN sym r ON l.doc_b = r.doc_a
+            WHERE l.doc_a < r.doc_b),
+        scored AS (
+            SELECT u, v,
+                   CAST(SUM(CAST(FLOOR(1.0 / LN(CAST(deg AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS aa_q,
+                   COUNT(*) AS n_common
+            FROM two_paths JOIN deg USING (w)
+            WHERE deg > 1
+            GROUP BY u, v),
+        predicted AS (
+            SELECT * FROM scored WHERE NOT EXISTS (
+                SELECT 1 FROM pairs
+                WHERE pairs.doc_a = scored.u
+                  AND pairs.doc_b = scored.v))
+        SELECT u AS doc_a, v AS doc_b, n_common,
+               ROUND(aa_q / 1000000000, 6) AS aa_score
+        FROM predicted ORDER BY aa_score DESC, doc_a, doc_b
+        LIMIT {AA_TOPK}
+    """,
     "ext_locality_sharding": f"""
         WITH base AS ({_BASE}),
         sig AS (SELECT doc_id, sh, {_SIG_EXPRS} FROM base),
