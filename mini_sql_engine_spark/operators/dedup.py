@@ -979,7 +979,55 @@ def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the duplicate-cluster partition. On a
+    connected-component partition every edge is intra-cluster, so
+    Q = 1 − Σ_c (d_c/2m)² — pure degree-mass concentration: Q → 1
+    means many small balanced families, Q → 0 means one giant
+    component owns the graph (the number that says whether
+    clique-collapse dedup would nuke half the corpus). Entirely
+    integer arithmetic — Q = (4m² − Σd_c²)/4m² — with ONE division
+    at the end.
+
+    Scale notes (100 TB): degrees from the small verified edge list,
+    labels from the (already iterative) component pass; the rollup
+    is clusters-sized.
+    """
+    e = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sym = e.unionByName(
+        e.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = sym.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    labels = dedup_clusters(spark, sf_dir)
+    dc = (
+        deg.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    agg = dc.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sum_dc2"),
+    )
+    return agg.crossJoin(F.broadcast(m)).select(
+        F.col("m").alias("n_edges"),
+        "n_clusters",
+        F.round(
+            (
+                4 * F.col("m") * F.col("m") - F.col("sum_dc2")
+            ).cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double"),
+            6,
+        ).alias("modularity"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_graph_modularity": graph_modularity,
     "ext_adamic_adar": adamic_adar,
     "ext_locality_sharding": locality_sharding,
     "ext_dedup_exact": exact_dedup,
@@ -1021,6 +1069,37 @@ _EMB_BANDS_UNION_SQL = " UNION ALL ".join(
 
 
 ORACLES: dict[str, str] = {
+    "ext_graph_modularity": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.node),
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node),
+        deg AS (SELECT src AS doc_id, COUNT(*) AS deg
+                FROM edges GROUP BY src),
+        dc AS (
+            SELECT cluster_id, CAST(SUM(deg) AS BIGINT) AS d_c
+            FROM deg JOIN labels USING (doc_id)
+            GROUP BY cluster_id),
+        m AS (SELECT COUNT(*) AS m FROM pairs),
+        agg AS (SELECT COUNT(*) AS n_clusters,
+                       CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2
+                FROM dc)
+        SELECT m AS n_edges, n_clusters,
+               ROUND(CAST(4 * m * m - sum_dc2 AS DOUBLE)
+                     / CAST(4 * m * m AS DOUBLE), 6) AS modularity
+        FROM agg CROSS JOIN m
+    """,
     "ext_adamic_adar": f"""
         WITH pairs AS (
             SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
