@@ -145,12 +145,29 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
 def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    """Verified near-dup pairs (jacc ≥ threshold), persist()ed and
+    memoized per sf_dir like `_shingled`: a dozen downstream
+    operators (canonical keep, clusters, k-core, triangles, top
+    pairs, recall benchmark, locality sharding, Adamic–Adar,
+    modularity, …) all start from this table, and the inverted-index
+    self-join that builds it is the expensive part they would
+    otherwise each re-run. Lineage retained — persist, not
+    checkpoint (see `_shingled` for the durability argument)."""
+    cached = _PAIRS_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    out = (
         _jaccard_pairs(spark, sf_dir)
         .filter(F.col("jacc") >= JACCARD_T)
         .select("doc_a", "doc_b", "jacc")
+        .persist()
     )
+    _PAIRS_CACHE[sf_dir] = out
+    return out
 
 
 def prefix_filter_dedup(
