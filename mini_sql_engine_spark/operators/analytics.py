@@ -4256,7 +4256,107 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+HILL_K = 50  # tail order statistics used by the Hill estimator
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the revenue distribution's power-law tail
+    index: α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top-k customer
+    revenue totals — the rigorous tail statistic next to
+    `ext_zipf_fit`'s rank-slope regression (α ≤ 2 means infinite
+    variance: means and stddevs of revenue stop being meaningful,
+    which changes which statistics you are allowed to report). Top
+    k+1 selection is TakeOrdered; the log-ratio sum reduces through
+    qsum.
+
+    Scale notes (100 TB): one customer rollup, a k+1-row TakeOrdered,
+    k-row arithmetic — the estimator only ever looks at the tail it
+    measures.
+    """
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    top = rev.orderBy(F.col("cents").desc(), "o_custkey").limit(
+        HILL_K + 1
+    )
+    ref = top.agg(F.min("cents").alias("x_ref"))
+    tail = top.crossJoin(F.broadcast(ref)).filter(
+        F.col("cents") > F.col("x_ref")
+    )
+    agg = tail.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        _qsum(
+            F.log(
+                F.col("cents").cast("double") / F.col("x_ref")
+            )
+        ).alias("lq"),
+    )
+    return agg.crossJoin(F.broadcast(ref)).select(
+        "k_used",
+        F.round(F.col("x_ref") / 100.0, 2).alias("x_ref_usd"),
+        F.round(
+            F.col("k_used") / (F.col("lq") / _NANO), 4
+        ).alias("hill_alpha"),
+    )
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) over that brand's line items —
+    the econometric constant-elasticity model, fit from MOMENTS like
+    `ext_ols_trend`, except the moments themselves are float
+    (logs), so each of the five sums reduces through qsum before the
+    closed form. Elasticity < −1 means demand is elastic: a price
+    cut grows revenue.
+
+    Scale notes (100 TB): part dimension broadcasts onto the fact
+    scan, one brand rollup of five quantized sums, row-local closed
+    form.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("double").alias("q"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("p"),
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    lx = li.join(F.broadcast(parts), "l_partkey").select(
+        "p_brand",
+        F.log("p").alias("x"),
+        F.log("q").alias("y"),
+    )
+    m = lx.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        _qsum(F.col("x")).alias("sx"),
+        _qsum(F.col("y")).alias("sy"),
+        _qsum(F.col("x") * F.col("y")).alias("sxy"),
+        _qsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx") / _NANO
+    sy = F.col("sy") / _NANO
+    sxy = F.col("sxy") / _NANO
+    sxx = F.col("sxx") / _NANO
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        F.round(slope, 4).alias("elasticity"),
+        (F.round(slope, 4) < -1.0).alias("elastic"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_hill_tail_index": hill_tail_index,
+    "ext_price_elasticity": price_elasticity,
     "ext_stratified_effect": stratified_effect,
     "ext_quantile_treatment_effect": quantile_treatment_effect,
     "ext_churn_features": churn_features,
@@ -4427,6 +4527,61 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_hill_tail_index": f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+            HAVING SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                            AS BIGINT)) > 0),
+        top AS (SELECT * FROM rev
+                ORDER BY cents DESC, o_custkey LIMIT {HILL_K + 1}),
+        ref AS (SELECT MIN(cents) AS x_ref FROM top),
+        tail AS (SELECT cents, x_ref FROM top CROSS JOIN ref
+                 WHERE cents > x_ref),
+        agg AS (
+            SELECT COUNT(*) AS k_used,
+                   CAST(SUM(CAST(FLOOR(LN(CAST(cents AS DOUBLE)
+                                           / x_ref)
+                        * {_NANO} + 0.5) AS BIGINT)) AS BIGINT) AS lq
+            FROM tail)
+        SELECT k_used,
+               ROUND(x_ref / 100.0, 2) AS x_ref_usd,
+               ROUND(k_used / (lq / {_NANO}), 4) AS hill_alpha
+        FROM agg CROSS JOIN ref
+    """,
+    "ext_price_elasticity": f"""
+        WITH lx AS (
+            SELECT p_brand,
+                   LN(l_extendedprice / l_quantity) AS x,
+                   LN(CAST(l_quantity AS DOUBLE)) AS y
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey),
+        m AS (
+            SELECT p_brand, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(x * {_NANO} + 0.5) AS BIGINT))
+                        AS BIGINT) AS sx,
+                   CAST(SUM(CAST(FLOOR(y * {_NANO} + 0.5) AS BIGINT))
+                        AS BIGINT) AS sy,
+                   CAST(SUM(CAST(FLOOR(x * y * {_NANO} + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sxy,
+                   CAST(SUM(CAST(FLOOR(x * x * {_NANO} + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sxx
+            FROM lx GROUP BY p_brand)
+        SELECT p_brand, n AS n_lines,
+               ROUND((CAST(n AS DOUBLE) * (sxy / {_NANO})
+                      - (sx / {_NANO}) * (sy / {_NANO}))
+                     / (CAST(n AS DOUBLE) * (sxx / {_NANO})
+                        - (sx / {_NANO}) * (sx / {_NANO})), 4)
+                   AS elasticity,
+               ROUND((CAST(n AS DOUBLE) * (sxy / {_NANO})
+                      - (sx / {_NANO}) * (sy / {_NANO}))
+                     / (CAST(n AS DOUBLE) * (sxx / {_NANO})
+                        - (sx / {_NANO}) * (sx / {_NANO})), 4) < -1.0
+                   AS elastic
+        FROM m
+    """,
     "ext_stratified_effect": f"""
         WITH users AS (
             SELECT user_id,
