@@ -4354,7 +4354,62 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-readout experiment health report: sample-ratio-mismatch
+    chi² ((n₁−n₀)²/n against the 50/50 design — the single most
+    common way experiments silently rot), plus daily assignment
+    imbalance (worst |share₁ − ½| day) — trend-shaped SRM that a
+    single end-of-test total hides. A failed SRM check invalidates
+    every downstream readout in this pack, which is why the platform
+    runs THIS query first. All integer counts; two divisions.
+
+    Scale notes (100 TB): one user-day rollup (map-side combined),
+    one dates-sized max — health checks must stay cheap enough to
+    run on every sync.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .select(
+            "day",
+            (
+                md5_long(F.col("user_id").cast("string"), salt="arm") % 2
+            ).alias("arm"),
+        )
+    )
+    users = ud.select("arm").groupBy("arm").count()
+    n1 = F.max(F.when(F.col("arm") == 1, F.col("count")))
+    n0 = F.max(F.when(F.col("arm") == 0, F.col("count")))
+    tot = users.agg(n1.alias("n1"), n0.alias("n0"))
+    daily = ud.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("d1"),
+        F.count(F.lit(1)).alias("dn"),
+    )
+    worst = daily.agg(
+        F.max(
+            F.abs(F.col("d1") / F.col("dn") - 0.5)
+        ).alias("worst_daily_imbalance")
+    )
+    chi2 = (
+        (F.col("n1") - F.col("n0"))
+        * (F.col("n1") - F.col("n0"))
+    ).cast("double") / (F.col("n1") + F.col("n0"))
+    return tot.crossJoin(F.broadcast(worst)).select(
+        F.col("n1").alias("n_arm1_user_days"),
+        F.col("n0").alias("n_arm0_user_days"),
+        F.round(chi2, 4).alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_fail"),
+        F.round("worst_daily_imbalance", 4).alias(
+            "worst_daily_imbalance"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_experiment_health": experiment_health,
     "ext_hill_tail_index": hill_tail_index,
     "ext_price_elasticity": price_elasticity,
     "ext_stratified_effect": stratified_effect,
@@ -4527,6 +4582,39 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_experiment_health": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events),
+        armed AS (
+            SELECT day,
+                   CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm
+            FROM ud),
+        tot AS (
+            SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0
+            FROM armed),
+        daily AS (
+            SELECT day,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d1,
+                   COUNT(*) AS dn
+            FROM armed GROUP BY day),
+        worst AS (
+            SELECT MAX(ABS(d1 / dn - 0.5)) AS worst_daily_imbalance
+            FROM daily)
+        SELECT n1 AS n_arm1_user_days, n0 AS n_arm0_user_days,
+               ROUND(CAST((n1 - n0) * (n1 - n0) AS DOUBLE)
+                     / (n1 + n0), 4) AS srm_chi2,
+               CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / (n1 + n0)
+                   > 3.841 AS srm_fail,
+               ROUND(worst_daily_imbalance, 4)
+                   AS worst_daily_imbalance
+        FROM tot CROSS JOIN worst
+    """,
     "ext_hill_tail_index": f"""
         WITH rev AS (
             SELECT o_custkey,

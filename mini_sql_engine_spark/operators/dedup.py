@@ -1043,7 +1043,51 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction over the duplicate
+    clusters (the MDM step after entity resolution): per multi-member
+    cluster, merge members into ONE canonical record under explicit
+    survivorship rules — longest text wins the content, earliest
+    doc_id wins identity, languages union into a sorted list, token
+    mass sums. Dedup decides WHO matches; this decides WHAT survives,
+    and the rules are visible columns, not pipeline folklore. Output:
+    one row per multi-member cluster.
+
+    Scale notes (100 TB): labels come from the component pass; the
+    merge is one cluster-keyed aggregate with max_by/struct-max
+    picks — no member ever compares to more than its aggregate.
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    members = docs.join(labels, "doc_id")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("surviving_id"),
+            F.max(F.struct("n_chars", "doc_id")).alias("_longest"),
+            F.array_join(
+                F.array_sort(F.collect_set("lang")), ","
+            ).alias("langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            "surviving_id",
+            F.col("_longest.doc_id").alias("content_from_id"),
+            F.col("_longest.n_chars").alias("content_chars"),
+            "langs",
+            "total_chars",
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_golden_record": golden_record,
     "ext_graph_modularity": graph_modularity,
     "ext_adamic_adar": adamic_adar,
     "ext_locality_sharding": locality_sharding,
@@ -1086,6 +1130,39 @@ _EMB_BANDS_UNION_SQL = " UNION ALL ".join(
 
 
 ORACLES: dict[str, str] = {
+    "ext_golden_record": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.node),
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node),
+        members AS (
+            SELECT d.doc_id, d.lang, d.n_chars, l.cluster_id
+            FROM documents d JOIN labels l ON l.doc_id = d.doc_id),
+        merged AS (
+            SELECT cluster_id, COUNT(*) AS n_members,
+                   MIN(doc_id) AS surviving_id,
+                   MAX(ROW(n_chars, doc_id)) AS _longest,
+                   array_to_string(list_sort(list_distinct(
+                       list(lang))), ',') AS langs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM members GROUP BY cluster_id)
+        SELECT cluster_id, n_members, surviving_id,
+               CAST(_longest[2] AS BIGINT) AS content_from_id,
+               CAST(_longest[1] AS BIGINT) AS content_chars,
+               langs, total_chars
+        FROM merged WHERE n_members > 1
+    """,
     "ext_graph_modularity": f"""
         WITH RECURSIVE pairs AS (
             SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
