@@ -984,7 +984,80 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the centroid assignment: per vector,
+    a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b − a)/max(a, b) — the clustering-quality
+    score in [−1, 1] that says whether the cells are real structure
+    or arbitrary cuts (mean s ≈ 0 ⇒ the centroids explain nothing).
+    Distances are exactly-associative integer sums on micro-quantized
+    vectors (the `ext_kmeans_refine` determinism pattern); the one
+    sqrt/ratio per vector is row-local, and per-cell means reduce
+    through qsum.
+
+    Scale notes (100 TB): same thin (vec, dim, qval) × broadcast
+    centroid join as the k-means pass — the simplified (centroid-
+    based) silhouette exists precisely because the classic all-pairs
+    silhouette is O(n²) and this one is O(n·K).
+    """
+    from mini_sql_engine_spark.functions.numeric import NANO, qsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * KM_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("qval"),
+    )
+    cents = _int_centroids(spark)
+    dist = (
+        q.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cidx")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("cval"))
+                * (F.col("qval") - F.col("cval"))
+            ).alias("dist")
+        )
+    )
+    own = dist.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cidx")).alias("o")
+    ).select(
+        "vec_id",
+        F.col("o.cidx").alias("own_c"),
+        F.col("o.dist").alias("a2"),
+    )
+    b = (
+        dist.join(own, "vec_id")
+        .filter(F.col("cidx") != F.col("own_c"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b2"))
+    )
+    s = own.join(b, "vec_id").select(
+        "own_c",
+        (
+            (F.sqrt("b2") - F.sqrt("a2"))
+            / F.greatest(F.sqrt("a2"), F.sqrt("b2"))
+        ).alias("s"),
+    )
+    per_cell = s.groupBy(F.col("own_c").cast("long").alias("cidx")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        qsum(F.col("s")).alias("sq"),
+    )
+    return per_cell.select(
+        "cidx",
+        "n_vecs",
+        F.round(F.col("sq") / NANO / F.col("n_vecs"), 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_cluster_silhouette": cluster_silhouette,
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
     "ext_zipf_fit": zipf_fit,
@@ -1055,6 +1128,40 @@ _GOPHER_ORACLE = f"""
     """
 
 ORACLES: dict[str, str] = {
+    "ext_cluster_silhouette": f"""
+        WITH cents0(cidx, dim, cval) AS (VALUES {_INT_CENTS_SQL}),
+        qs AS (SELECT vec_id,
+                      unnest([struct_pack(
+                          dim := d - 1,
+                          qval := CAST(FLOOR(CAST(embedding[d] AS DOUBLE)
+                                             * {KM_SCALE} + 0.5) AS BIGINT))
+                              for d in range(1, len(embedding) + 1)]) AS s
+               FROM embeddings),
+        q AS (SELECT vec_id, s.dim AS dim, s.qval AS qval FROM qs),
+        dist AS (SELECT q.vec_id, c.cidx,
+                        SUM((q.qval - c.cval) * (q.qval - c.cval))
+                            AS dist
+                 FROM q JOIN cents0 c USING (dim)
+                 GROUP BY q.vec_id, c.cidx),
+        own AS (SELECT vec_id, cidx AS own_c, dist AS a2 FROM (
+                    SELECT vec_id, cidx, dist, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+                    FROM dist) WHERE rn = 1),
+        b AS (SELECT d.vec_id, MIN(d.dist) AS b2
+              FROM dist d JOIN own o ON o.vec_id = d.vec_id
+              WHERE d.cidx != o.own_c GROUP BY d.vec_id),
+        sil AS (SELECT own_c,
+                       (SQRT(CAST(b2 AS DOUBLE))
+                        - SQRT(CAST(a2 AS DOUBLE)))
+                       / GREATEST(SQRT(CAST(a2 AS DOUBLE)),
+                                  SQRT(CAST(b2 AS DOUBLE))) AS s
+                FROM own JOIN b USING (vec_id))
+        SELECT CAST(own_c AS BIGINT) AS cidx, COUNT(*) AS n_vecs,
+               ROUND(CAST(SUM(CAST(FLOOR(s * 1000000000 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                     / 1000000000 / COUNT(*), 6) AS mean_silhouette
+        FROM sil GROUP BY own_c
+    """,
     "ext_gopher_gate": _GOPHER_ORACLE,
     # stream-batch parity: the streaming aggregation must reproduce the
     # batch report exactly on the same data
