@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import hashing, textfns, vector
 from mini_sql_engine_spark.operators.dedup import (
+    EMB_DIM,
     _BASE,
     _JACCARD_PAIRS,
     JACCARD_T,
@@ -1056,7 +1057,125 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ITERS = 3
+PCA_TOP_DIMS = 8
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by MATRIX-FREE
+    power iteration: v ← X'(Xv), X never materialized as a matrix —
+    each step is two long-form joins over thin (vec, dim, value)
+    rows, the shape distributed linear algebra actually takes.
+    Determinism engineering: vectors center on integer-quantized
+    micro-units; every mat-vec accumulates exact integers
+    (DECIMAL/int128 where products pass 2^63); the iterate
+    re-quantizes to 1e6-unit ints after each max-normalization, so
+    BOTH engines walk the identical integer sequence — float power
+    iteration drifts with partitioning and would never hash-match.
+    Output: the PCA_TOP_DIMS largest |loadings| of the converged
+    direction plus the Rayleigh explained-variance share.
+
+    Scale notes (100 TB): per iteration, one broadcast of the 64-row
+    iterate and two keyed aggregations — O(nnz) work, K·D driver
+    state. This is how you get leading components at corpus scale
+    without ever collecting a matrix.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * KM_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("qval"),
+    )
+    means = q0.groupBy("dim").agg(
+        F.floor(F.sum("qval") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("mq")
+    )
+    x = (
+        q0.join(F.broadcast(means), "dim")
+        .select("vec_id", "dim", (F.col("qval") - F.col("mq")).alias("xc"))
+        .localCheckpoint()
+    )
+    dec = "decimal(19,0)"
+    v = spark.range(EMB_DIM).select(
+        F.col("id").cast("int").alias("dim"),
+        F.lit(KM_SCALE).cast("long").alias("vq"),
+    )
+    for _ in range(PCA_ITERS):
+        y = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xc") * F.col("vq")).alias("y"))
+        )
+        z = (
+            x.join(y, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("xc").cast(dec) * F.col("y").cast(dec)
+                ).alias("z")
+            )
+        )
+        zmax = z.agg(F.max(F.abs(F.col("z"))).alias("zm"))
+        v = (
+            z.crossJoin(F.broadcast(zmax))
+            .select(
+                "dim",
+                F.floor(
+                    F.col("z").cast("double")
+                    / F.col("zm").cast("double")
+                    * KM_SCALE
+                    + 0.5
+                )
+                .cast("long")
+                .alias("vq"),
+            )
+            .localCheckpoint()
+        )
+    y = (
+        x.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xc") * F.col("vq")).alias("y"))
+    )
+    num = y.agg(
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("num")
+    )
+    den = v.agg(F.sum(F.col("vq") * F.col("vq")).alias("den"))
+    trace = x.agg(
+        F.sum(F.col("xc").cast(dec) * F.col("xc").cast(dec)).alias("tr")
+    )
+    loadings = (
+        v.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(
+                F.col("vq") / F.sqrt(F.col("den").cast("double")), 6
+            ).alias("loading"),
+            F.round(
+                (
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double")
+                )
+                / F.col("tr").cast("double")
+                * 100.0,
+                4,
+            ).alias("explained_pct"),
+        )
+    )
+    return (
+        loadings.orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(PCA_TOP_DIMS)
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_pca_power_iteration": pca_power_iteration,
     "ext_cluster_silhouette": cluster_silhouette,
     "ext_gopher_gate": gopher_gate,
     "ext_domain_quota": domain_quota,
@@ -1128,6 +1247,74 @@ _GOPHER_ORACLE = f"""
     """
 
 ORACLES: dict[str, str] = {
+    "ext_pca_power_iteration": f"""
+        WITH qs AS (SELECT vec_id,
+                      unnest([struct_pack(
+                          dim := d - 1,
+                          qval := CAST(FLOOR(CAST(embedding[d] AS DOUBLE)
+                                             * {KM_SCALE} + 0.5) AS BIGINT))
+                              for d in range(1, len(embedding) + 1)]) AS s
+               FROM embeddings),
+        q0 AS (SELECT vec_id, s.dim AS dim, s.qval AS qval FROM qs),
+        means AS (SELECT dim,
+                         CAST(FLOOR(SUM(qval) / COUNT(*) + 0.5)
+                              AS BIGINT) AS mq
+                  FROM q0 GROUP BY dim),
+        x AS (SELECT vec_id, q0.dim, qval - mq AS xc
+              FROM q0 JOIN means USING (dim)),
+        v0 AS (SELECT CAST(r AS INT) AS dim,
+                      CAST({KM_SCALE} AS BIGINT) AS vq
+               FROM (SELECT UNNEST(range({EMB_DIM})) AS r)),
+        y1 AS (SELECT x.vec_id, CAST(SUM(x.xc * v.vq) AS BIGINT) AS y
+                 FROM x JOIN v0 v USING (dim) GROUP BY x.vec_id),
+        z1 AS (SELECT x.dim,
+                        SUM(CAST(x.xc AS HUGEINT) * CAST(y.y AS HUGEINT))
+                            AS z
+                 FROM x JOIN y1 y USING (vec_id) GROUP BY x.dim),
+        zm1 AS (SELECT MAX(ABS(z)) AS zm FROM z1),
+        v1 AS (SELECT dim,
+                        CAST(FLOOR(CAST(z AS DOUBLE) / CAST(zm AS DOUBLE)
+                             * {KM_SCALE} + 0.5) AS BIGINT) AS vq
+                 FROM z1 CROSS JOIN zm1),
+        y2 AS (SELECT x.vec_id, CAST(SUM(x.xc * v.vq) AS BIGINT) AS y
+                 FROM x JOIN v1 v USING (dim) GROUP BY x.vec_id),
+        z2 AS (SELECT x.dim,
+                        SUM(CAST(x.xc AS HUGEINT) * CAST(y.y AS HUGEINT))
+                            AS z
+                 FROM x JOIN y2 y USING (vec_id) GROUP BY x.dim),
+        zm2 AS (SELECT MAX(ABS(z)) AS zm FROM z2),
+        v2 AS (SELECT dim,
+                        CAST(FLOOR(CAST(z AS DOUBLE) / CAST(zm AS DOUBLE)
+                             * {KM_SCALE} + 0.5) AS BIGINT) AS vq
+                 FROM z2 CROSS JOIN zm2),
+        y3 AS (SELECT x.vec_id, CAST(SUM(x.xc * v.vq) AS BIGINT) AS y
+                 FROM x JOIN v2 v USING (dim) GROUP BY x.vec_id),
+        z3 AS (SELECT x.dim,
+                        SUM(CAST(x.xc AS HUGEINT) * CAST(y.y AS HUGEINT))
+                            AS z
+                 FROM x JOIN y3 y USING (vec_id) GROUP BY x.dim),
+        zm3 AS (SELECT MAX(ABS(z)) AS zm FROM z3),
+        v3 AS (SELECT dim,
+                        CAST(FLOOR(CAST(z AS DOUBLE) / CAST(zm AS DOUBLE)
+                             * {KM_SCALE} + 0.5) AS BIGINT) AS vq
+                 FROM z3 CROSS JOIN zm3),
+        yf AS (SELECT x.vec_id, CAST(SUM(x.xc * v.vq) AS BIGINT) AS y
+               FROM x JOIN v3 v USING (dim) GROUP BY x.vec_id),
+        num AS (SELECT SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                           AS num FROM yf),
+        den AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS den FROM v3),
+        tr AS (SELECT SUM(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT))
+                          AS tr FROM x),
+        loadings AS (
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   ROUND(vq / SQRT(CAST(den AS DOUBLE)), 6) AS loading,
+                   ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                         / CAST(tr AS DOUBLE) * 100.0, 4)
+                       AS explained_pct
+            FROM v3 CROSS JOIN den CROSS JOIN num CROSS JOIN tr)
+        SELECT dim, loading, explained_pct FROM loadings
+        ORDER BY ABS(loading) DESC, dim LIMIT {PCA_TOP_DIMS}
+    """,
     "ext_cluster_silhouette": f"""
         WITH cents0(cidx, dim, cval) AS (VALUES {_INT_CENTS_SQL}),
         qs AS (SELECT vec_id,
