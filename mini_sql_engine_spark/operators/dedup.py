@@ -146,6 +146,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_CACHE: dict[str, DataFrame] = {}
+_CLUSTER_CACHE: dict[str, DataFrame] = {}
 
 
 def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,6 +647,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     can be bucketed on src so the per-round join never reshuffles edges
     — the same structure as large-scale connected components
     (Hash-to-Min) on any MapReduce-family engine."""
+    cached = _CLUSTER_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
@@ -674,7 +678,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"label propagation not converged in {MAX_CC_ITERS} rounds")
-    return labels.selectExpr("node AS doc_id", "label AS cluster_id")
+    # memoized per sf_dir (labels are already localCheckpoint-
+    # materialized): four consumers — the clusters query, the size
+    # histogram, modularity and the golden-record merge — would each
+    # re-run the whole propagation loop otherwise
+    out = labels.selectExpr("node AS doc_id", "label AS cluster_id")
+    _CLUSTER_CACHE[sf_dir] = out
+    return out
 
 
 MAX_HOPS = 6  # BFS horizon: transitive contamination beyond this is noise
