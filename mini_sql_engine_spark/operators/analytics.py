@@ -4408,7 +4408,116 @@ def experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for purchase value — the
+    distribution-free uncertainty wrapper: fit the (trivial) mean
+    predictor on the calibration half (hash split), take the
+    ⌈(n+1)(1−α)⌉-th smallest absolute residual as the radius, and
+    VERIFY the finite-sample guarantee by measuring coverage on the
+    held-out half. The quantile is a discrete order statistic (exact
+    rank, no interpolation — the conformal definition), selected via
+    the same rank-lookup machinery as the equi-depth histogram.
+    Output: one row with the interval and both halves' realized
+    coverage.
+
+    Scale notes (100 TB): two conditional aggregates and one ranked
+    selection on the calibration residual ladder — conformal's
+    selling point is exactly that it adds only order statistics on
+    top of any predictor.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+            (
+                md5_long(F.col("event_id").cast("string"), salt="conf")
+                % 2
+                == 0
+            ).alias("cal"),
+        )
+    )
+    mu = ev.filter("cal").agg(
+        F.floor(F.sum("c") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("mu"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    resid = (
+        ev.filter("cal")
+        .crossJoin(F.broadcast(mu))
+        .select(F.abs(F.col("c") - F.col("mu")).alias("r"))
+    )
+    # radius = the ceil((n+1)(1-alpha))-th smallest residual (exact
+    # conformal rank); computed with a rank window over the residual
+    # value ladder
+    cells = resid.groupBy("r").agg(F.count(F.lit(1)).alias("k"))
+    wo = Window.orderBy("r")
+    ladder = cells.select(
+        "r",
+        F.coalesce(
+            F.sum("k").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_prev"),
+        F.sum("k")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    rank = F.ceil(
+        (F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)
+    ).cast("long")
+    radius = (
+        ladder.crossJoin(F.broadcast(mu))
+        .filter(
+            (F.col("cum_prev") < rank) & (rank <= F.col("cum"))
+        )
+        .select(F.col("r").alias("radius"))
+    )
+    cov = (
+        ev.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(radius))
+        .groupBy("cal")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("c") - F.col("mu")) <= F.col("radius")
+                ).cast("long")
+            ).alias("n_in"),
+        )
+    )
+    c1 = cov.filter("cal").select(
+        F.col("n").alias("n_cal"), F.col("n_in").alias("in_cal")
+    )
+    c0 = cov.filter(~F.col("cal")).select(
+        F.col("n").alias("n_test"), F.col("n_in").alias("in_test")
+    )
+    return (
+        mu.crossJoin(F.broadcast(radius))
+        .crossJoin(F.broadcast(c1.drop("n_cal")))
+        .crossJoin(F.broadcast(c0))
+        .select(
+            "n_cal",
+            "n_test",
+            F.round(F.col("mu") / 100.0, 2).alias("pred_usd"),
+            F.round(F.col("radius") / 100.0, 2).alias("radius_usd"),
+            F.round(F.col("in_cal") / F.col("n_cal"), 4).alias(
+                "coverage_cal"
+            ),
+            F.round(F.col("in_test") / F.col("n_test"), 4).alias(
+                "coverage_test"
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_conformal_interval": conformal_interval,
     "ext_experiment_health": experiment_health,
     "ext_hill_tail_index": hill_tail_index,
     "ext_price_elasticity": price_elasticity,
@@ -4582,6 +4691,57 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_conformal_interval": f"""
+        WITH ev AS (
+            SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                   CAST('0x' || substr(md5('conf:'
+                       || CAST(event_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 = 0 AS cal
+            FROM events WHERE event_type = 'purchase'),
+        mu AS (
+            SELECT CAST(FLOOR(SUM(c) / COUNT(*) + 0.5) AS BIGINT)
+                       AS mu,
+                   COUNT(*) AS n_cal
+            FROM ev WHERE cal),
+        resid AS (
+            SELECT ABS(c - mu) AS r FROM ev CROSS JOIN mu WHERE cal),
+        cells AS (SELECT r, COUNT(*) AS k FROM resid GROUP BY r),
+        ladder AS (
+            SELECT r,
+                   COALESCE(SUM(k) OVER (ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_prev,
+                   SUM(k) OVER (ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+            FROM cells),
+        radius AS (
+            SELECT r AS radius
+            FROM ladder CROSS JOIN mu
+            WHERE cum_prev < CAST(CEIL((n_cal + 1)
+                                       * {1.0 - CONF_ALPHA!r})
+                                  AS BIGINT)
+              AND CAST(CEIL((n_cal + 1) * {1.0 - CONF_ALPHA!r})
+                       AS BIGINT) <= cum),
+        cov AS (
+            SELECT cal, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN ABS(c - mu) <= radius
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_in
+            FROM ev CROSS JOIN mu CROSS JOIN radius
+            GROUP BY cal)
+        SELECT mu.n_cal,
+               (SELECT n FROM cov WHERE NOT cal) AS n_test,
+               ROUND(mu / 100.0, 2) AS pred_usd,
+               ROUND(radius / 100.0, 2) AS radius_usd,
+               ROUND((SELECT n_in FROM cov WHERE cal)
+                     / (SELECT n FROM cov WHERE cal), 4)
+                   AS coverage_cal,
+               ROUND((SELECT n_in FROM cov WHERE NOT cal)
+                     / (SELECT n FROM cov WHERE NOT cal), 4)
+                   AS coverage_test
+        FROM mu CROSS JOIN radius
+    """,
     "ext_experiment_health": """
         WITH ud AS (
             SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
