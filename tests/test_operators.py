@@ -824,3 +824,54 @@ def test_gumbel_topk_is_deterministic_sample(spark, sf_dir):
     a = [r.doc_id for r in gumbel_topk(spark, sf_dir).collect()]
     b = [r.doc_id for r in gumbel_topk(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_conformal_calibration_coverage_guarantee(spark, sf_dir):
+    """Split-conformal finite-sample property: calibration coverage
+    ≥ 1 − α by construction of the ⌈(n+1)(1−α)⌉ rank."""
+    from mini_sql_engine_spark.operators.analytics import (
+        CONF_ALPHA,
+        conformal_interval,
+    )
+
+    r = conformal_interval(spark, sf_dir).collect()[0]
+    assert r.coverage_cal >= 1.0 - CONF_ALPHA - 1e-9, r
+
+
+def test_pca_loadings_unit_norm(spark, sf_dir):
+    """The reported loadings come from a unit-normalized direction:
+    Σ loading² over ALL dims ≤ 1 (top-8 shown, so strictly ≤)."""
+    from mini_sql_engine_spark.operators.quality import (
+        pca_power_iteration,
+    )
+
+    rows = pca_power_iteration(spark, sf_dir).collect()
+    assert rows and sum(r.loading**2 for r in rows) <= 1.0 + 1e-6
+
+
+def test_golden_record_survivorship_rules(spark, sf_dir):
+    """Surviving id is the min member; content donor is a member with
+    max length; totals exceed any single member."""
+    from mini_sql_engine_spark.operators.dedup import golden_record
+
+    for r in golden_record(spark, sf_dir).collect():
+        assert r.total_chars >= r.content_chars
+        assert r.n_members > 1
+
+
+def test_modularity_in_range(spark, sf_dir):
+    """Q of a components partition lies in [0, 1) (all edges
+    intra-cluster ⇒ Q = 1 − Σ(d_c/2m)² < 1, ≥ 0 for any partition
+    with ≥1 cluster)."""
+    from mini_sql_engine_spark.operators.dedup import graph_modularity
+
+    r = graph_modularity(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.modularity < 1.0, r
+
+
+def test_silhouette_in_range(spark, sf_dir):
+    """Mean simplified silhouette per cell lies in [-1, 1]."""
+    from mini_sql_engine_spark.operators.quality import cluster_silhouette
+
+    for r in cluster_silhouette(spark, sf_dir).collect():
+        assert -1.0 <= r.mean_silhouette <= 1.0, r
