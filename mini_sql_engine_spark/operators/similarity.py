@@ -262,6 +262,125 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL = 15  # candidate pool per query (top-N by relevance)
+MMR_K = 5  # diversified picks per query
+# λ = 0.7 as the integer pair (7, 3): score = 7·rel_q − 3·max_sim_q on
+# 1e-4-quantized cosines — integer arithmetic, so the greedy argmax
+# order can never differ between engines by float noise
+MMR_LAMBDA_NUM = 7
+MMR_DIV_NUM = 3
+MMR_Q = 10_000  # cosine quantization steps (matches the round-4 digits)
+
+
+def _q4(c: Column) -> Column:
+    """1e-4-quantized cosine as an exact integer (round-half-up)."""
+    return F.floor(F.round(c, 4) * MMR_Q + 0.5).cast("long")
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick MMR_K of the MMR_POOL most-relevant
+    candidates per query, each step maximizing
+    λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s) — the re-ranking that
+    keeps a retrieval slate from being MMR_K near-copies of the same
+    document (the failure mode near-dup-heavy corpora hit hardest).
+
+    Execution: the DISTRIBUTED stage is candidate generation — the
+    same broadcast-query scoring scan as brute_force_topk, window
+    top-MMR_POOL per query. The greedy loop then runs as MMR_K
+    unrolled DataFrame steps over (queries × MMR_POOL) rows — a
+    constant-size table, so the unrolled joins are driver-planned but
+    executor-evaluated, never a collect. Scores quantize to integers
+    (1e-4 steps) before any comparison, making the argmax sequence
+    exactly reproducible; ties break on candidate id. The oracle
+    unrolls the identical greedy steps as chained CTEs.
+
+    100 TB: pool generation is the cost (swap the brute-force scan
+    for the ANN path when the corpus outgrows it); the rerank itself
+    touches q×MMR_POOL rows regardless of corpus size — this split
+    (heavy recall stage, tiny precision stage) is the production
+    shape of every retrieval pipeline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("r", _q4(vector.dot(F.col("qe"), F.col("ne"))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("r").desc(), F.col("n_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("q_id", "n_id", "r", "ne")
+    )
+    # pairwise candidate sims: (q × POOL²) rows — constant-size; cache
+    # so the MMR_K step plans don't rebuild the scoring scan each step
+    a = cand.select("q_id", F.col("n_id").alias("a_id"), F.col("ne").alias("ae"))
+    b = cand.select("q_id", F.col("n_id").alias("b_id"), F.col("ne").alias("be"))
+    sims = (
+        a.join(b, ["q_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id", "a_id", "b_id",
+            _q4(vector.dot(F.col("ae"), F.col("be"))).alias("s"),
+        )
+    ).localCheckpoint(eager=False)
+    cand = cand.drop("ne").localCheckpoint(eager=False)
+
+    w1 = Window.partitionBy("q_id").orderBy(F.col("r").desc(), F.col("n_id"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.lit(1).cast("long").alias("step"),
+            "n_id",
+            "r",
+            (F.col("r") * MMR_LAMBDA_NUM).alias("score"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        max_s = (
+            sims.join(
+                sel.select("q_id", F.col("n_id").alias("b_id")), ["q_id", "b_id"]
+            )
+            .groupBy("q_id", "a_id")
+            .agg(F.max("s").alias("max_s"))
+        )
+        rem = cand.join(sel.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti")
+        step_scored = rem.join(
+            max_s.withColumnRenamed("a_id", "n_id"), ["q_id", "n_id"]
+        ).withColumn(
+            "score",
+            F.col("r") * MMR_LAMBDA_NUM - F.col("max_s") * MMR_DIV_NUM,
+        )
+        wt = Window.partitionBy("q_id").orderBy(
+            F.col("score").desc(), F.col("n_id")
+        )
+        pick = (
+            step_scored.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q_id", F.lit(t).cast("long").alias("step"), "n_id", "r", "score"
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        "q_id",
+        "step",
+        "n_id",
+        F.round(F.col("r") / MMR_Q, 4).alias("rel"),
+        # score/1e5 carries exactly 5 decimal digits — round at 5, never
+        # 4: a 4-digit round can land on an exact .xxxx5 half, where
+        # Spark (HALF_UP) and DuckDB disagree
+        F.round(F.col("score") / (MMR_Q * 10.0), 5).alias("mmr"),
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the vector column: per-vector max /
     min / mean / positive-component count — all JVM-side array
@@ -433,6 +552,72 @@ _HARD_NEG_ORACLE = f"""
     FROM ranked WHERE rnk <= {HARD_NEG_K}
 """
 
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs — the same integer-quantized
+    argmax sequence the Spark loop runs, step for step."""
+    q4 = "CAST(FLOOR(ROUND({x}, 4) * {q} + 0.5) AS BIGINT)".format
+    dot = (
+        "list_dot_product(CAST({a}.embedding AS DOUBLE[]), "
+        "CAST({b}.embedding AS DOUBLE[]))"
+    ).format
+    parts = [
+        f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               {q4(x=dot(a='q', b='c'), q=MMR_Q)} AS r
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT q_id, n_id, r FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY r DESC, n_id) AS rn
+            FROM scored) WHERE rn <= {MMR_POOL}),
+    sims AS (
+        SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+               {q4(x=dot(a='ea', b='eb'), q=MMR_Q)} AS s
+        FROM cand a JOIN cand b
+          ON a.q_id = b.q_id AND a.n_id != b.n_id
+        JOIN embeddings ea ON ea.vec_id = a.n_id
+        JOIN embeddings eb ON eb.vec_id = b.n_id),
+    selall1 AS (
+        SELECT q_id, CAST(1 AS BIGINT) AS step, n_id, r,
+               r * {MMR_LAMBDA_NUM} AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY r DESC, n_id) AS rn
+              FROM cand) WHERE rn = 1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(f""",
+    selall{t} AS (
+        SELECT * FROM selall{t - 1}
+        UNION ALL
+        SELECT q_id, CAST({t} AS BIGINT) AS step, n_id, r, score FROM (
+            SELECT c.q_id, c.n_id, c.r,
+                   c.r * {MMR_LAMBDA_NUM} - m.max_s * {MMR_DIV_NUM} AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id
+                       ORDER BY c.r * {MMR_LAMBDA_NUM}
+                                - m.max_s * {MMR_DIV_NUM} DESC,
+                                c.n_id) AS rn
+            FROM cand c
+            JOIN (SELECT s.q_id, s.a_id, MAX(s.s) AS max_s
+                  FROM sims s JOIN selall{t - 1} p
+                    ON p.q_id = s.q_id AND p.n_id = s.b_id
+                  GROUP BY 1, 2) m
+              ON m.q_id = c.q_id AND m.a_id = c.n_id
+            WHERE NOT EXISTS (SELECT 1 FROM selall{t - 1} p
+                              WHERE p.q_id = c.q_id AND p.n_id = c.n_id)
+        ) WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT q_id, step, n_id,
+           ROUND(r / {MMR_Q}.0, 4) AS rel,
+           ROUND(score / {MMR_Q * 10}.0, 5) AS mmr
+    FROM selall{MMR_K}""")
+    return "".join(parts)
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
 QUERIES: dict[str, Callable] = {
     "ext_sim_bruteforce_topk": brute_force_topk,
     "ext_sim_ann_lsh_topk": ann_lsh_topk,
@@ -440,12 +625,14 @@ QUERIES: dict[str, Callable] = {
     "ext_sim_recall_eval": ann_recall_eval,
     "ext_sim_label_pairs": label_centroid_similarity,
     "ext_sim_hard_negatives": hard_negative_mining,
+    "ext_mmr_rerank": mmr_rerank,
     "ext_array_funcs": embedding_array_stats,
 }
 
 ORACLES: dict[str, str] = {
     "ext_sim_bruteforce_topk": _BRUTE_ORACLE,
     "ext_sim_hard_negatives": _HARD_NEG_ORACLE,
+    "ext_mmr_rerank": _MMR_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_recall_eval": _RECALL_ORACLE,
