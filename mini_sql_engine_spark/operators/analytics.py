@@ -4516,7 +4516,197 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ECE_BINS = 10
+ECE_SMOOTH = 2  # p̂ = clicks / (clicks + ECE_SMOOTH): a monotone
+# activity-based conversion score — exact small-integer ratio, so both
+# engines compute bit-identical doubles
+
+
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for a
+    deterministic conversion predictor: per user-day, score
+    p̂ = clicks/(clicks+2) against the did-purchase label, bin p̂ into
+    ECE_BINS equal-width bins, and report per-bin confidence (mean p̂)
+    vs accuracy (positive rate) plus the n-weighted |acc − conf| sum —
+    the standard post-hoc calibration audit every model-driven
+    curation gate needs before its scores can be thresholded.
+
+    Numeric discipline: p̂ is an exact ratio of small ints; per-bin
+    mean p̂ accumulates through qsum (order-proof integer sum); ECE's
+    weighted combine is a second qsum over the ECE_BINS bin rows.
+
+    Scale notes (100 TB): one user-day rollup (map-side partial agg),
+    one ECE_BINS-row regroup — aggregation-only, no joins wider than
+    the final bins×1 cross of two broadcast scalars.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicks"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            (F.col("clicks") / (F.col("clicks") + F.lit(float(ECE_SMOOTH)))).alias(
+                "p"
+            ),
+            "y",
+        )
+    )
+    binned = ud.select(
+        F.least(F.floor(F.col("p") * ECE_BINS), F.lit(ECE_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+        "p",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _qsum(F.col("p")).alias("conf_q"),
+        F.sum("y").alias("n_pos"),
+    )
+    tot = per_bin.agg(F.sum("n_days").alias("n_total"))
+    rows = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_days",
+        (F.col("conf_q") / _NANO / F.col("n_days")).alias("conf"),
+        (F.col("n_pos") / F.col("n_days")).alias("acc"),
+        "n_total",
+    )
+    ece = rows.agg(
+        _qsum(
+            F.col("n_days")
+            / F.col("n_total")
+            * F.abs(F.col("acc") - F.col("conf"))
+        ).alias("ece_q")
+    )
+    return rows.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n_days",
+        F.round(F.col("conf"), 6).alias("conf"),
+        F.round(F.col("acc"), 6).alias("acc"),
+        F.round(F.col("ece_q") / _NANO, 6).alias("ece"),
+    )
+
+
+def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor propensity matching (with replacement) and the
+    matched ATT: treated users (hash arm) each match the control
+    activity level nearest their own (ties → the lower level), and the
+    effect is the mean of (treated outcome − matched control mean) —
+    the workhorse observational-causal adjustment when covariates,
+    not randomization, drive assignment. The propensity proxy is the
+    integer activity count, so matching is exact integer arithmetic.
+
+    Execution: controls collapse to one row per distinct activity
+    level (count + outcome sum — matching WITH replacement needs only
+    the level means, never the control rows); the nearest level per
+    treated user comes from a sorted interleave — union the control
+    levels with the treated rows, one pass of last_value-ignore-nulls
+    in each direction, pick the closer side. The oracle runs the same
+    two windows.
+
+    Scale notes (100 TB): the interleave is a sort on (score, tag) —
+    range-partitioned sort at scale (same note as
+    ext_dedup_sorted_neighborhood); everything after it is per-row
+    arithmetic plus one broadcast join back to the collapsed control
+    levels (|levels| ≪ |users|).
+    """
+    from pyspark.sql import Window
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("x"),
+        )
+        .select(
+            "user_id",
+            "a",
+            "x",
+            (md5_long(F.col("user_id").cast("string"), salt="arm") % 2).alias(
+                "arm"
+            ),
+        )
+    )
+    ctrl = (
+        users.filter(F.col("arm") == 0)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_c"), F.sum("x").alias("sx"))
+    )
+    treated = users.filter(F.col("arm") == 1)
+    stream = ctrl.select(
+        F.col("a"),
+        F.lit(0).alias("tag"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("x"),
+        F.col("a").alias("ctrl_a"),
+    ).unionAll(
+        treated.select(
+            "a",
+            F.lit(1).alias("tag"),
+            "user_id",
+            "x",
+            F.lit(None).cast("long").alias("ctrl_a"),
+        )
+    )
+    wf = (
+        Window.orderBy("a", "tag", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.orderBy(F.col("a").desc(), "tag", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        stream.withColumn("prev_a", F.last("ctrl_a", ignorenulls=True).over(wf))
+        .withColumn("next_a", F.last("ctrl_a", ignorenulls=True).over(wb))
+        .filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            "a",
+            "x",
+            F.when(F.col("prev_a").isNull(), F.col("next_a"))
+            .when(F.col("next_a").isNull(), F.col("prev_a"))
+            .when(
+                F.col("a") - F.col("prev_a") <= F.col("next_a") - F.col("a"),
+                F.col("prev_a"),
+            )
+            .otherwise(F.col("next_a"))
+            .alias("m_a"),
+        )
+    )
+    joined = matched.join(
+        F.broadcast(ctrl.withColumnRenamed("a", "m_a")), "m_a"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.round(
+            _qsum(F.col("x") - F.col("sx") / F.col("n_c"))
+            / _NANO
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("att_usd"),
+        F.round(
+            F.sum(F.abs(F.col("a") - F.col("m_a"))) / F.count(F.lit(1)), 6
+        ).alias("avg_abs_gap"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_calibration_ece": calibration_ece,
+    "ext_propensity_match": propensity_match,
     "ext_conformal_interval": conformal_interval,
     "ext_experiment_health": experiment_health,
     "ext_hill_tail_index": hill_tail_index,
@@ -4691,6 +4881,90 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_calibration_ece": f"""
+        WITH ud AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS clicks,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS y
+            FROM events GROUP BY 1, 2),
+        scoredp AS (
+            SELECT clicks / (clicks + {float(ECE_SMOOTH)}) AS p, y FROM ud),
+        binned AS (
+            SELECT CAST(LEAST(FLOOR(p * {ECE_BINS}), {ECE_BINS - 1})
+                        AS BIGINT) AS bin, p, y
+            FROM scoredp),
+        per_bin AS (
+            SELECT bin, COUNT(*) AS n_days,
+                   CAST(SUM(CAST(FLOOR(p * {_NANO} + 0.5) AS BIGINT))
+                        AS BIGINT) AS conf_q,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM binned GROUP BY bin),
+        tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS n_total
+                FROM per_bin),
+        rws AS (
+            SELECT bin, n_days,
+                   conf_q / {_NANO} / n_days AS conf,
+                   n_pos / n_days AS acc,
+                   n_total
+            FROM per_bin CROSS JOIN tot),
+        ece AS (
+            SELECT CAST(SUM(CAST(FLOOR(n_days / n_total
+                       * ABS(acc - conf) * {_NANO} + 0.5) AS BIGINT))
+                       AS BIGINT) AS ece_q
+            FROM rws)
+        SELECT bin, CAST(n_days AS BIGINT) AS n_days,
+               ROUND(conf, 6) AS conf, ROUND(acc, 6) AS acc,
+               ROUND(ece_q / {_NANO} * 1.0, 6) AS ece
+        FROM rws CROSS JOIN ece
+    """,
+    "ext_propensity_match": f"""
+        WITH users AS (
+            SELECT user_id, COUNT(*) AS a,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS arm
+            FROM events GROUP BY user_id),
+        ctrl AS (
+            SELECT a, COUNT(*) AS n_c, CAST(SUM(x) AS BIGINT) AS sx
+            FROM users WHERE arm = 0 GROUP BY a),
+        strm AS (
+            SELECT a, 0 AS tag, CAST(-1 AS BIGINT) AS user_id,
+                   CAST(NULL AS BIGINT) AS x, a AS ctrl_a
+            FROM ctrl
+            UNION ALL
+            SELECT a, 1 AS tag, user_id, x, CAST(NULL AS BIGINT) AS ctrl_a
+            FROM users WHERE arm = 1),
+        win AS (
+            SELECT *,
+                   LAST_VALUE(ctrl_a IGNORE NULLS) OVER (
+                       ORDER BY a, tag, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_a,
+                   LAST_VALUE(ctrl_a IGNORE NULLS) OVER (
+                       ORDER BY a DESC, tag, user_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS next_a
+            FROM strm),
+        matched AS (
+            SELECT user_id, a, x,
+                   CASE WHEN prev_a IS NULL THEN next_a
+                        WHEN next_a IS NULL THEN prev_a
+                        WHEN a - prev_a <= next_a - a THEN prev_a
+                        ELSE next_a END AS m_a
+            FROM win WHERE tag = 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+               ROUND(CAST(SUM(CAST(FLOOR((x - sx / n_c) * {_NANO} + 0.5)
+                       AS BIGINT)) AS DOUBLE)
+                   / {_NANO} / COUNT(*) / 100.0, 4) AS att_usd,
+               ROUND(CAST(SUM(ABS(m.a - m.m_a)) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_abs_gap
+        FROM matched m JOIN ctrl c ON c.a = m.m_a
+    """,
     "ext_conformal_interval": f"""
         WITH ev AS (
             SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
