@@ -26,6 +26,7 @@ per partition before the final merge.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -312,13 +313,20 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", _q4(vector.dot(F.col("qe"), F.col("ne"))))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("r").desc(), F.col("n_id"))
+    # checkpoint the candidate pool FIRST (one run of the corpus
+    # scoring scan), then derive the pairwise-sim table from the
+    # checkpointed pool — deriving it from the raw lineage would run
+    # the full scan a second time (measured: 2× the scan cost)
     cand = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_POOL)
         .select("q_id", "n_id", "r", "ne")
-    )
-    # pairwise candidate sims: (q × POOL²) rows — constant-size; cache
-    # so the MMR_K step plans don't rebuild the scoring scan each step
+        # q×POOL rows: collapse to one partition so every loop stage
+        # below is a single task (the scan stage ahead of the window
+        # shuffle keeps its full parallelism)
+        .coalesce(1)
+    ).localCheckpoint(eager=False)
+    # pairwise candidate sims: (q × POOL²) rows — constant-size
     a = cand.select("q_id", F.col("n_id").alias("a_id"), F.col("ne").alias("ae"))
     b = cand.select("q_id", F.col("n_id").alias("b_id"), F.col("ne").alias("be"))
     sims = (
@@ -328,8 +336,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "a_id", "b_id",
             _q4(vector.dot(F.col("ae"), F.col("be"))).alias("s"),
         )
+        .coalesce(1)
     ).localCheckpoint(eager=False)
-    cand = cand.drop("ne").localCheckpoint(eager=False)
+    cand = cand.drop("ne")
 
     w1 = Window.partitionBy("q_id").orderBy(F.col("r").desc(), F.col("n_id"))
     sel = (
@@ -346,14 +355,18 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in range(2, MMR_K + 1):
         max_s = (
             sims.join(
-                sel.select("q_id", F.col("n_id").alias("b_id")), ["q_id", "b_id"]
+                F.broadcast(sel.select("q_id", F.col("n_id").alias("b_id"))),
+                ["q_id", "b_id"],
             )
             .groupBy("q_id", "a_id")
             .agg(F.max("s").alias("max_s"))
         )
-        rem = cand.join(sel.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti")
+        rem = cand.join(
+            F.broadcast(sel.select("q_id", "n_id")), ["q_id", "n_id"], "left_anti"
+        )
         step_scored = rem.join(
-            max_s.withColumnRenamed("a_id", "n_id"), ["q_id", "n_id"]
+            F.broadcast(max_s.withColumnRenamed("a_id", "n_id")),
+            ["q_id", "n_id"],
         ).withColumn(
             "score",
             F.col("r") * MMR_LAMBDA_NUM - F.col("max_s") * MMR_DIV_NUM,
@@ -368,7 +381,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q_id", F.lit(t).cast("long").alias("step"), "n_id", "r", "score"
             )
         )
-        sel = sel.unionAll(pick)
+        # truncate lineage each step: without this the step-t plan
+        # nests all prior steps' joins (Catalyst re-optimizes a
+        # 5-deep self-referencing tree — measured 5.2 s at sf0.1;
+        # checkpointed ~1.5 s)
+        sel = sel.unionAll(pick).localCheckpoint(eager=False)
     return sel.select(
         "q_id",
         "step",
@@ -378,6 +395,182 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 4: a 4-digit round can land on an exact .xxxx5 half, where
         # Spark (HALF_UP) and DuckDB disagree
         F.round(F.col("score") / (MMR_Q * 10.0), 5).alias("mmr"),
+    )
+
+
+RBO_P = 0.9  # rank-biased overlap persistence
+RBO_K = 10  # evaluation depth (= TOP_K)
+# W(m) = Σ_{d=m..K} p^(d-1)/d: an item appearing at ranks (ra, rb)
+# contributes to every prefix depth d ≥ max(ra, rb), so RBO@K reduces
+# to (1−p)·Σ_items W(max(ra, rb)) — one weight lookup per matched item
+# instead of a per-depth intersection loop. Constants are computed
+# driver-side and inlined as identical literals into both engines.
+_RBO_W: list[float] = [
+    sum(RBO_P ** (d - 1) / d for d in range(m, RBO_K + 1))
+    for m in range(1, RBO_K + 1)
+]
+
+# NDCG position discounts 1/log2(d+1) and their prefix sums (IDCG for
+# an ideal list of the first n positions) — literals, no runtime libm.
+_NDCG_DISC: list[float] = [1.0 / math.log2(d + 1) for d in range(1, RBO_K + 1)]
+_NDCG_CUM: list[float] = [
+    sum(_NDCG_DISC[: i + 1]) for i in range(RBO_K)
+]
+
+
+def _ann_ranking(emb: DataFrame, depth: int) -> DataFrame:
+    """LSH-bucketed ANN ranking to `depth` (same bucket machinery as
+    ann_lsh_topk, parameterized depth)."""
+    bucketed = emb.withColumn("bucket", bucket_expr(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("ne"),
+        F.col("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= depth)
+        .select("q_id", "n_id", "rnk")
+    )
+
+
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO@K (Webber et al. 2010) between the exact brute-force and the
+    LSH-ANN rankings per query — the top-weighted agreement measure for
+    comparing two retrieval systems (recall@k treats rank 1 and rank k
+    alike; RBO discounts geometrically, which is how users read result
+    lists). Uses the weight-lookup identity (see _RBO_W): one inner
+    join on (query, item), a greatest(ra, rb) per matched item, one
+    constant-array lookup, one qsum.
+
+    Scale notes (100 TB): both input rankings are top-K per query —
+    q×K rows regardless of corpus size; the corpus-scale work lives in
+    the ranking producers. The join is on the thin (q_id, n_id) key
+    and the weight table is a K-entry literal, so evaluation cost is
+    O(q·K) always.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    wA = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id")
+    )
+    exact = (
+        scored.withColumn("ra", F.row_number().over(wA))
+        .filter(F.col("ra") <= RBO_K)
+        .select("q_id", "n_id", "ra")
+    )
+    ann = _ann_ranking(emb, RBO_K).withColumnRenamed("rnk", "rb")
+    warr = F.array(*[F.lit(v) for v in _RBO_W])
+    matched = exact.join(ann, ["q_id", "n_id"]).select(
+        "q_id",
+        F.element_at(
+            warr, F.greatest("ra", "rb").cast("int")
+        ).alias("w"),
+    )
+    per_q = matched.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(F.floor(F.col("w") * 1_000_000_000 + 0.5).cast("long")).alias(
+            "w_q"
+        ),
+    )
+    qs = q.select("q_id")
+    return (
+        qs.join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                (1.0 - RBO_P) * F.coalesce("w_q", F.lit(0)) / 1_000_000_000,
+                6,
+            ).alias("rbo"),
+        )
+    )
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-graded NDCG@K of the LSH-ANN ranking: binary relevance =
+    candidate shares the query's label; IDCG uses the corpus-wide
+    same-label count (capped at K), so the score penalizes both
+    mis-ranked and missed relevant neighbors — the retrieval-quality
+    readout recall@k (ext_sim_recall_eval) cannot give because it
+    ignores positions. Discounts 1/log2(d+1) and their prefix sums are
+    driver-side literal constants; the per-query sums run through
+    integer-quantized accumulation.
+
+    Scale notes (100 TB): ANN list is q×K rows; the label prior is a
+    |labels|-row broadcast. Nothing scales with the corpus except the
+    ranking producer itself.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = _ann_ranking(emb, RBO_K)
+    labels = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    qlab = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    disc = F.array(*[F.lit(v) for v in _NDCG_DISC])
+    cum = F.array(*[F.lit(v) for v in _NDCG_CUM])
+    dcg = (
+        ann.join(F.broadcast(labels), "n_id")
+        .join(F.broadcast(qlab), "q_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).alias("n_hits"),
+            F.sum(
+                F.when(
+                    F.col("n_label") == F.col("q_label"),
+                    F.floor(
+                        F.element_at(disc, F.col("rnk").cast("int"))
+                        * 1_000_000_000
+                        + 0.5
+                    ).cast("long"),
+                ).otherwise(0)
+            ).alias("dcg_q"),
+        )
+    )
+    lab_counts = emb.groupBy(F.col("label").alias("q_label")).agg(
+        F.count(F.lit(1)).alias("n_label_total")
+    )
+    joined = dcg.join(F.broadcast(lab_counts), "q_label").select(
+        "q_id",
+        "n_hits",
+        (F.col("dcg_q") / 1_000_000_000).alias("dcg"),
+        # ideal list length: same-label corpus members excluding the
+        # query itself, capped at K
+        F.least(F.col("n_label_total") - 1, F.lit(RBO_K)).alias("ideal_len"),
+    )
+    return joined.select(
+        "q_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round(
+            F.when(F.col("ideal_len") <= 0, F.lit(0.0)).otherwise(
+                F.col("dcg")
+                / F.element_at(cum, F.col("ideal_len").cast("int"))
+            ),
+            6,
+        ).alias("ndcg"),
     )
 
 
@@ -617,6 +810,86 @@ def _mmr_oracle() -> str:
 
 _MMR_ORACLE = _mmr_oracle()
 
+_ANN_RANK_K = f"""
+    bucketed AS (
+        SELECT vec_id, embedding,
+               {_BUCKET.format(e='CAST(embedding AS DOUBLE[])')} AS bucket
+        FROM embeddings),
+    ann_s AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4)
+                   AS cos_sim
+        FROM bucketed q JOIN bucketed c
+          ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    ann_r AS (
+        SELECT q_id, n_id, rn AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, n_id) AS rn
+            FROM ann_s) WHERE rn <= {RBO_K})"""
+
+_RBO_ORACLE = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product({_EMB.format(t='q')},
+                                      {_EMB.format(t='c')}), 4) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    exact_r AS (
+        SELECT q_id, n_id, rn AS ra FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, n_id) AS rn
+            FROM scored) WHERE rn <= {RBO_K}),
+    {_ANN_RANK_K},
+    matched AS (
+        SELECT e.q_id,
+               (CAST({_plane_sql(_RBO_W)} AS DOUBLE[]))
+                   [GREATEST(e.ra, a.rnk)] AS w
+        FROM exact_r e JOIN ann_r a
+          ON a.q_id = e.q_id AND a.n_id = e.n_id),
+    per_q AS (
+        SELECT q_id, COUNT(*) AS n_overlap,
+               CAST(SUM(CAST(FLOOR(w * 1000000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS w_q
+        FROM matched GROUP BY q_id)
+    SELECT e.vec_id AS q_id,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST({1.0 - RBO_P!r} AS DOUBLE)
+                 * COALESCE(w_q, 0) / 1000000000, 6) AS rbo
+    FROM embeddings e LEFT JOIN per_q p ON p.q_id = e.vec_id
+    WHERE e.vec_id < {N_QUERIES}
+"""
+
+_NDCG_ORACLE = f"""
+    WITH {_ANN_RANK_K},
+    dcg AS (
+        SELECT a.q_id, ql.label AS q_label,
+               CAST(SUM(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN cl.label = ql.label
+                        THEN CAST(FLOOR((CAST({_plane_sql(_NDCG_DISC)}
+                                         AS DOUBLE[]))[a.rnk]
+                                        * 1000000000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS dcg_q
+        FROM ann_r a
+        JOIN embeddings cl ON cl.vec_id = a.n_id
+        JOIN embeddings ql ON ql.vec_id = a.q_id
+        GROUP BY a.q_id, ql.label),
+    lc AS (SELECT label, COUNT(*) AS n_label_total
+           FROM embeddings GROUP BY label),
+    j AS (
+        SELECT q_id, n_hits, dcg_q / 1000000000 AS dcg,
+               LEAST(n_label_total - 1, {RBO_K}) AS ideal_len
+        FROM dcg JOIN lc ON lc.label = dcg.q_label)
+    SELECT q_id, n_hits, ROUND(dcg, 6) AS dcg,
+           ROUND(CASE WHEN ideal_len <= 0 THEN 0.0
+                      ELSE dcg / ((CAST({_plane_sql(_NDCG_CUM)}
+                                   AS DOUBLE[]))[CAST(ideal_len AS INT)])
+                 END, 6) AS ndcg
+    FROM j
+"""
+
 
 QUERIES: dict[str, Callable] = {
     "ext_sim_bruteforce_topk": brute_force_topk,
@@ -626,6 +899,8 @@ QUERIES: dict[str, Callable] = {
     "ext_sim_label_pairs": label_centroid_similarity,
     "ext_sim_hard_negatives": hard_negative_mining,
     "ext_mmr_rerank": mmr_rerank,
+    "ext_rank_biased_overlap": rank_biased_overlap,
+    "ext_ndcg_eval": ndcg_eval,
     "ext_array_funcs": embedding_array_stats,
 }
 
@@ -633,6 +908,8 @@ ORACLES: dict[str, str] = {
     "ext_sim_bruteforce_topk": _BRUTE_ORACLE,
     "ext_sim_hard_negatives": _HARD_NEG_ORACLE,
     "ext_mmr_rerank": _MMR_ORACLE,
+    "ext_rank_biased_overlap": _RBO_ORACLE,
+    "ext_ndcg_eval": _NDCG_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_recall_eval": _RECALL_ORACLE,
