@@ -4704,7 +4704,190 @@ def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 10
+PSI_BIN_CENTS = 3500  # fixed-width purchase-value bins (~$35 each)
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the month (calendar split, day-of-month ≤ 15) over binned purchase
+    values — the industry-standard "has my feature distribution
+    shifted" monitor (PSI < 0.1 stable, > 0.25 action), complementing
+    the χ² (`ext_drift_chi2`) and JS (`ext_js_divergence`) monitors
+    with the metric ops teams actually threshold on. Add-one smoothing
+    keeps empty-on-one-side bins finite; PSI = Σ (p−q)·ln(p/q) runs
+    through qsum (ln on identical exact-ratio operands is
+    deterministic across engines). Bins empty on BOTH sides carry no
+    row (and zero contribution) by construction.
+
+    Scale notes (100 TB): one (bin, half) rollup with map-side
+    partial agg, then arithmetic over PSI_BINS rows. The calendar
+    split is a per-row predicate, so no second scan.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.least(
+                F.floor(
+                    F.floor(F.col("value") * 100 + 0.5) / PSI_BIN_CENTS
+                ),
+                F.lit(PSI_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+            (F.dayofmonth("ts") <= 15).alias("early"),
+        )
+    )
+    per_bin = ev.groupBy("bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_early"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_late"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_early").alias("ne"), F.sum("n_late").alias("nl")
+    )
+    rws = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_early",
+        "n_late",
+        ((F.col("n_early") + 1) / (F.col("ne") + PSI_BINS)).alias("p"),
+        ((F.col("n_late") + 1) / (F.col("nl") + PSI_BINS)).alias("q"),
+    )
+    psi = rws.agg(
+        _qsum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
+            "psi_q"
+        )
+    )
+    return rws.crossJoin(F.broadcast(psi)).select(
+        "bin",
+        "n_early",
+        "n_late",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round(F.col("psi_q") / _NANO, 6).alias("psi"),
+    )
+
+
+def wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the click and
+    purchase value distributions — the integral companion to the KS
+    sup-statistic (`ext_ks_two_sample`): KS sees the single worst CDF
+    gap, W₁ = ∫|F−G| sees the total transport cost, which is what a
+    "how big is the shift in dollars" question actually asks. Exact on
+    the integer-cents ladder: W₁ = Σ_i (v_{i+1}−v_i)·|F(v_i)−G(v_i)|
+    with cumulative integer counts and exact count/total ratios; the
+    float combine runs through qsum.
+
+    Scale notes (100 TB): one (value, side) rollup, one cumulative
+    window over the DISTINCT-value ladder (≪ rows; range-partitioned
+    sort at scale), one scalar combine. Same shape as the KS test.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+    )
+    cells = ev.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    tot = ev.agg(
+        F.sum(F.col("is_a").cast("long")).alias("na"),
+        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = (
+        cells.withColumn("cum_a", F.sum("ca").over(wcum))
+        .withColumn("cum_b", F.sum("cb").over(wcum))
+        .withColumn("next_v", F.lead("v").over(Window.orderBy("v")))
+        .filter(F.col("next_v").isNotNull())
+    )
+    w1 = ladder.crossJoin(F.broadcast(tot)).agg(
+        _qsum(
+            (F.col("next_v") - F.col("v"))
+            * F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))
+        ).alias("w1_q"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return w1.select(
+        F.col("na").cast("long").alias("n_click"),
+        F.col("nb").cast("long").alias("n_purchase"),
+        F.round(F.col("w1_q") / _NANO / 100.0, 6).alias("w1_usd"),
+    )
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map every event's value onto the POOLED
+    all-events distribution at the same within-group rank fraction —
+    the transform that makes per-source feature distributions
+    comparable (identical marginals) before mixing, standard in batch-
+    effect correction and multi-source training-data blending. Exact
+    rank arithmetic: within-group rank r of n_g maps to pooled rank
+    k = ⌊((2r−1)·N)/(2·n_g)⌋ + 1 (midpoint rule) — all-integer
+    operands below 2^53, so the double division floors identically on
+    both engines; ties order by (value, event_id) for determinism.
+
+    Scale notes (100 TB): two rank windows (per-group and pooled —
+    range-partitioned sorts at scale) and one shuffle join on the
+    pooled rank. The pooled ladder can be sampled/sketched (t-digest)
+    at real scale; the exact-rank form is the oracle-checkable spec.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    n_g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
+    n_tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
+    wg = Window.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = (
+        ev.withColumn("r", F.row_number().over(wg))
+        .join(F.broadcast(n_g), "event_type")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    pooled = ev.select(
+        F.row_number()
+        .over(Window.orderBy("v", "event_id"))
+        .cast("long")
+        .alias("k"),
+        F.col("v").alias("pv"),
+    )
+    keyed = ranked.select(
+        "event_id",
+        "event_type",
+        F.col("v").alias("orig_cents"),
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.col("n_tot"),
+                F.floor(
+                    (2 * F.col("r") - 1)
+                    * F.col("n_tot")
+                    / (2 * F.col("n_g"))
+                ).cast("long")
+                + 1,
+            ),
+        ).alias("k"),
+    )
+    return keyed.join(pooled, "k").select(
+        "event_id", "event_type", "orig_cents", F.col("pv").alias("norm_cents")
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_psi_drift": psi_drift,
+    "ext_wasserstein_distance": wasserstein_distance,
+    "ext_quantile_normalize": quantile_normalize,
     "ext_calibration_ece": calibration_ece,
     "ext_propensity_match": propensity_match,
     "ext_conformal_interval": conformal_interval,
@@ -4881,6 +5064,102 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_psi_drift": f"""
+        WITH ev AS (
+            SELECT CAST(LEAST(FLOOR(FLOOR(value * 100 + 0.5)
+                       / {PSI_BIN_CENTS}), {PSI_BINS - 1}) AS BIGINT)
+                       AS bin,
+                   EXTRACT(day FROM ts) <= 15 AS early
+            FROM events WHERE event_type = 'purchase'),
+        per_bin AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_early,
+                   CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_late
+            FROM ev GROUP BY bin),
+        tot AS (
+            SELECT CAST(SUM(n_early) AS BIGINT) AS ne,
+                   CAST(SUM(n_late) AS BIGINT) AS nl
+            FROM per_bin),
+        rws AS (
+            SELECT bin, n_early, n_late,
+                   (n_early + 1) / (ne + {PSI_BINS}) AS p,
+                   (n_late + 1) / (nl + {PSI_BINS}) AS q
+            FROM per_bin CROSS JOIN tot),
+        psi AS (
+            SELECT CAST(SUM(CAST(FLOOR((p - q) * LN(p / q) * {_NANO}
+                       + 0.5) AS BIGINT)) AS BIGINT) AS psi_q
+            FROM rws)
+        SELECT bin, n_early, n_late,
+               ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+               ROUND(psi_q / {_NANO} * 1.0, 6) AS psi
+        FROM rws CROSS JOIN psi
+    """,
+    "ext_wasserstein_distance": f"""
+        WITH ev AS (
+            SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                   event_type = 'click' AS is_a
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        cells AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ca,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cb
+            FROM ev GROUP BY v),
+        tot AS (
+            SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                       AS na,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                       AS nb
+            FROM ev),
+        ladder AS (
+            SELECT v,
+                   SUM(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_a,
+                   SUM(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_b,
+                   LEAD(v) OVER (ORDER BY v) AS next_v
+            FROM cells)
+        SELECT na AS n_click, nb AS n_purchase,
+               ROUND(CAST(SUM(CAST(FLOOR((next_v - v)
+                       * ABS(cum_a / na - cum_b / nb) * {_NANO} + 0.5)
+                       AS BIGINT)) AS BIGINT) / {_NANO} / 100.0, 6)
+                   AS w1_usd
+        FROM ladder CROSS JOIN tot
+        WHERE next_v IS NOT NULL
+        GROUP BY na, nb
+    """,
+    "ext_quantile_normalize": """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events),
+        ng AS (SELECT event_type, COUNT(*) AS n_g FROM ev GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS n_tot FROM ev),
+        ranked AS (
+            SELECT e.event_id, e.event_type, e.v,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                      ORDER BY e.v, e.event_id) AS r,
+                   g.n_g, t.n_tot
+            FROM ev e JOIN ng g USING (event_type) CROSS JOIN nt t),
+        pooled AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY v, event_id)
+                        AS BIGINT) AS k,
+                   v AS pv
+            FROM ev),
+        keyed AS (
+            SELECT event_id, event_type, v AS orig_cents,
+                   GREATEST(1, LEAST(n_tot,
+                       CAST(FLOOR((2 * r - 1) * n_tot / (2 * n_g))
+                            AS BIGINT) + 1)) AS k
+            FROM ranked)
+        SELECT event_id, event_type, orig_cents, pv AS norm_cents
+        FROM keyed JOIN pooled USING (k)
+    """,
     "ext_calibration_ece": f"""
         WITH ud AS (
             SELECT user_id, CAST(ts AS DATE) AS day,

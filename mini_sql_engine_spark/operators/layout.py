@@ -255,7 +255,92 @@ def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+RLE_LAYOUTS: list[tuple[str, list[str]]] = [
+    # (layout name, sort keys) — natural write order vs date-clustered
+    ("by_custkey", ["o_custkey", "o_orderkey"]),
+    ("by_date", ["o_orderdate", "o_orderkey"]),
+]
+RLE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length layout advisor: for each candidate sort order, count
+    each column's value RUNS (changes along the order) and the implied
+    average run length — the number that decides whether a rewrite to
+    a given clustering is worth it, since parquet's RLE/dictionary
+    encoding and min-max pruning both pay off in proportion to run
+    length. Sorting by customer makes o_custkey runs ~n/|customers|
+    long; sorting by date collapses them to ~1 — the advisor puts
+    exact numbers on that trade per column before anyone rewrites
+    100 TB.
+
+    Scale notes (100 TB): one window pass per layout over the sort
+    order (range-partitioned sort at scale; the lag-compare is
+    per-row). Counting runs needs no state beyond the previous row,
+    so this is the cheapest possible probe of a rewrite's value —
+    run it on a sampled fraction first at real scale.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    out: DataFrame | None = None
+    for layout, keys in RLE_LAYOUTS:
+        w = Window.orderBy(*keys)
+        flagged = orders.select(
+            *[
+                (
+                    (F.lag(c).over(w).isNull())
+                    | (F.col(c) != F.lag(c).over(w))
+                )
+                .cast("long")
+                .alias(f"chg_{c}")
+                for c in RLE_COLS
+            ]
+        )
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(f"chg_{c}").alias(f"runs_{c}") for c in RLE_COLS],
+        )
+        for c in RLE_COLS:
+            row = agg.select(
+                F.lit(layout).alias("layout"),
+                F.lit(c).alias("column"),
+                "n_rows",
+                F.col(f"runs_{c}").alias("n_runs"),
+                F.round(F.col("n_rows") / F.col(f"runs_{c}"), 4).alias(
+                    "avg_run_len"
+                ),
+            )
+            out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
+def _rle_oracle() -> str:
+    parts = []
+    for layout, keys in RLE_LAYOUTS:
+        order = ", ".join(keys)
+        chg = ", ".join(
+            f"CAST(SUM(CASE WHEN prev_{c} IS NULL OR {c} != prev_{c} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS runs_{c}"
+            for c in RLE_COLS
+        )
+        lags = ", ".join(
+            f"LAG({c}) OVER (ORDER BY {order}) AS prev_{c}" for c in RLE_COLS
+        )
+        for c in RLE_COLS:
+            parts.append(f"""
+            SELECT '{layout}' AS layout, '{c}' AS "column",
+                   n_rows, runs_{c} AS n_runs,
+                   ROUND(n_rows / runs_{c} * 1.0, 4) AS avg_run_len
+            FROM (
+                SELECT COUNT(*) AS n_rows, {chg}
+                FROM (SELECT *, {lags} FROM orders))""")
+    return " UNION ALL ".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_rle_advisor": rle_advisor,
     "ext_zone_map_pruning": zone_map_pruning,
     "ext_compaction_plan": compaction_plan,
     "ext_zorder_clustering": zorder_clustering,
@@ -290,6 +375,7 @@ def _advisor_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "ext_rle_advisor": _rle_oracle(),
     "ext_partition_advisor": _advisor_oracle(),
     "ext_zone_map_pruning": f"""
         WITH native AS (
