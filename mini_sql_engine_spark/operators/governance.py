@@ -51,6 +51,8 @@ from pyspark.sql.window import Window
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions.hashing import md5_long
+from mini_sql_engine_spark.functions.numeric import NANO as _NANO
+from mini_sql_engine_spark.functions.numeric import qsum as _qsum
 
 # --- fuzzy vocabulary join (SymSpell deletion neighborhood) ---------
 
@@ -1093,7 +1095,143 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV = 3  # minimum sensitive-value diversity per equivalence class
+T_CLOSE = 0.2  # t-closeness threshold
+BAL_BAND_CENTS = 100_000  # $1000 account-balance bands (sensitive attr)
+
+
+def _sensitive_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quasi-identifier class, sensitive band) counts — shared core of
+    the l-diversity and t-closeness audits. Quasi-identifiers match
+    `k_anonymity`; the sensitive attribute is the $1000 balance band."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.floor(F.col("c_acctbal") * 100 + 0.5) / BAL_BAND_CENTS)
+        .cast("long")
+        .alias("band"),
+    )
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distinct sensitive values (balance bands) per
+    quasi-identifier equivalence class — the attribute-disclosure
+    check k-anonymity misses (a class of 50 rows that all share ONE
+    sensitive value leaks it to anyone who can place a person in the
+    class). Classes below L_DIV distinct bands flag.
+
+    Scale notes (100 TB): one (class, band) rollup then a class
+    rollup — two map-side-combinable shuffles on dimension-bounded
+    keys; the nation name attaches by broadcast.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    per = (
+        _sensitive_classes(spark, sf_dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("band").alias("l_count"),
+        )
+    )
+    return per.join(
+        F.broadcast(nation), per["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("c_mktsegment").alias("segment"),
+        "class_size",
+        F.col("l_count").cast("long").alias("l_count"),
+        (F.col("l_count") < L_DIV).cast("int").alias("at_risk"),
+    )
+
+
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: earth-mover distance between each class's
+    sensitive-band distribution and the global one, on the ordered
+    band ladder normalized by (m−1) — the strongest of the
+    k-anon / l-div / t-close ladder (a class can be diverse yet still
+    skewed toward 'all rich'; t-closeness catches exactly that).
+    EMD over an ordinal attribute = mean |cumF_class − cumF_global|
+    across the m−1 ladder steps; cumulative counts are exact integers
+    and the combine runs through qsum.
+
+    Scale notes (100 TB): the grid is classes × bands — both
+    dimension-bounded, so the audit costs one rollup plus windows over
+    a constant-size grid regardless of row count. The global ladder
+    broadcasts.
+    """
+    from pyspark.sql import Window
+
+    sens = _sensitive_classes(spark, sf_dir)
+    classes = sens.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    bands = sens.groupBy("band").agg(F.count(F.lit(1)).alias("g_cnt"))
+    cell = sens.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    n_tot = sens.agg(F.count(F.lit(1)).alias("n_tot"))
+    m = bands.agg(F.count(F.lit(1)).alias("m"))
+    # full grid: every class × every global band (zero-filled)
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "band",
+            "g_cnt",
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.withColumn("cum_c", F.sum("c_cnt").over(wc))
+        .withColumn("cum_g", F.sum("g_cnt").over(wc))
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m))
+        # the last ladder step (cum = total on both sides) contributes
+        # |1−1| = 0; keep it out of the mean's m−1 denominator
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+                    "band"
+                )
+            ),
+        )
+        .filter(F.col("rn") < F.col("m"))
+    )
+    emd = cum.groupBy("c_nationkey", "c_mktsegment", "class_size", "m").agg(
+        _qsum(
+            F.abs(
+                F.col("cum_c") / F.col("class_size")
+                - F.col("cum_g") / F.col("n_tot")
+            )
+        ).alias("emd_q")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return emd.join(
+        F.broadcast(nation), emd["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        F.col("c_mktsegment").alias("segment"),
+        "class_size",
+        F.round(F.col("emd_q") / _NANO / (F.col("m") - 1), 6).alias("t_emd"),
+        (F.col("emd_q") / _NANO / (F.col("m") - 1) > T_CLOSE)
+        .cast("int")
+        .alias("at_risk"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_l_diversity": l_diversity,
+    "ext_t_closeness": t_closeness,
     "ext_schema_evolution": schema_evolution,
     "ext_ldp_frequency": ldp_frequency,
     "ext_dataset_fingerprint": dataset_fingerprint,
@@ -1485,6 +1623,70 @@ ORACLES: dict[str, str] = {
                         ELSE 'unchanged' END AS status
             FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey))
         SELECT * FROM d WHERE status != 'unchanged'
+    """,
+    "ext_l_diversity": f"""
+        WITH
+        sens AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(FLOOR(c_acctbal * 100 + 0.5) / 100000)
+                        AS BIGINT) AS band
+            FROM customer),
+        per AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+                   CAST(COUNT(DISTINCT band) AS BIGINT) AS l_count
+            FROM sens GROUP BY 1, 2)
+        SELECT n_name, c_mktsegment AS segment, class_size, l_count,
+               CAST(l_count < {L_DIV} AS INT) AS at_risk
+        FROM per JOIN nation ON n_nationkey = c_nationkey
+    """,
+    "ext_t_closeness": f"""
+        WITH
+        sens AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(FLOOR(c_acctbal * 100 + 0.5) / 100000)
+                        AS BIGINT) AS band
+            FROM customer),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+            FROM sens GROUP BY 1, 2),
+        bands AS (SELECT band, COUNT(*) AS g_cnt FROM sens GROUP BY band),
+        cell AS (
+            SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c_cnt
+            FROM sens GROUP BY 1, 2, 3),
+        nt AS (SELECT COUNT(*) AS n_tot FROM sens),
+        mm AS (SELECT COUNT(*) AS m FROM bands),
+        grid AS (
+            SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
+                   b.band, b.g_cnt, COALESCE(x.c_cnt, 0) AS c_cnt
+            FROM classes c CROSS JOIN bands b
+            LEFT JOIN cell x
+              ON x.c_nationkey = c.c_nationkey
+             AND x.c_mktsegment = c.c_mktsegment
+             AND x.band = b.band),
+        cum AS (
+            SELECT g.*, n_tot, m,
+                   SUM(c_cnt) OVER (PARTITION BY g.c_nationkey,
+                       g.c_mktsegment ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_c,
+                   SUM(g_cnt) OVER (PARTITION BY g.c_nationkey,
+                       g.c_mktsegment ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_g,
+                   ROW_NUMBER() OVER (PARTITION BY g.c_nationkey,
+                       g.c_mktsegment ORDER BY band) AS rn
+            FROM grid g CROSS JOIN nt CROSS JOIN mm),
+        emd AS (
+            SELECT c_nationkey, c_mktsegment, class_size, m,
+                   CAST(SUM(CAST(FLOOR(ABS(cum_c / class_size
+                       - cum_g / n_tot) * {_NANO} + 0.5) AS BIGINT))
+                       AS BIGINT) AS emd_q
+            FROM cum WHERE rn < m GROUP BY 1, 2, 3, 4)
+        SELECT n_name, c_mktsegment AS segment, class_size,
+               ROUND(emd_q / {_NANO} / (m - 1), 6) AS t_emd,
+               CAST(emd_q / {_NANO} / (m - 1) > {T_CLOSE} AS INT)
+                   AS at_risk
+        FROM emd JOIN nation ON n_nationkey = c_nationkey
     """,
     "ext_k_anonymity": f"""
         SELECT n.n_name, c.c_mktsegment AS segment,
