@@ -512,6 +512,79 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_D = 0.75  # absolute-discount mass (the standard Kneser–Ney value)
+KN_CONTEXTS = 10  # most-frequent left-contexts reported
+KN_TOPK = 3  # next-word predictions per context
+
+
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothed bigram next-word table: for the KN_CONTEXTS
+    most frequent left-words, the top next-word probabilities under
+    P_KN(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) +
+    D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··) — the smoothing that backs
+    off to CONTINUATION counts ("in how many contexts does w2 start?")
+    rather than raw frequency, which is why KN remains the reference
+    n-gram LM (`ext_bigram_perplexity`'s interpolated model is the
+    cheap cousin; this is the published estimator). All inputs are
+    exact type/token counts; D is the exactly-representable 0.75, so
+    probabilities are bit-identical across engines.
+
+    Scale notes (100 TB): every aggregate is bounded by VOCABULARY or
+    bigram-type counts, not corpus size (map-side combine on the
+    explode); the continuation and context tables join on their
+    natural keys and the totals broadcast. Same dataflow as the
+    perplexity scorer with two extra type-count rollups.
+    """
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    bi = docs.select(
+        F.explode(textfns.shingles("text", 2)).alias("bg")
+    ).select(
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+    )
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bic.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bic.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tt = bic.agg(F.count(F.lit(1)).alias("n_types"))
+    wtop = Window.orderBy(F.col("c1").desc(), F.col("w1"))
+    top_ctx = (
+        ctx.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= KN_CONTEXTS)
+        .drop("rn")
+    )
+    scored = (
+        bic.join(F.broadcast(top_ctx), "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            (
+                F.greatest(F.col("cb") - KN_D, F.lit(0.0)) / F.col("c1")
+                + F.lit(KN_D)
+                * F.col("n1p_fwd")
+                / F.col("c1")
+                * (F.col("n1p_bwd") / F.col("n_types"))
+            ).alias("p"),
+        )
+    )
+    wr = Window.partitionBy("w1").orderBy(F.col("p").desc(), F.col("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= KN_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.round("p", 6).alias("p_kn"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 KM_SCALE = 1_000_000  # embedding quantization: micro-units
 
 
@@ -1186,6 +1259,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dup_spans": dup_spans,
     "stream_gopher_gate": stream_gopher_gate,
     "ext_bigram_perplexity": bigram_perplexity,
+    "ext_kneser_ney_bigram": kneser_ney_bigram,
     "ext_kmeans_refine": kmeans_refine,
     "ext_dedup_rate_curve": dedup_rate_curve,
     "ext_cluster_sample": cluster_sample,
@@ -1416,6 +1490,38 @@ ORACLES: dict[str, str] = {
                ROUND(AVG(-ln(ty.p)), 4) AS nll
         FROM b JOIN types ty ON b.w1 = ty.w1 AND b.w2 = ty.w2
         GROUP BY b.doc_id
+    """,
+    "ext_kneser_ney_bigram": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bi AS (SELECT doc_id,
+                      unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                              for i in range(1, len(toks))]) AS bg
+               FROM t WHERE len(toks) >= 2),
+        b AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+        bic AS (SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+                       COUNT(*) AS n1p_fwd
+                FROM bic GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bic GROUP BY w2),
+        tt AS (SELECT COUNT(*) AS n_types FROM bic),
+        top_ctx AS (
+            SELECT w1, c1, n1p_fwd FROM (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY c1 DESC, w1) AS rn
+                FROM ctx) WHERE rn <= {KN_CONTEXTS}),
+        scored AS (
+            SELECT bic.w1, bic.w2, bic.cb,
+                   GREATEST(bic.cb - CAST({KN_D} AS DOUBLE), 0.0) / tc.c1
+                   + CAST({KN_D} AS DOUBLE) * tc.n1p_fwd / tc.c1
+                     * (cont.n1p_bwd / tt.n_types) AS p
+            FROM bic
+            JOIN top_ctx tc ON tc.w1 = bic.w1
+            JOIN cont ON cont.w2 = bic.w2
+            CROSS JOIN tt)
+        SELECT w1, w2, cb, ROUND(p, 6) AS p_kn, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                        ORDER BY p DESC, w2) AS rnk
+            FROM scored)
+        WHERE rnk <= {KN_TOPK}
     """,
     "ext_dup_spans": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
