@@ -26,6 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -4884,7 +4885,148 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IV_CLICK_MIN = 15  # "heavy clicker" treatment threshold
+
+
+def iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable (Wald) estimator: effect of clicking on
+    spend using a hash instrument Z —
+    β_IV = (E[y|z=1] − E[y|z=0]) / (E[d|z=1] − E[d|z=0]) — the
+    estimator for when the treatment itself is confounded but an
+    exogenous nudge exists (encouragement designs). Completes the
+    causal toolkit next to DiD, stratification, matching and QTE.
+    Everything reduces to ONE conditional-aggregate row over exact
+    integer sums: spend in cents, d = user clicked ≥ once, z = hash
+    arm; the intent-to-treat and first-stage contrasts ride along so
+    a weak instrument is visible (|first_stage| small).
+
+    Scale notes (100 TB): one user rollup, one 1-row conditional
+    aggregate — the same shape as `ext_diff_in_diff`. No joins.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+            # d = heavy clicker (≥ IV_CLICK_MIN clicks): a binary
+            # treatment with real variation at every scale (plain
+            # "ever clicked" saturates to 1 for all users, collapsing
+            # the first stage to zero)
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                )
+                >= IV_CLICK_MIN
+            )
+            .cast("int")
+            .alias("d"),
+        )
+        .select(
+            "y",
+            "d",
+            (md5_long(F.col("user_id").cast("string"), salt="iv") % 2).alias(
+                "z"
+            ),
+        )
+    )
+    row = users.agg(
+        F.sum(F.when(F.col("z") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("z") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(0)).alias("sy1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(0)).alias("sy0"),
+        F.sum(F.when(F.col("z") == 1, F.col("d")).otherwise(0)).alias("sd1"),
+        F.sum(F.when(F.col("z") == 0, F.col("d")).otherwise(0)).alias("sd0"),
+    )
+    itt = F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")
+    fs = F.col("sd1") / F.col("n1") - F.col("sd0") / F.col("n0")
+    return row.select(
+        (F.col("n1") + F.col("n0")).alias("n_users"),
+        F.round(itt / 100.0, 4).alias("itt_usd"),
+        F.round(fs, 6).alias("first_stage"),
+        # a zero first stage (no instrument-treatment link in this
+        # sample) leaves the Wald ratio undefined — NULL, not an error
+        F.when(fs != 0, F.round(itt / fs / 100.0, 4)).alias("wald_iv_usd"),
+    )
+
+
+# SPRT: H0 conversion p0 vs H1 p1; boundaries from alpha/beta = 0.05.
+# The corpus daily conversion sits ~0.42, between the hypotheses, so
+# the monitor shows a real sequential trajectory (days of "continue"
+# before a boundary) instead of saturating on day one.
+SPRT_P0 = 0.40
+SPRT_P1 = 0.44
+SPRT_LLR_CONV = math.log(SPRT_P1 / SPRT_P0)
+SPRT_LLR_FAIL = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+SPRT_LOG_A = math.log((1.0 - 0.05) / 0.05)  # accept-H1 boundary
+SPRT_LOG_B = math.log(0.05 / (1.0 - 0.05))  # accept-H0 boundary
+
+
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the daily
+    conversion stream: cumulative log-likelihood ratio of H1 (p=0.22)
+    vs H0 (p=0.18) with the 5%/5% decision boundaries — the monitor
+    that lets an experiment STOP the day evidence suffices instead of
+    waiting out a fixed horizon (the fixed-N z-test is
+    `ext_ab_test_zscore`). Per user-day: converted = any purchase.
+    LLR increments are integer counts times two LITERAL constants
+    (ln ratios precomputed driver-side), so the cumulative sum is
+    exact integer arithmetic after quantization; the boundary
+    comparison happens on identical doubles in both engines.
+
+    Scale notes (100 TB): one user-day rollup, one |days|-row daily
+    rollup, one cumulative window over days — the monitoring readout
+    is O(days) after the first map-side-combined shuffle.
+    """
+    from pyspark.sql import Window
+
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_userdays"),
+        F.sum("conv").alias("n_conv"),
+    )
+    # quantized LLR increment: counts × literal ln-ratios
+    inc_q = F.floor(
+        (
+            F.col("n_conv") * F.lit(SPRT_LLR_CONV)
+            + (F.col("n_userdays") - F.col("n_conv")) * F.lit(SPRT_LLR_FAIL)
+        )
+        * _NANO
+        + 0.5
+    ).cast("long")
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.withColumn("llr_q", F.sum(inc_q).over(wcum))
+    return cum.select(
+        "day",
+        "n_userdays",
+        "n_conv",
+        F.round(F.col("llr_q") / _NANO, 6).alias("cum_llr"),
+        F.when(F.col("llr_q") / _NANO >= SPRT_LOG_A, F.lit("accept_h1"))
+        .when(F.col("llr_q") / _NANO <= SPRT_LOG_B, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_iv_wald": iv_wald,
+    "ext_sprt_monitor": sprt_monitor,
     "ext_psi_drift": psi_drift,
     "ext_wasserstein_distance": wasserstein_distance,
     "ext_quantile_normalize": quantile_normalize,
@@ -5064,6 +5206,73 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_iv_wald": f"""
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) >= {IV_CLICK_MIN} AS INT)
+                       AS d,
+                   CAST('0x' || substr(md5('iv:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS z
+            FROM events GROUP BY user_id),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n0,
+                   CAST(SUM(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT)
+                       AS sy1,
+                   CAST(SUM(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT)
+                       AS sy0,
+                   CAST(SUM(CASE WHEN z = 1 THEN d ELSE 0 END) AS BIGINT)
+                       AS sd1,
+                   CAST(SUM(CASE WHEN z = 0 THEN d ELSE 0 END) AS BIGINT)
+                       AS sd0
+            FROM users)
+        SELECT n1 + n0 AS n_users,
+               ROUND((sy1 / n1 - sy0 / n0) / 100.0, 4) AS itt_usd,
+               ROUND(sd1 / n1 - sd0 / n0, 6) AS first_stage,
+               CASE WHEN sd1 / n1 - sd0 / n0 != 0
+                    THEN ROUND((sy1 / n1 - sy0 / n0)
+                               / (sd1 / n1 - sd0 / n0) / 100.0, 4)
+                    END AS wald_iv_usd
+        FROM agg
+    """,
+    "ext_sprt_monitor": f"""
+        WITH ud AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY 1, 2),
+        daily AS (
+            SELECT day, COUNT(*) AS n_userdays,
+                   CAST(SUM(conv) AS BIGINT) AS n_conv
+            FROM ud GROUP BY day),
+        cum AS (
+            SELECT *,
+                   SUM(CAST(FLOOR((n_conv
+                       * CAST({SPRT_LLR_CONV!r} AS DOUBLE)
+                       + (n_userdays - n_conv)
+                       * CAST({SPRT_LLR_FAIL!r} AS DOUBLE))
+                       * {_NANO} + 0.5) AS BIGINT))
+                       OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS llr_q
+            FROM daily)
+        SELECT day, n_userdays, n_conv,
+               ROUND(llr_q / {_NANO} * 1.0, 6) AS cum_llr,
+               CASE WHEN llr_q / {_NANO}
+                         >= CAST({SPRT_LOG_A!r} AS DOUBLE)
+                    THEN 'accept_h1'
+                    WHEN llr_q / {_NANO}
+                         <= CAST({SPRT_LOG_B!r} AS DOUBLE)
+                    THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM cum
+    """,
     "ext_psi_drift": f"""
         WITH ev AS (
             SELECT CAST(LEAST(FLOOR(FLOOR(value * 100 + 0.5)

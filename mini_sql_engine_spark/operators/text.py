@@ -603,7 +603,38 @@ def log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    word and characters per BPE token — THE numbers that decide
+    whether a tokenizer is fair to a language (high fertility =
+    shorter effective context and higher cost per byte for that
+    language; the standard multilingual-tokenizer audit). Corpus-level
+    ratios of exact integer sums, not averages of ratios, so small
+    docs don't distort the budget.
+
+    Scale notes (100 TB): per-row token counting (no explode — counts
+    come from size(), so the scan emits 3 ints/doc) into one
+    |languages|-row rollup. Cheapest possible full-corpus audit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textfns.n_tokens("text").cast("long")).alias("ws"),
+        F.sum(textfns.n_bpe_tokens("text").cast("long")).alias("bpe"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        F.col("ws").alias("n_ws_tokens"),
+        F.col("bpe").alias("n_bpe_tokens"),
+        F.round(F.col("bpe") / F.col("ws"), 6).alias("fertility"),
+        F.round(F.col("chars") / F.col("bpe"), 6).alias("chars_per_token"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_tokenizer_fertility": tokenizer_fertility,
     "ext_log_odds_terms": log_odds_terms,
     "ext_text_token_stats": token_stats,
     "ext_text_lang_stats": lang_stats,
@@ -653,6 +684,20 @@ ORACLES: dict[str, str] = {
                             ORDER BY z DESC, t) AS rk
               FROM scored)
         WHERE rk <= {LO_TOPK}
+    """,
+    "ext_tokenizer_fertility": f"""
+        WITH per AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS ws,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY lang)
+        SELECT lang, n_docs,
+               ws AS n_ws_tokens, bpe AS n_bpe_tokens,
+               ROUND(bpe / ws, 6) AS fertility,
+               ROUND(chars / bpe, 6) AS chars_per_token
+        FROM per
     """,
     "ext_text_token_stats": f"""
         SELECT doc_id,
