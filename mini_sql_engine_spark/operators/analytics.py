@@ -3140,6 +3140,125 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HR_K = 5  # diversified picks from the fused list
+HR_Q = 10_000  # quantization steps (rank rel and cosine share scale)
+
+
+def hybrid_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hybrid retrieval in ONE Catalyst plan: BM25 keyword
+    ranking + coverage ranking → reciprocal-rank fusion (top
+    RRF_TOPK) → embedding join → greedy MMR-style diversification of
+    the final slate — the full modern retrieval stack (lexical recall,
+    rank fusion, semantic de-redundancy) composed from this engine's
+    own operators, the way a production RAG pipeline actually chains
+    them. Relevance enters the greedy stage as the fused RANK mapped
+    to the cosine quantization scale ((TOPK+1−rank)·Q/TOPK — exact
+    integers), so the λ=0.7 trade-off runs in one integer unit system;
+    ties break on doc_id. Docs without an embedding row drop at the
+    join (consistently in both engines).
+
+    Scale notes (100 TB): the three retrieval stages are each bounded
+    (postings probe, K-row fusion); the diversification works on ≤
+    RRF_TOPK candidates — constant, like ext_mmr_rerank's precision
+    stage. The whole pipeline shuffles nothing wider than the
+    inverted-index probe.
+    """
+    from pyspark.sql import Window
+
+    from mini_sql_engine_spark.functions import vector
+
+    def q4(c):
+        return F.floor(F.round(c, 4) * HR_Q + 0.5).cast("long")
+
+    fused = rrf_fusion(spark, sf_dir)
+    ranked = fused.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("long")
+        .alias("fr"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cand = (
+        ranked.join(emb, "doc_id")
+        .select(
+            "doc_id",
+            "fr",
+            (
+                (RRF_TOPK + 1 - F.col("fr")) * (HR_Q // RRF_TOPK)
+            ).alias("rel_q"),
+            "embedding",
+        )
+        .coalesce(1)
+    ).localCheckpoint(eager=False)
+    a = cand.select(
+        F.col("doc_id").alias("a_id"), F.col("embedding").alias("ae")
+    )
+    b = cand.select(
+        F.col("doc_id").alias("b_id"), F.col("embedding").alias("be")
+    )
+    sims = (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "b_id", q4(vector.dot(F.col("ae"), F.col("be"))).alias("s")
+        )
+        .coalesce(1)
+    ).localCheckpoint(eager=False)
+    pool = cand.select("doc_id", "fr", "rel_q")
+    w1 = Window.orderBy(F.col("rel_q").desc(), F.col("doc_id"))
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            "doc_id",
+            "fr",
+            "rel_q",
+            (F.col("rel_q") * 7).alias("score"),
+        )
+    )
+    for t in range(2, HR_K + 1):
+        max_s = (
+            sims.join(
+                F.broadcast(sel.select(F.col("doc_id").alias("b_id"))), "b_id"
+            )
+            .groupBy("a_id")
+            .agg(F.max("s").alias("max_s"))
+        )
+        rem = pool.join(F.broadcast(sel.select("doc_id")), "doc_id", "left_anti")
+        pick = (
+            rem.join(
+                F.broadcast(max_s.withColumnRenamed("a_id", "doc_id")),
+                "doc_id",
+            )
+            .withColumn("score", F.col("rel_q") * 7 - F.col("max_s") * 3)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(t).cast("long").alias("step"),
+                "doc_id",
+                "fr",
+                "rel_q",
+                "score",
+            )
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=False)
+    return sel.select(
+        "step",
+        "doc_id",
+        F.col("fr").alias("fused_rank"),
+        F.round(F.col("rel_q") / HR_Q, 4).alias("rel"),
+        F.round(F.col("score") / (HR_Q * 10.0), 5).alias("mmr"),
+    )
+
+
 SNIP_W = 10  # snippet window length in tokens
 
 
@@ -7524,3 +7643,66 @@ ORACLES: dict[str, str] = {
     # values are engine-specific; the driver records rows-only and
     # tests/test_operators.py asserts the error bound.
 }
+
+
+def _hybrid_retrieval_oracle() -> str:
+    """Composes the RRF oracle with the unrolled single-slate greedy
+    diversification — the same integer argmax sequence as the Spark
+    pipeline, step for step."""
+    q4 = (
+        "CAST(FLOOR(ROUND({x}, 4) * " + str(HR_Q) + " + 0.5) AS BIGINT)"
+    ).format
+    dot = (
+        "list_dot_product(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[]))"
+    )
+    parts = [f"""
+    WITH fused AS ({ORACLES["ext_rrf_fusion"]}),
+    rankedf AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+                    AS BIGINT) AS fr
+        FROM fused),
+    cand AS (
+        SELECT r.doc_id, r.fr,
+               ({RRF_TOPK} + 1 - r.fr) * {HR_Q // RRF_TOPK} AS rel_q
+        FROM rankedf r JOIN embeddings e ON e.vec_id = r.doc_id),
+    sims AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, {q4(x=dot)} AS s
+        FROM cand a JOIN cand b ON a.doc_id != b.doc_id
+        JOIN embeddings ea ON ea.vec_id = a.doc_id
+        JOIN embeddings eb ON eb.vec_id = b.doc_id),
+    selall1 AS (
+        SELECT CAST(1 AS BIGINT) AS step, doc_id, fr, rel_q,
+               rel_q * 7 AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rel_q DESC,
+                          doc_id) AS rn
+              FROM cand) WHERE rn = 1)"""]
+    for t in range(2, HR_K + 1):
+        parts.append(f""",
+    selall{t} AS (
+        SELECT * FROM selall{t - 1}
+        UNION ALL
+        SELECT CAST({t} AS BIGINT) AS step, doc_id, fr, rel_q, score
+        FROM (
+            SELECT c.doc_id, c.fr, c.rel_q,
+                   c.rel_q * 7 - m.max_s * 3 AS score,
+                   ROW_NUMBER() OVER (ORDER BY c.rel_q * 7
+                       - m.max_s * 3 DESC, c.doc_id) AS rn
+            FROM cand c
+            JOIN (SELECT s.a_id, MAX(s.s) AS max_s
+                  FROM sims s JOIN selall{t - 1} p ON p.doc_id = s.b_id
+                  GROUP BY 1) m ON m.a_id = c.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM selall{t - 1} p
+                              WHERE p.doc_id = c.doc_id)
+        ) WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT step, doc_id, fr AS fused_rank,
+           ROUND(rel_q / {HR_Q}.0, 4) AS rel,
+           ROUND(score / {HR_Q * 10}.0, 5) AS mmr
+    FROM selall{HR_K}""")
+    return "".join(parts)
+
+
+QUERIES["pipeline_hybrid_retrieval"] = hybrid_retrieval_pipeline
+ORACLES["pipeline_hybrid_retrieval"] = _hybrid_retrieval_oracle()

@@ -171,6 +171,85 @@ def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+LSH_TUNE_GRID: list[tuple[int, int]] = [
+    # (rows per band r, bands b) — the S-curve P(collide|s) = 1−(1−s^r)^b
+    (1, 4), (2, 4), (2, 8), (3, 8), (4, 4), (4, 8),
+]
+
+
+def _powi_col(c: Column, n: int) -> Column:
+    """c**n as an explicit left-fold product — identical IEEE multiply
+    chain to the oracle's textual expansion (libm pow() is NOT
+    guaranteed bit-identical across engines; repeated multiplication
+    is)."""
+    out = c
+    for _ in range(n - 1):
+        out = out * c
+    return out
+
+
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter advisor: for each (rows r, bands b)
+    config, the EXPECTED RECALL over the corpus's verified near-dup
+    pairs under the banding S-curve P(collide | s) = 1 − (1 − s^r)^b,
+    next to the config's implied similarity threshold (1/b)^(1/r) —
+    the number you need BEFORE committing a (r, b) choice to a 100 TB
+    dedup run, computed against this corpus's actual similarity
+    distribution instead of a textbook curve. Powers expand to
+    explicit multiply chains so both engines run the identical IEEE
+    sequence; the recall average runs through qsum.
+
+    Scale notes (100 TB): consumes the memoized verified-pair table
+    (|pairs| ≪ corpus); each config is one aggregate row over it. The
+    advisor costs |grid| passes over a table that already exists for
+    a dozen other operators.
+    """
+    pairs = jaccard_dedup(spark, sf_dir)
+    out: DataFrame | None = None
+    for r, b in LSH_TUNE_GRID:
+        collide = F.lit(1.0) - _powi_col(
+            F.lit(1.0) - _powi_col(F.col("jacc"), r), b
+        )
+        row = pairs.agg(
+            F.lit(r).cast("long").alias("r"),
+            F.lit(b).cast("long").alias("b"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.floor(collide * 1_000_000_000 + 0.5).cast("long"))
+                / 1_000_000_000
+                / F.count(F.lit(1)),
+                6,
+            ).alias("expected_recall"),
+            F.lit(round((1.0 / b) ** (1.0 / r), 6)).alias("threshold_s"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
+def _lsh_tune_oracle() -> str:
+    def powi(expr: str, n: int) -> str:
+        out = expr
+        for _ in range(n - 1):
+            out = f"({out} * {expr})"
+        return out
+
+    parts = []
+    for r, b in LSH_TUNE_GRID:
+        sr = powi("jacc", r)
+        collide = f"(1.0 - {powi(f'(1.0 - {sr})', b)})"
+        parts.append(f"""
+        SELECT CAST({r} AS BIGINT) AS r, CAST({b} AS BIGINT) AS b,
+               COUNT(*) AS n_pairs,
+               ROUND(CAST(SUM(CAST(FLOOR({collide} * 1000000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) / 1000000000 / COUNT(*), 6)
+                   AS expected_recall,
+               CAST({round((1.0 / b) ** (1.0 / r), 6)!r} AS DOUBLE)
+                   AS threshold_s
+        FROM (SELECT jacc FROM ({{pairs}}) p WHERE jacc >= {{t}})""")
+    return " UNION ALL ".join(parts)
+
+
 def prefix_filter_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -1104,6 +1183,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_exact": exact_dedup,
     "ext_dedup_exact_by_key": exact_dedup_by_key,
     "ext_dedup_jaccard": jaccard_dedup,
+    "ext_lsh_tuning_curve": lsh_tuning_curve,
     "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_split_leakage": split_leakage,
@@ -1282,6 +1362,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_a, doc_b, jacc FROM ({_JACCARD_PAIRS}) p
         WHERE jacc >= {JACCARD_T}
     """,
+    "ext_lsh_tuning_curve": _lsh_tune_oracle()
+    .replace("{pairs}", _JACCARD_PAIRS)
+    .replace("{t}", str(JACCARD_T)),
     # prefix filtering is lossless, so the oracle is the plain exact
     # join at the higher threshold — identical output, different plan
     "ext_dedup_prefix_filter": f"""
