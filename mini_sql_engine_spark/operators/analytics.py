@@ -4859,10 +4859,14 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofmonth("ts") <= 15).alias("early"),
         )
     )
+    # checkpoint the PSI_BINS-row rollup: four consumers (totals, the
+    # row table, the PSI combine, the final select) would otherwise
+    # each re-run the events scan — Spark does not dedupe common
+    # subplans across DataFrame branches
     per_bin = ev.groupBy("bin").agg(
         F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_early"),
         F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_late"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_bin.agg(
         F.sum("n_early").alias("ne"), F.sum("n_late").alias("nl")
     )
@@ -4872,7 +4876,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_late",
         ((F.col("n_early") + 1) / (F.col("ne") + PSI_BINS)).alias("p"),
         ((F.col("n_late") + 1) / (F.col("nl") + PSI_BINS)).alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     psi = rws.agg(
         _qsum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
             "psi_q"
@@ -4912,13 +4916,16 @@ def wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "click").alias("is_a"),
         )
     )
+    # one scan: the ladder rollup is the only corpus pass — totals
+    # derive from it (Σ over cells ≡ Σ over rows), and the checkpoint
+    # stops the total/ladder branches re-running the scan
     cells = ev.groupBy("v").agg(
         F.sum(F.col("is_a").cast("long")).alias("ca"),
         F.sum((~F.col("is_a")).cast("long")).alias("cb"),
-    )
-    tot = ev.agg(
-        F.sum(F.col("is_a").cast("long")).alias("na"),
-        F.sum((~F.col("is_a")).cast("long")).alias("nb"),
+    ).localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
     )
     wcum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -717,3 +717,62 @@ def test_sliding_bitmap_no_count_distinct_expand(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_sliding_bitmap_distinct"](spark, sf_dir))
     assert "Expand" not in plan, plan
     assert "bit_or" in plan, plan
+
+
+def test_iv_wald_is_joinless_single_pass(spark, sf_dir):
+    """The Wald IV estimator is two stacked aggregates over one events
+    scan — any Join in the plan means the conditional-aggregate
+    rewrite regressed."""
+    plan = _plan(ALL_QUERIES["ext_iv_wald"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_propensity_control_levels_broadcast(spark, sf_dir):
+    """The collapsed control-level table (|levels| << users) must
+    re-join as a broadcast, and the interleave must not cartesian."""
+    plan = _plan(ALL_QUERIES["ext_propensity_match"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_psi_scalar_combines_broadcast(spark, sf_dir):
+    """PSI's totals/psi scalar cross joins must be broadcast nested
+    loops over 1-row sides, never a shuffled cartesian."""
+    plan = _plan(ALL_QUERIES["ext_psi_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the bin rollup is checkpointed (one corpus pass builds it); every
+    # residual parquet scan would mean a consumer bypassed it
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_wasserstein_ladder_no_cartesian(spark, sf_dir):
+    """W1 rides the distinct-cents ladder: one scan, broadcast scalar
+    total, no cartesian."""
+    plan = _plan(ALL_QUERIES["ext_wasserstein_distance"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # totals derive from the checkpointed ladder rollup, so at most the
+    # single ladder-building scan may appear
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_quantile_normalize_group_sizes_broadcast(spark, sf_dir):
+    """Per-group sizes and the pooled total attach as broadcasts; the
+    only shuffled join is the rank-keyed pooled lookup."""
+    plan = _plan(ALL_QUERIES["ext_quantile_normalize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lsh_tuning_reuses_cached_pairs(spark, sf_dir):
+    """Every (r, b) config row must read the memoized verified-pair
+    table (InMemoryTableScan), not re-run the inverted-index join."""
+    plan = _plan(ALL_QUERIES["ext_lsh_tuning_curve"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_t_closeness_grid_is_broadcast_only(spark, sf_dir):
+    """The classes × bands grid builds from broadcast joins (both
+    sides dimension-bounded); no shuffled cartesian anywhere."""
+    plan = _plan(ALL_QUERIES["ext_t_closeness"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
