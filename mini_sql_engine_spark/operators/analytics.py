@@ -4684,11 +4684,13 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         "y",
     )
+    # checkpoint the ECE_BINS-row rollup — its four consumers would
+    # otherwise each re-run the user-day scan (no common-subplan dedup)
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_days"),
         _qsum(F.col("p")).alias("conf_q"),
         F.sum("y").alias("n_pos"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_bin.agg(F.sum("n_days").alias("n_total"))
     rows = per_bin.crossJoin(F.broadcast(tot)).select(
         "bin",
@@ -4696,7 +4698,7 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("conf_q") / _NANO / F.col("n_days")).alias("conf"),
         (F.col("n_pos") / F.col("n_days")).alias("acc"),
         "n_total",
-    )
+    ).localCheckpoint(eager=False)
     ece = rows.agg(
         _qsum(
             F.col("n_days")
@@ -4758,6 +4760,9 @@ def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "arm"
             ),
         )
+        # the control and treated branches both consume this rollup —
+        # checkpoint so the events scan runs once
+        .localCheckpoint(eager=False)
     )
     ctrl = (
         users.filter(F.col("arm") == 0)
@@ -4973,7 +4978,11 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
-    )
+        # four consumers (group sizes, total, group ranks, pooled
+        # ladder) — checkpoint the 3-column projection so the parquet
+        # scan runs once; at real scale this materialization is the
+        # standard "project then reuse" staging table
+    ).localCheckpoint(eager=False)
     n_g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
     n_tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
     wg = Window.partitionBy("event_type").orderBy("v", "event_id")

@@ -1111,7 +1111,9 @@ def _sensitive_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.floor(F.col("c_acctbal") * 100 + 0.5) / BAL_BAND_CENTS)
         .cast("long")
         .alias("band"),
-    )
+        # t-closeness derives four tables from this projection —
+        # checkpoint so the customer scan runs once per call
+    ).localCheckpoint(eager=False)
 
 
 def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,10 +297,13 @@ def rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in RLE_COLS
             ]
         )
+        # one window pass per layout: the 1-row aggregate feeds one
+        # output row per measured column — checkpoint it or each row
+        # re-runs the layout's sort
         agg = flagged.agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(f"chg_{c}").alias(f"runs_{c}") for c in RLE_COLS],
-        )
+        ).localCheckpoint(eager=False)
         for c in RLE_COLS:
             row = agg.select(
                 F.lit(layout).alias("layout"),

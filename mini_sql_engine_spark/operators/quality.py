@@ -542,7 +542,12 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("bg", " ").getItem(0).alias("w1"),
         F.split("bg", " ").getItem(1).alias("w2"),
     )
-    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # the bigram-type table feeds four consumers (context counts,
+    # continuation counts, the type total, the scored join) —
+    # checkpoint so the corpus explode runs once
+    bic = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    ).localCheckpoint(eager=False)
     ctx = bic.groupBy("w1").agg(
         F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
     )
