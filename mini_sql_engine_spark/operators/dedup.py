@@ -171,6 +171,199 @@ def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FS_ITERS = 3  # EM iterations (fixed unroll — oracle mirrors each step)
+FS_P0, FS_M0, FS_U0 = 0.5, 0.8, 0.2  # EM init (prevalence, m, u)
+FS_FIELDS = ["same_lang", "same_source", "high_jaccard"]
+
+
+def _fs_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison vectors for Fellegi–Sunter: candidate pairs from the
+    shingle inverted index with three binary agreement fields."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jacc")
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+    )
+    return (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select(
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("g1"),
+            (F.col("src_a") == F.col("src_b")).cast("int").alias("g2"),
+            (F.col("jacc") >= JACCARD_T).cast("int").alias("g3"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage, parameters fit by
+    EM: over the blocked candidate pairs' binary comparison vectors
+    (same language / same source / high Jaccard), estimate per-field
+    match probabilities m_i = P(agree | match), u_i = P(agree |
+    non-match) and the match prevalence p — the published (1969)
+    model behind every production linkage engine, which turns raw
+    field agreements into principled match weights WITHOUT labeled
+    pairs. FS_ITERS EM steps run as a driver loop: the E-step
+    responsibilities are per-row arithmetic on the current parameter
+    literals, the M-step reduces through the fixed-point qsum, and
+    the next parameters are exact ratios of those integer sums — so
+    both engines walk the identical parameter sequence (the oracle
+    unrolls the same three steps as chained CTEs). Driver-side
+    .collect() carries only the 8 scalar sums per iteration — a
+    control value, same as the connected-components convergence sum.
+
+    Scale notes (100 TB): the E/M pass is one map-side-combinable
+    aggregate over the (checkpointed) comparison-vector table per
+    iteration — FS_ITERS corpus-independent passes over |candidate
+    pairs| rows. Blocking (the shingle index) is what keeps that
+    table ≪ n²; the EM itself adds no shuffle beyond the partial-agg
+    combine.
+    """
+    gam = _fs_gamma(spark, sf_dir)
+    gcols = ["g1", "g2", "g3"]
+    p, m, u = FS_P0, [FS_M0] * 3, [FS_U0] * 3
+    n_pairs = sg = su = None
+    sgi = sui = [0] * 3
+    for _ in range(FS_ITERS):
+        a = F.lit(p)
+        b = F.lit(1.0 - p)
+        for i, gc in enumerate(gcols):
+            a = a * F.when(F.col(gc) == 1, F.lit(m[i])).otherwise(
+                F.lit(1.0 - m[i])
+            )
+            b = b * F.when(F.col(gc) == 1, F.lit(u[i])).otherwise(
+                F.lit(1.0 - u[i])
+            )
+        g = a / (a + b)
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(g * NANO_F + 0.5).cast("long")).alias("sg"),
+            F.sum(F.floor((F.lit(1.0) - g) * NANO_F + 0.5).cast("long")).alias(
+                "su"
+            ),
+        ]
+        for i, gc in enumerate(gcols):
+            aggs.append(
+                F.sum(
+                    F.floor(g * F.col(gc) * NANO_F + 0.5).cast("long")
+                ).alias(f"sg{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.floor((F.lit(1.0) - g) * F.col(gc) * NANO_F + 0.5).cast(
+                        "long"
+                    )
+                ).alias(f"su{i}")
+            )
+        row = gam.agg(*aggs).collect()[0]
+        n_pairs, sg, su = row["n"], row["sg"], row["su"]
+        sgi = [row[f"sg{i}"] for i in range(3)]
+        sui = [row[f"su{i}"] for i in range(3)]
+        # next parameters: exact ratios of the integer sums — the same
+        # IEEE divisions the oracle's CTE writes, so the parameter
+        # sequence is engine-independent
+        p = (sg / 1_000_000_000) / n_pairs
+        m = [sgi[i] / sg for i in range(3)]
+        u = [sui[i] / su for i in range(3)]
+    # half-up at 1e-6 via floor (Python round() is banker's — would
+    # diverge from SQL ROUND on exact halves)
+    def r6(x: float) -> float:
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    rows = [
+        (FS_FIELDS[i], r6(m[i]), r6(u[i]), r6(m[i] / u[i]), r6(p), n_pairs)
+        for i in range(3)
+    ]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, mu_ratio double, "
+        "p double, n_pairs long"
+    )
+
+
+def _fs_oracle() -> str:
+    """The identical FS_ITERS EM steps as chained CTEs — parameter-
+    for-parameter the sequence the Spark driver loop walks."""
+    gam = f"""
+        SELECT CAST(da.lang = db.lang AS INT) AS g1,
+               CAST(da.source = db.source AS INT) AS g2,
+               CAST(p.jacc >= {JACCARD_T} AS INT) AS g3
+        FROM ({{pairs}}) p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b"""
+    parts = [
+        f"""
+    WITH gam AS ({gam}),
+    it0 AS (SELECT CAST({FS_P0} AS DOUBLE) AS p,
+                   CAST({FS_M0} AS DOUBLE) AS m1,
+                   CAST({FS_M0} AS DOUBLE) AS m2,
+                   CAST({FS_M0} AS DOUBLE) AS m3,
+                   CAST({FS_U0} AS DOUBLE) AS u1,
+                   CAST({FS_U0} AS DOUBLE) AS u2,
+                   CAST({FS_U0} AS DOUBLE) AS u3)"""
+    ]
+    for t in range(1, FS_ITERS + 1):
+        prev = f"it{t - 1}"
+        a = "it.p"
+        b = "(1.0 - it.p)"
+        for i in (1, 2, 3):
+            a += (
+                f" * (CASE WHEN g{i} = 1 THEN it.m{i}"
+                f" ELSE 1.0 - it.m{i} END)"
+            )
+            b += (
+                f" * (CASE WHEN g{i} = 1 THEN it.u{i}"
+                f" ELSE 1.0 - it.u{i} END)"
+            )
+        qs = "SUM(CAST(FLOOR({x} * 1000000000 + 0.5) AS BIGINT))".format
+        sums = [
+            "COUNT(*) AS n",
+            f"CAST({qs(x='g')} AS BIGINT) AS sg",
+            f"CAST({qs(x='(1.0 - g)')} AS BIGINT) AS su",
+        ]
+        for i in (1, 2, 3):
+            sums.append(f"CAST({qs(x=f'g * g{i}')} AS BIGINT) AS sg{i}")
+            sums.append(
+                f"CAST({qs(x=f'(1.0 - g) * g{i}')} AS BIGINT) AS su{i}"
+            )
+        parts.append(f""",
+    w{t} AS (
+        SELECT g1, g2, g3,
+               ({a}) / (({a}) + ({b})) AS g
+        FROM gam CROSS JOIN {prev} it),
+    s{t} AS (SELECT {', '.join(sums)} FROM w{t}),
+    it{t} AS (
+        SELECT (sg / 1000000000) / n AS p,
+               sg1 / sg AS m1, sg2 / sg AS m2, sg3 / sg AS m3,
+               su1 / su AS u1, su2 / su AS u2, su3 / su AS u3,
+               n
+        FROM s{t})""")
+    rows = []
+    for i, fname in enumerate(FS_FIELDS, start=1):
+        rows.append(f"""
+        SELECT '{fname}' AS field,
+               FLOOR(m{i} * 1000000 + 0.5) / 1000000 AS m,
+               FLOOR(u{i} * 1000000 + 0.5) / 1000000 AS u,
+               FLOOR(m{i} / u{i} * 1000000 + 0.5) / 1000000 AS mu_ratio,
+               FLOOR(p * 1000000 + 0.5) / 1000000 AS p,
+               n AS n_pairs
+        FROM it{FS_ITERS}""")
+    parts.append(" UNION ALL ".join(rows))
+    return "".join(parts)
+
+
+NANO_F = 1_000_000_000
+
+
 LSH_TUNE_GRID: list[tuple[int, int]] = [
     # (rows per band r, bands b) — the S-curve P(collide|s) = 1−(1−s^r)^b
     (1, 4), (2, 4), (2, 8), (3, 8), (4, 4), (4, 8),
@@ -1184,6 +1377,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_exact_by_key": exact_dedup_by_key,
     "ext_dedup_jaccard": jaccard_dedup,
     "ext_lsh_tuning_curve": lsh_tuning_curve,
+    "ext_fellegi_sunter_em": fellegi_sunter_em,
     "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_split_leakage": split_leakage,
@@ -1365,6 +1559,7 @@ ORACLES: dict[str, str] = {
     "ext_lsh_tuning_curve": _lsh_tune_oracle()
     .replace("{pairs}", _JACCARD_PAIRS)
     .replace("{t}", str(JACCARD_T)),
+    "ext_fellegi_sunter_em": _fs_oracle().replace("{pairs}", _JACCARD_PAIRS),
     # prefix filtering is lossless, so the oracle is the plain exact
     # join at the higher threshold — identical output, different plan
     "ext_dedup_prefix_filter": f"""
