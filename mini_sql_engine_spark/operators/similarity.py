@@ -574,6 +574,105 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KSH_K = 5  # the KNN classifier's k
+KSH_TOPB = 3  # most/least valuable train points reported per test
+
+
+def knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): the
+    Shapley value of every training point for a k-NN classifier on
+    each test point, via the closed-form recurrence
+    s_(N) = 1[y_N = y]/N,
+    s_(j) = s_(j+1) + (1[y_j = y] − 1[y_j+1 = y])/K · min(K, j)/j —
+    the data-valuation method that tells a curation pipeline WHICH
+    examples help or hurt, at sort cost instead of Monte-Carlo
+    retraining. The recurrence telescopes into a reverse cumulative
+    sum over the similarity ranking, so the whole computation is two
+    windows; increments quantize to integer nano-units before the
+    cumulative sum, making the telescoped float sum order-proof.
+    Output: the KSH_TOPB most and least valuable train points per
+    test query (ties → smaller id).
+
+    Scale notes (100 TB): per-test ranking is the same broadcast-
+    scoring scan + keyed window as brute-force top-k — one shuffle on
+    the test key; the recurrence adds two window passes over the
+    ranked partition, no extra shuffle. At billions of train points,
+    rank within ANN candidates instead (the recurrence only needs
+    contiguous ranks, which a re-rank within the candidate set
+    provides).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("n_label"),
+    )
+    ranked = (
+        F.broadcast(q)
+        .join(c)
+        .withColumn("cos_sim", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("n_id")
+                )
+            ),
+        )
+        .withColumn(
+            "ind", (F.col("n_label") == F.col("q_label")).cast("long")
+        )
+        .select("q_id", "n_id", "rnk", "ind")
+    )
+    wq = Window.partitionBy("q_id")
+    wrev = wq.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_tot = F.count(F.lit(1)).over(wq)
+    ind_next = F.lead("ind").over(wq.orderBy("rnk"))
+    # per-rank increment t_j = (ind_j − ind_{j+1})/K · min(K, j)/j,
+    # quantized; the farthest rank seeds the recurrence with ind_N/N
+    term = (
+        (F.col("ind") - ind_next)
+        / KSH_K
+        * F.least(F.lit(KSH_K), F.col("rnk"))
+        / F.col("rnk")
+    )
+    base = F.when(
+        F.col("rnk") == n_tot,
+        F.floor(F.col("ind") / n_tot * 1_000_000_000 + 0.5).cast("long"),
+    ).otherwise(
+        F.floor(term * 1_000_000_000 + 0.5).cast("long")
+    )
+    with_s = ranked.withColumn("t_q", base).withColumn(
+        "s_q", F.sum("t_q").over(wrev)
+    )
+    wtop = Window.partitionBy("q_id").orderBy(
+        F.col("s_q").desc(), F.col("n_id")
+    )
+    wbot = Window.partitionBy("q_id").orderBy(F.col("s_q"), F.col("n_id"))
+    return (
+        with_s.withColumn("r_top", F.row_number().over(wtop))
+        .withColumn("r_bot", F.row_number().over(wbot))
+        .filter((F.col("r_top") <= KSH_TOPB) | (F.col("r_bot") <= KSH_TOPB))
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rnk").cast("long").alias("sim_rank"),
+            F.col("ind").alias("same_label"),
+            F.round(F.col("s_q") / 1_000_000_000, 6).alias("shapley"),
+            F.when(F.col("r_top") <= KSH_TOPB, F.lit("helpful"))
+            .otherwise(F.lit("harmful"))
+            .alias("role"),
+        )
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the vector column: per-vector max /
     min / mean / positive-component count — all JVM-side array
@@ -810,6 +909,53 @@ def _mmr_oracle() -> str:
 
 _MMR_ORACLE = _mmr_oracle()
 
+_KSH_ORACLE = f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                       c.vec_id) AS rnk,
+               CAST(c.label = q.label AS BIGINT) AS ind
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN (SELECT * FROM embeddings
+                    WHERE vec_id >= {N_QUERIES}) c),
+    terms AS (
+        SELECT q_id, n_id, rnk, ind,
+               COUNT(*) OVER (PARTITION BY q_id) AS n_tot,
+               LEAD(ind) OVER (PARTITION BY q_id ORDER BY rnk) AS ind_next
+        FROM ranked),
+    tq AS (
+        SELECT q_id, n_id, rnk, ind,
+               CASE WHEN rnk = n_tot
+                    THEN CAST(FLOOR(ind / n_tot * 1000000000 + 0.5)
+                              AS BIGINT)
+                    ELSE CAST(FLOOR((ind - ind_next) / {KSH_K}
+                              * LEAST({KSH_K}, rnk) / rnk
+                              * 1000000000 + 0.5) AS BIGINT)
+               END AS t_q
+        FROM terms),
+    cum AS (
+        SELECT *, SUM(t_q) OVER (PARTITION BY q_id ORDER BY rnk DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS s_q
+        FROM tq),
+    rankedv AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY s_q DESC, n_id) AS r_top,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY s_q, n_id) AS r_bot
+        FROM cum)
+    SELECT q_id, n_id, rnk AS sim_rank, ind AS same_label,
+           ROUND(s_q / 1000000000 * 1.0, 6) AS shapley,
+           CASE WHEN r_top <= {KSH_TOPB} THEN 'helpful'
+                ELSE 'harmful' END AS role
+    FROM rankedv
+    WHERE r_top <= {KSH_TOPB} OR r_bot <= {KSH_TOPB}
+"""
+
 _ANN_RANK_K = f"""
     bucketed AS (
         SELECT vec_id, embedding,
@@ -901,6 +1047,7 @@ QUERIES: dict[str, Callable] = {
     "ext_mmr_rerank": mmr_rerank,
     "ext_rank_biased_overlap": rank_biased_overlap,
     "ext_ndcg_eval": ndcg_eval,
+    "ext_knn_shapley": knn_shapley,
     "ext_array_funcs": embedding_array_stats,
 }
 
@@ -910,6 +1057,7 @@ ORACLES: dict[str, str] = {
     "ext_mmr_rerank": _MMR_ORACLE,
     "ext_rank_biased_overlap": _RBO_ORACLE,
     "ext_ndcg_eval": _NDCG_ORACLE,
+    "ext_knn_shapley": _KSH_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_recall_eval": _RECALL_ORACLE,
