@@ -1055,7 +1055,117 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IPF_ITERS = 3  # full row+column raking rounds (oracle unrolls the same)
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): per-(lang, source)
+    document weights that simultaneously balance the corpus toward
+    UNIFORM language and source marginals — the survey-statistics
+    workhorse reused by data-mixture rebalancing (hit per-language
+    budgets without abandoning per-source ones; `ext_mixture_weights`
+    handles one margin, IPF reconciles two). IPF_ITERS alternating
+    row/column scalings; weights re-quantize to 1e-9 after every
+    half-step and margin sums run through qsum, so both engines walk
+    the identical weight sequence. Output: cell counts, final weight,
+    and the weighted count.
+
+    Scale notes (100 TB): the cell table is dimension-bounded
+    (|langs|×|sources|) after ONE corpus rollup; every iteration is
+    arithmetic + a broadcast join on that constant-size table. The
+    only collected scalars are the grand total and margin counts
+    (control values).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.lit(1.0))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(
+        F.sum("n").alias("N"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+    ).collect()[0]
+    n_total, n_lang, n_src = tot["N"], tot["nl"], tot["ns"]
+    t_row = n_total / n_lang
+    t_col = n_total / n_src
+
+    def _half_step(cur: DataFrame, key: str, target: float) -> DataFrame:
+        marg = cur.groupBy(key).agg(
+            F.sum(
+                F.floor(F.col("w") * F.col("n") * 1_000_000_000 + 0.5).cast(
+                    "long"
+                )
+            ).alias("mq")
+        )
+        factor = F.lit(target) / (F.col("mq") / 1_000_000_000)
+        return (
+            cur.join(F.broadcast(marg), key)
+            .withColumn(
+                "w",
+                F.floor(
+                    F.col("w") * factor * 1_000_000_000 + 0.5
+                ).cast("long")
+                / 1_000_000_000,
+            )
+            .drop("mq")
+        )
+
+    for _ in range(IPF_ITERS):
+        cells = _half_step(cells, "lang", t_row)
+        cells = _half_step(cells, "source", t_col).localCheckpoint(
+            eager=False
+        )
+    return cells.select(
+        "lang",
+        "source",
+        "n",
+        F.round("w", 6).alias("w"),
+        F.round(F.col("w") * F.col("n"), 4).alias("weighted_n"),
+    )
+
+
+def _ipf_oracle() -> str:
+    parts = [
+        """
+    WITH c0 AS (
+        SELECT lang, source, COUNT(*) AS n, CAST(1.0 AS DOUBLE) AS w
+        FROM documents GROUP BY lang, source),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS grand,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+        FROM c0)"""
+    ]
+    step = 0
+    for _ in range(IPF_ITERS):
+        for key, tgt in (("lang", "grand / nl"), ("source", "grand / ns")):
+            prev = f"c{step}"
+            step += 1
+            parts.append(f""",
+    m{step} AS (
+        SELECT {key},
+               CAST(SUM(CAST(FLOOR(w * n * 1000000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mq
+        FROM {prev} GROUP BY {key}),
+    c{step} AS (
+        SELECT p.lang, p.source, p.n,
+               FLOOR(p.w * (({tgt}) / (m.mq / 1000000000))
+                     * 1000000000 + 0.5) / 1000000000 AS w
+        FROM {prev} p
+        JOIN m{step} m ON m.{key} = p.{key}
+        CROSS JOIN tot)""")
+    parts.append(f"""
+    SELECT lang, source, n, ROUND(w, 6) AS w,
+           ROUND(w * n, 4) AS weighted_n
+    FROM c{step}""")
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_ipf_raking": ipf_raking,
     "pipeline_select_shards": select_shards,
     "ext_js_divergence": js_divergence,
     "ext_effective_sample_size": effective_sample_size,
@@ -1084,6 +1194,7 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_ipf_raking": _ipf_oracle(),
     "pipeline_select_shards": rf"""
         WITH toksed AS (
             SELECT doc_id, lang, text,
