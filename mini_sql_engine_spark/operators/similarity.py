@@ -673,6 +673,132 @@ def knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FL_POOL = 16  # candidate facilities (vec_id < FL_POOL)
+FL_K = 5  # representatives selected
+
+
+def facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular facility-location coreset selection: greedily pick
+    FL_K representatives from a candidate pool maximizing
+    Σ_v max_{s∈S} sim(v, s) over the WHOLE corpus — the published
+    data-selection objective for representative subset / coreset
+    construction (greedy is (1−1/e)-optimal by submodularity). Unlike
+    MMR (which diversifies a slate against itself), facility location
+    optimizes how well the selection COVERS everything else — the
+    right objective when choosing exemplars for labeling or few-shot
+    prompts. All marginal gains are exact integer sums of quantized
+    similarities (no float reduction at all), so the greedy sequence
+    is engine- and partitioning-independent.
+
+    Scale notes (100 TB): the (pool × corpus) similarity table is one
+    broadcast-scoring scan (|pool| copies of each corpus row — the
+    pool is the broadcast side); each greedy step is one join +
+    |pool|-row aggregate over it, with the coverage vector
+    (|corpus| rows) checkpointed per step. Costs FL_K corpus passes —
+    the published lazy-greedy/stochastic variants cut that when pools
+    grow.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = emb.filter(F.col("vec_id") < FL_POOL).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("ce")
+    )
+    corpus = emb.select(F.col("vec_id").alias("v"), F.col("embedding").alias("ve"))
+    sims = (
+        F.broadcast(pool)
+        .join(corpus)
+        .select("c", "v", _q4(vector.dot(F.col("ce"), F.col("ve"))).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    cur = corpus.select("v", F.lit(0).cast("long").alias("cur")).localCheckpoint(
+        eager=False
+    )
+    selected: DataFrame | None = None
+    for t in range(1, FL_K + 1):
+        g = sims.join(cur, "v").groupBy("c").agg(
+            F.sum(F.greatest(F.col("s") - F.col("cur"), F.lit(0))).alias(
+                "gain"
+            )
+        )
+        if selected is not None:
+            g = g.join(
+                F.broadcast(selected.select(F.col("vec_id").alias("c"))),
+                "c",
+                "left_anti",
+            )
+        best = (
+            g.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("gain").desc(), F.col("c"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(t).cast("long").alias("step"),
+                F.col("c").alias("vec_id"),
+                "gain",
+            )
+        ).localCheckpoint(eager=False)
+        upd = sims.join(
+            F.broadcast(best.select(F.col("vec_id").alias("c"))), "c"
+        ).select("v", "s")
+        cur = (
+            cur.join(upd, "v", "left")
+            .select(
+                "v",
+                F.greatest(
+                    F.col("cur"), F.coalesce(F.col("s"), F.lit(0))
+                ).alias("cur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        selected = best if selected is None else selected.unionAll(best)
+    assert selected is not None
+    return selected.select(
+        "step",
+        "vec_id",
+        F.round(F.col("gain") / MMR_Q, 4).alias("marginal_gain"),
+    )
+
+
+def _fl_oracle() -> str:
+    q4 = f"CAST(FLOOR(ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) * {MMR_Q} + 0.5) AS BIGINT)"
+    parts = [f"""
+    WITH sims AS (
+        SELECT p.vec_id AS c, e.vec_id AS v, {q4} AS s
+        FROM (SELECT * FROM embeddings WHERE vec_id < {FL_POOL}) p
+        CROSS JOIN embeddings e),
+    cur0 AS (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cur
+             FROM embeddings),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS c WHERE 1 = 0)"""]
+    for t in range(1, FL_K + 1):
+        parts.append(f""",
+    g{t} AS (
+        SELECT s.c,
+               CAST(SUM(GREATEST(s.s - cur.cur, 0)) AS BIGINT) AS gain
+        FROM sims s JOIN cur{t - 1} cur ON cur.v = s.v
+        WHERE s.c NOT IN (SELECT c FROM sel{t - 1})
+        GROUP BY s.c),
+    b{t} AS (
+        SELECT c, gain FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, c) AS rn
+            FROM g{t}) WHERE rn = 1),
+    cur{t} AS (
+        SELECT cur.v,
+               GREATEST(cur.cur, COALESCE(u.s, 0)) AS cur
+        FROM cur{t - 1} cur
+        LEFT JOIN (SELECT v, s FROM sims JOIN b{t} USING (c)) u
+          ON u.v = cur.v),
+    sel{t} AS (SELECT c FROM sel{t - 1} UNION ALL SELECT c FROM b{t})""")
+    finals = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS BIGINT) AS step, c AS vec_id,
+               ROUND(gain / {MMR_Q}.0, 4) AS marginal_gain FROM b{t}"""
+        for t in range(1, FL_K + 1)
+    )
+    parts.append("\n    " + finals)
+    return "".join(parts)
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the vector column: per-vector max /
     min / mean / positive-component count — all JVM-side array
@@ -1048,6 +1174,7 @@ QUERIES: dict[str, Callable] = {
     "ext_rank_biased_overlap": rank_biased_overlap,
     "ext_ndcg_eval": ndcg_eval,
     "ext_knn_shapley": knn_shapley,
+    "ext_facility_location": facility_location_coreset,
     "ext_array_funcs": embedding_array_stats,
 }
 
@@ -1058,6 +1185,7 @@ ORACLES: dict[str, str] = {
     "ext_rank_biased_overlap": _RBO_ORACLE,
     "ext_ndcg_eval": _NDCG_ORACLE,
     "ext_knn_shapley": _KSH_ORACLE,
+    "ext_facility_location": _fl_oracle(),
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_recall_eval": _RECALL_ORACLE,
