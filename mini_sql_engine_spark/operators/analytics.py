@@ -5159,7 +5159,121 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DML_Q = 10_000  # residual-product quantization (keeps qsums < 2^53)
+
+
+def double_ml_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double/debiased ML, partially-linear model (Chernozhukov et al.
+    2018) with 2-fold cross-fitting: the effect of clicks on spend
+    after partialling the activity confounder (views) out of BOTH —
+    θ = Σ ỹ·d̃ / Σ d̃², residuals ỹ, d̃ taken against nuisance fits
+    trained on the OPPOSITE hash fold (cross-fitting is what kills
+    the own-fit overfitting bias; the naive pooled OLS slope rides
+    along for contrast). Nuisance fits are closed-form OLS from
+    exact integer moment sums; the driver collects one moment row
+    per fold (control values), derives each fold's out-of-fold
+    coefficients with the same float(int)/float(int) divisions the
+    oracle's CTEs write, and a second aggregate reduces the residual
+    products through the fixed-point sum at 1e-4 quanta (products
+    are ~1e6-scale; 1e-9 quanta would push the long sum past 2^53,
+    where BIGINT-vs-Python division semantics diverge).
+
+    Scale notes (100 TB): one user rollup (checkpointed), two
+    map-side-combinable aggregates over it — moments, then residual
+    products. No joins; the per-row residual arithmetic uses literal
+    coefficients.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("d"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("x"),
+        )
+        .select(
+            "y",
+            "d",
+            "x",
+            (md5_long(F.col("user_id").cast("string"), salt="dml") % 2).alias(
+                "fold"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = (
+        users.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum("d").alias("sd"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("d")).alias("sxd"),
+        )
+        .collect()
+    )
+    m = {r["fold"]: r for r in mom}
+
+    def _fit(r) -> tuple[float, float, float, float]:
+        """Out-of-fold OLS coefficients (a_y, b_y, a_d, b_d) — the
+        float(int)/float(int) forms the oracle mirrors exactly."""
+        by = float(r["n"] * r["sxy"] - r["sx"] * r["sy"]) / float(
+            r["n"] * r["sxx"] - r["sx"] * r["sx"]
+        )
+        ay = (float(r["sy"]) - by * float(r["sx"])) / float(r["n"])
+        bd = float(r["n"] * r["sxd"] - r["sx"] * r["sd"]) / float(
+            r["n"] * r["sxx"] - r["sx"] * r["sx"]
+        )
+        ad = (float(r["sd"]) - bd * float(r["sx"])) / float(r["n"])
+        return ay, by, ad, bd
+
+    # fold f's residuals use coefficients fit on fold 1-f
+    co = {f: _fit(m[1 - f]) for f in (0, 1)}
+    ay = F.when(F.col("fold") == 0, F.lit(co[0][0])).otherwise(F.lit(co[1][0]))
+    by = F.when(F.col("fold") == 0, F.lit(co[0][1])).otherwise(F.lit(co[1][1]))
+    ad = F.when(F.col("fold") == 0, F.lit(co[0][2])).otherwise(F.lit(co[1][2]))
+    bd = F.when(F.col("fold") == 0, F.lit(co[0][3])).otherwise(F.lit(co[1][3]))
+    ry = F.col("y") - (ay + by * F.col("x"))
+    rd = F.col("d") - (ad + bd * F.col("x"))
+    red = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.floor(ry * rd * DML_Q + 0.5).cast("long")).alias("syd_q"),
+        F.sum(F.floor(rd * rd * DML_Q + 0.5).cast("long")).alias("sdd_q"),
+    )
+    # naive pooled OLS slope of y on d (no partialling) for contrast
+    pooled = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    naive = (
+        (F.col("n") * F.col("sdy") - F.col("sd") * F.col("sy"))
+        / (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd"))
+    )
+    return red.crossJoin(F.broadcast(pooled)).select(
+        "n_users",
+        F.round(F.col("syd_q") / F.col("sdd_q") / 100.0, 6).alias(
+            "theta_usd_per_click"
+        ),
+        F.round(naive / 100.0, 6).alias("naive_usd_per_click"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_double_ml_plm": double_ml_plm,
     "ext_iv_wald": iv_wald,
     "ext_sprt_monitor": sprt_monitor,
     "ext_psi_drift": psi_drift,
@@ -5341,6 +5455,66 @@ _KMV_HASHED = """
 """
 
 ORACLES: dict[str, str] = {
+    "ext_double_ml_plm": f"""
+        WITH users AS (
+            SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST('0x' || substr(md5('dml:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS fold
+            FROM events GROUP BY user_id),
+        mom AS (
+            SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * d) AS BIGINT) AS sxd
+            FROM users GROUP BY fold),
+        slopes AS (
+            SELECT (1 - fold) AS fold, n, sx, sy, sd,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS by,
+                   CAST(n * sxd - sx * sd AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS bd
+            FROM mom),
+        co AS (
+            SELECT fold, by, bd,
+                   (CAST(sy AS DOUBLE) - by * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS ay,
+                   (CAST(sd AS DOUBLE) - bd * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS ad
+            FROM slopes),
+        red AS (
+            SELECT (u.y - (c.ay + c.by * u.x)) AS ry,
+                   (u.d - (c.ad + c.bd * u.x)) AS rd
+            FROM users u JOIN co c ON c.fold = u.fold),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(FLOOR(ry * rd * {DML_Q} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS syd_q,
+                   CAST(SUM(CAST(FLOOR(rd * rd * {DML_Q} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sdd_q
+            FROM red),
+        pooled AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(d * d) AS BIGINT) AS sdd,
+                   CAST(SUM(d * y) AS BIGINT) AS sdy
+            FROM users)
+        SELECT n_users,
+               ROUND(syd_q / sdd_q / 100.0, 6) AS theta_usd_per_click,
+               ROUND((n * sdy - sd * sy) / (n * sdd - sd * sd)
+                     / 100.0, 6) AS naive_usd_per_click
+        FROM sums CROSS JOIN pooled
+    """,
     "ext_iv_wald": f"""
         WITH users AS (
             SELECT user_id,
