@@ -98,6 +98,21 @@ MARQUEE = [
     ("ext_pareto_frontier", "skyline: DISTINCT pair collapse map-side, "
      "then one range-partitioned sort + running max over the "
      "pairs-sized table — never a quadratic dominance join"),
+    ("ext_mmr_rerank", "two-stage retrieval: the corpus scoring scan is "
+     "the ONLY distributed cost; the greedy loop runs over the "
+     "checkpointed constant-size pool with broadcast step joins"),
+    ("ext_knn_shapley", "data valuation at sort cost: one exchange on "
+     "the test key, then two window passes (rank, reverse cumulative) "
+     "over each ranked partition — no extra shuffle"),
+    ("ext_facility_location", "submodular greedy: pool broadcast against "
+     "the corpus once; each step is one join + |pool|-row integer "
+     "aggregate with the coverage vector checkpointed"),
+    ("ext_wasserstein_distance", "W1 on the distinct-cents ladder: one "
+     "map-side-combined rollup, one cumulative window over the ladder "
+     "(<< rows), totals derived from the same checkpointed rollup"),
+    ("ext_double_ml_plm", "cross-fitted DML: joinless — one user rollup "
+     "feeds a moments aggregate and a residual-product aggregate; "
+     "per-row residuals use literal out-of-fold coefficients"),
 ]
 
 
