@@ -5272,7 +5272,88 @@ def double_ml_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RDD_CUT = 66  # activity cutoff — the corpus mean events/user (~66 at
+# every sf: events and users scale together), so both sides populate
+RDD_BW = 20  # local-linear bandwidth in activity units
+
+
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at an activity cutoff: fit a
+    local linear regression of spend on centered activity separately
+    on each side of RDD_CUT (within bandwidth RDD_BW) and report the
+    jump between the two intercepts at the cutoff — the design for
+    threshold-assigned treatments (feature unlocks, tier upgrades)
+    where units just above and just below the line are comparable.
+    Both fits are closed-form OLS from exact integer moment sums
+    folded into ONE conditional-aggregate row (the DiD pattern with
+    slopes); all divisions are BIGINT-derived doubles mirrored
+    operation-for-operation by the oracle.
+
+    Scale notes (100 TB): one user rollup, one 1-row conditional
+    aggregate, row-local arithmetic — joinless, collect-free.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select((F.col("a") - RDD_CUT).alias("t"), "y")
+        .filter(
+            (F.col("t") >= -RDD_BW) & (F.col("t") <= RDD_BW)
+        )
+    )
+    right = F.col("t") >= 0
+
+    def side_moms(cond, tag: str) -> list:
+        z = F.lit(0)
+        return [
+            F.sum(F.when(cond, 1).otherwise(z)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("t")).otherwise(z)).alias(f"st_{tag}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(z)).alias(f"sy_{tag}"),
+            F.sum(
+                F.when(cond, F.col("t") * F.col("t")).otherwise(z)
+            ).alias(f"stt_{tag}"),
+            F.sum(
+                F.when(cond, F.col("t") * F.col("y")).otherwise(z)
+            ).alias(f"sty_{tag}"),
+        ]
+
+    row = users.agg(*side_moms(~right, "l"), *side_moms(right, "r"))
+
+    def fit(tag: str):
+        n, st, sy = F.col(f"n_{tag}"), F.col(f"st_{tag}"), F.col(f"sy_{tag}")
+        stt, sty = F.col(f"stt_{tag}"), F.col(f"sty_{tag}")
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        alpha = (sy - b * st) / n
+        return alpha, b
+
+    al, bl = fit("l")
+    ar, br = fit("r")
+    # a side with < 2 distinct running values cannot support a linear
+    # fit — NULL, not a divide-by-zero (small-sf samples can be lopsided)
+    den = lambda tag: (  # noqa: E731 — local formula alias
+        F.col(f"n_{tag}") * F.col(f"stt_{tag}")
+        - F.col(f"st_{tag}") * F.col(f"st_{tag}")
+    )
+    valid = (den("l") != 0) & (den("r") != 0)
+    return row.select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.when(valid, F.round((ar - al) / 100.0, 4)).alias("rd_effect_usd"),
+        F.when(valid, F.round(bl / 100.0, 6)).alias("slope_left_usd"),
+        F.when(valid, F.round(br / 100.0, 6)).alias("slope_right_usd"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_rdd_cutoff": regression_discontinuity,
     "ext_double_ml_plm": double_ml_plm,
     "ext_iv_wald": iv_wald,
     "ext_sprt_monitor": sprt_monitor,
@@ -5454,7 +5535,65 @@ _KMV_HASHED = """
         FROM events
 """
 
+def _rdd_side_sql(cond: str, tag: str) -> str:
+    return ", ".join(
+        [
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN t ELSE 0 END) AS BIGINT)"
+            f" AS st_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN y ELSE 0 END) AS BIGINT)"
+            f" AS sy_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN t * t ELSE 0 END) AS BIGINT)"
+            f" AS stt_{tag}",
+            f"CAST(SUM(CASE WHEN {cond} THEN t * y ELSE 0 END) AS BIGINT)"
+            f" AS sty_{tag}",
+        ]
+    )
+
+
+def _rdd_fit_sql(tag: str) -> tuple[str, str]:
+    n, st, sy = f"n_{tag}", f"st_{tag}", f"sy_{tag}"
+    stt, sty = f"stt_{tag}", f"sty_{tag}"
+    b = f"(({n} * {sty} - {st} * {sy}) / ({n} * {stt} - {st} * {st}))"
+    alpha = f"(({sy} - {b} * {st}) / {n})"
+    return alpha, b
+
+
+_RDD_AL, _RDD_BL = _rdd_fit_sql("l")
+_RDD_AR, _RDD_BR = _rdd_fit_sql("r")
+
+
 ORACLES: dict[str, str] = {
+    "ext_rdd_cutoff": f"""
+        WITH users AS (
+            SELECT COUNT(*) - {RDD_CUT} AS t,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id),
+        band AS (
+            SELECT * FROM users
+            WHERE t >= -{RDD_BW} AND t <= {RDD_BW}),
+        moms AS (
+            SELECT {_rdd_side_sql("t < 0", "l")},
+                   {_rdd_side_sql("t >= 0", "r")}
+            FROM band)
+        SELECT n_l AS n_left, n_r AS n_right,
+               CASE WHEN (n_l * stt_l - st_l * st_l) != 0
+                     AND (n_r * stt_r - st_r * st_r) != 0
+                    THEN ROUND(({_RDD_AR} - {_RDD_AL}) / 100.0, 4)
+               END AS rd_effect_usd,
+               CASE WHEN (n_l * stt_l - st_l * st_l) != 0
+                     AND (n_r * stt_r - st_r * st_r) != 0
+                    THEN ROUND({_RDD_BL} / 100.0, 6)
+               END AS slope_left_usd,
+               CASE WHEN (n_l * stt_l - st_l * st_l) != 0
+                     AND (n_r * stt_r - st_r * st_r) != 0
+                    THEN ROUND({_RDD_BR} / 100.0, 6)
+               END AS slope_right_usd
+        FROM moms
+    """,
     "ext_double_ml_plm": f"""
         WITH users AS (
             SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
