@@ -5352,7 +5352,77 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target policy over event types (sums to 1) — the counterfactual
+# whose value IPS estimates from logs collected under the empirical
+# logging distribution
+OPE_TARGET = {
+    "click": 0.3,
+    "purchase": 0.4,
+    "view": 0.1,
+    "signup": 0.1,
+    "error": 0.1,
+}
+
+
+def offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation via inverse propensity scoring: estimate
+    what the TARGET action distribution would earn per event from
+    logs collected under the logging policy — V_IPS = mean(r·w),
+    V_SNIPS = Σr·w / Σw with w = π_target(a)/π_log(a) — the
+    counterfactual-evaluation workhorse for rankers/policies that
+    cannot be A/B-tested before deployment, plus Kish's effective
+    sample size of the weights (the diagnostic that says whether the
+    estimate is resting on a handful of high-weight rows). The
+    logging propensities are the exact empirical action frequencies;
+    target propensities are literals; every float reduction runs
+    through qsum.
+
+    Scale notes (100 TB): one |actions|-row rollup (broadcast back),
+    one weighted-aggregate pass — two map-side-combinable shuffles,
+    no joins wider than the 5-row propensity table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("r"),
+    )
+    freq = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    tgt = F.lit(None).cast("double")
+    for a, pi in OPE_TARGET.items():
+        tgt = F.when(F.col("event_type") == a, F.lit(pi)).otherwise(tgt)
+    w = tgt / (F.col("n_a") / F.col("n"))
+    joined = ev.join(F.broadcast(freq), "event_type").crossJoin(
+        F.broadcast(tot)
+    )
+    out = joined.agg(
+        F.max("n").alias("n_events"),
+        _qsum(F.col("r") / 100.0).alias("vlog_q"),
+        _qsum(F.col("r") / 100.0 * w).alias("vips_q"),
+        _qsum(w).alias("w_q"),
+        _qsum(w * w).alias("ww_q"),
+    )
+    return out.select(
+        "n_events",
+        F.round(F.col("vlog_q") / _NANO / F.col("n_events"), 6).alias(
+            "v_logged_usd"
+        ),
+        F.round(F.col("vips_q") / _NANO / F.col("n_events"), 6).alias(
+            "v_ips_usd"
+        ),
+        # ratio of same-scale fixed-point sums — the quantization factor
+        # cancels exactly
+        F.round(F.col("vips_q") / F.col("w_q"), 6).alias("v_snips_usd"),
+        F.round(
+            F.col("w_q") / _NANO * (F.col("w_q") / _NANO) / (
+                F.col("ww_q") / _NANO
+            ),
+            4,
+        ).alias("ess_weights"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_offpolicy_ips": offpolicy_ips,
     "ext_rdd_cutoff": regression_discontinuity,
     "ext_double_ml_plm": double_ml_plm,
     "ext_iv_wald": iv_wald,
@@ -5564,7 +5634,44 @@ _RDD_AL, _RDD_BL = _rdd_fit_sql("l")
 _RDD_AR, _RDD_BR = _rdd_fit_sql("r")
 
 
+_OPE_TGT_SQL = "CASE " + " ".join(
+    f"WHEN event_type = '{a}' THEN CAST({pi} AS DOUBLE)"
+    for a, pi in OPE_TARGET.items()
+) + " END"
+
 ORACLES: dict[str, str] = {
+    "ext_offpolicy_ips": f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS r
+            FROM events),
+        freq AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a
+                 FROM ev GROUP BY event_type),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+        wtd AS (
+            SELECT e.r,
+                   ({_OPE_TGT_SQL}) / (f.n_a / t.n) AS w,
+                   t.n
+            FROM ev e JOIN freq f USING (event_type) CROSS JOIN tot t),
+        agg AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(r / CAST(100.0 AS DOUBLE) * {_NANO} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS vlog_q,
+                   CAST(SUM(CAST(FLOOR(r / CAST(100.0 AS DOUBLE) * w * {_NANO} + 0.5)
+                       AS BIGINT)) AS BIGINT) AS vips_q,
+                   CAST(SUM(CAST(FLOOR(w * {_NANO} + 0.5) AS BIGINT))
+                       AS BIGINT) AS w_q,
+                   CAST(SUM(CAST(FLOOR(w * w * {_NANO} + 0.5) AS BIGINT))
+                       AS BIGINT) AS ww_q
+            FROM wtd)
+        SELECT n_events,
+               ROUND(vlog_q / {_NANO} / n_events, 6) AS v_logged_usd,
+               ROUND(vips_q / {_NANO} / n_events, 6) AS v_ips_usd,
+               ROUND(vips_q / w_q * 1.0, 6) AS v_snips_usd,
+               ROUND(w_q / {_NANO} * (w_q / {_NANO}) / (ww_q / {_NANO}),
+                     4) AS ess_weights
+        FROM agg
+    """,
     "ext_rdd_cutoff": f"""
         WITH users AS (
             SELECT COUNT(*) - {RDD_CUT} AS t,
