@@ -875,3 +875,90 @@ def test_silhouette_in_range(spark, sf_dir):
 
     for r in cluster_silhouette(spark, sf_dir).collect():
         assert -1.0 <= r.mean_silhouette <= 1.0, r
+
+
+def test_facility_location_gains_decrease(spark, sf_dir):
+    """Submodularity: greedy marginal gains must be non-increasing in
+    step order, and every pick distinct."""
+    from mini_sql_engine_spark.operators.similarity import (
+        facility_location_coreset,
+    )
+
+    rows = sorted(
+        facility_location_coreset(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert len({r.vec_id for r in rows}) == len(rows)
+    gains = [r.marginal_gain for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(gains, gains[1:])), gains
+
+
+def test_fellegi_sunter_m_exceeds_u(spark, sf_dir):
+    """EM must separate the classes: every field's agreement is more
+    likely under match than non-match (mu_ratio > 1), and the
+    prevalence is a probability."""
+    from mini_sql_engine_spark.operators.dedup import fellegi_sunter_em
+
+    rows = fellegi_sunter_em(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.mu_ratio > 1.0, r
+        assert 0.0 < r.p < 1.0, r
+
+
+def test_knn_shapley_sign_follows_label(spark, sf_dir):
+    """Closed-form sanity: the most helpful points share the query's
+    label; the most harmful do not (strict negatives only arise from
+    wrong-label neighbors)."""
+    from mini_sql_engine_spark.operators.similarity import knn_shapley
+
+    for r in knn_shapley(spark, sf_dir).collect():
+        if r.shapley > 0:
+            assert r.same_label == 1, r
+        if r.shapley < 0:
+            assert r.same_label == 0, r
+
+
+def test_mmr_first_pick_is_most_relevant(spark, sf_dir):
+    """Step 1 maximizes pure relevance; later steps never beat it on
+    the mmr score within the same query."""
+    from mini_sql_engine_spark.operators.similarity import mmr_rerank
+
+    by_q: dict = {}
+    for r in mmr_rerank(spark, sf_dir).collect():
+        by_q.setdefault(r.q_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.step)
+        assert rows[0].rel == max(r.rel for r in rows)
+
+
+def test_ipf_margins_converge_to_uniform(spark, sf_dir):
+    """After raking, weighted language margins are near-uniform
+    (within 2% relative) — the property IPF exists to deliver."""
+    from mini_sql_engine_spark.operators.pipeline_ops import ipf_raking
+
+    rows = ipf_raking(spark, sf_dir).collect()
+    lang_tot: dict = {}
+    for r in rows:
+        lang_tot[r.lang] = lang_tot.get(r.lang, 0.0) + r.weighted_n
+    target = sum(lang_tot.values()) / len(lang_tot)
+    for v in lang_tot.values():
+        assert abs(v - target) / target < 0.02, lang_tot
+
+
+def test_sprt_decisions_are_boundary_consistent(spark, sf_dir):
+    """Every accept_h1 row's LLR is at or above log A, every accept_h0
+    at or below log B, and continues lie strictly between."""
+    from mini_sql_engine_spark.operators.analytics import (
+        SPRT_LOG_A,
+        SPRT_LOG_B,
+        sprt_monitor,
+    )
+
+    for r in sprt_monitor(spark, sf_dir).collect():
+        if r.decision == "accept_h1":
+            assert r.cum_llr >= SPRT_LOG_A - 1e-6
+        elif r.decision == "accept_h0":
+            assert r.cum_llr <= SPRT_LOG_B + 1e-6
+        else:
+            assert SPRT_LOG_B < r.cum_llr < SPRT_LOG_A
