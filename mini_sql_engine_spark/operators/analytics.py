@@ -5421,7 +5421,95 @@ def offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUC_POS_MIN = 7  # second-half purchases defining a positive label
+
+
+def segment_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC-AUC of a leakage-safe conversion score: first-
+    half-of-month activity predicting second-half purchase, sliced by
+    market segment — the per-slice discrimination audit that catches a
+    model working globally but failing a segment (the fairness/
+    robustness readout a single pooled AUC hides). AUC computes
+    exactly as the tie-corrected rank statistic on each segment's
+    integer score ladder (doubled average ranks, the `ext_mann_whitney`
+    construction), so the only float per segment is one final
+    division. Segments with an empty class emit NULL.
+
+    Scale notes (100 TB): one user rollup + broadcast segment attach,
+    one (segment, score) rollup, one cumulative window per segment
+    ladder (distinct scores ≪ users), one |segments|-row readout.
+    """
+    from pyspark.sql import Window
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+            ).alias("s"),
+            # label: HEAVY second-half purchaser (≥ AUC_POS_MIN) — a
+            # simple any-purchase label saturates to 1 for every user
+            # at this event density, leaving no negative class
+            (
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.dayofmonth("ts") > 15),
+                        1,
+                    ).otherwise(0)
+                )
+                >= AUC_POS_MIN
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    su = users.join(F.broadcast(seg), "user_id")
+    cells = su.groupBy("segment", "s").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    wseg = Window.partitionBy("segment").orderBy("s")
+    wcum = wseg.rowsBetween(Window.unboundedPreceding, -1)
+    ladder = (
+        cells.withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum(F.col("pos") + F.col("neg")).over(wcum), F.lit(0)
+            ),
+        )
+        .withColumn("t", F.col("pos") + F.col("neg"))
+        # doubled average rank of every member of this score cell:
+        # 2·rank = 2·cum_prev + t + 1 (exact under ties)
+        .withColumn(
+            "r1_2",
+            F.col("pos") * (2 * F.col("cum_prev") + F.col("t") + 1),
+        )
+    )
+    agg = ladder.groupBy("segment").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum("r1_2").alias("sr1_2"),
+    )
+    auc = (
+        F.col("sr1_2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ) / (2 * F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
+        ).alias("auc"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_segment_auc": segment_auc,
     "ext_offpolicy_ips": offpolicy_ips,
     "ext_rdd_cutoff": regression_discontinuity,
     "ext_double_ml_plm": double_ml_plm,
@@ -5640,6 +5728,44 @@ _OPE_TGT_SQL = "CASE " + " ".join(
 ) + " END"
 
 ORACLES: dict[str, str] = {
+    "ext_segment_auc": """
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND EXTRACT(day FROM ts) > 15
+                            THEN 1 ELSE 0 END) >= 7 AS BIGINT) AS y
+            FROM events GROUP BY user_id),
+        su AS (
+            SELECT u.*, c.c_mktsegment AS segment
+            FROM users u JOIN customer c ON c.c_custkey = u.user_id),
+        cells AS (
+            SELECT segment, s,
+                   CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS neg
+            FROM su GROUP BY segment, s),
+        ladder AS (
+            SELECT segment, pos, neg,
+                   COALESCE(SUM(pos + neg) OVER (PARTITION BY segment
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_prev,
+                   pos + neg AS t
+            FROM cells),
+        agg AS (
+            SELECT segment,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg,
+                   CAST(SUM(pos * (2 * cum_prev + t + 1)) AS BIGINT)
+                       AS sr1_2
+            FROM ladder GROUP BY segment)
+        SELECT segment, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN ROUND((sr1_2 - n_pos * (n_pos + 1))
+                               / (2 * n_pos * n_neg), 6)
+               END AS auc
+        FROM agg
+    """,
     "ext_offpolicy_ips": f"""
         WITH ev AS (
             SELECT event_type,
