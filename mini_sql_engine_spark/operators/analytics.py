@@ -5508,7 +5508,220 @@ def segment_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ud_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-day (clicks-based score, purchase label) — the shared
+    predictor of the calibration/PR/Brier evaluation suite (same
+    construction as `ext_calibration_ece`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicks"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select("clicks", "y")
+    )
+
+
+def pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision–recall curve + exact average precision for the
+    calibration suite's conversion score: one row per distinct score
+    threshold (predict positive when clicks ≥ threshold) with exact
+    precision/recall, plus AP = Σ ΔR·P — the class-imbalance-robust
+    ranking metric ROC-AUC overstates (`ext_segment_auc`'s
+    complement). Everything is integer cumulative counts over the
+    DISTINCT-score ladder; AP accumulates ΔTP·P through qsum.
+
+    Scale notes (100 TB): one user-day rollup, one |distinct scores|-
+    row ladder with a descending cumulative window — identical shape
+    to the KS/W1 ladders.
+    """
+    from pyspark.sql import Window
+
+    ud = _ud_scored(spark, sf_dir)
+    cells = ud.groupBy("clicks").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    tot = cells.agg(
+        F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg")
+    )
+    wdesc = Window.orderBy(F.col("clicks").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = (
+        cells.withColumn("tp", F.sum("pos").over(wdesc))
+        .withColumn("fp", F.sum("neg").over(wdesc))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("prec", F.col("tp") / (F.col("tp") + F.col("fp")))
+        .withColumn("rec", F.col("tp") / F.col("n_pos"))
+        .localCheckpoint(eager=False)
+    )
+    # AP = Σ_thresholds (ΔTP/n_pos)·precision — ΔTP is this cell's pos
+    ap = ladder.agg(
+        _qsum(F.col("pos") / F.col("n_pos") * F.col("prec")).alias("ap_q")
+    )
+    return ladder.crossJoin(F.broadcast(ap)).select(
+        F.col("clicks").alias("threshold"),
+        "tp",
+        "fp",
+        F.round("prec", 6).alias("precision"),
+        F.round("rec", 6).alias("recall"),
+        F.round(F.col("ap_q") / _NANO, 6).alias("average_precision"),
+    )
+
+
+def f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point picker: the score threshold maximizing F1 for
+    the calibration suite's conversion score — the decision every
+    deployed gate needs after the ranking metrics are settled. F1 per
+    threshold is exact integer arithmetic on the cumulative ladder
+    (F1 = 2TP/(2TP+FP+FN)); the argmax breaks ties toward the HIGHER
+    threshold (stricter gate). Output: the chosen row plus the
+    extremes for context.
+
+    Scale notes (100 TB): the same descending ladder as the PR curve;
+    the argmax is a 1-row window pick over |distinct scores| rows.
+    """
+    from pyspark.sql import Window
+
+    ud = _ud_scored(spark, sf_dir)
+    cells = ud.groupBy("clicks").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg"),
+    )
+    tot = cells.agg(F.sum("pos").alias("n_pos"))
+    wdesc = Window.orderBy(F.col("clicks").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = (
+        cells.withColumn("tp", F.sum("pos").over(wdesc))
+        .withColumn("fp", F.sum("neg").over(wdesc))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("fn", F.col("n_pos") - F.col("tp"))
+        # exact rational compare via cross-multiplication is overkill
+        # here: F1's one division is identical IEEE on both engines
+        .withColumn(
+            "f1",
+            2 * F.col("tp")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+        )
+    )
+    pick = (
+        ladder.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("f1").desc(), F.col("clicks").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return pick.select(
+        F.col("clicks").alias("best_threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over the calibration
+    bins: BS = reliability − resolution + uncertainty — the exact
+    accounting that says WHETHER a bad Brier score comes from
+    miscalibration (reliability) or from the score simply not
+    separating outcomes (low resolution), which ECE alone cannot
+    distinguish. Computed on `ext_calibration_ece`'s bins: per-bin
+    confidence/accuracy from exact sums, the three components as
+    n-weighted qsum reductions, and the identity BS = REL − RES + UNC
+    holds to quantization precision (pinned by pytest).
+
+    Scale notes (100 TB): the user-day rollup plus two ECE_BINS-row
+    aggregates — same cost envelope as the ECE audit itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicks"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            (F.col("clicks") / (F.col("clicks") + F.lit(float(ECE_SMOOTH)))).alias(
+                "p"
+            ),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    binned = ud.select(
+        F.least(F.floor(F.col("p") * ECE_BINS), F.lit(ECE_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+        "p",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        _qsum(F.col("p")).alias("conf_q"),
+        F.sum("y").alias("pos_b"),
+    ).localCheckpoint(eager=False)
+    tot = per_bin.agg(
+        F.sum("n_b").alias("n"), F.sum("pos_b").alias("n_pos")
+    )
+    base = F.col("n_pos") / F.col("n")
+    rows = per_bin.crossJoin(F.broadcast(tot)).select(
+        "n_b",
+        (F.col("conf_q") / _NANO / F.col("n_b")).alias("conf"),
+        (F.col("pos_b") / F.col("n_b")).alias("acc"),
+        base.alias("base"),
+        "n",
+    )
+    comp = rows.agg(
+        _qsum(
+            F.col("n_b")
+            / F.col("n")
+            * (F.col("conf") - F.col("acc"))
+            * (F.col("conf") - F.col("acc"))
+        ).alias("rel_q"),
+        _qsum(
+            F.col("n_b")
+            / F.col("n")
+            * (F.col("acc") - F.col("base"))
+            * (F.col("acc") - F.col("base"))
+        ).alias("res_q"),
+        F.max("base").alias("base_rate"),
+    )
+    # BS itself, directly: mean (p − y)² over user-days
+    bs = ud.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _qsum(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+        ).alias("bs_q"),
+    )
+    return comp.crossJoin(F.broadcast(bs)).select(
+        "n_days",
+        F.round(F.col("bs_q") / _NANO / F.col("n_days"), 6).alias("brier"),
+        F.round(F.col("rel_q") / _NANO, 6).alias("reliability"),
+        F.round(F.col("res_q") / _NANO, 6).alias("resolution"),
+        F.round(
+            F.col("base_rate") * (1.0 - F.col("base_rate")), 6
+        ).alias("uncertainty"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_pr_curve": pr_curve_ap,
+    "ext_f1_threshold": f1_threshold,
+    "ext_brier_decomposition": brier_decomposition,
     "ext_segment_auc": segment_auc,
     "ext_offpolicy_ips": offpolicy_ips,
     "ext_rdd_cutoff": regression_discontinuity,
@@ -5727,7 +5940,108 @@ _OPE_TGT_SQL = "CASE " + " ".join(
     for a, pi in OPE_TARGET.items()
 ) + " END"
 
+_UD_SQL = """
+            SELECT CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   MAX(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY user_id, CAST(ts AS DATE)"""
+
+_PR_LADDER_SQL = f"""
+        ud AS ({_UD_SQL}),
+        cells AS (
+            SELECT clicks, CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS neg
+            FROM ud GROUP BY clicks),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                       CAST(SUM(neg) AS BIGINT) AS n_neg
+                FROM cells),
+        ladder AS (
+            SELECT clicks, pos,
+                   SUM(pos) OVER (ORDER BY clicks DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                   SUM(neg) OVER (ORDER BY clicks DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                   n_pos
+            FROM cells CROSS JOIN tot)"""
+
 ORACLES: dict[str, str] = {
+    "ext_pr_curve": f"""
+        WITH {_PR_LADDER_SQL},
+        l2 AS (
+            SELECT clicks, pos, tp, fp,
+                   tp / (tp + fp) AS prec,
+                   tp / n_pos AS rec, n_pos
+            FROM ladder),
+        ap AS (
+            SELECT CAST(SUM(CAST(FLOOR(pos / n_pos * prec * {_NANO}
+                       + 0.5) AS BIGINT)) AS BIGINT) AS ap_q
+            FROM l2)
+        SELECT clicks AS threshold,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               ROUND(prec, 6) AS precision,
+               ROUND(rec, 6) AS recall,
+               ROUND(ap_q / {_NANO} * 1.0, 6) AS average_precision
+        FROM l2 CROSS JOIN ap
+    """,
+    "ext_f1_threshold": f"""
+        WITH {_PR_LADDER_SQL},
+        l2 AS (
+            SELECT clicks, tp, fp, n_pos - tp AS fn,
+                   2 * tp / (2 * tp + fp + (n_pos - tp)) AS f1
+            FROM ladder)
+        SELECT clicks AS best_threshold,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               ROUND(f1, 6) AS f1
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY f1 DESC,
+                          clicks DESC) AS rn
+              FROM l2) WHERE rn = 1
+    """,
+    "ext_brier_decomposition": f"""
+        WITH ud0 AS ({_UD_SQL}),
+        udp AS (SELECT clicks / (clicks + {float(ECE_SMOOTH)}) AS p, y
+                FROM ud0),
+        binned AS (
+            SELECT CAST(LEAST(FLOOR(p * {ECE_BINS}), {ECE_BINS - 1})
+                        AS BIGINT) AS bin, p, y
+            FROM udp),
+        per_bin AS (
+            SELECT bin, COUNT(*) AS n_b,
+                   CAST(SUM(CAST(FLOOR(p * {_NANO} + 0.5) AS BIGINT))
+                        AS BIGINT) AS conf_q,
+                   CAST(SUM(y) AS BIGINT) AS pos_b
+            FROM binned GROUP BY bin),
+        tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+                       CAST(SUM(pos_b) AS BIGINT) AS n_pos
+                FROM per_bin),
+        rws AS (
+            SELECT n_b,
+                   conf_q / {_NANO} / n_b AS conf,
+                   pos_b / n_b AS acc,
+                   n_pos / n AS base, n
+            FROM per_bin CROSS JOIN tot),
+        comp AS (
+            SELECT CAST(SUM(CAST(FLOOR(n_b / n * (conf - acc)
+                       * (conf - acc) * {_NANO} + 0.5) AS BIGINT))
+                       AS BIGINT) AS rel_q,
+                   CAST(SUM(CAST(FLOOR(n_b / n * (acc - base)
+                       * (acc - base) * {_NANO} + 0.5) AS BIGINT))
+                       AS BIGINT) AS res_q,
+                   MAX(base) AS base_rate
+            FROM rws),
+        bs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(CAST(FLOOR((p - y) * (p - y) * {_NANO}
+                       + 0.5) AS BIGINT)) AS BIGINT) AS bs_q
+            FROM udp)
+        SELECT n_days,
+               ROUND(bs_q / {_NANO} / n_days, 6) AS brier,
+               ROUND(rel_q / {_NANO} * 1.0, 6) AS reliability,
+               ROUND(res_q / {_NANO} * 1.0, 6) AS resolution,
+               ROUND(base_rate * (1.0 - base_rate), 6) AS uncertainty
+        FROM comp CROSS JOIN bs
+    """,
     "ext_segment_auc": """
         WITH users AS (
             SELECT user_id,

@@ -962,3 +962,25 @@ def test_sprt_decisions_are_boundary_consistent(spark, sf_dir):
             assert r.cum_llr <= SPRT_LOG_B + 1e-6
         else:
             assert SPRT_LOG_B < r.cum_llr < SPRT_LOG_A
+
+
+def test_brier_murphy_identity(spark, sf_dir):
+    """BS = reliability − resolution + uncertainty, to quantization
+    precision — the decomposition must reconcile or a component is
+    miscomputed."""
+    from mini_sql_engine_spark.operators.analytics import brier_decomposition
+
+    r = brier_decomposition(spark, sf_dir).collect()[0]
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-4, r
+
+
+def test_pr_curve_ap_and_monotone_recall(spark, sf_dir):
+    """Recall is non-decreasing as the threshold drops, AP lies in
+    (0, 1], and the base rate is a lower bound for AP under a
+    better-than-random score."""
+    from mini_sql_engine_spark.operators.analytics import pr_curve_ap
+
+    rows = sorted(pr_curve_ap(spark, sf_dir).collect(), key=lambda r: -r.threshold)
+    recs = [r.recall for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(recs, recs[1:])), recs
+    assert 0.0 < rows[0].average_precision <= 1.0
