@@ -4864,14 +4864,24 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofmonth("ts") <= 15).alias("early"),
         )
     )
-    # checkpoint the PSI_BINS-row rollup: four consumers (totals, the
-    # row table, the PSI combine, the final select) would otherwise
-    # each re-run the events scan — Spark does not dedupe common
-    # subplans across DataFrame branches
     per_bin = ev.groupBy("bin").agg(
         F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_early"),
         F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_late"),
-    ).localCheckpoint(eager=False)
+    )
+    return psi_readout(per_bin)
+
+
+def psi_readout(per_bin: DataFrame) -> DataFrame:
+    """Smoothed-PSI arithmetic over a (bin, n_early, n_late) table —
+    shared by the batch monitor and its exactly-once streaming twin
+    (`stream_psi_drift` reads the same counts back from the merged
+    native state table, and after a full drain they equal the batch
+    counts exactly). Checkpoints the input: four consumers (totals,
+    the row table, the PSI combine, the final select) would otherwise
+    each re-run the upstream scan — Spark does not dedupe common
+    subplans across DataFrame branches.
+    """
+    per_bin = per_bin.localCheckpoint(eager=False)
     tot = per_bin.agg(
         F.sum("n_early").alias("ne"), F.sum("n_late").alias("nl")
     )

@@ -159,9 +159,15 @@ def _multi_file_events(
     ).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"events_upsert_{digest}")
     if not os.path.exists(stage):
+        from mini_sql_engine_spark.catalog import load_table
+
         tmp = stage + f".tmp-{os.getpid()}"
+        # stage through the catalog loader: events.ts normalizes to
+        # session-zoned µs TimestampType regardless of the parquet
+        # generation's physical type (raw reads flip between
+        # TIMESTAMP_NTZ and nanos-as-long across generations)
         (
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            load_table(spark, sf_dir, "events")
             .select(*cols)
             .repartition(n_files)
             .write.mode("overwrite")
@@ -392,7 +398,137 @@ def stream_bitmap_distinct_counts(
     )
 
 
+_PSI_SENTINEL = -1  # bkey of the version row
+
+
+def merge_psi_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body for the drift monitor: MERGE this batch's
+    (bin, half) purchase counts into the native state table with the
+    same in-table version sentinel replay guard as `merge_batch`.
+    bkey = bin·2 + early packs the composite key into the integer-only
+    native format."""
+    from mini_sql_engine_spark.operators.analytics import (
+        PSI_BIN_CENTS,
+        PSI_BINS,
+    )
+
+    spark = batch_df.sparkSession
+    state = _read_state(spark, data_dir, table)
+    if state is None:
+        cur = spark.createDataFrame([], "bkey long, n long")
+    else:
+        state = state.localCheckpoint()
+        last = (
+            state.filter(F.col("bkey") == _PSI_SENTINEL)
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )  # scalar control value, never data
+        if last is not None and batch_id <= int(last):
+            return
+        cur = state.filter(F.col("bkey") != _PSI_SENTINEL)
+    # the staged feed goes through catalog.load_table, so ts is the
+    # normalized session-zoned timestamp — same day-of-month as batch
+    dom = F.dayofmonth("ts")
+    delta = (
+        batch_df.filter(F.col("event_type") == "purchase")
+        .select(
+            (
+                F.least(
+                    F.floor(
+                        F.floor(F.col("value") * 100 + 0.5) / PSI_BIN_CENTS
+                    ),
+                    F.lit(PSI_BINS - 1),
+                ).cast("long")
+                * 2
+                + (dom <= 15).cast("long")
+            ).alias("bkey")
+        )
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("d_n"))
+    )
+    merged = cur.join(delta, "bkey", "full_outer").select(
+        "bkey",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+    )
+    sentinel = batch_df.sparkSession.createDataFrame(
+        [(_PSI_SENTINEL, int(batch_id))], "bkey long, n long"
+    )
+    datasource.register(spark)
+    (
+        merged.unionByName(sentinel)
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING twin of `ext_psi_drift`: the (bin, half)
+    purchase counts accumulate across micro-batches through the
+    versioned foreachBatch MERGE, and the final PSI readout runs the
+    batch operator's own arithmetic (`analytics.psi_readout`) over the
+    drained state — so the monitor that pages an on-call at 3am is
+    provably the same number the batch audit would compute. Oracle:
+    identical to the batch PSI (after a full drain the merged counts
+    equal the one-shot batch counts exactly; integer count MERGE is
+    associative and the replay guard makes it idempotent).
+
+    Scale notes (100 TB): per-batch work is one thin (bin, half)
+    aggregate (bounded by 2·PSI_BINS keys) + a merge against a
+    constant-size state table — the cheapest possible exactly-once
+    monitor; the readout cost is the batch operator's.
+    """
+    from mini_sql_engine_spark.operators.analytics import psi_readout
+
+    data_dir = tempfile.mkdtemp(prefix="minisql_psi_")
+    chk = tempfile.mkdtemp(prefix="chk_psi_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_events(
+                spark,
+                sf_dir,
+                cols=("ts", "event_type", "value"),
+                schema="ts timestamp, event_type string, value double",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_psi_batch(df, bid, data_dir, "psi_bins")
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = _read_state(spark, data_dir, "psi_bins")
+    per_bin = (
+        state.filter(F.col("bkey") != _PSI_SENTINEL)
+        .select(
+            (F.col("bkey") / 2).cast("long").alias("bin"),
+            (F.col("bkey") % 2 == 1).alias("early"),
+            "n",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("early"), F.col("n")).otherwise(0)).alias(
+                "n_early"
+            ),
+            F.sum(F.when(F.col("early"), 0).otherwise(F.col("n"))).alias(
+                "n_late"
+            ),
+        )
+    )
+    return psi_readout(per_bin)
+
+
 QUERIES: dict[str, Callable] = {
+    "stream_psi_drift": stream_psi_drift,
     "stream_upsert_totals": stream_upsert_user_totals,
     "stream_native_tail": stream_native_tail_totals,
     "stream_bitmap_distinct": stream_bitmap_distinct_counts,
@@ -411,6 +547,11 @@ ORACLES: dict[str, str] = {
     # same batch truth, two different streaming computation paths:
     # foreachBatch MERGE state vs native-format tail replay
     "stream_upsert_totals": _USER_TOTALS_SQL,
+    # exact twin of the batch monitor — a full drain reproduces the
+    # one-shot counts, so the oracle IS the batch PSI oracle
+    "stream_psi_drift": __import__(
+        "mini_sql_engine_spark.operators.analytics", fromlist=["ORACLES"]
+    ).ORACLES["ext_psi_drift"],
     "stream_native_tail": _USER_TOTALS_SQL,
     "stream_bitmap_distinct": """
         SELECT event_type,
