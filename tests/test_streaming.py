@@ -339,3 +339,43 @@ def test_native_upsert_sink_replay_is_exactly_once(spark, tmp_path):
 
     U.merge_batch(b1, 1, data_dir, "t")  # replay of the latest batch too
     assert state() == {1: (2, 200), 2: (2, 550), 9: (1, 10)}
+
+
+def test_psi_merge_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch into the PSI state table must be a
+    no-op: the in-table sentinel version gates the second apply, so
+    the drained counts match a single application exactly."""
+    import datetime as _dt
+
+    from mini_sql_engine_spark.streaming.upsert import (
+        _PSI_SENTINEL,
+        _read_state,
+        merge_psi_batch,
+    )
+
+    rows = [
+        Row(ts=_dt.datetime(2024, 1, d), event_type="purchase", value=v)
+        for d, v in [(3, 12.0), (20, 34.5), (21, 34.5), (4, 300.0)]
+    ]
+    batch = spark.createDataFrame(rows)
+    data_dir = str(tmp_path / "psi_state")
+    merge_psi_batch(batch, 0, data_dir, "psi_bins")
+    once = {
+        (r.bkey, r.n)
+        for r in _read_state(spark, data_dir, "psi_bins").collect()
+        if r.bkey != _PSI_SENTINEL
+    }
+    merge_psi_batch(batch, 0, data_dir, "psi_bins")  # replay same id
+    twice = {
+        (r.bkey, r.n)
+        for r in _read_state(spark, data_dir, "psi_bins").collect()
+        if r.bkey != _PSI_SENTINEL
+    }
+    assert once == twice and once, once
+    merge_psi_batch(batch, 1, data_dir, "psi_bins")  # a real new batch
+    applied = {
+        (r.bkey, r.n)
+        for r in _read_state(spark, data_dir, "psi_bins").collect()
+        if r.bkey != _PSI_SENTINEL
+    }
+    assert applied == {(k, 2 * n) for k, n in once}, applied
