@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
-from mini_sql_engine_spark.functions import textfns
+from mini_sql_engine_spark.functions import hashing, textfns
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,7 +633,83 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_MOD = 8  # boundary when hash(token) % CDC_MOD == 0 → ~8-token chunks
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the backup/storage-dedup
+    technique, token-level): a chunk boundary falls wherever a token's
+    hash ≡ 0 (mod CDC_MOD), so boundaries depend only on LOCAL content
+    — an insertion reshuffles one chunk, not every downstream chunk
+    the way fixed-size chunking does. Chunks fingerprint by md5 and
+    dedup corpus-wide; the report gives chunk counts, the duplicate-
+    chunk rate, and the token-weighted storage savings exact dedup at
+    chunk granularity would deliver — the sub-document dedup signal
+    complementary to shingle Jaccard (which scores pairs, not
+    storage).
+
+    Scale notes (100 TB): one token explode with a per-doc cumulative
+    window (pos-ordered, partition-local after one doc-keyed
+    shuffle), one (doc, chunk) rollup rebuilding chunk text, one
+    fingerprint rollup — shuffle volume is bounded by token rows then
+    chunk rows. Fingerprints are md5 of chunk text, so the operator
+    is exactly replayable anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.posexplode(textfns.tokens("text")).alias("pos", "tok")
+    )
+    b = (hashing.md5_long(F.col("tok"), salt="cdc") % CDC_MOD == 0).cast(
+        "long"
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk", F.coalesce(F.sum(b).over(wdoc), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk").agg(
+        F.count(F.lit(1)).alias("c_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    per_fp = chunks.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("c_len").alias("c_len")
+    )
+    return per_fp.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum(F.col("cnt") * F.col("c_len")).alias("n_tokens"),
+        F.floor(
+            F.sum(F.lit(1_000_000) * (F.col("cnt") - 1))
+            / F.sum("cnt")
+        )
+        .cast("long")
+        .alias("dup_chunk_ppm"),
+        F.floor(
+            F.sum(F.lit(1_000_000) * (F.col("cnt") - 1) * F.col("c_len"))
+            / F.sum(F.col("cnt") * F.col("c_len"))
+        )
+        .cast("long")
+        .alias("token_savings_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_cdc_chunk_dedup": cdc_chunk_dedup,
     "ext_tokenizer_fertility": tokenizer_fertility,
     "ext_log_odds_terms": log_odds_terms,
     "ext_text_token_stats": token_stats,
@@ -684,6 +760,41 @@ ORACLES: dict[str, str] = {
                             ORDER BY z DESC, t) AS rk
               FROM scored)
         WHERE rk <= {LO_TOPK}
+    """,
+    "ext_cdc_chunk_dedup": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tok AS (
+            SELECT doc_id, i AS pos, toks[i] AS tok
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1)) AS i
+                  FROM t)),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CAST(CAST(('0x' || substr(md5('cdc:' || tok), 1, 15))
+                        AS BIGINT) % {CDC_MOD} = 0 AS BIGINT) AS b
+            FROM tok),
+        chunked AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(b) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS chunk
+            FROM flagged),
+        chunks AS (
+            SELECT doc_id, chunk, COUNT(*) AS c_len,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+            FROM chunked GROUP BY doc_id, chunk),
+        per_fp AS (
+            SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(MAX(c_len) AS BIGINT) AS c_len
+            FROM chunks GROUP BY fp)
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+               CAST(SUM(cnt * c_len) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(SUM(1000000 * (cnt - 1)) / SUM(cnt))
+                    AS BIGINT) AS dup_chunk_ppm,
+               CAST(FLOOR(SUM(1000000 * (cnt - 1) * c_len)
+                    / SUM(cnt * c_len)) AS BIGINT) AS token_savings_ppm
+        FROM per_fp
     """,
     "ext_tokenizer_fertility": f"""
         WITH per AS (
