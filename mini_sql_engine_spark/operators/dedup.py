@@ -836,6 +836,78 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.dropDuplicates(["vec_a", "vec_b"])
 
 
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE, instrumented: exact fingerprint →
+    near-dup Jaccard → embedding near-dup, applied sequentially with
+    the keep-smallest-id rule at each stage, reporting per-stage
+    in/removed/out and the cumulative removal ppm — the evidence for
+    ordering cheap-exact before expensive-fuzzy (each stage only pays
+    for what the previous stages left). Stage rules are the
+    operators' own: exact = min doc per normalized-text md5; Jaccard
+    = drop doc_b of every verified pair (canonical_keep's rule)
+    restricted to pairs whose BOTH endpoints survived; embedding =
+    the same rule over the LSH-banded cosine pairs.
+
+    Scale notes (100 TB): consumes the memoized verified-pair and
+    banded-cosine tables plus one fingerprint rollup; each stage is a
+    semi/anti join on thin id sets (survivor sets carry ONE column).
+    The report itself is three 1-row aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textfns.fingerprint("text").alias("fp")
+    )
+    from pyspark.sql import Window as _W
+
+    s1_drop = (
+        docs.withColumn(
+            "rn", F.row_number().over(_W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    s1 = docs.select("doc_id").join(s1_drop, "doc_id", "left_anti")
+    s1 = s1.localCheckpoint(eager=False)
+    jp = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    s2_drop = (
+        jp.join(s1.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(s1.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    s2 = s1.join(s2_drop, "doc_id", "left_anti").localCheckpoint(eager=False)
+    ep = embedding_dedup(spark, sf_dir).select("vec_a", "vec_b")
+    s3_drop = (
+        ep.join(s2.withColumnRenamed("doc_id", "vec_a"), "vec_a", "left_semi")
+        .join(s2.withColumnRenamed("doc_id", "vec_b"), "vec_b", "left_semi")
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    counts = (
+        docs.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(F.broadcast(s1_drop.agg(F.count(F.lit(1)).alias("d1"))))
+        .crossJoin(F.broadcast(s2_drop.agg(F.count(F.lit(1)).alias("d2"))))
+        .crossJoin(F.broadcast(s3_drop.agg(F.count(F.lit(1)).alias("d3"))))
+    ).localCheckpoint(eager=False)
+
+    def stage(name: str, n_in, removed, cum) -> DataFrame:
+        return counts.select(
+            F.lit(name).alias("stage"),
+            n_in.alias("n_in"),
+            removed.alias("n_removed"),
+            (n_in - removed).alias("n_out"),
+            F.floor(1_000_000 * cum / F.col("n0")).cast("long").alias(
+                "cum_removed_ppm"
+            ),
+        )
+
+    n0, d1, d2, d3 = (F.col(c) for c in ("n0", "d1", "d2", "d3"))
+    return (
+        stage("exact_fingerprint", n0, d1, d1)
+        .unionAll(stage("near_dup_jaccard", n0 - d1, d2, d1 + d2))
+        .unionAll(stage("embedding_cosine", n0 - d1 - d2, d3, d1 + d2 + d3))
+    )
+
+
 MAX_CC_ITERS = 20
 
 # Telemetry for the iterative driver-loop operators: rounds used on the
@@ -1378,6 +1450,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_jaccard": jaccard_dedup,
     "ext_lsh_tuning_curve": lsh_tuning_curve,
     "ext_fellegi_sunter_em": fellegi_sunter_em,
+    "ext_dedup_cascade": dedup_cascade,
     "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_split_leakage": split_leakage,
@@ -1560,6 +1633,7 @@ ORACLES: dict[str, str] = {
     .replace("{pairs}", _JACCARD_PAIRS)
     .replace("{t}", str(JACCARD_T)),
     "ext_fellegi_sunter_em": _fs_oracle().replace("{pairs}", _JACCARD_PAIRS),
+    "ext_dedup_cascade": None,  # assigned below (needs the embedding oracle)
     # prefix filtering is lossless, so the oracle is the plain exact
     # join at the higher threshold — identical output, different plan
     "ext_dedup_prefix_filter": f"""
@@ -1656,6 +1730,52 @@ ORACLES: dict[str, str] = {
 }
 
 
+_CASCADE_ORACLE = f"""
+    WITH fpt AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents),
+    s1_drop AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp
+                        ORDER BY doc_id) AS rn
+            FROM fpt) WHERE rn > 1),
+    s1 AS (SELECT doc_id FROM fpt
+           WHERE doc_id NOT IN (SELECT doc_id FROM s1_drop)),
+    jp AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+           WHERE jacc >= {JACCARD_T}),
+    s2_drop AS (
+        SELECT DISTINCT doc_b AS doc_id FROM jp
+        WHERE doc_a IN (SELECT doc_id FROM s1)
+          AND doc_b IN (SELECT doc_id FROM s1)),
+    s2 AS (SELECT doc_id FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM s2_drop)),
+    ep AS (SELECT vec_a, vec_b FROM ({{emb_pairs}}) e),
+    s3_drop AS (
+        SELECT DISTINCT vec_b AS doc_id FROM ep
+        WHERE vec_a IN (SELECT doc_id FROM s2)
+          AND vec_b IN (SELECT doc_id FROM s2)),
+    c AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s1_drop) AS d1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s2_drop) AS d2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s3_drop) AS d3)
+    SELECT 'exact_fingerprint' AS stage, n0 AS n_in, d1 AS n_removed,
+           n0 - d1 AS n_out,
+           CAST(FLOOR(1000000 * d1 / n0) AS BIGINT) AS cum_removed_ppm
+    FROM c
+    UNION ALL
+    SELECT 'near_dup_jaccard', n0 - d1, d2, n0 - d1 - d2,
+           CAST(FLOOR(1000000 * (d1 + d2) / n0) AS BIGINT)
+    FROM c
+    UNION ALL
+    SELECT 'embedding_cosine', n0 - d1 - d2, d3, n0 - d1 - d2 - d3,
+           CAST(FLOOR(1000000 * (d1 + d2 + d3) / n0) AS BIGINT)
+    FROM c
+"""
+
+
 ORACLES.update({
     "ext_triangle_census": f"""
         WITH e AS (
@@ -1713,3 +1833,8 @@ ORACLES.update({
           ON t.id_a = e.id_a AND t.id_b = e.id_b
     """.replace("{emb}", ORACLES["ext_dedup_embedding"]),
 })
+
+
+ORACLES["ext_dedup_cascade"] = _CASCADE_ORACLE.replace(
+    "{emb_pairs}", ORACLES["ext_dedup_embedding"]
+)
