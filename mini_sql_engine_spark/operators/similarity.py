@@ -799,6 +799,95 @@ def _fl_oracle() -> str:
     return "".join(parts)
 
 
+JL_DIM = 16  # target dimensionality of the random projection
+
+
+def _jl_plane(j: int) -> list[float]:
+    """Deterministic pseudo-random JL projection row (md5 construction,
+    'jl' salt — same recipe as PLANES/CENTROIDS)."""
+    return [
+        (int(hashlib.md5(f"jl{j},{d}".encode()).hexdigest()[:15], 16) % 2001
+         - 1000) / 1000.0
+        for d in range(DIM)
+    ]
+
+
+JL_PLANES: list[list[float]] = [_jl_plane(j) for j in range(JL_DIM)]
+
+
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project the embeddings
+    64→16 dims through a deterministic random matrix and measure, on
+    each query's exact top-10 neighbor pairs, how far the projected
+    cosine drifts from the true one — the measurement that decides
+    whether a cheap low-dimensional index (4× less memory and
+    bandwidth) is safe for THIS corpus, instead of trusting the JL
+    bound's constants. Projection scale cancels in cosine, so no
+    1/√k factor is needed; all per-pair arithmetic (16 dots, two
+    norms, one ratio) runs on identical operands in both engines, and
+    the mean absolute error reduces through qsum.
+
+    Scale notes (100 TB): the pair set is queries×top-k (constant);
+    the expensive part at scale is projecting the CORPUS — one
+    scan-side map (16 dots/vector, codegen-friendly), no shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("cos64", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos64").desc(), F.col("n_id"))
+    pairs = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "cos64", "qe", "ne")
+    )
+
+    def proj(col: Column, j: int) -> Column:
+        return vector.dot(col, F.array(*[F.lit(v) for v in JL_PLANES[j]]))
+
+    pa = [proj(F.col("qe"), j) for j in range(JL_DIM)]
+    pb = [proj(F.col("ne"), j) for j in range(JL_DIM)]
+
+    def fold(terms: list[Column]) -> Column:
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    dot16 = fold([a * b for a, b in zip(pa, pb)])
+    na = F.sqrt(fold([a * a for a in pa]))
+    nb = F.sqrt(fold([b * b for b in pb]))
+    rows = pairs.select(
+        "q_id",
+        "n_id",
+        "cos64",
+        F.round(dot16 / (na * nb), 6).alias("cos16"),
+    ).localCheckpoint(eager=False)
+    err = rows.agg(
+        F.sum(
+            F.floor(
+                F.abs(F.col("cos16") - F.col("cos64")) * 1_000_000_000 + 0.5
+            ).cast("long")
+        ).alias("err_q"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return rows.crossJoin(F.broadcast(err)).select(
+        "q_id",
+        "n_id",
+        "cos64",
+        "cos16",
+        F.round(
+            F.col("err_q") / 1_000_000_000 / F.col("n_pairs"), 6
+        ).alias("mean_abs_err"),
+    )
+
+
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the vector column: per-vector max /
     min / mean / positive-component count — all JVM-side array
@@ -1082,6 +1171,52 @@ _KSH_ORACLE = f"""
     WHERE r_top <= {KSH_TOPB} OR r_bot <= {KSH_TOPB}
 """
 
+def _jl_oracle() -> str:
+    pa_cols = ", ".join(
+        f"list_dot_product(CAST(ea.embedding AS DOUBLE[]), "
+        f"{_plane_sql(JL_PLANES[j])}) AS pa{j}, "
+        f"list_dot_product(CAST(eb.embedding AS DOUBLE[]), "
+        f"{_plane_sql(JL_PLANES[j])}) AS pb{j}"
+        for j in range(JL_DIM)
+    )
+    dot16 = " + ".join(f"pa{j} * pb{j}" for j in range(JL_DIM))
+    na = " + ".join(f"pa{j} * pa{j}" for j in range(JL_DIM))
+    nb = " + ".join(f"pb{j} * pb{j}" for j in range(JL_DIM))
+    return f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               ROUND(list_dot_product({_EMB.format(t='q')},
+                                      {_EMB.format(t='c')}), 4) AS cos64
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q_id, n_id, cos64 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cos64 DESC, n_id) AS rn
+            FROM scored) WHERE rn <= {TOP_K}),
+    proj AS (
+        SELECT p.q_id, p.n_id, p.cos64, {pa_cols}
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.q_id
+        JOIN embeddings eb ON eb.vec_id = p.n_id),
+    rws AS (
+        SELECT q_id, n_id, cos64,
+               ROUND(({dot16}) / (sqrt({na}) * sqrt({nb})), 6) AS cos16
+        FROM proj),
+    err AS (
+        SELECT CAST(SUM(CAST(FLOOR(ABS(cos16 - cos64) * 1000000000
+                   + 0.5) AS BIGINT)) AS BIGINT) AS err_q,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM rws)
+    SELECT q_id, n_id, cos64, cos16,
+           ROUND(err_q / 1000000000 / n_pairs, 6) AS mean_abs_err
+    FROM rws CROSS JOIN err
+"""
+
+
+_JL_ORACLE = _jl_oracle()
+
+
 _ANN_RANK_K = f"""
     bucketed AS (
         SELECT vec_id, embedding,
@@ -1175,6 +1310,7 @@ QUERIES: dict[str, Callable] = {
     "ext_ndcg_eval": ndcg_eval,
     "ext_knn_shapley": knn_shapley,
     "ext_facility_location": facility_location_coreset,
+    "ext_jl_projection_audit": jl_projection_audit,
     "ext_array_funcs": embedding_array_stats,
 }
 
@@ -1186,6 +1322,7 @@ ORACLES: dict[str, str] = {
     "ext_ndcg_eval": _NDCG_ORACLE,
     "ext_knn_shapley": _KSH_ORACLE,
     "ext_facility_location": _fl_oracle(),
+    "ext_jl_projection_audit": _JL_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
     "ext_sim_recall_eval": _RECALL_ORACLE,
