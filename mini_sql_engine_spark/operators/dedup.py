@@ -908,6 +908,57 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen capture–recapture estimate of the TOTAL true
+    near-dup pair count from two independent blockers' verified
+    catches (MinHash-band route vs SimHash route): N̂ = n_A·n_B / m —
+    the ecology estimator applied to dedup coverage, which estimates
+    how many true pairs BOTH blockers miss WITHOUT needing exhaustive
+    ground truth (the production question `ext_blocker_recall_report`
+    can only answer on corpora small enough to brute-force). Here the
+    exhaustive count exists and rides along, so the estimator itself
+    is auditable. Assumes independent catch probabilities — correlated
+    blockers (both lexical!) bias N̂ low; the audit column shows it.
+
+    Scale notes (100 TB): consumes the two blockers' verified pair
+    tables (memoized inputs); all set algebra is semi-joins on thin
+    (doc_a, doc_b) keys and five 1-row counts.
+    """
+    truth = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    mh = (
+        minhash_lsh_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sh_true = (
+        simhash_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(truth, ["doc_a", "doc_b"], "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    overlap = mh.join(sh_true, ["doc_a", "doc_b"], "left_semi")
+    union = mh.unionAll(sh_true).distinct()
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(F.broadcast(mh.agg(F.count(F.lit(1)).alias("na"))))
+        .crossJoin(F.broadcast(sh_true.agg(F.count(F.lit(1)).alias("nb"))))
+        .crossJoin(F.broadcast(overlap.agg(F.count(F.lit(1)).alias("m"))))
+        .crossJoin(F.broadcast(union.agg(F.count(F.lit(1)).alias("nu"))))
+    )
+    lp = F.col("na") * F.col("nb") / F.col("m")
+    return counts.select(
+        "n_true",
+        F.col("na").alias("n_minhash"),
+        F.col("nb").alias("n_simhash"),
+        F.col("m").alias("n_overlap"),
+        F.col("nu").alias("n_union"),
+        F.when(F.col("m") > 0, F.round(lp, 2)).alias("lp_estimate"),
+        F.when(F.col("m") > 0, F.round(lp - F.col("nu"), 2)).alias(
+            "est_missed"
+        ),
+    )
+
+
 MAX_CC_ITERS = 20
 
 # Telemetry for the iterative driver-loop operators: rounds used on the
@@ -1451,6 +1502,7 @@ QUERIES: dict[str, Callable] = {
     "ext_lsh_tuning_curve": lsh_tuning_curve,
     "ext_fellegi_sunter_em": fellegi_sunter_em,
     "ext_dedup_cascade": dedup_cascade,
+    "ext_capture_recapture": capture_recapture,
     "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_split_leakage": split_leakage,
@@ -1838,3 +1890,33 @@ ORACLES.update({
 ORACLES["ext_dedup_cascade"] = _CASCADE_ORACLE.replace(
     "{emb_pairs}", ORACLES["ext_dedup_embedding"]
 )
+
+
+ORACLES["ext_capture_recapture"] = f"""
+    WITH mh AS (SELECT doc_a, doc_b
+                FROM ({ORACLES["ext_dedup_minhash_lsh"]}) m),
+    sh0 AS (SELECT doc_a, doc_b
+            FROM ({ORACLES["ext_dedup_simhash"]}) s),
+    truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+              WHERE jacc >= {JACCARD_T}),
+    sh AS (SELECT s.* FROM sh0 s
+           WHERE EXISTS (SELECT 1 FROM truth t
+                         WHERE t.doc_a = s.doc_a AND t.doc_b = s.doc_b)),
+    ov AS (SELECT m.* FROM mh m
+           WHERE EXISTS (SELECT 1 FROM sh s
+                         WHERE s.doc_a = m.doc_a AND s.doc_b = m.doc_b)),
+    un AS (SELECT DISTINCT doc_a, doc_b FROM (
+               SELECT * FROM mh UNION ALL SELECT * FROM sh)),
+    c AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS na,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS nb,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS m,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM un) AS nu)
+    SELECT n_true, na AS n_minhash, nb AS n_simhash,
+           m AS n_overlap, nu AS n_union,
+           CASE WHEN m > 0 THEN ROUND(na * nb / m, 2) END AS lp_estimate,
+           CASE WHEN m > 0 THEN ROUND(na * nb / m - nu, 2) END
+               AS est_missed
+    FROM c
+"""
