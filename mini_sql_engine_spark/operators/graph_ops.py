@@ -96,9 +96,61 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity r of the near-dup graph: the
+    Pearson correlation of endpoint degrees over edges — positive r
+    means hubs link hubs (template families chain together: clique-
+    collapse is safe), negative r means hubs link leaves (star
+    contamination: collapsing merges unrelated docs through one hub).
+    The one-number structural summary that complements modularity
+    (community strength), triangles (closure) and k-core (depth).
+    Sums over the symmetrized edge list are exact integers; r is one
+    float formula over six of them, NULL for a degree-regular graph
+    (zero variance).
+
+    Scale notes (100 TB): degree table = one map-side-combined
+    rollup of the (small) edge list, broadcast back onto it; the
+    moment pass is a single aggregate. Nothing touches the corpus.
+    """
+    from mini_sql_engine_spark.operators.dedup import jaccard_dedup
+
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ed = (
+        e.join(F.broadcast(deg), "s")
+        .withColumnRenamed("deg", "dj")
+        .join(
+            F.broadcast(deg.withColumnRenamed("s", "d")), "d"
+        )
+        .withColumnRenamed("deg", "dk")
+    )
+    mom = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dj").alias("sj"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+    ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+    mean = F.col("sj") / F.col("m")
+    num = F.col("sjk") / F.col("m") - mean * mean
+    den = F.col("sjj") / F.col("m") - mean * mean
+    return mom.select(
+        "n_nodes",
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_kcore_graph": kcore_graph,
     "ext_cluster_size_histogram": cluster_size_histogram,
+    "ext_graph_assortativity": degree_assortativity,
 }
 
 
@@ -141,7 +193,35 @@ def _cluster_sizes_oracle() -> str:
     """
 
 
+_ASSORT_ORACLE = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+        WHERE jacc >= {JACCARD_T}),
+    e AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+    ed AS (
+        SELECT a.deg AS dj, b.deg AS dk
+        FROM e JOIN deg a ON a.s = e.s JOIN deg b ON b.s = e.d),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dj) AS BIGINT) AS sj,
+               CAST(SUM(dj * dk) AS BIGINT) AS sjk,
+               CAST(SUM(dj * dj) AS BIGINT) AS sjj,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes
+        FROM ed)
+    SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN sjj / m - (sj / m) * (sj / m) != 0
+                THEN ROUND((sjk / m - (sj / m) * (sj / m))
+                           / (sjj / m - (sj / m) * (sj / m)), 6)
+           END AS assortativity
+    FROM mom
+"""
+
 ORACLES: dict[str, str] = {
     "ext_kcore_graph": _kcore_oracle(),
     "ext_cluster_size_histogram": _cluster_sizes_oracle(),
+    "ext_graph_assortativity": _ASSORT_ORACLE,
 }
