@@ -5728,7 +5728,100 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QINI_Y_MIN = 14  # purchases defining a converter (~median at all sf)
+
+
+def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift targeting: rank users by a targeting
+    score (activity), and at each score threshold report the
+    INCREMENTAL conversions the treated targeted users deliver over
+    the control-rate expectation — Q(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k)
+    — against the random-targeting diagonal, plus the rectangle-rule
+    Qini coefficient (area between curve and diagonal). This is the
+    standard evaluation for "whom should we treat" models, closing
+    the causal suite's loop from estimating effects to TARGETING
+    them. Cumulative counts are exact integers on the score ladder;
+    the only floats are the control-scaling ratios and the qsum'd
+    area terms; ladder prefixes with no control users yet emit NULL
+    (mirrored CASE in the oracle).
+
+    Scale notes (100 TB): one user rollup, one (score, arm) rollup,
+    cumulative windows over the DISTINCT-score ladder — the PR-curve
+    shape with a treatment dimension.
+    """
+    from pyspark.sql import Window
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= QINI_Y_MIN
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            "s",
+            "y",
+            (md5_long(F.col("user_id").cast("string"), salt="arm") % 2).alias(
+                "z"
+            ),
+        )
+    )
+    cells = users.groupBy("s").agg(
+        F.sum(F.when(F.col("z") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("z") == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(0)).alias("yt"),
+        F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(0)).alias("yc"),
+    )
+    wdesc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = (
+        cells.withColumn("cnt", F.sum("nt").over(wdesc))
+        .withColumn("cnc", F.sum("nc").over(wdesc))
+        .withColumn("cyt", F.sum("yt").over(wdesc))
+        .withColumn("cyc", F.sum("yc").over(wdesc))
+        .localCheckpoint(eager=False)
+    )
+    tot = ladder.agg(
+        F.max("cnt").alias("tnt"),
+        F.max("cnc").alias("tnc"),
+        F.max("cyt").alias("tyt"),
+        F.max("cyc").alias("tyc"),
+    )
+    q = F.col("cyt") - F.col("cyc") * (F.col("cnt") / F.col("cnc"))
+    overall = F.col("tyt") - F.col("tyc") * (F.col("tnt") / F.col("tnc"))
+    frac = (F.col("cnt") + F.col("cnc")) / (F.col("tnt") + F.col("tnc"))
+    rows = ladder.crossJoin(F.broadcast(tot)).localCheckpoint(eager=False)
+    dn = F.col("nt") + F.col("nc")
+    coef = rows.agg(
+        _qsum(
+            F.when(
+                F.col("cnc") > 0,
+                (q - overall * frac)
+                * (dn / (F.col("tnt") + F.col("tnc"))),
+            ).otherwise(F.lit(0.0))
+        ).alias("coef_q")
+    )
+    return rows.crossJoin(F.broadcast(coef)).select(
+        F.col("s").alias("score_threshold"),
+        (F.col("cnt") + F.col("cnc")).alias("n_targeted"),
+        F.when(F.col("cnc") > 0, F.round(q, 4)).alias("qini_inc"),
+        F.when(F.col("cnc") > 0, F.round(overall * frac, 4)).alias(
+            "random_inc"
+        ),
+        F.round(F.col("coef_q") / _NANO, 6).alias("qini_coef"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_qini_curve": qini_curve,
     "ext_pr_curve": pr_curve_ap,
     "ext_f1_threshold": f1_threshold,
     "ext_brier_decomposition": brier_decomposition,
@@ -5976,6 +6069,60 @@ _PR_LADDER_SQL = f"""
             FROM cells CROSS JOIN tot)"""
 
 ORACLES: dict[str, str] = {
+    "ext_qini_curve": f"""
+        WITH users AS (
+            SELECT COUNT(*) AS s,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= {QINI_Y_MIN} AS BIGINT)
+                       AS y,
+                   CAST('0x' || substr(md5('arm:'
+                       || CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 2 AS z
+            FROM events GROUP BY user_id),
+        cells AS (
+            SELECT s,
+                   CAST(SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nt,
+                   CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nc,
+                   CAST(SUM(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT)
+                       AS yt,
+                   CAST(SUM(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT)
+                       AS yc
+            FROM users GROUP BY s),
+        ladder AS (
+            SELECT s, nt, nc,
+                   SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+                   SUM(yt) OVER w AS cyt, SUM(yc) OVER w AS cyc
+            FROM cells
+            WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW)),
+        tot AS (
+            SELECT CAST(MAX(cnt) AS BIGINT) AS tnt,
+                   CAST(MAX(cnc) AS BIGINT) AS tnc,
+                   CAST(MAX(cyt) AS BIGINT) AS tyt,
+                   CAST(MAX(cyc) AS BIGINT) AS tyc
+            FROM ladder),
+        rws AS (
+            SELECT l.*, t.tnt, t.tnc, t.tyt, t.tyc,
+                   cyt - cyc * (cnt / cnc) AS q,
+                   (tyt - tyc * (tnt / tnc))
+                       * ((cnt + cnc) / (tnt + tnc)) AS rinc
+            FROM ladder l CROSS JOIN tot t),
+        coef AS (
+            SELECT CAST(SUM(CASE WHEN cnc > 0
+                       THEN CAST(FLOOR((q - rinc)
+                            * ((nt + nc) / (tnt + tnc))
+                            * {_NANO} + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS coef_q
+            FROM rws)
+        SELECT s AS score_threshold,
+               CAST(cnt + cnc AS BIGINT) AS n_targeted,
+               CASE WHEN cnc > 0 THEN ROUND(q, 4) END AS qini_inc,
+               CASE WHEN cnc > 0 THEN ROUND(rinc, 4) END AS random_inc,
+               ROUND(coef_q / {_NANO} * 1.0, 6) AS qini_coef
+        FROM rws CROSS JOIN coef
+    """,
     "ext_pr_curve": f"""
         WITH {_PR_LADDER_SQL},
         l2 AS (
