@@ -5820,7 +5820,62 @@ def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_SWEEP_MIN = [1, 5, 15, 30, 60, 120, 360, 1440]  # candidate gaps (minutes)
+
+
+def session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-threshold sweep: for each candidate inactivity
+    gap, the session count and mean events/session the corpus would
+    produce — the actual elbow curve behind choosing a session gap
+    (the inactivity histogram shows the gap distribution; this shows
+    the CONSEQUENCE of each cut). n_sessions(T) = n_users +
+    #{gaps > T}, all exact integer arithmetic over one per-user lag
+    pass; the sweep itself is |grid| conditional sums in ONE
+    aggregate row, unpivoted to a row per threshold.
+
+    Scale notes (100 TB): one shuffle on user_id for the lag window,
+    then a single map-side-combinable aggregate — the whole sweep
+    costs one pass regardless of grid size.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("prev", F.lag("us").over(w)).select(
+        "user_id", (F.col("us") - F.col("prev")).alias("gap_us")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ]
+    for m in GAP_SWEEP_MIN:
+        aggs.append(
+            F.sum(
+                F.when(F.col("gap_us") > m * 60_000_000, 1).otherwise(0)
+            ).alias(f"brk_{m}")
+        )
+    row = gaps.agg(*aggs).localCheckpoint(eager=False)
+    out: DataFrame | None = None
+    for m in GAP_SWEEP_MIN:
+        n_sessions = F.col("n_users") + F.col(f"brk_{m}")
+        r = row.select(
+            F.lit(m).cast("long").alias("gap_minutes"),
+            n_sessions.alias("n_sessions"),
+            F.round(F.col("n_events") / n_sessions, 4).alias(
+                "avg_events_per_session"
+            ),
+        )
+        out = r if out is None else out.unionAll(r)
+    assert out is not None
+    return out
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_session_gap_sweep": session_gap_sweep,
     "ext_qini_curve": qini_curve,
     "ext_pr_curve": pr_curve_ap,
     "ext_f1_threshold": f1_threshold,
@@ -6068,7 +6123,37 @@ _PR_LADDER_SQL = f"""
                    n_pos
             FROM cells CROSS JOIN tot)"""
 
+_GAP_SWEEP_BRKS = ",\n                   ".join(
+    f"CAST(SUM(CASE WHEN gap_us > {m * 60_000_000} THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS brk_{m}"
+    for m in GAP_SWEEP_MIN
+)
+_GAP_SWEEP_ROWS = "\n        UNION ALL ".join(
+    f"""SELECT CAST({m} AS BIGINT) AS gap_minutes,
+               n_users + brk_{m} AS n_sessions,
+               ROUND(n_events / (n_users + brk_{m}), 4)
+                   AS avg_events_per_session
+        FROM agg"""
+    for m in GAP_SWEEP_MIN
+)
+
 ORACLES: dict[str, str] = {
+    "ext_session_gap_sweep": f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id
+            FROM events),
+        gaps AS (
+            SELECT user_id,
+                   us - LAG(us) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS gap_us
+            FROM ev),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   {_GAP_SWEEP_BRKS}
+            FROM gaps)
+        {_GAP_SWEEP_ROWS}
+    """,
     "ext_qini_curve": f"""
         WITH users AS (
             SELECT COUNT(*) AS s,
