@@ -308,15 +308,232 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-richness estimate: Chao1 unseen-species
+    lower bound and Good–Turing unseen probability mass, from the
+    token frequency-of-frequencies. Chao1 = V + f1·(f1−1)/(2·(f2+1))
+    estimates how many token TYPES the crawl has not yet seen (the
+    asymptote Heaps' law [ext_heaps_law_curve] approaches); Good–
+    Turing p0 = f1/N is the probability the NEXT token is a novel
+    type. Together they answer "is more crawling worth it, per
+    language" with estimates instead of the growth curve's trend.
+
+    Exactness: V, f1, f2, N are integer aggregates; the two estimates
+    are each ONE IEEE division (plus one add for Chao1) on BIGINT-cast
+    operands — correctly rounded, so Spark and DuckDB agree bitwise.
+
+    Scale notes (100 TB): one (lang, token) count aggregation —
+    map-side combinable, the same shuffle the vocabulary build already
+    pays — then a lang-sized rollup of the frequency histogram. No
+    per-row state, no sort of the corpus.
+    """
+    tok = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select("lang", F.explode(F.split("text", r"\s+")).alias("t"))
+    counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return per.select(
+        "lang",
+        "v_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        (
+            F.col("v_obs").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1_est"),
+        (
+            F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("gt_unseen_mass"),
+    )
+
+
+WINNOW_K = 3  # tokens per gram
+WINNOW_W = 4  # winnowing window (guarantee: matches ≥ K+W-1 tokens share a fp)
+_POS_BITS = 20  # positions per doc < 2^20 (tokens per doc, bounded)
+_HASH_MOD = 1 << 40  # gram-hash truncation so key fits in a BIGINT
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every K-token gram, then in
+    each sliding window of W consecutive gram hashes select the
+    minimum (rightmost on ties). The selected (position, hash) set is
+    the document's fingerprint sketch, with the winnowing guarantee:
+    any shared run of ≥ K+W−1 tokens between two documents yields at
+    least one shared selected hash — a DETECTION guarantee MinHash
+    cannot give (MinHash bounds expected recall, winnowing bounds
+    worst-case). Output per doc: gram count, selected-fingerprint
+    count, and how many of its distinct fingerprint hashes also occur
+    in some other document (the plagiarism/boilerplate signal).
+
+    The rightmost-min tie-break is encoded arithmetically: key =
+    (hash mod 2^40)·2^20 + (2^20−1−pos), so MIN(key) over the window
+    is (min hash, max position) — one window aggregate, no struct
+    comparison needed, and the identical expression runs in DuckDB.
+
+    Scale notes (100 TB): gram hashing and window selection are
+    per-document (partition-local after the scan — Window partitions
+    by doc_id); the only corpus-wide shuffle ships the DISTINCT
+    (hash, doc) fingerprint pairs — the winnowed sketch is ~2/(W+1)
+    of the grams, so the shuffle is a fraction of the corpus' token
+    stream. The cross-doc sharing rollup runs on that thin sketch.
+    Position capacity is 2^20 grams/doc; longer docs chunk upstream
+    (ext_text_chunking) before fingerprinting.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= WINNOW_K)
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {WINNOW_K}), "
+                "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("pos", "gram"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            (md5_long(F.col("gram"), salt="win") % _HASH_MOD)
+            * (1 << _POS_BITS)
+            + ((1 << _POS_BITS) - 1 - F.col("pos"))
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    fps = (
+        keyed.select(
+            "doc_id", "pos", F.min("key").over(w).alias("sel")
+        )
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    doc_hashes = fps.select(
+        "doc_id", F.expr(f"sel div {1 << _POS_BITS}").alias("fp")
+    ).distinct()
+    shared = (
+        doc_hashes.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    n_shared = (
+        doc_hashes.join(shared, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = (
+        keyed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp")),
+            "doc_id",
+            "left",
+        )
+        .join(n_shared, "doc_id", "left")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fp", F.lit(0)).alias("n_fps"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_negative_sampling": negative_sampling,
     "ext_span_corruption": span_corruption,
     "ext_vocab_oov_rate": vocab_oov_rate,
     "ext_next_token_topk": next_token_topk,
     "ext_heaps_law_curve": heaps_law_curve,
+    "ext_chao1_vocab": chao1_vocab,
+    "ext_winnowing_fingerprints": winnowing_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
+    "ext_chao1_vocab": f"""
+        WITH tok AS (
+            SELECT lang, UNNEST({_TOKS}) AS t FROM documents),
+        counts AS (
+            SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+        per AS (
+            SELECT lang,
+                   COUNT(*) AS v_obs,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM counts GROUP BY lang)
+        SELECT lang, v_obs, n_tokens, f1, f2,
+               CAST(v_obs AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE)
+                   / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_est,
+               CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS gt_unseen_mass
+        FROM per
+    """,
+    "ext_winnowing_fingerprints": f"""
+        WITH base AS (
+            SELECT doc_id, toks FROM (
+                SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= {WINNOW_K}),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(range(len(toks) - {WINNOW_K - 1})) AS pos,
+                   UNNEST(list_transform(
+                       range(len(toks) - {WINNOW_K - 1}),
+                       i -> toks[i + 1] || ' ' || toks[i + 2]
+                            || ' ' || toks[i + 3])) AS gram
+            FROM base),
+        keyed AS (
+            SELECT doc_id, pos,
+                   (CAST(('0x' || substr(md5('win:' || gram), 1, 15))
+                         AS BIGINT) % {_HASH_MOD}) * {1 << _POS_BITS}
+                   + ({(1 << _POS_BITS) - 1} - pos) AS key
+            FROM grams),
+        fps AS (
+            SELECT DISTINCT doc_id, sel FROM (
+                SELECT doc_id, pos,
+                       MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS sel
+                FROM keyed)
+            WHERE pos >= {WINNOW_W - 1}),
+        doc_hashes AS (
+            SELECT DISTINCT doc_id, sel // {1 << _POS_BITS} AS fp
+            FROM fps),
+        shared AS (
+            SELECT fp FROM doc_hashes GROUP BY fp
+            HAVING COUNT(*) >= 2),
+        n_shared AS (
+            SELECT doc_id, COUNT(*) AS n_shared FROM doc_hashes
+            WHERE fp IN (SELECT fp FROM shared) GROUP BY doc_id),
+        n_fp AS (
+            SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id)
+        SELECT g.doc_id, g.n_grams,
+               COALESCE(f.n_fp, 0) AS n_fps,
+               COALESCE(s.n_shared, 0) AS n_shared
+        FROM (SELECT doc_id, COUNT(*) AS n_grams FROM keyed
+              GROUP BY doc_id) g
+        LEFT JOIN n_fp f ON g.doc_id = f.doc_id
+        LEFT JOIN n_shared s ON g.doc_id = s.doc_id
+    """,
     "ext_negative_sampling": f"""
         WITH tok AS (
             SELECT doc_id, UNNEST({_TOKS}) AS t,
