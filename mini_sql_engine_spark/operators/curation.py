@@ -293,7 +293,107 @@ def dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPEAR_PAIRS = (
+    ("n_tokens", "n_chars"),
+    ("n_tokens", "n_types"),
+    ("n_chars", "n_types"),
+)
+
+
+def spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-document quality signals
+    (token count, character count, distinct-token count) — the
+    redundancy audit for a curation stack: two signals with |rho|
+    near 1 gate the same documents, so computing (and thresholding)
+    both buys nothing. Rank correlation, not Pearson, because quality
+    gates act on ORDER (percentile cutoffs), and rho is invariant to
+    the monotone rescalings (log length, per-lang normalization) the
+    raw signals routinely undergo.
+
+    Exact construction, no global sort: tied ranks use the textbook
+    average-rank convention, computed from each signal's VALUE
+    HISTOGRAM — doubled average rank 2r = 2·cum_before + cnt + 1 is an
+    integer, so Σ(2r) = n(n+1) exactly and the centered products
+    accumulate as BIGINTs. rho = Sab / (√Saa·√Sbb) is then three IEEE
+    correctly-rounded ops on BIGINT-cast operands — bit-identical in
+    Spark and DuckDB.
+
+    Scale notes (100 TB): ranking shuffles only each signal's value
+    HISTOGRAM (distinct values, not rows) — the cumulative window runs
+    over that small table and broadcasts back, so the corpus side pays
+    three broadcast-hash joins and one map-side-combinable aggregate;
+    no row-level sort, no row-level window. This is how exact ranks
+    survive scale when the value domain is small (counts, lengths);
+    continuous domains would quantize first (ext_equidepth_histogram).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split("text", r"\s+")
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    nrow = docs.agg(F.count(F.lit(1)).alias("n"))
+    ranked = docs.crossJoin(F.broadcast(nrow))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    for s in ("n_tokens", "n_chars", "n_types"):
+        hist = docs.groupBy(F.col(s).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        r2 = hist.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2_{s}"),
+        )
+        ranked = ranked.join(
+            F.broadcast(r2), ranked[s] == r2["v"]
+        ).drop("v")
+    centered = ranked.select(
+        *[
+            (F.col(f"r2_{s}") - (F.col("n") + 1)).alias(f"d_{s}")
+            for s in ("n_tokens", "n_chars", "n_types")
+        ]
+    )
+    sums = centered.agg(
+        *[
+            F.sum(F.col(f"d_{s}") * F.col(f"d_{s}")).alias(f"s_{s}_{s}")
+            for s in ("n_tokens", "n_chars", "n_types")
+        ],
+        *[
+            F.sum(F.col(f"d_{a}") * F.col(f"d_{b}")).alias(f"s_{a}_{b}")
+            for a, b in SPEAR_PAIRS
+        ],
+    )
+    return sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("signal_a"),
+                        F.lit(b).alias("signal_b"),
+                        (
+                            F.col(f"s_{a}_{b}").cast("double")
+                            / (
+                                F.sqrt(F.col(f"s_{a}_{a}").cast("double"))
+                                * F.sqrt(F.col(f"s_{b}_{b}").cast("double"))
+                            )
+                        ).alias("rho"),
+                    )
+                    for a, b in SPEAR_PAIRS
+                ]
+            )
+        ).alias("row")
+    ).select("row.*")
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_spearman_signals": spearman_signals,
     "ext_boilerplate_ngrams": boilerplate_ngrams,
     "ext_key_skew": key_skew,
     "ext_pii_scrub": pii_scrub,
@@ -311,7 +411,57 @@ _SKEW_RELS = (
     ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
 )
 
+_SPEAR_RHO = " UNION ALL ".join(
+    f"""
+        SELECT '{a}' AS signal_a, '{b}' AS signal_b,
+               CAST(s_{a}_{b} AS DOUBLE)
+                 / (SQRT(CAST(s_{a}_{a} AS DOUBLE))
+                    * SQRT(CAST(s_{b}_{b} AS DOUBLE))) AS rho
+        FROM sums"""
+    for a, b in SPEAR_PAIRS
+)
+
 ORACLES: dict[str, str] = {
+    "ext_spearman_signals": f"""
+        WITH docs AS (
+            SELECT len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_distinct({_TOKS})) AS n_types
+            FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM docs),
+        {", ".join(
+            f'''h_{s} AS (
+                SELECT {s} AS v, COUNT(*) AS cnt FROM docs GROUP BY 1),
+            r_{s} AS (
+                SELECT v,
+                       2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + cnt + 1 AS r2
+                FROM h_{s})'''
+            for s in ("n_tokens", "n_chars", "n_types")
+        )},
+        centered AS (
+            SELECT rx.r2 - (n.n + 1) AS d_n_tokens,
+                   rc.r2 - (n.n + 1) AS d_n_chars,
+                   rt.r2 - (n.n + 1) AS d_n_types
+            FROM docs d
+            JOIN r_n_tokens rx ON d.n_tokens = rx.v
+            JOIN r_n_chars rc ON d.n_chars = rc.v
+            JOIN r_n_types rt ON d.n_types = rt.v
+            CROSS JOIN n),
+        sums AS (
+            SELECT
+                {", ".join(
+                    f"CAST(SUM(d_{s} * d_{s}) AS BIGINT) AS s_{s}_{s}"
+                    for s in ("n_tokens", "n_chars", "n_types")
+                )},
+                {", ".join(
+                    f"CAST(SUM(d_{a} * d_{b}) AS BIGINT) AS s_{a}_{b}"
+                    for a, b in SPEAR_PAIRS
+                )}
+            FROM centered)
+        {_SPEAR_RHO}
+    """,
     "ext_dedup_windowed": """
         SELECT user_id, event_type,
                strftime(ts, '%Y-%m-%d') AS day,
