@@ -776,3 +776,25 @@ def test_t_closeness_grid_is_broadcast_only(spark, sf_dir):
     sides dimension-bounded); no shuffled cartesian anywhere."""
     plan = _plan(ALL_QUERIES["ext_t_closeness"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spearman_ranks_broadcast_no_row_sort(spark, sf_dir):
+    """Every histogram→doc rank attach is a broadcast-hash join and no
+    sort-merge join appears: the corpus side must never be globally
+    sorted or shuffled for ranking (the whole point of the
+    value-histogram construction)."""
+    plan = _plan(ALL_QUERIES["ext_spearman_signals"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winnowing_window_is_per_doc(spark, sf_dir):
+    """The winnowing selection window partitions by doc_id — the plan
+    must hash-partition on doc_id for the window, and no sort-merge
+    join may appear (all rollup joins ride thin doc-keyed exchanges
+    or broadcasts)."""
+    plan = _plan(
+        ALL_QUERIES["ext_winnowing_fingerprints"](spark, sf_dir)
+    )
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan, plan

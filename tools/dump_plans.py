@@ -113,6 +113,14 @@ MARQUEE = [
     ("ext_double_ml_plm", "cross-fitted DML: joinless — one user rollup "
      "feeds a moments aggregate and a residual-product aggregate; "
      "per-row residuals use literal out-of-fold coefficients"),
+    ("ext_spearman_signals", "rank without a row sort: value HISTOGRAMS "
+     "take the (single-partition, histogram-sized) cumulative windows; "
+     "doubled ranks broadcast back — the corpus side pays broadcast "
+     "joins + one moments aggregate, never a row-level window"),
+    ("ext_winnowing_fingerprints", "window-min selection is per-doc "
+     "(partitionBy doc_id — partition-local after the scan); the only "
+     "corpus-wide shuffles carry the winnowed sketch's thin "
+     "(doc, key) pairs"),
 ]
 
 
