@@ -63,6 +63,74 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-based language identifier against
+    the gold labels — chance-corrected agreement, the metric that
+    survives class imbalance where raw accuracy misleads (a majority-
+    class predictor on a 90%-en corpus scores 90% accuracy but
+    kappa ≈ 0). Complements ext_text_language_id's confusion matrix
+    with the one-number summary an eval dashboard thresholds.
+
+    Exactness: kappa = (N·Σdiag − S) / (N² − S) with S = Σ_k row_k·
+    col_k — the po/pe form cleared of fractions, so everything up to
+    the final division is BIGINT arithmetic and the division itself
+    is one IEEE correctly-rounded op, bit-identical across engines.
+
+    Scale notes (100 TB): the per-doc prediction is a scan-side
+    expression; everything after is arithmetic on the |langs|²
+    confusion matrix — the corpus pays one map-side-combinable
+    grouped count and nothing else.
+    """
+    conf = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", textfns.language_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # three scalar consumers, one corpus pass
+    )
+    rowm = conf.groupBy(F.col("lang").alias("k")).agg(
+        F.sum("n").alias("row_n")
+    )
+    colm = conf.groupBy(F.col("pred_lang").alias("k")).agg(
+        F.sum("n").alias("col_n")
+    )
+    chance = (
+        rowm.join(colm, "k", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("row_n", F.lit(0))
+                * F.coalesce("col_n", F.lit(0))
+            ).alias("s_chance")
+        )
+    )
+    totals = conf.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0)
+        ).alias("n_agree"),
+    )
+    return totals.crossJoin(F.broadcast(chance)).select(
+        "n_docs",
+        "n_agree",
+        "s_chance",
+        F.floor(
+            F.col("n_agree").cast("double")
+            * 1_000_000
+            / F.col("n_docs").cast("double")
+        )
+        .cast("long")
+        .alias("accuracy_ppm"),
+        (
+            (F.col("n_docs") * F.col("n_agree") - F.col("s_chance")).cast(
+                "double"
+            )
+            / (
+                F.col("n_docs") * F.col("n_docs") - F.col("s_chance")
+            ).cast("double")
+        ).alias("kappa"),
+    )
+
+
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics + composite score."""
     return load_table(spark, sf_dir, "documents").select(
@@ -715,6 +783,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_token_stats": token_stats,
     "ext_text_lang_stats": lang_stats,
     "ext_text_language_id": language_id,
+    "ext_langid_kappa": langid_kappa,
     "ext_text_quality": quality,
     "ext_text_fingerprint": fingerprints,
     "ext_text_token_histogram": token_histogram,
@@ -830,6 +899,32 @@ ORACLES: dict[str, str] = {
         WITH scored AS (SELECT lang, {_SCORES} FROM documents)
         SELECT lang, {_ARGMAX} AS pred_lang, COUNT(*) AS n_docs
         FROM scored GROUP BY 1, 2
+    """,
+    "ext_langid_kappa": f"""
+        WITH scored AS (SELECT lang, {_SCORES} FROM documents),
+        conf AS (
+            SELECT lang, {_ARGMAX} AS pred_lang, COUNT(*) AS n
+            FROM scored GROUP BY 1, 2),
+        rowm AS (SELECT lang AS k, CAST(SUM(n) AS BIGINT) AS row_n
+                 FROM conf GROUP BY 1),
+        colm AS (SELECT pred_lang AS k, CAST(SUM(n) AS BIGINT) AS col_n
+                 FROM conf GROUP BY 1),
+        chance AS (
+            SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0))
+                        AS BIGINT) AS s_chance
+            FROM rowm FULL OUTER JOIN colm USING (k)),
+        totals AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM conf)
+        SELECT n_docs, n_agree, s_chance,
+               CAST(FLOOR(CAST(n_agree AS DOUBLE) * 1000000
+                          / CAST(n_docs AS DOUBLE)) AS BIGINT)
+                   AS accuracy_ppm,
+               CAST(n_docs * n_agree - s_chance AS DOUBLE)
+                   / CAST(n_docs * n_docs - s_chance AS DOUBLE) AS kappa
+        FROM totals CROSS JOIN chance
     """,
     "ext_text_quality": f"""
         WITH m AS (
