@@ -3688,6 +3688,88 @@ def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_MAX_OFFSET = 60  # banded Theil-Sen: pair days at most this far apart
 
 
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily revenue — the
+    distribution-free significance companion to the trend ESTIMATORS
+    (`ext_ols_trend` fits a line, `ext_theil_sen_slope` fits it
+    robustly; this answers "is there a trend AT ALL" without assuming
+    linearity or normality). S = Σ_{i<j} sign(rev_j − rev_i) over day
+    pairs, tie-corrected variance Var = [n(n−1)(2n+5) −
+    Σ_g t_g(t_g−1)(2t_g+5)]/18, continuity-corrected z.
+
+    Exactness: S and the ×18 variance numerator are pure BIGINT
+    arithmetic; z is the identical three-op IEEE sequence
+    (divide-by-18, sqrt, divide) in both engines.
+
+    Scale notes (100 TB): the pair set is quadratic ON THE DATE
+    LADDER — bounded by the calendar (years of days), never by data
+    volume; the corpus pays exactly one map-side-combinable daily
+    rollup, checkpointed once for its three scalar consumers. For
+    ladders beyond ~10^4 points, swap the pair sum for the
+    O(n log n) inversion-count form.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01")
+            ).alias("xd")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev")
+        )
+        .localCheckpoint()  # three scalar consumers, one orders pass
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = a.join(b, F.col("a.xd") < F.col("b.xd")).agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double")
+        / F.sqrt(F.col("var18").cast("double") / 18.0),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double")
+        / F.sqrt(F.col("var18").cast("double") / 18.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        s_stat.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .withColumn("var18", var18)
+        .select(
+            "n_days",
+            "s_stat",
+            "var18",
+            z.alias("z_score"),
+            F.when(z > 1.96, "increasing")
+            .when(z < -1.96, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+        )
+    )
+
+
 def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Theil–Sen robust trend: the MEDIAN of pairwise revenue
     slopes across day pairs at most TS_MAX_OFFSET apart — the
@@ -5905,6 +5987,7 @@ QUERIES: dict[str, Callable] = {
     "ext_journey_entropy": journey_entropy,
     "ext_shapley_attribution": shapley_attribution,
     "ext_theil_sen_slope": theil_sen_slope,
+    "ext_mann_kendall_trend": mann_kendall_trend,
     "ext_ratio_metric_delta": ratio_metric_delta,
     "ext_ltv_triangle": ltv_triangle,
     "ext_sliding_median": sliding_median,
@@ -7164,6 +7247,45 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 'signup', CAST(s6_signup AS BIGINT), total_conv
             FROM sh)
+    """,
+    "ext_mann_kendall_trend": """
+        WITH daily AS (
+            SELECT datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS xd,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                 WHEN b.rev < a.rev THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b ON a.xd < b.xd),
+        ties AS (
+            SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_term
+            FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)),
+        nn AS (SELECT COUNT(*) AS n_days FROM daily),
+        g AS (
+            SELECT n_days, s_stat,
+                   n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                       AS var18
+            FROM s CROSS JOIN ties CROSS JOIN nn)
+        SELECT n_days, s_stat, var18,
+               CASE WHEN s_stat > 0 THEN
+                        CAST(s_stat - 1 AS DOUBLE)
+                        / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0 THEN
+                        CAST(s_stat + 1 AS DOUBLE)
+                        / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS z_score,
+               CASE WHEN s_stat > 0 AND CAST(s_stat - 1 AS DOUBLE)
+                        / SQRT(CAST(var18 AS DOUBLE) / 18.0) > 1.96
+                        THEN 'increasing'
+                    WHEN s_stat < 0 AND CAST(s_stat + 1 AS DOUBLE)
+                        / SQRT(CAST(var18 AS DOUBLE) / 18.0) < -1.96
+                        THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM g
     """,
     "ext_theil_sen_slope": f"""
         WITH daily AS (
