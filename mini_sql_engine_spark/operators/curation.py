@@ -240,19 +240,41 @@ def key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each relation costs one partial-aggregated count shuffle on the key
     plus a scalar roll-up; the per-key count table never leaves the
     cluster.
+
+    The fixed-point columns (avg ×10⁴, skew ×10²) are EXACT integer
+    round-half-up — (scale·num + den div 2) div den on BIGINTs — not
+    ROUND() on a double ratio: at sf0.1 the events skew ratio lands on
+    1.4849999999999999, where Spark's BigDecimal HALF_UP and DuckDB's
+    rounding disagree by a full hundredth. Integer arithmetic has no
+    such tie. p99 stays the raw exact-percentile double (bit-identical
+    across engines, parity pinned by ext_percentiles) — rounding it
+    would reintroduce the hazard.
     """
 
     def one(df: DataFrame, rel: str, col: str) -> DataFrame:
         cnt = df.groupBy(F.col(col).alias("key")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        return cnt.agg(
+        base = cnt.agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.max("cnt").alias("max_cnt"),
-            F.round(F.avg("cnt"), 4).alias("avg_cnt"),
-            F.round(F.max("cnt") / F.avg("cnt"), 2).alias("skew_factor"),
-            F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_cnt"),
-        ).select(F.lit(rel).alias("rel"), "*")
+            F.sum("cnt").alias("s"),
+            F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        )
+        return base.select(
+            F.lit(rel).alias("rel"),
+            "n_keys",
+            "max_cnt",
+            # avg rows/key in exact 1e-4 units: round_half_up(1e4·s/n)
+            F.expr("(10000 * s + n_keys div 2) div n_keys").alias(
+                "avg_x10000"
+            ),
+            # skew = max/avg = max·n/s, in exact 1e-2 units
+            F.expr("(100 * max_cnt * n_keys + s div 2) div s").alias(
+                "skew_x100"
+            ),
+            "p99_cnt",
+        )
 
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -476,11 +498,15 @@ ORACLES: dict[str, str] = {
     """,
     "ext_key_skew": " UNION ALL ".join(
         f"""
-        SELECT '{rel}' AS rel, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
-               ROUND(AVG(cnt), 4) AS avg_cnt,
-               ROUND(MAX(cnt) / AVG(cnt), 2) AS skew_factor,
-               ROUND(quantile_cont(cnt, 0.99), 2) AS p99_cnt
-        FROM (SELECT {col}, COUNT(*) AS cnt FROM {tbl} GROUP BY {col}) t
+        SELECT '{rel}' AS rel, n_keys, max_cnt,
+               (10000 * s + n_keys // 2) // n_keys AS avg_x10000,
+               (100 * max_cnt * n_keys + s // 2) // s AS skew_x100,
+               p99_cnt
+        FROM (SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+                     CAST(SUM(cnt) AS BIGINT) AS s,
+                     quantile_cont(cnt, 0.99) AS p99_cnt
+              FROM (SELECT {col}, COUNT(*) AS cnt
+                    FROM {tbl} GROUP BY {col}) t) g
         """
         for rel, tbl, col in _SKEW_RELS
     ),
