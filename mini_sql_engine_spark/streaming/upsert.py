@@ -527,8 +527,183 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_readout(per_bin)
 
 
+_MG_SENTINEL = -1  # tid of the version row (real tids are 60-bit hashes)
+MG_K = 64  # Misra-Gries counters kept in state
+MG_THRESH = 50  # heavy hitter: exact count · MG_THRESH > corpus tokens
+
+
+def _multi_file_docs(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """readStream over documents text staged as n_files parquet files
+    (maxFilesPerTrigger=1 → n_files micro-batches; the single testdata
+    file would collapse to one batch and exercise no merging)."""
+    digest = hashlib.md5(f"docs|{sf_dir}|{n_files}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"docs_mg_{digest}")
+    if not os.path.exists(stage):
+        from mini_sql_engine_spark.catalog import load_table
+
+        tmp = stage + f".tmp-{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # lost the race: another process staged it first
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def merge_mg_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: merge this batch's token counts into the
+    Misra-Gries counter state (Agarwal et al., Mergeable Summaries):
+    combine counters, then subtract the (MG_K+1)-th largest counter
+    value from all and drop the non-positive — total decrement across
+    every merge is bounded by N/(MG_K+1), so any token with true
+    frequency above that KEEPS a positive counter. Idempotent via the
+    same in-table version sentinel as the other native-state sinks."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    state = _read_state(spark, data_dir, table)
+    if state is None:
+        cur = spark.createDataFrame([], "tid long, cnt long")
+    else:
+        state = state.localCheckpoint()
+        last = (
+            state.filter(F.col("tid") == _MG_SENTINEL)
+            .agg(F.max("cnt"))
+            .collect()[0][0]
+        )  # scalar control value, never data
+        if last is not None and batch_id <= int(last):
+            return  # replayed batch: already inside the committed state
+        cur = state.filter(F.col("tid") != _MG_SENTINEL)
+    delta = (
+        batch_df.select(
+            F.explode(F.split("text", r"\s+")).alias("token")
+        )
+        .select(md5_long(F.col("token")).alias("tid"))
+        .groupBy("tid")
+        .agg(F.count(F.lit(1)).alias("d_cnt"))
+    )
+    merged = cur.join(delta, "tid", "full_outer").select(
+        "tid",
+        (
+            F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+        ).alias("cnt"),
+    )
+    # the decrement value: the (MG_K+1)-th largest counter (0 when the
+    # summary still fits) — deterministic tie-break on tid
+    ranked = merged.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tid")),
+    )
+    dec = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == MG_K + 1, F.col("cnt")).otherwise(0)
+        ).alias("v")
+    )
+    pruned = (
+        ranked.crossJoin(F.broadcast(dec))
+        .select("tid", (F.col("cnt") - F.col("v")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    sentinel = spark.createDataFrame(
+        [(_MG_SENTINEL, int(batch_id))], "tid long, cnt long"
+    )
+    datasource.register(spark)
+    (
+        pruned.unionByName(sentinel)
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with an EXACT answer: a Misra-Gries
+    summary (MG_K counters, bounded state) accumulates over the
+    document stream via the versioned foreachBatch MERGE, then the
+    surviving candidate set — which the MG merge bound PROVES contains
+    every token with frequency > N/(MG_K+1) — is exactly recounted in
+    one batch pass. Tokens above the 1/MG_THRESH support threshold
+    (> N/(MG_K+1) by construction, so none can be missed) emerge with
+    their exact counts: the sketch is invisible in the output, which
+    is why a plain SQL frequency query can oracle it. The streaming
+    twin of ext_text_heavy_hitters' bounded-communication certificate
+    design.
+
+    Scale notes (100 TB): state is MG_K counters — O(1), independent
+    of stream length and vocabulary; each micro-batch pays one
+    map-side-combined token count plus a MG_K-row merge. The final
+    recount semi-joins the corpus against ≤ MG_K broadcast candidate
+    hashes. This is THE frequent-items pattern when the stream cannot
+    hold a per-token state table.
+    """
+    data_dir = tempfile.mkdtemp(prefix="minisql_mg_")
+    chk = tempfile.mkdtemp(prefix="chk_mg_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_docs(spark, sf_dir)
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_mg_batch(df, bid, data_dir, "mg_counters")
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from mini_sql_engine_spark.catalog import load_table
+
+    candidates = (
+        _read_state(spark, data_dir, "mg_counters")
+        .filter(F.col("tid") != _MG_SENTINEL)
+        .select("tid")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        toks.select("token", md5_long(F.col("token")).alias("tid"))
+        .join(F.broadcast(candidates), "tid", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_tok))
+        .filter(F.col("cnt") * MG_THRESH > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            F.floor(
+                F.col("cnt").cast("double") * 1_000_000 / F.col("n").cast("double")
+            )
+            .cast("long")
+            .alias("ppm"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "stream_psi_drift": stream_psi_drift,
+    "stream_heavy_hitters": stream_heavy_hitters,
     "stream_upsert_totals": stream_upsert_user_totals,
     "stream_native_tail": stream_native_tail_totals,
     "stream_bitmap_distinct": stream_bitmap_distinct_counts,
@@ -557,5 +732,20 @@ ORACLES: dict[str, str] = {
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY event_type
+    """,
+    # the MG guarantee makes the sketch invisible: candidates provably
+    # cover every token above the support threshold, and the final
+    # exact recount filters to precisely the frequency query below
+    "stream_heavy_hitters": f"""
+        WITH tok AS (
+            SELECT UNNEST(string_split_regex(text, '\\s+')) AS token
+            FROM documents),
+        n AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT token, COUNT(*) AS cnt,
+               CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) * 1000000
+                          / CAST(n AS DOUBLE)) AS BIGINT) AS ppm
+        FROM tok CROSS JOIN n
+        GROUP BY token, n
+        HAVING COUNT(*) * {MG_THRESH} > n
     """,
 }
