@@ -379,3 +379,46 @@ def test_psi_merge_batch_replay_is_idempotent(spark, tmp_path):
         if r.bkey != _PSI_SENTINEL
     }
     assert applied == {(k, 2 * n) for k, n in once}, applied
+
+
+def test_mg_merge_replay_and_summary_bound(spark, tmp_path):
+    """Replaying a micro-batch into the Misra-Gries state is a no-op
+    (sentinel version guard); the summary never exceeds MG_K counters;
+    and after a decrementing merge every surviving counter is a LOWER
+    bound on the token's true count (the one-sided error MG
+    guarantees)."""
+    from mini_sql_engine_spark.streaming.upsert import (
+        _MG_SENTINEL,
+        MG_K,
+        _read_state,
+        merge_mg_batch,
+    )
+
+    def counters(data_dir):
+        return {
+            r.tid: r.cnt
+            for r in _read_state(spark, data_dir, "mg").collect()
+            if r.tid != _MG_SENTINEL
+        }
+
+    # 100 distinct rare tokens + one hot token → forces decrements
+    rows = [Row(doc_id=i, text=f"rare{i}") for i in range(100)]
+    rows += [Row(doc_id=1000 + i, text="hot hot hot") for i in range(30)]
+    batch = spark.createDataFrame(rows)
+    data_dir = str(tmp_path / "mg_state")
+    merge_mg_batch(batch, 0, data_dir, "mg")
+    once = counters(data_dir)
+    assert 0 < len(once) <= MG_K, len(once)
+    merge_mg_batch(batch, 0, data_dir, "mg")  # replay same id
+    assert counters(data_dir) == once
+    merge_mg_batch(batch, 1, data_dir, "mg")  # real second batch
+    twice = counters(data_dir)
+    assert 0 < len(twice) <= MG_K
+    from mini_sql_engine_spark.functions.hashing import md5_long
+
+    hot_tid = spark.range(1).select(
+        md5_long(F.lit("hot")).alias("h")
+    ).collect()[0].h
+    # true count of "hot" after 2 batches = 180; counter must be a
+    # positive lower bound (decrements only ever subtract)
+    assert 0 < twice[hot_tid] <= 180, twice.get(hot_tid)
