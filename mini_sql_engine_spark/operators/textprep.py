@@ -360,33 +360,11 @@ _POS_BITS = 20  # positions per doc < 2^20 (tokens per doc, bounded)
 _HASH_MOD = 1 << 40  # gram-hash truncation so key fits in a BIGINT
 
 
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
-    SIGMOD'03 — the MOSS algorithm): hash every K-token gram, then in
-    each sliding window of W consecutive gram hashes select the
-    minimum (rightmost on ties). The selected (position, hash) set is
-    the document's fingerprint sketch, with the winnowing guarantee:
-    any shared run of ≥ K+W−1 tokens between two documents yields at
-    least one shared selected hash — a DETECTION guarantee MinHash
-    cannot give (MinHash bounds expected recall, winnowing bounds
-    worst-case). Output per doc: gram count, selected-fingerprint
-    count, and how many of its distinct fingerprint hashes also occur
-    in some other document (the plagiarism/boilerplate signal).
-
-    The rightmost-min tie-break is encoded arithmetically: key =
-    (hash mod 2^40)·2^20 + (2^20−1−pos), so MIN(key) over the window
-    is (min hash, max position) — one window aggregate, no struct
-    comparison needed, and the identical expression runs in DuckDB.
-
-    Scale notes (100 TB): gram hashing and window selection are
-    per-document (partition-local after the scan — Window partitions
-    by doc_id); the only corpus-wide shuffle ships the DISTINCT
-    (hash, doc) fingerprint pairs — the winnowed sketch is ~2/(W+1)
-    of the grams, so the shuffle is a fraction of the corpus' token
-    stream. The cross-doc sharing rollup runs on that thin sketch.
-    Position capacity is 2^20 grams/doc; longer docs chunk upstream
-    (ext_text_chunking) before fingerprinting.
-    """
+def _winnow_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared winnowing construction: (keyed grams, selected
+    fingerprints, distinct per-doc fingerprint hashes)."""
     from pyspark.sql import Window
 
     base = (
@@ -428,6 +406,37 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_hashes = fps.select(
         "doc_id", F.expr(f"sel div {1 << _POS_BITS}").alias("fp")
     ).distinct()
+    return keyed, fps, doc_hashes
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every K-token gram, then in
+    each sliding window of W consecutive gram hashes select the
+    minimum (rightmost on ties). The selected (position, hash) set is
+    the document's fingerprint sketch, with the winnowing guarantee:
+    any shared run of ≥ K+W−1 tokens between two documents yields at
+    least one shared selected hash — a DETECTION guarantee MinHash
+    cannot give (MinHash bounds expected recall, winnowing bounds
+    worst-case). Output per doc: gram count, selected-fingerprint
+    count, and how many of its distinct fingerprint hashes also occur
+    in some other document (the plagiarism/boilerplate signal).
+
+    The rightmost-min tie-break is encoded arithmetically: key =
+    (hash mod 2^40)·2^20 + (2^20−1−pos), so MIN(key) over the window
+    is (min hash, max position) — one window aggregate, no struct
+    comparison needed, and the identical expression runs in DuckDB.
+
+    Scale notes (100 TB): gram hashing and window selection are
+    per-document (partition-local after the scan — Window partitions
+    by doc_id); the only corpus-wide shuffle ships the DISTINCT
+    (hash, doc) fingerprint pairs — the winnowed sketch is ~2/(W+1)
+    of the grams, so the shuffle is a fraction of the corpus' token
+    stream. The cross-doc sharing rollup runs on that thin sketch.
+    Position capacity is 2^20 grams/doc; longer docs chunk upstream
+    (ext_text_chunking) before fingerprinting.
+    """
+    keyed, fps, doc_hashes = _winnow_parts(spark, sf_dir)
     shared = (
         doc_hashes.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -457,6 +466,77 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MIN_SHARED = 2  # pair survives with at least this many shared fps
+WINNOW_DF_CAP = 32  # fps in more docs than this are boilerplate, not identity
+
+
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarantee-backed near-dup candidate pairs from the winnowed
+    sketches: doc pairs sharing ≥ WINNOW_MIN_SHARED fingerprint
+    hashes, with the shared count and a containment score (shared /
+    smaller sketch, ppm). By the winnowing guarantee, any pair with a
+    common run of ≥ 2·(K+W−1)−1 tokens... strictly: EVERY shared run
+    of ≥ K+W−1 tokens contributes a shared fingerprint — so unlike
+    the MinHash/SimHash blockers (probabilistic recall) this
+    candidate set provably contains every pair with two such runs.
+    Fingerprints present in more than WINNOW_DF_CAP documents are
+    excluded as boilerplate (corpus-wide headers/footers describe the
+    template, not the document), the same df-cap reasoning as the
+    PPJoin prefix filter and dup-span miner.
+
+    Scale notes (100 TB): the self-join runs on the winnowed sketch
+    (~2/(W+1) of the gram stream) keyed by fingerprint hash; the
+    df-cap bounds per-fingerprint fan-out at WINNOW_DF_CAP², so no
+    single hot fingerprint can produce a quadratic pair explosion —
+    the exact failure mode the cap exists to kill.
+    """
+    _, _, doc_hashes = _winnow_parts(spark, sf_dir)
+    nd = doc_hashes.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    eligible = nd.filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= WINNOW_DF_CAP)
+    ).select("fp")
+    dh = doc_hashes.join(eligible, "fp", "left_semi")
+    a, b = dh.alias("a"), dh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    n_fp = doc_hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return (
+        pairs.join(
+            F.broadcast(n_fp.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+        )
+        .withColumnRenamed("n_fp", "fp_a")
+        .join(
+            F.broadcast(n_fp.withColumnRenamed("doc_id", "doc_b")), "doc_b"
+        )
+        .withColumnRenamed("n_fp", "fp_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.floor(
+                F.col("n_shared").cast("double")
+                * 1_000_000
+                / F.least("fp_a", "fp_b").cast("double")
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_negative_sampling": negative_sampling,
     "ext_span_corruption": span_corruption,
@@ -465,33 +545,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_heaps_law_curve": heaps_law_curve,
     "ext_chao1_vocab": chao1_vocab,
     "ext_winnowing_fingerprints": winnowing_fingerprints,
+    "ext_winnowing_pairs": winnowing_pairs,
 }
 
-ORACLES: dict[str, str] = {
-    "ext_chao1_vocab": f"""
-        WITH tok AS (
-            SELECT lang, UNNEST({_TOKS}) AS t FROM documents),
-        counts AS (
-            SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
-        per AS (
-            SELECT lang,
-                   COUNT(*) AS v_obs,
-                   CAST(SUM(c) AS BIGINT) AS n_tokens,
-                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-            FROM counts GROUP BY lang)
-        SELECT lang, v_obs, n_tokens, f1, f2,
-               CAST(v_obs AS DOUBLE)
-                 + CAST(f1 * (f1 - 1) AS DOUBLE)
-                   / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_est,
-               CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                 AS gt_unseen_mass
-        FROM per
-    """,
-    "ext_winnowing_fingerprints": f"""
-        WITH base AS (
+# shared winnowing construction as SQL CTE text (mirrors _winnow_parts)
+_WINNOW_CTES = f"""
+        base AS (
             SELECT doc_id, toks FROM (
-                SELECT doc_id, {_TOKS} AS toks FROM documents)
+                SELECT doc_id, {{toks}} AS toks FROM documents)
             WHERE len(toks) >= {WINNOW_K}),
         grams AS (
             SELECT doc_id,
@@ -517,7 +578,57 @@ ORACLES: dict[str, str] = {
             WHERE pos >= {WINNOW_W - 1}),
         doc_hashes AS (
             SELECT DISTINCT doc_id, sel // {1 << _POS_BITS} AS fp
-            FROM fps),
+            FROM fps)"""
+
+ORACLES: dict[str, str] = {
+    "ext_chao1_vocab": f"""
+        WITH tok AS (
+            SELECT lang, UNNEST({_TOKS}) AS t FROM documents),
+        counts AS (
+            SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+        per AS (
+            SELECT lang,
+                   COUNT(*) AS v_obs,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM counts GROUP BY lang)
+        SELECT lang, v_obs, n_tokens, f1, f2,
+               CAST(v_obs AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE)
+                   / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_est,
+               CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS gt_unseen_mass
+        FROM per
+    """,
+    "ext_winnowing_pairs": f"""
+        WITH {_WINNOW_CTES.format(toks=_TOKS)},
+        nd AS (SELECT fp, COUNT(*) AS nd FROM doc_hashes GROUP BY fp),
+        eligible AS (
+            SELECT fp FROM nd WHERE nd >= 2 AND nd <= {WINNOW_DF_CAP}),
+        dh AS (
+            SELECT doc_id, fp FROM doc_hashes
+            WHERE fp IN (SELECT fp FROM eligible)),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared
+            FROM dh a JOIN dh b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {WINNOW_MIN_SHARED}),
+        n_fp AS (
+            SELECT doc_id, COUNT(*) AS n_fp FROM doc_hashes
+            GROUP BY doc_id)
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+               CAST(FLOOR(CAST(p.n_shared AS DOUBLE) * 1000000
+                          / CAST(LEAST(fa.n_fp, fb.n_fp) AS DOUBLE))
+                    AS BIGINT) AS containment_ppm
+        FROM pairs p
+        JOIN n_fp fa ON p.doc_a = fa.doc_id
+        JOIN n_fp fb ON p.doc_b = fb.doc_id
+    """,
+    "ext_winnowing_fingerprints": f"""
+        WITH {_WINNOW_CTES.format(toks=_TOKS)},
         shared AS (
             SELECT fp FROM doc_hashes GROUP BY fp
             HAVING COUNT(*) >= 2),
