@@ -4797,6 +4797,100 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression (the pool-adjacent-violators fit) of
+    the conversion label on the click-count score ladder — the
+    calibration FIX that pairs with `ext_calibration_ece`'s audit:
+    the fitted values are the unique monotone sequence minimizing
+    squared error, i.e. the calibrated probabilities a thresholding
+    gate should use instead of the raw scores.
+
+    PAV is usually presented as a sequential merge loop; this uses
+    the closed-form minimax identity fit_i = max_{j≤i} min_{k≥i}
+    avg(y over ladder[j..k]), which turns the whole fit into joins
+    and aggregates over the LADDER (distinct click counts — tens of
+    rows), not the corpus. Interval averages are (S_k−S_{j−1}) /
+    (N_k−N_{j−1}) on BIGINT prefix sums — one IEEE division each, so
+    both engines compare identical doubles and the min/max pick
+    identical values.
+
+    Scale notes (100 TB): one user-day rollup (map-side combinable)
+    collapses the corpus onto the ladder; the O(L³) minimax triple
+    runs on L≈20 ladder rows — constant work regardless of data
+    volume. A continuous score would quantize onto a bounded ladder
+    first (ext_equidepth_histogram), which is also how production
+    isotonic calibrators bin anyway.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ladder = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .groupBy("clicks")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+        )
+        .localCheckpoint()  # the whole corpus collapses to ~L rows here
+    )
+    wc = Window.orderBy("clicks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = ladder.select(
+        "clicks",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cs"),
+    )
+    # interval averages avg(j..k) from prefix sums; j,k are ladder
+    # clicks values with j <= k
+    a, b = pre.alias("a"), pre.alias("b")
+    intervals = a.join(
+        b, F.col("a.clicks") <= F.col("b.clicks")
+    ).select(
+        F.col("a.clicks").alias("j"),
+        F.col("b.clicks").alias("k"),
+        (
+            (
+                F.col("b.cs") - F.col("a.cs") + F.col("a.pos")
+            ).cast("double")
+            / (F.col("b.cn") - F.col("a.cn") + F.col("a.n")).cast("double")
+        ).alias("avg_jk"),
+    )
+    pts = pre.select(F.col("clicks").alias("i"))
+    inner = (
+        intervals.join(
+            pts,
+            (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m_ij"))
+        .groupBy("i")
+        .agg(F.max("m_ij").alias("iso_p"))
+    )
+    return (
+        pre.join(inner, pre["clicks"] == inner["i"])
+        .select(
+            "clicks",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            "iso_p",
+        )
+    )
+
+
 def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor propensity matching (with replacement) and the
     matched ATT: treated users (hash arm) each match the control
@@ -5972,6 +6066,7 @@ QUERIES: dict[str, Callable] = {
     "ext_wasserstein_distance": wasserstein_distance,
     "ext_quantile_normalize": quantile_normalize,
     "ext_calibration_ece": calibration_ece,
+    "ext_isotonic_calibration": isotonic_calibration,
     "ext_propensity_match": propensity_match,
     "ext_conformal_interval": conformal_interval,
     "ext_experiment_health": experiment_health,
@@ -6688,6 +6783,39 @@ ORACLES: dict[str, str] = {
             FROM ranked)
         SELECT event_id, event_type, orig_cents, pv AS norm_cents
         FROM keyed JOIN pooled USING (k)
+    """,
+    "ext_isotonic_calibration": """
+        WITH ud AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS clicks,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS y
+            FROM events GROUP BY 1, 2),
+        ladder AS (
+            SELECT CAST(clicks AS BIGINT) AS clicks, COUNT(*) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM ud GROUP BY 1),
+        pre AS (
+            SELECT clicks, n, pos,
+                   CAST(SUM(n) OVER (ORDER BY clicks) AS BIGINT) AS cn,
+                   CAST(SUM(pos) OVER (ORDER BY clicks) AS BIGINT) AS cs
+            FROM ladder),
+        intervals AS (
+            SELECT a.clicks AS j, b.clicks AS k,
+                   CAST(b.cs - a.cs + a.pos AS DOUBLE)
+                       / CAST(b.cn - a.cn + a.n AS DOUBLE) AS avg_jk
+            FROM pre a JOIN pre b ON a.clicks <= b.clicks),
+        inner_m AS (
+            SELECT i.clicks AS i, v.j, MIN(v.avg_jk) AS m_ij
+            FROM intervals v
+            JOIN pre i ON v.j <= i.clicks AND i.clicks <= v.k
+            GROUP BY 1, 2),
+        iso AS (SELECT i, MAX(m_ij) AS iso_p FROM inner_m GROUP BY 1)
+        SELECT p.clicks, p.n, p.pos,
+               CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_rate,
+               iso.iso_p
+        FROM pre p JOIN iso ON p.clicks = iso.i
     """,
     "ext_calibration_ece": f"""
         WITH ud AS (

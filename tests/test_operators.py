@@ -1056,3 +1056,23 @@ def test_spearman_properties(spark, sf_dir):
     for rho in rows.values():
         assert -1.0 <= rho <= 1.0, rows
     assert rows[("n_tokens", "n_chars")] > 0.5, rows
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
+    """The PAV fit must be non-decreasing along the score ladder,
+    bounded by [0, 1], and n-weighted mean-preserving (the projection
+    onto monotone sequences keeps the grand mean)."""
+    from mini_sql_engine_spark.operators.analytics import (
+        isotonic_calibration,
+    )
+
+    rows = sorted(
+        isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.clicks,
+    )
+    assert rows
+    fits = [r.iso_p for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:])), fits
+    assert all(0.0 <= f <= 1.0 for f in fits), fits
+    wsum = sum(r.n * r.iso_p for r in rows)
+    assert abs(wsum - sum(r.pos for r in rows)) < 1e-6, wsum
