@@ -445,7 +445,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("lr"), 4).alias("weight"),
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0: a doc whose
+            # log-ratio sum rounds to zero from below otherwise prints
+            # -0.0 in one engine and 0.0 in the other (seen at sf0.1)
+            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("weight"),
         )
     )
 
@@ -997,7 +1000,10 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("lr"), 4).alias("weight"),
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0: a doc whose
+            # log-ratio sum rounds to zero from below otherwise prints
+            # -0.0 in one engine and 0.0 in the other (seen at sf0.1)
+            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("weight"),
         )
     )
     u = (
@@ -1232,7 +1238,7 @@ ORACLES: dict[str, str] = {
             FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
         wts AS (
             SELECT doc_id, COUNT(*) AS n_tokens,
-                   ROUND(SUM(lr), 4) AS weight
+                   ROUND(SUM(lr), 4) + 0.0 AS weight
             FROM tok JOIN lr USING (b) GROUP BY doc_id),
         sel AS (
             SELECT doc_id, n_tokens,
@@ -1502,7 +1508,7 @@ ORACLES: dict[str, str] = {
                  - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)) AS lr
             FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
         SELECT doc_id, COUNT(*) AS n_tokens,
-               ROUND(SUM(lr), 4) AS weight
+               ROUND(SUM(lr), 4) + 0.0 AS weight
         FROM tok JOIN lr USING (b)
         GROUP BY doc_id
     """,

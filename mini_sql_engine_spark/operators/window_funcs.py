@@ -75,14 +75,41 @@ def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balance distribution ranks per nation: quartile, percent_rank,
     cume_dist. The (c_acctbal, c_custkey) order key is globally unique,
-    so every rank is deterministic."""
+    so every rank is deterministic — and with unique keys
+    percent_rank = (rn−1)/(n−1), cume_dist = rn/n, which are emitted
+    as EXACT integer ppm (round-half-up on BIGINTs) rather than
+    ROUND()ed doubles: at sf0.1 a cume_dist value lands on a 6-decimal
+    tie where Spark (half-up) and DuckDB (half-even) disagree."""
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_nationkey",
-        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    wp = Window.partitionBy("c_nationkey")
+    rn = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(wp).cast("long")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+            rn.alias("rn"),
+            n.alias("n"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "bal_quartile",
+            F.when(
+                F.col("n") > 1,
+                F.expr(
+                    "(1000000 * (rn - 1) + (n - 1) div 2) div (n - 1)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bal_pct_rank_ppm"),
+            F.expr("(1000000 * rn + n div 2) div n")
+            .cast("long")
+            .alias("bal_cume_ppm"),
+        )
     )
 
 
@@ -339,12 +366,20 @@ ORACLES: dict[str, str] = {
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
     "ext_ntile_percent_rank": """
-        SELECT c_custkey, c_nationkey,
-               NTILE(4) OVER w AS bal_quartile,
-               ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
-               ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
-        FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        SELECT c_custkey, c_nationkey, bal_quartile,
+               CASE WHEN n > 1 THEN
+                   (1000000 * (rn - 1) + (n - 1) // 2) // (n - 1)
+                   ELSE 0 END AS bal_pct_rank_ppm,
+               (1000000 * rn + n // 2) // n AS bal_cume_ppm
+        FROM (
+            SELECT c_custkey, c_nationkey,
+                   NTILE(4) OVER w AS bal_quartile,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY c_nationkey)
+                        AS BIGINT) AS n
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey))
     """,
     "ext_first_last_order": """
         SELECT custkey, first_price, last_price,
