@@ -5458,6 +5458,136 @@ def double_ml_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AIPW_Q = 10_000  # fixed-point quanta for the influence-function sum
+AIPW_CUT = 12  # treated = more than this many clicks (both arms and
+# within-arm x variance populate on the overlap set at every sf)
+
+
+def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIPW (augmented inverse-propensity) doubly-robust ATE of being
+    a heavy clicker (more than AIPW_CUT clicks — self-selected, hence
+    confounded with activity) on purchase spend — the capstone of the
+    causal suite:
+    ψ = μ1(x) − μ0(x) + D·(Y−μ1)/e(x) − (1−D)·(Y−μ0)/(1−e(x)),
+    consistent if EITHER nuisance is right. Here the outcome models
+    are deliberately misspecified (global per-arm LINEAR OLS on the
+    view count) while the propensity is saturated-exact (per-level
+    treated fraction), so the augmentation term is doing real work —
+    the configuration that shows why AIPW beats either plug-in alone
+    (`ext_propensity_match` trusts only e, `ext_double_ml_plm`
+    partials linearly).
+
+    Estimation restricts to OVERLAP levels (both arms present —
+    e ∈ (0,1); positivity is an assumption, not a hope) and reports
+    how many users fall outside it. All nuisances derive from exact
+    integer moments via the same division chains in both engines; the
+    per-user ψ reduces through the fixed-point sum, and the reported
+    doubles are UNROUNDED ratios of exact integers (no ROUND — see
+    ext_key_skew's tie lesson).
+
+    Scale notes (100 TB): one user rollup; the level table (distinct
+    view counts) broadcasts e(x) back; the moment row is a 1-row
+    broadcast; one final map-side-combinable ψ aggregate. Joinless on
+    the corpus side beyond the two broadcasts.
+    """
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                )
+                > AIPW_CUT,
+                1,
+            )
+            .otherwise(0)
+            .alias("d"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    levels = users.groupBy("x").agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.sum("d").alias("nl1"),
+    )
+    overlap = levels.filter(
+        (F.col("nl1") > 0) & (F.col("nl1") < F.col("nl"))
+    )
+    uo = users.join(F.broadcast(overlap), "x")
+    mom = uo.agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        *[
+            F.sum(
+                F.when(F.col("d") == arm, expr).otherwise(0)
+            ).alias(f"{tag}{arm}")
+            for arm in (1, 0)
+            for tag, expr in (
+                ("n", F.lit(1)),
+                ("sx", F.col("x")),
+                ("sy", F.col("y")),
+                ("sxx", F.col("x") * F.col("x")),
+                ("sxy", F.col("x") * F.col("y")),
+            )
+        ],
+    )
+
+    def _ab(arm: int) -> tuple[F.Column, F.Column]:
+        n, sx, sy, sxx, sxy = (
+            F.col(f"{t}{arm}").cast("double")
+            for t in ("n", "sx", "sy", "sxx", "sxy")
+        )
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        return a, b
+
+    a1, b1 = _ab(1)
+    a0, b0 = _ab(0)
+    mu1 = a1 + b1 * F.col("x")
+    mu0 = a0 + b0 * F.col("x")
+    e = F.col("nl1").cast("double") / F.col("nl").cast("double")
+    psi = (
+        (mu1 - mu0)
+        + F.col("d") * (F.col("y") - mu1) / e
+        - (1 - F.col("d")) * (F.col("y") - mu0) / (1 - e)
+    )
+    red = uo.crossJoin(F.broadcast(mom)).agg(
+        F.sum(F.floor(psi * AIPW_Q + 0.5).cast("long")).alias("psi_q")
+    )
+    naive = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("d") == 1, F.col("y")).otherwise(0)).alias("ny1"),
+        F.sum("d").alias("nd1"),
+        F.sum(F.when(F.col("d") == 0, F.col("y")).otherwise(0)).alias("ny0"),
+        F.sum(1 - F.col("d")).alias("nd0"),
+    )
+    return (
+        red.crossJoin(F.broadcast(mom.select("n_overlap")))
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "n_users",
+            "n_overlap",
+            "psi_q",
+            (
+                F.col("psi_q").cast("double")
+                / (F.col("n_overlap") * AIPW_Q * 100).cast("double")
+            ).alias("aipw_ate_usd"),
+            (
+                F.col("ny1").cast("double") / F.col("nd1").cast("double")
+                - F.col("ny0").cast("double") / F.col("nd0").cast("double")
+            ).alias("naive_diff_cents"),
+        )
+    )
+
+
 RDD_CUT = 66  # activity cutoff — the corpus mean events/user (~66 at
 # every sf: events and users scale together), so both sides populate
 RDD_BW = 20  # local-linear bandwidth in activity units
@@ -6067,6 +6197,7 @@ QUERIES: dict[str, Callable] = {
     "ext_quantile_normalize": quantile_normalize,
     "ext_calibration_ece": calibration_ece,
     "ext_isotonic_calibration": isotonic_calibration,
+    "ext_aipw_ate": aipw_doubly_robust,
     "ext_propensity_match": propensity_match,
     "ext_conformal_interval": conformal_interval,
     "ext_experiment_health": experiment_health,
@@ -6783,6 +6914,87 @@ ORACLES: dict[str, str] = {
             FROM ranked)
         SELECT event_id, event_type, orig_cents, pv AS norm_cents
         FROM keyed JOIN pooled USING (k)
+    """,
+    "ext_aipw_ate": f"""
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y,
+                   CASE WHEN SUM(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) > 12
+                        THEN 1 ELSE 0 END AS d,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM events GROUP BY user_id),
+        levels AS (
+            SELECT x, COUNT(*) AS nl, CAST(SUM(d) AS BIGINT) AS nl1
+            FROM users GROUP BY x),
+        overlap AS (
+            SELECT x, nl, nl1 FROM levels WHERE nl1 > 0 AND nl1 < nl),
+        uo AS (
+            SELECT u.y, u.d, u.x, o.nl, o.nl1
+            FROM users u JOIN overlap o USING (x)),
+        mom AS (
+            SELECT COUNT(*) AS n_overlap,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN d = {arm} THEN {expr} "
+                       f"ELSE 0 END) AS BIGINT) AS {tag}{arm}"
+                       for arm in (1, 0)
+                       for tag, expr in (
+                           ("n", "1"), ("sx", "x"), ("sy", "y"),
+                           ("sxx", "x * x"), ("sxy", "x * y"),
+                       )
+                   )}
+            FROM uo),
+        co AS (
+            SELECT *,
+                   (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+                    - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) AS b1,
+                   (CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                    - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+                   / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                      - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)) AS b0
+            FROM mom),
+        co2 AS (
+            SELECT *,
+                   (CAST(sy1 AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE))
+                       / CAST(n1 AS DOUBLE) AS a1,
+                   (CAST(sy0 AS DOUBLE) - b0 * CAST(sx0 AS DOUBLE))
+                       / CAST(n0 AS DOUBLE) AS a0
+            FROM co),
+        psi AS (
+            SELECT uo.*,
+                   (a1 + b1 * x) AS mu1, (a0 + b0 * x) AS mu0,
+                   CAST(nl1 AS DOUBLE) / CAST(nl AS DOUBLE) AS e
+            FROM uo CROSS JOIN co2),
+        red AS (
+            SELECT CAST(SUM(CAST(FLOOR(
+                       ((mu1 - mu0)
+                        + d * (y - mu1) / e
+                        - (1 - d) * (y - mu0) / (1 - e)) * {AIPW_Q}
+                       + 0.5) AS BIGINT)) AS BIGINT) AS psi_q
+            FROM psi),
+        naive AS (
+            SELECT COUNT(*) AS n_users,
+                   CAST(SUM(CASE WHEN d = 1 THEN y ELSE 0 END) AS BIGINT)
+                       AS ny1,
+                   CAST(SUM(d) AS BIGINT) AS nd1,
+                   CAST(SUM(CASE WHEN d = 0 THEN y ELSE 0 END) AS BIGINT)
+                       AS ny0,
+                   CAST(SUM(1 - d) AS BIGINT) AS nd0
+            FROM users)
+        SELECT n_users, n_overlap, psi_q,
+               CAST(psi_q AS DOUBLE)
+                   / CAST(n_overlap * {AIPW_Q} * 100 AS DOUBLE)
+                   AS aipw_ate_usd,
+               CAST(ny1 AS DOUBLE) / CAST(nd1 AS DOUBLE)
+                   - CAST(ny0 AS DOUBLE) / CAST(nd0 AS DOUBLE)
+                   AS naive_diff_cents
+        FROM red CROSS JOIN (SELECT n_overlap FROM mom) m
+        CROSS JOIN naive
     """,
     "ext_isotonic_calibration": """
         WITH ud AS (
