@@ -121,6 +121,13 @@ MARQUEE = [
      "(partitionBy doc_id — partition-local after the scan); the only "
      "corpus-wide shuffles carry the winnowed sketch's thin "
      "(doc, key) pairs"),
+    ("ext_isotonic_calibration", "PAV via the minimax identity: the "
+     "corpus collapses to the checkpointed score ladder in one "
+     "rollup; the O(L^3) triple join never touches corpus rows"),
+    ("ext_aipw_ate", "doubly-robust ATE: level propensities and the "
+     "1-row moment aggregate broadcast; the influence-function "
+     "reduce is one map-side-combinable aggregate — no corpus-side "
+     "shuffle joins"),
 ]
 
 
