@@ -798,3 +798,23 @@ def test_winnowing_window_is_per_doc(spark, sf_dir):
     )
     assert "hashpartitioning(doc_id" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_isotonic_runs_on_checkpointed_ladder(spark, sf_dir):
+    """The corpus collapses to the checkpointed ladder: zero residual
+    parquet scans in the plan, no sort-merge join, no cartesian — the
+    minimax triple rides broadcast joins over ladder-sized inputs."""
+    plan = _plan(ALL_QUERIES["ext_isotonic_calibration"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_aipw_is_broadcast_only(spark, sf_dir):
+    """Propensity levels and the moment row attach as broadcasts onto
+    the checkpointed user rollup: no sort-merge join, no cartesian,
+    zero residual parquet scans."""
+    plan = _plan(ALL_QUERIES["ext_aipw_ate"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
