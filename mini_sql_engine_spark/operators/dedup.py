@@ -1128,6 +1128,100 @@ def contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.selectExpr("node AS doc_id", "hops")
 
 
+PPR_ITERS = 3  # power iterations (unrolled identically in the oracle)
+PPR_SCALE = 1_000_000  # integer-ppm mass
+PPR_D_NUM, PPR_D_DEN = 85, 100  # damping d = 0.85 as an exact ratio
+
+
+def contamination_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the held-out benchmark seed set over
+    the near-dup graph — the SOFT contamination score beside
+    `ext_contamination_hops`' hop counts: a doc two hops out through
+    many parallel near-dup paths scores higher than one dangling off
+    a single chain, which is exactly the triage order a
+    decontamination budget should follow (hops alone can't rank
+    within a level). Teleport mass restarts at the seeds (uniform),
+    damping 0.85 as the exact ratio 85/100.
+
+    Integer-exact iterations: all mass in ppm, per-edge contribution
+    floor(85·pr / (100·out_deg)) — exactly-associative BIGINT sums,
+    deterministic under any partitioning, and the oracle unrolls the
+    identical PPR_ITERS rounds as CTEs. Mass floor-truncation and
+    isolated-seed dangling leak are by construction and identical in
+    both engines (same note as `ext_pagerank_types`).
+
+    Scale notes (100 TB): the near-dup edge list is the small derived
+    table (memoized pair construction); each iteration is one shuffle
+    keyed on dst plus a broadcast of the seed-count scalar. For a
+    billion-node graph the same loop partitions edges by dst and
+    broadcast-joins pr per round — the loop shape is unchanged.
+    """
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .union(seeds)
+        .distinct()
+        .localCheckpoint()
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt"))
+    is_seed = F.col("node") % 97 == 0
+    pr = nodes.crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.when(
+            is_seed,
+            F.floor(F.lit(PPR_SCALE) / F.col("n_seeds")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("pr"),
+    )
+    teleport = F.when(
+        is_seed,
+        F.floor(
+            F.lit((PPR_D_DEN - PPR_D_NUM) * PPR_SCALE)
+            / (F.lit(PPR_D_DEN) * F.col("n_seeds"))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(out, "src")
+            .join(pr, edges["src"] == pr["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.lit(PPR_D_NUM) * F.col("pr"))
+                        / (F.lit(PPR_D_DEN) * F.col("out_cnt"))
+                    ).cast("long")
+                ).alias("in_mass")
+            )
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(ns))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (teleport + F.coalesce("in_mass", F.lit(0))).alias("pr"),
+            )
+        )
+    return pr.filter(F.col("pr") > 0).select(
+        F.col("node").alias("doc_id"),
+        F.col("pr").alias("ppr_ppm"),
+        is_seed.cast("long").alias("is_seed"),
+    )
+
+
 def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-duplicate graph: edges, ordered
     2-paths, closed triangles, and the closure rate (triangles /
@@ -1511,6 +1605,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_embedding": embedding_dedup,
     "ext_dedup_clusters": dedup_clusters,
     "ext_contamination_hops": contamination_hops,
+    "ext_contamination_ppr": contamination_ppr,
     "ext_dedup_containment": containment_pairs,
     "ext_dedup_cross_lang": cross_lang_dupes,
     "ext_dedup_dual_modality": dual_modality_dupes,
@@ -1736,6 +1831,59 @@ ORACLES: dict[str, str] = {
             WHERE w.hops < {MAX_HOPS})
         SELECT node AS doc_id, MIN(hops) AS hops
         FROM walk GROUP BY node
+    """,
+    # personalized PageRank: the identical PPR_ITERS integer-ppm power
+    # iterations unrolled as CTEs (floor-truncated edge contributions
+    # are exactly associative, so the engines walk the same sequence)
+    "ext_contamination_ppr": f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        seeds AS (
+            SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+                UNION ALL SELECT node FROM seeds) u),
+        ns AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+        outdeg AS (
+            SELECT src, COUNT(*) AS out_cnt FROM edges GROUP BY src),
+        pr0 AS (
+            SELECT node,
+                   CASE WHEN node % 97 = 0
+                        THEN CAST(FLOOR({PPR_SCALE}
+                                 / (SELECT n_seeds FROM ns)) AS BIGINT)
+                        ELSE 0 END AS pr
+            FROM nodes),
+        {", ".join(
+            f'''pr{r} AS (
+            SELECT n.node,
+                   CASE WHEN n.node % 97 = 0
+                        THEN CAST(FLOOR({(PPR_D_DEN - PPR_D_NUM) * PPR_SCALE}
+                                 / ({PPR_D_DEN}
+                                    * (SELECT n_seeds FROM ns)))
+                             AS BIGINT)
+                        ELSE 0 END
+                   + COALESCE(c.in_mass, 0) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst,
+                       CAST(SUM(CAST(FLOOR({PPR_D_NUM} * p.pr
+                                / ({PPR_D_DEN} * o.out_cnt)) AS BIGINT))
+                            AS BIGINT) AS in_mass
+                FROM edges e
+                JOIN outdeg o ON e.src = o.src
+                JOIN pr{r - 1} p ON e.src = p.node
+                GROUP BY e.dst) c ON n.node = c.dst)'''
+            for r in range(1, PPR_ITERS + 1)
+        )}
+        SELECT node AS doc_id, pr AS ppr_ppm,
+               CAST(node % 97 = 0 AS BIGINT) AS is_seed
+        FROM pr{PPR_ITERS} WHERE pr > 0
     """,
     # connected components as a recursive CTE: enumerate every
     # (node, reachable-node) pair over the undirected near-dup graph —
