@@ -2469,22 +2469,10 @@ def vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_NANO = 1_000_000_000  # fixed-point scale for the log-survival sum
 
 
-def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival curve for click→purchase conversion with
-    RIGHT CENSORING: per user, time from first click to first
-    subsequent purchase (event) or to last activity (censored — the
-    observation that plain "average days to convert" silently throws
-    away). S(t) = Π(1 − d_i/n_i) over event days, computed as the
-    exp of an integer-quantized cumulative Σ ln(1 − d/n) — products
-    of floats order-deterministically, same fixed-point trick as the
-    entropy pack. Output per event day: risk-set size, events,
-    survival and the discrete hazard d/n.
-
-    Scale notes (100 TB): per-user reduction is one map-side-combined
-    pass; the curve machinery (risk sets via reverse cumulative
-    counts, the quantized log-sum) runs on the DURATIONS-sized
-    day-grid, thousands of rows at any corpus size.
-    """
+def _surv_event_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared right-censored click→purchase survival construction:
+    per-duration event rows (dur, d_at, n_risk) with d_at > 0 — the
+    day-grid both Kaplan–Meier and Nelson–Aalen walk."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -2521,7 +2509,7 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = durs.agg(F.count(F.lit(1)).alias("n_total"))
     wo = Window.orderBy("dur")
-    graded = (
+    return (
         cells.crossJoin(F.broadcast(n_total))
         .select(
             "dur",
@@ -2539,6 +2527,77 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d_at") > 0)
     )
+
+
+def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard for click→purchase conversion —
+    the estimator survival analysis reaches for when the HAZARD (not
+    the survival probability) is the quantity of interest: H(t) =
+    Σ_{t_i ≤ t} d_i/n_i accumulates risk additively, so segment
+    slopes read directly as conversion intensity, and the companion
+    variance Σ d_i/n_i² gives the pointwise confidence width.
+    Kaplan–Meier (`ext_kaplan_meier`) shares this exact day-grid; the
+    Breslow identity S ≈ exp(−H) ties the two (pytest-pinned).
+
+    Exactness: each increment quantizes once — floor(1e9·d/n + 0.5),
+    one IEEE division + floor — and the cumulative sums run on
+    BIGINTs, so both engines walk identical integer sequences (no
+    float running sum anywhere).
+
+    Scale notes (100 TB): identical to Kaplan–Meier — one map-side
+    combined per-user reduction, then all curve arithmetic on the
+    durations-sized day grid.
+    """
+    from pyspark.sql import Window
+
+    rows = _surv_event_rows(spark, sf_dir)
+    hq = F.floor(
+        F.col("d_at") / F.col("n_risk") * _KM_NANO + 0.5
+    ).cast("long")
+    vq = F.floor(
+        F.col("d_at") / (F.col("n_risk") * F.col("n_risk")) * _KM_NANO
+        + 0.5
+    ).cast("long")
+    wc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = rows.select(
+        "dur", "n_risk", "d_at", hq.alias("hq"), vq.alias("vq")
+    ).select(
+        "dur",
+        "n_risk",
+        "d_at",
+        F.sum("hq").over(wc).alias("cum_hq"),
+        F.sum("vq").over(wc).alias("cum_vq"),
+    )
+    return curve.select(
+        F.col("dur").alias("t_days"),
+        "n_risk",
+        F.col("d_at").alias("d_events"),
+        (F.col("cum_hq").cast("double") / _KM_NANO).alias("cum_hazard"),
+        (F.col("cum_vq").cast("double") / _KM_NANO).alias("hazard_var"),
+    )
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for click→purchase conversion with
+    RIGHT CENSORING: per user, time from first click to first
+    subsequent purchase (event) or to last activity (censored — the
+    observation that plain "average days to convert" silently throws
+    away). S(t) = Π(1 − d_i/n_i) over event days, computed as the
+    exp of an integer-quantized cumulative Σ ln(1 − d/n) — products
+    of floats order-deterministically, same fixed-point trick as the
+    entropy pack. Output per event day: risk-set size, events,
+    survival and the discrete hazard d/n.
+
+    Scale notes (100 TB): per-user reduction is one map-side-combined
+    pass; the curve machinery (risk sets via reverse cumulative
+    counts, the quantized log-sum) runs on the DURATIONS-sized
+    day-grid, thousands of rows at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    graded = _surv_event_rows(spark, sf_dir)
     # the last event time can absorb the whole risk set (d = n):
     # ln(0) → substitute a -100-nat sentinel, which exp-rounds to the
     # correct S = 0 without an infinity crossing either engine
@@ -6228,6 +6287,7 @@ QUERIES: dict[str, Callable] = {
     "ext_mann_whitney": mann_whitney,
     "ext_poisson_bootstrap": poisson_bootstrap,
     "ext_kaplan_meier": kaplan_meier,
+    "ext_nelson_aalen": nelson_aalen,
     "ext_ks_two_sample": ks_two_sample,
     "ext_vshape_patterns": vshape_patterns,
     "ext_diff_in_diff": diff_in_diff,
@@ -6446,7 +6506,63 @@ _GAP_SWEEP_ROWS = "\n        UNION ALL ".join(
     for m in GAP_SWEEP_MIN
 )
 
+# shared right-censored survival day-grid (mirrors _surv_event_rows)
+_SURV_CTES = """
+        ev AS (
+            SELECT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events),
+        per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'click'
+                            THEN day END) AS t0,
+                   MAX(day) AS last_seen
+            FROM ev GROUP BY user_id
+            HAVING MIN(CASE WHEN event_type = 'click' THEN day END)
+                   IS NOT NULL),
+        first_buy AS (
+            SELECT e.user_id, MIN(e.day) AS t_buy
+            FROM ev e JOIN per_user p ON e.user_id = p.user_id
+            WHERE e.event_type = 'purchase' AND e.day >= p.t0
+            GROUP BY e.user_id),
+        durs AS (
+            SELECT CAST(datediff('day', t0,
+                                 COALESCE(t_buy, last_seen))
+                        AS BIGINT) AS dur,
+                   CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS d
+            FROM per_user LEFT JOIN first_buy USING (user_id)),
+        cells AS (SELECT dur, COUNT(*) AS n_at, SUM(d) AS d_at
+                  FROM durs GROUP BY dur),
+        nt AS (SELECT COUNT(*) AS n_total FROM durs),
+        graded AS (
+            SELECT dur, d_at,
+                   n_total - COALESCE(SUM(n_at) OVER (
+                       ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+            FROM cells CROSS JOIN nt),
+        evrows AS (SELECT * FROM graded WHERE d_at > 0)"""
+
 ORACLES: dict[str, str] = {
+    "ext_nelson_aalen": f"""
+        WITH {_SURV_CTES},
+        curve AS (
+            SELECT dur, n_risk, d_at,
+                   SUM(CAST(FLOOR(d_at / n_risk * {_KM_NANO} + 0.5)
+                            AS BIGINT))
+                       OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_hq,
+                   SUM(CAST(FLOOR(d_at / (n_risk * n_risk) * {_KM_NANO}
+                                  + 0.5) AS BIGINT))
+                       OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_vq
+            FROM evrows)
+        SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_at AS BIGINT) AS d_events,
+               CAST(cum_hq AS DOUBLE) / {_KM_NANO} AS cum_hazard,
+               CAST(cum_vq AS DOUBLE) / {_KM_NANO} AS hazard_var
+        FROM curve
+    """,
     "ext_session_gap_sweep": f"""
         WITH ev AS (
             SELECT user_id, epoch_us(ts) AS us, event_id
@@ -8158,38 +8274,7 @@ ORACLES: dict[str, str] = {
         FROM point
     """,
     "ext_kaplan_meier": f"""
-        WITH ev AS (
-            SELECT user_id, event_type, CAST(ts AS DATE) AS day
-            FROM events),
-        per_user AS (
-            SELECT user_id,
-                   MIN(CASE WHEN event_type = 'click'
-                            THEN day END) AS t0,
-                   MAX(day) AS last_seen
-            FROM ev GROUP BY user_id
-            HAVING MIN(CASE WHEN event_type = 'click' THEN day END)
-                   IS NOT NULL),
-        first_buy AS (
-            SELECT e.user_id, MIN(e.day) AS t_buy
-            FROM ev e JOIN per_user p ON e.user_id = p.user_id
-            WHERE e.event_type = 'purchase' AND e.day >= p.t0
-            GROUP BY e.user_id),
-        durs AS (
-            SELECT CAST(datediff('day', t0,
-                                 COALESCE(t_buy, last_seen))
-                        AS BIGINT) AS dur,
-                   CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS d
-            FROM per_user LEFT JOIN first_buy USING (user_id)),
-        cells AS (SELECT dur, COUNT(*) AS n_at, SUM(d) AS d_at
-                  FROM durs GROUP BY dur),
-        nt AS (SELECT COUNT(*) AS n_total FROM durs),
-        graded AS (
-            SELECT dur, d_at,
-                   n_total - COALESCE(SUM(n_at) OVER (
-                       ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND 1 PRECEDING), 0) AS n_risk
-            FROM cells CROSS JOIN nt),
-        evrows AS (SELECT * FROM graded WHERE d_at > 0),
+        WITH {_SURV_CTES},
         curve AS (
             SELECT dur, n_risk, d_at,
                    SUM(CASE WHEN d_at < n_risk

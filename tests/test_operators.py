@@ -1076,3 +1076,30 @@ def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     assert all(0.0 <= f <= 1.0 for f in fits), fits
     wsum = sum(r.n * r.iso_p for r in rows)
     assert abs(wsum - sum(r.pos for r in rows)) < 1e-6, wsum
+
+
+def test_nelson_aalen_breslow_bound(spark, sf_dir):
+    """H(t) and its variance are non-decreasing, and the EXACT
+    Breslow-side inequality holds at every grid point: e^{-h} >= 1-h
+    term-by-term, so exp(-H(t)) >= KM survival(t) always (they agree
+    to first order only when hazard increments are small — not true
+    on tiny fixtures, so the exact bound is the right pin)."""
+    from mini_sql_engine_spark.operators.analytics import (
+        kaplan_meier,
+        nelson_aalen,
+    )
+    import math
+
+    na = {r.t_days: r for r in nelson_aalen(spark, sf_dir).collect()}
+    km = {r.t_days: r for r in kaplan_meier(spark, sf_dir).collect()}
+    assert set(na) == set(km) and na
+    hs = [na[t].cum_hazard for t in sorted(na)]
+    assert all(a <= b + 1e-12 for a, b in zip(hs, hs[1:])), hs
+    vs = [na[t].hazard_var for t in sorted(na)]
+    assert all(a <= b + 1e-12 for a, b in zip(vs, vs[1:])), vs
+    for t in sorted(na):
+        assert math.exp(-na[t].cum_hazard) >= km[t].survival - 1e-6, (
+            t,
+            na[t].cum_hazard,
+            km[t].survival,
+        )
