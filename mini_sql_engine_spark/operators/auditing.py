@@ -427,6 +427,58 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at customer-population deciles: cumulative revenue
+    share held by the poorest k/10 of customers — the full inequality
+    CURVE whose enclosed area `ext_gini_coefficient` summarizes to one
+    number (a dashboard plots this; reading "the bottom half holds 9%
+    of revenue" off a Gini alone is impossible). Points are exact:
+    decile k cuts at rank (n·k) div 10 of the (rev, custkey)-sorted
+    ladder, and both shares are integer-ppm round-half-up on BIGINT
+    cumulative sums — no doubles anywhere.
+
+    Scale notes (100 TB): one map-side-combinable customer rollup;
+    the rank + cumulative window runs on the customers-sized ladder
+    (the documented ranks-sized single partition, same as Gini); the
+    10-row decile grid broadcasts onto it.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_rev"),
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
+    )
+    grid = spark.range(1, 11).select(F.col("id").alias("decile"))
+    cuts = grid.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "tot",
+        F.expr("(n * decile) div 10").alias("cut"),
+    )
+    return (
+        cuts.join(ranked, cuts["cut"] == ranked["rnk"])
+        .select(
+            "decile",
+            F.col("cut").alias("n_cust_cum"),
+            F.expr("(1000000 * cut + n div 2) div n").alias(
+                "pop_share_ppm"
+            ),
+            F.expr("(1000000 * cum_rev + tot div 2) div tot").alias(
+                "rev_share_ppm"
+            ),
+        )
+    )
+
+
 ABC_A_PPM = 800_000  # cumulative-revenue share boundary for class A
 ABC_B_PPM = 950_000  # boundary for class B; the tail is class C
 
@@ -587,6 +639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_embedding_drift": embedding_drift,
     "ext_abc_analysis": abc_analysis,
     "ext_gini_coefficient": gini_coefficient,
+    "ext_lorenz_curve": lorenz_curve,
     "ext_emb_scatter_topk": emb_scatter_topk,
 }
 
@@ -684,6 +737,30 @@ ORACLES: dict[str, str] = {
         GROUP BY a.dim, b.dim
         ORDER BY abs(CAST(SUM(a.micro * b.micro) AS BIGINT)) DESC, d1, d2
         LIMIT {SCATTER_TOPK}
+    """,
+    "ext_lorenz_curve": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY o_custkey),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey)
+                        AS BIGINT) AS rnk,
+                   CAST(SUM(rev) OVER (ORDER BY rev, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_rev
+            FROM per_cust),
+        tot AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS tot
+                FROM per_cust),
+        cuts AS (
+            SELECT decile, n, tot, (n * decile) // 10 AS cut
+            FROM (SELECT UNNEST(range(1, 11)) AS decile) g
+            CROSS JOIN tot)
+        SELECT decile, cut AS n_cust_cum,
+               (1000000 * cut + n // 2) // n AS pop_share_ppm,
+               (1000000 * cum_rev + tot // 2) // tot AS rev_share_ppm
+        FROM cuts JOIN ranked ON cuts.cut = ranked.rnk
     """,
     "ext_gini_coefficient": """
         WITH per_cust AS (
