@@ -131,6 +131,80 @@ def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the marker-based language
+    identifier against gold labels — the sklearn-style classification
+    report as a dataflow, and the per-class view `ext_langid_kappa`'s
+    single number hides (a classifier can carry strong kappa while
+    silently never predicting one minority language). One row per
+    gold class: support, true positives, predicted count, and
+    P/R/F1 in integer ppm.
+
+    Exactness: all counts are integer aggregates of the confusion
+    matrix; P/R are round-half-up integer ppm; F1 is computed from
+    the RAW integer counts (2·tp·1e6 vs denominators) in one integer
+    expression — never from the already-rounded P/R, so no compounded
+    rounding and no doubles anywhere.
+
+    Scale notes (100 TB): scan-side prediction expression, one
+    map-side-combinable (lang, pred) count, then arithmetic on the
+    |langs|² matrix.
+    """
+    conf = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", textfns.language_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # three marginal consumers, one corpus pass
+    )
+    support = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    predicted = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = (
+        conf.filter(F.col("lang") == F.col("pred_lang"))
+        .select(F.col("lang").alias("cls"), F.col("n").alias("tp"))
+    )
+    return (
+        support.join(F.broadcast(predicted), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            "support",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+        .select(
+            "cls",
+            "support",
+            "tp",
+            "n_pred",
+            F.when(
+                F.col("n_pred") > 0,
+                F.expr("(1000000 * tp + n_pred div 2) div n_pred"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("precision_ppm"),
+            F.expr("(1000000 * tp + support div 2) div support")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.when(
+                F.col("n_pred") + F.col("support") > 0,
+                F.expr(
+                    "(2000000 * tp + (n_pred + support) div 2)"
+                    " div (n_pred + support)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("f1_ppm"),
+        )
+    )
+
+
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics + composite score."""
     return load_table(spark, sf_dir, "documents").select(
@@ -784,6 +858,7 @@ QUERIES: dict[str, Callable] = {
     "ext_text_lang_stats": lang_stats,
     "ext_text_language_id": language_id,
     "ext_langid_kappa": langid_kappa,
+    "ext_langid_class_report": langid_class_report,
     "ext_text_quality": quality,
     "ext_text_fingerprint": fingerprints,
     "ext_text_token_histogram": token_histogram,
@@ -899,6 +974,36 @@ ORACLES: dict[str, str] = {
         WITH scored AS (SELECT lang, {_SCORES} FROM documents)
         SELECT lang, {_ARGMAX} AS pred_lang, COUNT(*) AS n_docs
         FROM scored GROUP BY 1, 2
+    """,
+    "ext_langid_class_report": f"""
+        WITH scored AS (SELECT lang, {_SCORES} FROM documents),
+        conf AS (
+            SELECT lang, {_ARGMAX} AS pred_lang, COUNT(*) AS n
+            FROM scored GROUP BY 1, 2),
+        support AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS support
+                    FROM conf GROUP BY 1),
+        predicted AS (SELECT pred_lang AS cls,
+                             CAST(SUM(n) AS BIGINT) AS n_pred
+                      FROM conf GROUP BY 1),
+        tp AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp FROM conf
+               WHERE lang = pred_lang),
+        j AS (
+            SELECT s.cls, s.support,
+                   COALESCE(t.tp, 0) AS tp,
+                   COALESCE(p.n_pred, 0) AS n_pred
+            FROM support s
+            LEFT JOIN predicted p ON s.cls = p.cls
+            LEFT JOIN tp t ON s.cls = t.cls)
+        SELECT cls, support, tp, n_pred,
+               CASE WHEN n_pred > 0
+                    THEN (1000000 * tp + n_pred // 2) // n_pred
+                    ELSE 0 END AS precision_ppm,
+               (1000000 * tp + support // 2) // support AS recall_ppm,
+               CASE WHEN n_pred + support > 0
+                    THEN (2000000 * tp + (n_pred + support) // 2)
+                         // (n_pred + support)
+                    ELSE 0 END AS f1_ppm
+        FROM j
     """,
     "ext_langid_kappa": f"""
         WITH scored AS (SELECT lang, {_SCORES} FROM documents),
