@@ -147,10 +147,75 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup graph:
+    LCC(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the node-level
+    counterpart of `ext_triangle_census`'s global closure rate. A
+    high-LCC node sits inside a template clique (safe to collapse to
+    one canonical doc); a high-degree LOW-LCC node is a hub stitching
+    unrelated documents (collapsing through it over-merges) — the
+    per-node triage the global number can't give. Only nodes with
+    deg ≥ 2 appear (LCC undefined below). Output in exact integer ppm.
+
+    Plan: triangles enumerate once as a<b<c on the (a<b)-ordered pair
+    table (two joins), then scatter 1 count to each member; degree is
+    one rollup of the symmetric edge list. All integers.
+
+    Scale notes (100 TB): identical cost class to the triangle census
+    — joins on the thin near-dup edge list, orders below corpus size;
+    the scatter adds a 3×triangles explode. Hub skew in the triangle
+    join is the known hotspot; at scale the standard mitigation is
+    degree-ordered orientation (already the a<b ordering here), which
+    bounds the join fan-out by arboricity.
+    """
+    pairs = (
+        jaccard_dedup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.selectExpr("doc_a AS node")
+        .union(pairs.selectExpr("doc_b AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    e2 = pairs.selectExpr("doc_a AS b2", "doc_b AS c")
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            pairs.selectExpr("doc_a AS a3", "doc_b AS c3"),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    member_tri = (
+        tri.selectExpr("a AS node")
+        .union(tri.selectExpr("b AS node"))
+        .union(tri.selectExpr("c AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(member_tri, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "deg",
+            F.coalesce("tri", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2000000 * coalesce(tri, 0)"
+                " + (deg * (deg - 1)) div 2) div (deg * (deg - 1))"
+            ).alias("lcc_ppm"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_kcore_graph": kcore_graph,
     "ext_cluster_size_histogram": cluster_size_histogram,
     "ext_graph_assortativity": degree_assortativity,
+    "ext_local_clustering": local_clustering,
 }
 
 
@@ -224,4 +289,33 @@ ORACLES: dict[str, str] = {
     "ext_kcore_graph": _kcore_oracle(),
     "ext_cluster_size_histogram": _cluster_sizes_oracle(),
     "ext_graph_assortativity": _ASSORT_ORACLE,
+    "ext_local_clustering": f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT doc_a AS node FROM pairs
+                UNION ALL SELECT doc_b FROM pairs) u
+            GROUP BY node),
+        tri AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e1.doc_b = e2.doc_a
+            JOIN pairs e3 ON e1.doc_a = e3.doc_a
+                         AND e2.doc_b = e3.doc_b),
+        member_tri AS (
+            SELECT node, COUNT(*) AS tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) m
+            GROUP BY node)
+        SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_triangles,
+               (2000000 * COALESCE(t.tri, 0)
+                + (d.deg * (d.deg - 1)) // 2)
+               // (d.deg * (d.deg - 1)) AS lcc_ppm
+        FROM deg d LEFT JOIN member_tri t ON d.node = t.node
+        WHERE d.deg >= 2
+    """,
 }
