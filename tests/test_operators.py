@@ -1121,3 +1121,107 @@ def test_neyman_allocation_sums_to_budget(spark, sf_dir):
     assert sum(r.neyman_alloc for r in rows) == NEY_BUDGET
     assert sum(r.prop_alloc for r in rows) == NEY_BUDGET
     assert all(r.neyman_alloc >= 0 and r.prop_alloc >= 0 for r in rows)
+
+
+def test_contamination_ppr_mass_and_seeds(spark, sf_dir):
+    """PPR mass sanity: every score is positive by output contract,
+    seeds carry teleport mass (each seed >= the teleport floor), and
+    total mass never exceeds the injected scale (floor truncation and
+    dangling nodes only ever LOSE mass)."""
+    from mini_sql_engine_spark.operators.dedup import (
+        PPR_SCALE,
+        contamination_ppr,
+    )
+
+    rows = contamination_ppr(spark, sf_dir).collect()
+    assert rows
+    assert all(r.ppr_ppm > 0 for r in rows)
+    n_seeds = sum(1 for r in rows if r.is_seed == 1)
+    assert n_seeds > 0
+    assert sum(r.ppr_ppm for r in rows) <= PPR_SCALE + len(rows)
+
+
+def test_lorenz_curve_is_convex_and_anchored(spark, sf_dir):
+    """Revenue share is non-decreasing in the decile, never exceeds
+    the population share (poorest-k ordering), and the final decile
+    reaches ~100% of both."""
+    from mini_sql_engine_spark.operators.auditing import lorenz_curve
+
+    rows = sorted(lorenz_curve(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert len(rows) == 10
+    revs = [r.rev_share_ppm for r in rows]
+    assert all(a <= b for a, b in zip(revs, revs[1:])), revs
+    for r in rows:
+        assert r.rev_share_ppm <= r.pop_share_ppm + 1, r
+    assert rows[-1].pop_share_ppm == 1_000_000
+    assert abs(rows[-1].rev_share_ppm - 1_000_000) <= 1
+
+
+def test_langid_kappa_bounds_and_consistency(spark, sf_dir):
+    """kappa in [-1, 1], never exceeds raw accuracy's chance-free
+    ceiling, and the confusion-matrix totals reconcile with the
+    class report's support column."""
+    from mini_sql_engine_spark.operators.text import (
+        langid_class_report,
+        langid_kappa,
+    )
+
+    k = langid_kappa(spark, sf_dir).collect()[0]
+    assert -1.0 <= k.kappa <= 1.0, k
+    assert 0 <= k.n_agree <= k.n_docs
+    rep = langid_class_report(spark, sf_dir).collect()
+    assert sum(r.support for r in rep) == k.n_docs
+    assert sum(r.tp for r in rep) == k.n_agree
+    for r in rep:
+        assert 0 <= r.precision_ppm <= 1_000_000
+        assert 0 <= r.recall_ppm <= 1_000_000
+        lo, hi = sorted((r.precision_ppm, r.recall_ppm))
+        assert lo - 1 <= r.f1_ppm <= hi + 1 or lo == 0, r
+
+
+def test_mann_kendall_statistic_bounds(spark, sf_dir):
+    """|S| is bounded by the number of day pairs, the variance
+    numerator is positive for n >= 2, and the trend label is
+    consistent with the z value."""
+    from mini_sql_engine_spark.operators.analytics import (
+        mann_kendall_trend,
+    )
+
+    r = mann_kendall_trend(spark, sf_dir).collect()[0]
+    max_pairs = r.n_days * (r.n_days - 1) // 2
+    assert abs(r.s_stat) <= max_pairs
+    assert r.var18 > 0
+    if r.trend == "increasing":
+        assert r.z_score > 1.96
+    elif r.trend == "decreasing":
+        assert r.z_score < -1.96
+    else:
+        assert -1.96 <= r.z_score <= 1.96 or r.s_stat == 0
+
+
+def test_aipw_overlap_and_finiteness(spark, sf_dir):
+    """The overlap population is a subset of all users, and both
+    reported effects are finite (no zero-denominator leak through
+    the overlap restriction)."""
+    import math
+
+    from mini_sql_engine_spark.operators.analytics import (
+        aipw_doubly_robust,
+    )
+
+    r = aipw_doubly_robust(spark, sf_dir).collect()[0]
+    assert 0 < r.n_overlap <= r.n_users
+    assert math.isfinite(r.aipw_ate_usd)
+    assert math.isfinite(r.naive_diff_cents)
+
+
+def test_local_clustering_bounds(spark, sf_dir):
+    """LCC lies in [0, 1e6] ppm; triangle membership never exceeds
+    the degree-pair capacity deg*(deg-1)/2."""
+    from mini_sql_engine_spark.operators.graph_ops import local_clustering
+
+    rows = local_clustering(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.lcc_ppm <= 1_000_000, r
+        assert r.n_triangles <= r.deg * (r.deg - 1) // 2, r
