@@ -606,6 +606,38 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split CONSTRUCTOR: assign train/val/test by hashing
+    the near-dup CLUSTER representative, not the doc id — every member
+    of a duplicate cluster lands in the same split by construction, so
+    the leakage ext_split_leakage audits is structurally impossible.
+    This is the fix a pipeline applies after that audit fires: re-split
+    on the connected-component label instead of quarantining pairs.
+
+    Composition, not new machinery: cluster labels come from
+    dedup_clusters (memoized min-label propagation) and the bucketing
+    is the same salted md5 the per-doc split uses — swapping the hash
+    key from doc_id to cluster_id is the entire operator. Split RATIOS
+    now hold over clusters rather than docs; with a realistic dup rate
+    the doc-level skew is the duplicate mass itself (reported by
+    ext_dedup_rate_curve), a bias every grouped split accepts in
+    exchange for zero leakage.
+
+    100 TB: one broadcast-or-shuffle join of docs to labels beyond the
+    propagation cost already paid (and cached) by the clustering pass;
+    the hash split itself is map-side codegen."""
+    labels = dedup_clusters(spark, sf_dir)
+    bucket = md5_long(F.col("cluster_id").cast("string"), "split") % 100
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH candidates → exact-Jaccard verify.
 
@@ -1600,6 +1632,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_prefix_filter": prefix_filter_dedup,
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_split_leakage": split_leakage,
+    "ext_grouped_split": grouped_split,
     "ext_dedup_minhash_lsh": minhash_lsh_dedup,
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
@@ -1791,6 +1824,30 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (
             SELECT doc_b FROM ({_JACCARD_PAIRS}) p WHERE jacc >= {JACCARD_T})
+    """,
+    "ext_grouped_split": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.node),
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node)
+        SELECT doc_id, cluster_id,
+               CASE WHEN {_HEX.format(x="'split:' || CAST(cluster_id AS VARCHAR)")}
+                         % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {_HEX.format(x="'split:' || CAST(cluster_id AS VARCHAR)")}
+                         % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM labels
     """,
     "ext_split_leakage": f"""
         WITH splits AS (

@@ -299,6 +299,19 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
             assert c == doc
 
 
+def test_grouped_split_is_leakage_free(spark, sf_dir):
+    """ext_grouped_split's defining property: no near-dup pair may
+    straddle splits (the doc-hash split that ext_split_leakage audits
+    does leak on this data — the grouped split must not)."""
+    splits = {r.doc_id: r.split for r in dedup.grouped_split(spark, sf_dir).collect()}
+    pairs = dedup.jaccard_dedup(spark, sf_dir).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test to bite"
+    for r in pairs:
+        assert splits[r.doc_a] == splits[r.doc_b], (r.doc_a, r.doc_b)
+    # every doc is assigned exactly one of the three splits
+    assert set(splits.values()) <= {"train", "val", "test"}
+
+
 def test_iterative_ops_round_counts_at_driver_scale(spark):
     """The two iterative driver-loop operators must converge in a small,
     bounded number of rounds at the driver's sf0.01 scale (each round is
