@@ -414,8 +414,112 @@ def spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("row.*")
 
 
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the per-document quality signals — the
+    concordance twin of ext_spearman_signals. Tau answers a different
+    question than rho: the probability a randomly chosen document PAIR
+    is ordered the same way by both signals (minus the reversed
+    probability), which is exactly the "do these two gates agree on
+    who passes a percentile cutoff" statistic, and it is far less
+    sensitive than rho to a handful of extreme ranks.
+
+    Naively tau is an O(n²) pair statistic. Integer signals have SMALL
+    VALUE DOMAINS, so all pair counts are computed exactly from the
+    JOINT VALUE HISTOGRAM: concordant mass C = Σ n₁n₂ over cell pairs
+    ordered the same way on both axes, discordant D likewise reversed,
+    and the tie corrections come from the marginal histograms —
+    tau_b = (C − D) / (√(n₀−t_a)·√(n₀−t_b)). Every count is a BIGINT
+    (exact in both engines); the final value is two correctly-rounded
+    sqrts and one division on those integers, so it is bit-identical
+    cross-engine with no rounding step (never ROUND an unstable
+    ratio — see the fixed-point rule in ext_key_skew).
+
+    Scale notes (100 TB): the corpus pays ONE map-side-combinable
+    aggregate per pair (the joint histogram); the triangular cell-pair
+    join runs on the broadcast histogram — metadata-sized, independent
+    of corpus row count. Same exact-ranks-without-row-sort argument as
+    spearman_signals; continuous signals would quantize first."""
+    toks = F.split("text", r"\s+")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+    parts = []
+    for a, b in SPEAR_PAIRS:
+        hist = docs.groupBy(
+            F.col(a).alias("va"), F.col(b).alias("vb")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        h1, h2 = hist.alias("h1"), hist.alias("h2")
+        cd = h1.join(F.broadcast(h2), F.col("h1.va") < F.col("h2.va")).agg(
+            F.sum(
+                F.when(
+                    F.col("h1.vb") < F.col("h2.vb"),
+                    F.col("h1.cnt") * F.col("h2.cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("h1.vb") > F.col("h2.vb"),
+                    F.col("h1.cnt") * F.col("h2.cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("disc"),
+        )
+        totals = hist.agg(
+            F.sum("cnt").alias("n"),
+            (F.sum(F.expr("cnt * (cnt - 1)")) / 2).cast("long").alias("t_ab"),
+        )
+        ta = (
+            hist.groupBy("va")
+            .agg(F.sum("cnt").alias("m"))
+            .agg((F.sum(F.expr("m * (m - 1)")) / 2).cast("long").alias("t_a"))
+        )
+        tb = (
+            hist.groupBy("vb")
+            .agg(F.sum("cnt").alias("m"))
+            .agg((F.sum(F.expr("m * (m - 1)")) / 2).cast("long").alias("t_b"))
+        )
+        parts.append(
+            cd.crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(ta))
+            .crossJoin(F.broadcast(tb))
+            .select(
+                F.lit(a).alias("signal_a"),
+                F.lit(b).alias("signal_b"),
+                (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+                F.coalesce(F.col("conc"), F.lit(0)).cast("long").alias("concordant"),
+                F.coalesce(F.col("disc"), F.lit(0)).cast("long").alias("discordant"),
+                (
+                    (
+                        F.coalesce(F.col("conc"), F.lit(0))
+                        - F.coalesce(F.col("disc"), F.lit(0))
+                    ).cast("double")
+                    / (
+                        F.sqrt(
+                            (
+                                (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                                - F.col("t_a")
+                            ).cast("double")
+                        )
+                        * F.sqrt(
+                            (
+                                (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                                - F.col("t_b")
+                            ).cast("double")
+                        )
+                    )
+                ).alias("tau_b"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 QUERIES: dict[str, Callable] = {
     "ext_spearman_signals": spearman_signals,
+    "ext_kendall_tau": kendall_tau,
     "ext_boilerplate_ngrams": boilerplate_ngrams,
     "ext_key_skew": key_skew,
     "ext_pii_scrub": pii_scrub,
@@ -444,6 +548,48 @@ _SPEAR_RHO = " UNION ALL ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # Same joint-histogram construction as the Spark side: all pair
+    # masses are BIGINT-exact; tau_b is two correctly-rounded sqrts and
+    # one division on those integers — no ROUND anywhere.
+    "ext_kendall_tau": f"""
+        WITH docs AS (
+            SELECT len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_distinct({_TOKS})) AS n_types
+            FROM documents),
+        {", ".join(
+            f'''h_{a}_{b} AS (
+                SELECT {a} AS va, {b} AS vb, COUNT(*) AS cnt
+                FROM docs GROUP BY 1, 2),
+            cd_{a}_{b} AS (
+                SELECT CAST(COALESCE(SUM(CASE WHEN h1.vb < h2.vb
+                           THEN h1.cnt * h2.cnt ELSE 0 END), 0) AS BIGINT) AS conc,
+                       CAST(COALESCE(SUM(CASE WHEN h1.vb > h2.vb
+                           THEN h1.cnt * h2.cnt ELSE 0 END), 0) AS BIGINT) AS disc
+                FROM h_{a}_{b} h1 JOIN h_{a}_{b} h2 ON h1.va < h2.va),
+            n_{a}_{b} AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h_{a}_{b}),
+            ta_{a}_{b} AS (
+                SELECT CAST(SUM(m * (m - 1)) / 2 AS BIGINT) AS t_a
+                FROM (SELECT SUM(cnt) AS m FROM h_{a}_{b} GROUP BY va)),
+            tb_{a}_{b} AS (
+                SELECT CAST(SUM(m * (m - 1)) / 2 AS BIGINT) AS t_b
+                FROM (SELECT SUM(cnt) AS m FROM h_{a}_{b} GROUP BY vb))'''
+            for a, b in SPEAR_PAIRS
+        )}
+        {" UNION ALL ".join(
+            f'''SELECT '{a}' AS signal_a, '{b}' AS signal_b,
+                   CAST(n.n * (n.n - 1) / 2 AS BIGINT) AS n_pairs,
+                   cd.conc AS concordant, cd.disc AS discordant,
+                   CAST(cd.conc - cd.disc AS DOUBLE)
+                   / (sqrt(CAST(CAST(n.n * (n.n - 1) / 2 AS BIGINT)
+                                - ta.t_a AS DOUBLE))
+                      * sqrt(CAST(CAST(n.n * (n.n - 1) / 2 AS BIGINT)
+                                  - tb.t_b AS DOUBLE))) AS tau_b
+            FROM cd_{a}_{b} cd, n_{a}_{b} n, ta_{a}_{b} ta, tb_{a}_{b} tb'''
+            for a, b in SPEAR_PAIRS
+        )}
+    """,
     "ext_spearman_signals": f"""
         WITH docs AS (
             SELECT len({_TOKS}) AS n_tokens,

@@ -1071,6 +1071,30 @@ def test_spearman_properties(spark, sf_dir):
     assert rows[("n_tokens", "n_chars")] > 0.5, rows
 
 
+def test_kendall_tau_properties(spark, sf_dir):
+    """tau_b in [-1, 1]; C + D never exceeds the untied pair budget;
+    n_tokens vs n_chars strongly concordant; and |tau| <= |rho| does
+    NOT hold in general, but both must agree in SIGN on this data."""
+    from mini_sql_engine_spark.operators.curation import (
+        kendall_tau,
+        spearman_signals,
+    )
+
+    taus = {
+        (r.signal_a, r.signal_b): r for r in kendall_tau(spark, sf_dir).collect()
+    }
+    rhos = {
+        (r.signal_a, r.signal_b): r.rho
+        for r in spearman_signals(spark, sf_dir).collect()
+    }
+    assert set(taus) == set(rhos)
+    for key, r in taus.items():
+        assert -1.0 <= r.tau_b <= 1.0, (key, r)
+        assert r.concordant + r.discordant <= r.n_pairs, (key, r)
+        assert (r.tau_b > 0) == (rhos[key] > 0), (key, r.tau_b, rhos[key])
+    assert taus[("n_tokens", "n_chars")].tau_b > 0.4, taus
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
