@@ -574,6 +574,63 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRR_LCM = 2520  # lcm(1..10): MRR_LCM/rank is an exact integer ∀ rank ≤ RBO_K
+
+
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the LSH-ANN ranking (binary relevance =
+    shares the query's label) — the first-hit metric that complements
+    NDCG (graded whole-list quality) and recall@k (set coverage): MRR
+    is what a retrieval-augmented pipeline that consumes only the top
+    usable hit actually experiences. Per query: the rank of the first
+    relevant neighbor and its reciprocal; queries with no relevant hit
+    in the top-K contribute 0 (rank reported as 0, not NULL, so the
+    value hash is engine-stable).
+
+    Float discipline: reciprocal ranks are accumulated as the exact
+    integers MRR_LCM/rank (every rank ≤ K divides MRR_LCM), so the MRR
+    sum is BIGINT-exact and order-proof; the only float ops are two
+    final divisions on exact operands — no ROUND, no ordering hazard.
+
+    Scale notes (100 TB): the ANN list is q×K rows however large the
+    corpus; labels attach by broadcast. Everything here is
+    metadata-sized next to the ranking producer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = _ann_ranking(emb, RBO_K)
+    labels = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    qlab = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    first = (
+        ann.join(F.broadcast(labels), "n_id")
+        .join(F.broadcast(qlab), "q_id")
+        .groupBy("q_id")
+        .agg(
+            F.min(
+                F.when(F.col("n_label") == F.col("q_label"), F.col("rnk"))
+            ).alias("first_rel")
+        )
+    )
+    scaled = (
+        qlab.select("q_id")
+        .join(first, "q_id", "left")  # a query whose ANN list has no hit still scores 0
+        .select(
+            "q_id",
+            F.coalesce("first_rel", F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.coalesce(
+                F.expr(f"{MRR_LCM} div first_rel"), F.lit(0)
+            ).cast("long").alias("rr_scaled"),
+        )
+    )
+    total = scaled.agg(F.sum("rr_scaled").alias("rr_sum"))
+    return scaled.crossJoin(F.broadcast(total)).select(
+        "q_id",
+        "first_rel_rank",
+        (F.col("rr_scaled").cast("double") / MRR_LCM).alias("rr"),
+        (F.col("rr_sum").cast("double") / (MRR_LCM * float(N_QUERIES))).alias("mrr"),
+    )
+
+
 KSH_K = 5  # the KNN classifier's k
 KSH_TOPB = 3  # most/least valuable train points reported per test
 
@@ -1298,6 +1355,32 @@ _NDCG_ORACLE = f"""
 """
 
 
+# Reciprocal ranks accumulate as exact integers MRR_LCM/rank (see
+# mrr_eval); the two final divisions have exact operands in both engines.
+_MRR_ORACLE = f"""
+    WITH {_ANN_RANK_K},
+    q AS (SELECT vec_id AS q_id, label AS q_label
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    fr AS (
+        SELECT q.q_id,
+               MIN(CASE WHEN cl.label = q.q_label THEN a.rnk END) AS first_rel
+        FROM q
+        LEFT JOIN ann_r a ON a.q_id = q.q_id
+        LEFT JOIN embeddings cl ON cl.vec_id = a.n_id
+        GROUP BY q.q_id),
+    s AS (
+        SELECT q_id,
+               CAST(COALESCE(first_rel, 0) AS BIGINT) AS first_rel_rank,
+               CAST(COALESCE({MRR_LCM} // first_rel, 0) AS BIGINT) AS rr_scaled
+        FROM fr)
+    SELECT q_id, first_rel_rank,
+           CAST(rr_scaled AS DOUBLE) / {MRR_LCM} AS rr,
+           (SELECT CAST(SUM(rr_scaled) AS DOUBLE) FROM s)
+           / ({MRR_LCM} * {float(N_QUERIES)}) AS mrr
+    FROM s
+"""
+
+
 QUERIES: dict[str, Callable] = {
     "ext_sim_bruteforce_topk": brute_force_topk,
     "ext_sim_ann_lsh_topk": ann_lsh_topk,
@@ -1308,6 +1391,7 @@ QUERIES: dict[str, Callable] = {
     "ext_mmr_rerank": mmr_rerank,
     "ext_rank_biased_overlap": rank_biased_overlap,
     "ext_ndcg_eval": ndcg_eval,
+    "ext_mrr_eval": mrr_eval,
     "ext_knn_shapley": knn_shapley,
     "ext_facility_location": facility_location_coreset,
     "ext_jl_projection_audit": jl_projection_audit,
@@ -1320,6 +1404,7 @@ ORACLES: dict[str, str] = {
     "ext_mmr_rerank": _MMR_ORACLE,
     "ext_rank_biased_overlap": _RBO_ORACLE,
     "ext_ndcg_eval": _NDCG_ORACLE,
+    "ext_mrr_eval": _MRR_ORACLE,
     "ext_knn_shapley": _KSH_ORACLE,
     "ext_facility_location": _fl_oracle(),
     "ext_jl_projection_audit": _JL_ORACLE,
