@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions import vector
 
 # --- benford --------------------------------------------------------
 
@@ -343,6 +344,76 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_old.alias("mean_old_micro"),
         mean_new.alias("mean_new_micro"),
         (mean_new - mean_old).alias("shift_micro"),
+    )
+
+
+MMD_NANO = 1_000_000_000  # nano-unit quantization of the h-statistic
+
+
+def mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample drift test between the two embedding
+    snapshots (vec_id parity, as in ext_embedding_drift) via the
+    LINEAR-TIME MMD estimator (Gretton et al., JMLR 2012 §6):
+    disjoint quadruples (x₀,x₁,y₀,y₁) score
+    h = k(x₀,x₁) + k(y₀,y₁) − k(x₀,y₁) − k(x₁,y₀), and MMD² is the
+    mean of h. Unlike the per-dimension mean shift, the kernel sees
+    distribution-SHAPE drift (covariance rotation, cluster mass moves)
+    that leaves every marginal mean in place. Kernel is the degree-2
+    polynomial (1 + ⟨a,b⟩)² — captures first- and second-moment drift
+    with no transcendental calls, so both engines evaluate the exact
+    same IEEE op sequence (an RBF kernel's exp() is NOT guaranteed
+    identical across libm implementations — see the cross-engine
+    rounding rule).
+
+    Quadruples are formed by vec_id arithmetic (quad = id div 4), so
+    membership is deterministic, partitioning-proof, and incomplete
+    tail quads drop out of the inner joins. h quantizes to nano-unit
+    longs (floor of a bit-identical double is exact), the sum is
+    BIGINT, and the final MMD² is two divisions on exact operands.
+
+    Scale notes (100 TB): O(n) by construction — the defining virtue
+    of the linear estimator (the full U-statistic is O(n²) kernel
+    evaluations). The 4-way join co-partitions on the thin quad key;
+    at scale the four slot relations come from one scan (AQE reuses
+    the exchange), and the final aggregate is one map-side-combinable
+    sum. Power grows with n like any MMD-l test; block estimators
+    interpolate if more power per row is ever needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") / 4).cast("long").alias("quad"),
+        (F.col("vec_id") % 4).alias("slot"),
+        "embedding",
+    )
+
+    def side(slot: int, name: str) -> DataFrame:
+        return base.filter(F.col("slot") == slot).select(
+            "quad", F.col("embedding").alias(name)
+        )
+
+    # slots: 0,2 are snapshot X (even ids), 1,3 snapshot Y (odd ids)
+    quads = (
+        side(0, "x0")
+        .join(side(2, "x1"), "quad")
+        .join(side(1, "y0"), "quad")
+        .join(side(3, "y1"), "quad")
+    )
+
+    def k(a: str, b: str):
+        d = vector.dot(F.col(a), F.col(b))
+        return (F.lit(1.0) + d) * (F.lit(1.0) + d)
+
+    h = k("x0", "x1") + k("y0", "y1") - k("x0", "y1") - k("x1", "y0")
+    scored = quads.select(
+        "quad", F.floor(h * MMD_NANO).cast("long").alias("h_nano")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_quads"),
+        F.sum("h_nano").alias("h_sum_nano"),
+        (
+            F.sum("h_nano").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(MMD_NANO))
+        ).alias("mmd2"),
     )
 
 
@@ -637,6 +708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_growth_accounting": growth_accounting,
     "ext_seasonal_baseline": seasonal_baseline,
     "ext_embedding_drift": embedding_drift,
+    "ext_mmd_drift": mmd_drift,
     "ext_abc_analysis": abc_analysis,
     "ext_gini_coefficient": gini_coefficient,
     "ext_lorenz_curve": lorenz_curve,
@@ -673,6 +745,39 @@ _EWMA_DEN = " + ".join(
 )
 
 ORACLES: dict[str, str] = {
+    # list_dot_product on DOUBLE[] accumulates left-to-right like the
+    # Spark-side sequential fold (same parity ext_dedup_embedding
+    # relies on); FLOOR of the bit-identical double is exact.
+    "ext_mmd_drift": f"""
+        WITH q AS (
+            SELECT vec_id // 4 AS quad, vec_id % 4 AS slot,
+                   CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        quads AS (
+            SELECT a.quad, a.e AS x0, b.e AS x1, c.e AS y0, d.e AS y1
+            FROM q a
+            JOIN q b ON b.quad = a.quad AND b.slot = 2
+            JOIN q c ON c.quad = a.quad AND c.slot = 1
+            JOIN q d ON d.quad = a.quad AND d.slot = 3
+            WHERE a.slot = 0),
+        h AS (
+            SELECT quad, CAST(FLOOR((
+                  (1.0 + list_dot_product(x0, x1))
+                  * (1.0 + list_dot_product(x0, x1))
+                + (1.0 + list_dot_product(y0, y1))
+                  * (1.0 + list_dot_product(y0, y1))
+                - (1.0 + list_dot_product(x0, y1))
+                  * (1.0 + list_dot_product(x0, y1))
+                - (1.0 + list_dot_product(x1, y0))
+                  * (1.0 + list_dot_product(x1, y0))
+            ) * {MMD_NANO}) AS BIGINT) AS h_nano
+            FROM quads)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_quads,
+               CAST(SUM(h_nano) AS BIGINT) AS h_sum_nano,
+               CAST(SUM(h_nano) AS DOUBLE) / COUNT(*) / {float(MMD_NANO)}
+                   AS mmd2
+        FROM h
+    """,
     "ext_benford_audit": f"""
         WITH digits AS (
             SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
