@@ -638,6 +638,70 @@ def grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates WHOM: the near-dup pair mass between every pair
+    of corpus sources (canonical order, self-pairs included) — the
+    provenance diagnostic behind a dedup report. A heavy off-diagonal
+    cell means one source mirrors another (scrape-of-a-scrape); a
+    heavy diagonal means within-source boilerplate. This is the
+    source-level rollup of ext_split_leakage's machinery, pointed at
+    ingestion instead of splits.
+
+    Shares are integer ppm (floor(n·10⁶ / total)) — the fixed-point
+    rule, no double ratio to ROUND. Scale: the pair table IS the dedup
+    output (small); source labels attach by broadcast; the rollup key
+    (source, source) has trivial cardinality."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    pairs = (
+        jaccard_dedup(spark, sf_dir)
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    counts = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    total = counts.agg(F.sum("n_pairs").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.floor(F.col("n_pairs") * 1_000_000 / F.col("total"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+def dup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights: every document weighted
+    1/|its near-dup cluster| so each distinct CONTENT contributes unit
+    mass to the loss regardless of how many near-copies survive in the
+    corpus — the soft alternative to dropping duplicates outright
+    (keeps lexical variation across near-copies, kills the repetition
+    bias). Weights are exact integer ppm.
+
+    Scale: cluster labels are the (cached) min-label propagation
+    output; sizes are one map-side-combinable count; the weight attach
+    is a broadcast join of the cluster-size table (clusters ≪ docs)."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.floor(F.lit(1_000_000) / F.col("cluster_size"))
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH candidates → exact-Jaccard verify.
 
@@ -1633,6 +1697,8 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_canonical_keep": canonical_keep,
     "ext_split_leakage": split_leakage,
     "ext_grouped_split": grouped_split,
+    "ext_dup_source_matrix": dup_source_matrix,
+    "ext_dup_loss_weights": dup_loss_weights,
     "ext_dedup_minhash_lsh": minhash_lsh_dedup,
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
@@ -1848,6 +1914,48 @@ ORACLES: dict[str, str] = {
                          % 100 < {SPLIT_VAL_PCT} THEN 'val'
                     ELSE 'test' END AS split
         FROM labels
+    """,
+    "ext_dup_source_matrix": f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        labeled AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b
+            FROM pairs
+            JOIN documents da ON da.doc_id = pairs.doc_a
+            JOIN documents db ON db.doc_id = pairs.doc_b),
+        counts AS (
+            SELECT source_a, source_b, COUNT(*) AS n_pairs
+            FROM labeled GROUP BY 1, 2)
+        SELECT source_a, source_b, n_pairs,
+               CAST(FLOOR(n_pairs * 1000000
+                          / (SELECT SUM(n_pairs) FROM counts)) AS BIGINT)
+                   AS share_ppm
+        FROM counts
+    """,
+    "ext_dup_loss_weights": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.node),
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM labels GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               CAST(FLOOR(1000000 / s.cluster_size) AS BIGINT) AS weight_ppm
+        FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
     """,
     "ext_split_leakage": f"""
         WITH splits AS (
