@@ -818,3 +818,32 @@ def test_aipw_is_broadcast_only(spark, sf_dir):
     assert plan.count("Scan parquet") == 0, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kendall_histogram_join_is_broadcast(spark, sf_dir):
+    """The triangular cell-pair join runs on the BROADCAST joint
+    histogram (a BroadcastNestedLoopJoin on the va < vb range
+    condition is the intended metadata-sized plan); the corpus side
+    must never sort-merge or cartesian."""
+    plan = _plan(ALL_QUERIES["ext_kendall_tau"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_mmd_quads_no_cartesian_single_agg(spark, sf_dir):
+    """The 4-way quad join must plan as joins on the thin quad key
+    (never a cartesian), and the reduction is one partial+final
+    aggregate pair."""
+    plan = _plan(ALL_QUERIES["ext_mmd_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_dup_weight_ops_ride_broadcasts(spark, sf_dir):
+    """Source labels / cluster sizes attach by broadcast-hash join in
+    the dedup diagnostics; no sort-merge join anywhere."""
+    for name in ("ext_dup_source_matrix", "ext_dup_loss_weights"):
+        plan = _plan(ALL_QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
