@@ -128,6 +128,13 @@ MARQUEE = [
      "1-row moment aggregate broadcast; the influence-function "
      "reduce is one map-side-combinable aggregate — no corpus-side "
      "shuffle joins"),
+    ("ext_kendall_tau", "concordance from the joint value histogram: "
+     "one map-side-combinable aggregate per signal pair; the "
+     "triangular cell-pair join is a BroadcastNestedLoop on the "
+     "metadata-sized histogram — the corpus never sorts or re-shuffles"),
+    ("ext_mmd_drift", "linear-time kernel MMD: 4-way join on the thin "
+     "quad key (one scan, exchange reused), h quantized to longs, one "
+     "partial+final aggregate — O(n) where the U-statistic is O(n²)"),
 ]
 
 
