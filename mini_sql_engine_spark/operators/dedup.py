@@ -1178,6 +1178,97 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via ALTERNATING large-star / small-star
+    (Kiveris et al., SOCC 2014) — the O(log²·n)-round (log-round in
+    practice) algorithm that replaces min-label propagation when
+    components can be DEEP: propagation needs diameter rounds (a
+    10⁶-long near-dup chain = 10⁶ shuffles), star contraction
+    converges in a handful regardless of shape, because each round
+    rewires whole neighborhoods to their minimum instead of moving
+    labels one hop.
+
+    large-star: every node's strictly-larger neighbors re-attach to
+    the minimum of its closed neighborhood; small-star: every node's
+    ≤-neighbors (and itself) re-attach likewise. At the fixpoint the
+    edge set IS the answer: a star per component rooted at its min
+    node. Output (doc_id, cluster_id) is identical to
+    ext_dedup_clusters — same oracle, independent algorithm, which is
+    the strongest cross-check two implementations can give.
+
+    Per round: two grouped MIN aggregates and two projections over the
+    edge list — no data-sized state beyond the (shrinking) edges,
+    localCheckpoint cutting lineage, convergence = one scalar
+    (count + sum fingerprint, metadata only). 100 TB: edges partition
+    by center node; rounds are edge-list-sized shuffles with map-side
+    combine on the MIN."""
+    pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    # canonical (child=hi, parent=lo); the star edges at fixpoint
+    e = (
+        pairs.selectExpr(
+            "greatest(doc_a, doc_b) AS hi", "least(doc_a, doc_b) AS lo"
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    for rounds in range(1, MAX_CC_ITERS + 1):
+        # large-star: center c sees ALL neighbors; its strictly-larger
+        # neighbors rewire to min(closed neighborhood)
+        nbrs = e.selectExpr("hi AS c", "lo AS n").union(
+            e.selectExpr("lo AS c", "hi AS n")
+        )
+        mins = nbrs.groupBy("c").agg(F.min("n").alias("mn"))
+        m = F.least(F.col("mn"), F.col("c"))
+        e = (
+            nbrs.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("hi"), m.alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: center c sees its ≤-neighbors; that closed set
+        # (center included) rewires to its minimum
+        sn = e.selectExpr("hi AS c", "lo AS n")
+        smins = sn.groupBy("c").agg(F.min("n").alias("mn"))
+        small_children = (
+            sn.join(smins, "c")
+            .filter(F.col("n") > F.col("mn"))
+            .select(F.col("n").alias("hi"), F.col("mn").alias("lo"))
+        )
+        small_self = smins.select(
+            F.col("c").alias("hi"), F.col("mn").alias("lo")
+        )
+        e = (
+            small_children.union(small_self)
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fingerprint: (count, XOR of a 64-bit edge hash) — both scalar
+        # aggregates, order-free and overflow-proof; equal fingerprint
+        # at these widths IS the fixpoint for our purposes (a collision
+        # would need two edge SETS with equal count and equal xor)
+        fp = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.expr("bit_xor(xxhash64(hi, lo))"),
+            ).collect()[0]
+        )
+        if fp == prev_fp:
+            ITERATION_COUNTS["cc_alternating"] = rounds
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"star contraction not converged in {MAX_CC_ITERS} rounds")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stars = e.selectExpr("hi AS doc_id", "lo AS cluster_id")
+    return docs.join(stars, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
 MAX_HOPS = 6  # BFS horizon: transitive contamination beyond this is noise
 
 
@@ -1703,6 +1794,7 @@ QUERIES: dict[str, Callable] = {
     "ext_dedup_simhash": simhash_dedup,
     "ext_dedup_embedding": embedding_dedup,
     "ext_dedup_clusters": dedup_clusters,
+    "ext_cc_alternating": cc_alternating,
     "ext_contamination_hops": contamination_hops,
     "ext_contamination_ppr": contamination_ppr,
     "ext_dedup_containment": containment_pairs,
@@ -2053,6 +2145,25 @@ ORACLES: dict[str, str] = {
     # connected components as a recursive CTE: enumerate every
     # (node, reachable-node) pair over the undirected near-dup graph —
     # min reachable id ≡ the propagation fixpoint
+    # Identical answer from an independent algorithm: the alternating
+    # star contraction must reproduce exactly the label-propagation /
+    # recursive-CTE component labels.
+    "ext_cc_alternating": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.node)
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    """,
     "ext_dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
             SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS}) p

@@ -313,16 +313,28 @@ def test_grouped_split_is_leakage_free(spark, sf_dir):
 
 
 def test_iterative_ops_round_counts_at_driver_scale(spark):
-    """The two iterative driver-loop operators must converge in a small,
+    """The iterative driver-loop operators must converge in a small,
     bounded number of rounds at the driver's sf0.01 scale (each round is
     one full shuffle at production scale). Observed ≤ 6 through round 3;
     a testdata regeneration that deepens the near-dup graph should fail
-    here, not silently multiply shuffle rounds."""
+    here, not silently multiply shuffle rounds. The alternating star
+    contraction must also agree row-for-row with label propagation —
+    two independent algorithms, one answer."""
     sf01 = "/root/testdata/sf0.01"
     dedup.dedup_clusters(spark, sf01).count()
     dedup.contamination_hops(spark, sf01).count()
     assert 1 <= dedup.ITERATION_COUNTS["dedup_clusters"] <= 8
     assert 1 <= dedup.ITERATION_COUNTS["contamination_hops"] <= dedup.MAX_HOPS
+    alt = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cc_alternating(spark, sf01).collect()
+    }
+    assert 1 <= dedup.ITERATION_COUNTS["cc_alternating"] <= 6
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, sf01).collect()
+    }
+    assert alt == prop
 
 
 def test_allpairs_cosine_invariant_to_block_count(spark):
