@@ -631,6 +631,71 @@ def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOISE_SAMPLE = 100  # audit-sample size (vec_id < this)
+NOISE_K = 10  # neighborhood size for the label-agreement vote
+
+
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likely-mislabeled-example detection by kNN label disagreement
+    (the confident-learning screen a curation pipeline runs before
+    trusting labels for training or eval): for each audit-sample
+    point, the fraction of its NOISE_K nearest neighbors (cosine)
+    that share its label; a point whose neighborhood majority
+    DISAGREES is flagged suspect. ext_knn_shapley prices examples,
+    this one flags the probably-wrong ones — same ranking machinery,
+    different question.
+
+    Ranking orders by the RAW dot product (bit-identical sequential
+    fold in both engines) with vec_id tie-break — no rounding anywhere
+    in the rank path; agreement is integer ppm and the suspect flag is
+    an integer comparison.
+
+    Scale notes (100 TB): the deterministic audit sample broadcasts
+    against the corpus — cost is |corpus| × |sample| map-side work +
+    one sample-keyed window, the sampled-audit shape that keeps label
+    QA linear in the corpus. Auditing EVERY point would swap the
+    broadcast for the ANN bucket join (ext_sim_ann_lsh_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NOISE_SAMPLE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ne"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("s", vector.dot(F.col("qe"), F.col("ne")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("n_id"))
+    agree = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NOISE_K)
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    return agree.select(
+        "q_id",
+        F.col("q_label").alias("label"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.floor(F.col("n_agree") * 1_000_000 / NOISE_K)
+        .cast("long")
+        .alias("agree_ppm"),
+        F.when(F.col("n_agree") * 2 < NOISE_K, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("suspect"),
+    )
+
+
 KSH_K = 5  # the KNN classifier's k
 KSH_TOPB = 3  # most/least valuable train points reported per test
 
@@ -1355,6 +1420,36 @@ _NDCG_ORACLE = f"""
 """
 
 
+# Ranking on the raw sequential-fold dot product (no rounding in the
+# rank path); agreement in integer ppm; suspect = integer comparison.
+_NOISE_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < {NOISE_SAMPLE}),
+    c AS (
+        SELECT vec_id AS n_id, label AS n_label,
+               CAST(embedding AS DOUBLE[]) AS ne
+        FROM embeddings),
+    ranked AS (
+        SELECT q_id, q_label, n_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY list_dot_product(qe, ne) DESC, n_id) AS rnk
+        FROM q JOIN c ON q_id <> n_id)
+    SELECT q_id, q_label AS label,
+           CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(FLOOR(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                      * 1000000 / {NOISE_K}) AS BIGINT) AS agree_ppm,
+           CAST(CASE WHEN 2 * SUM(CASE WHEN n_label = q_label
+                                       THEN 1 ELSE 0 END) < {NOISE_K}
+                     THEN 1 ELSE 0 END AS BIGINT) AS suspect
+    FROM ranked WHERE rnk <= {NOISE_K}
+    GROUP BY q_id, q_label
+"""
+
+
 # Reciprocal ranks accumulate as exact integers MRR_LCM/rank (see
 # mrr_eval); the two final divisions have exact operands in both engines.
 _MRR_ORACLE = f"""
@@ -1392,6 +1487,7 @@ QUERIES: dict[str, Callable] = {
     "ext_rank_biased_overlap": rank_biased_overlap,
     "ext_ndcg_eval": ndcg_eval,
     "ext_mrr_eval": mrr_eval,
+    "ext_label_noise_knn": label_noise_knn,
     "ext_knn_shapley": knn_shapley,
     "ext_facility_location": facility_location_coreset,
     "ext_jl_projection_audit": jl_projection_audit,
@@ -1405,6 +1501,7 @@ ORACLES: dict[str, str] = {
     "ext_rank_biased_overlap": _RBO_ORACLE,
     "ext_ndcg_eval": _NDCG_ORACLE,
     "ext_mrr_eval": _MRR_ORACLE,
+    "ext_label_noise_knn": _NOISE_ORACLE,
     "ext_knn_shapley": _KSH_ORACLE,
     "ext_facility_location": _fl_oracle(),
     "ext_jl_projection_audit": _JL_ORACLE,
