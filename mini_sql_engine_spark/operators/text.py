@@ -572,6 +572,87 @@ def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- oracles ---------------------------------------------------------------
 
+CODE_SYM_PPM_T = 20_000  # symbol-rate (ppm of chars) flagging code-like text
+_CODE_RE = r"[{}();=\[\]<>]"  # structural symbols rare in prose, dense in code
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, ALL-INTEGER: words are
+    whitespace tokens, sentences are runs of terminal punctuation
+    (min 1), syllables are vowel-group runs (the standard regex proxy
+    — exact syllabification needs a dictionary). The score's two ratio
+    terms use integer floor-division over milli-units, so
+    flesch_milli = 206835 − (1015·W) div S − (84600·Y) div W is exact
+    in both engines — a readability gate thresholds this like any
+    other fixed-point quality signal (ext_gopher_gate composes it).
+
+    Scale: pure per-row projection (three regexp passes) + nothing
+    else — embarrassingly parallel, no shuffle."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    counted = docs.select(
+        "doc_id",
+        F.greatest(F.size(F.split("text", r"\s+")), F.lit(1))
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words")
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )
+
+
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage per source: a document is code-like when
+    its structural-symbol rate ({}();=[]<> as ppm of characters)
+    crosses CODE_SYM_PPM_T — the cheap first-pass router a pretraining
+    pipeline uses to send code to a code-specific cleaning stack
+    before any expensive classifier. Symbol counting is
+    length-minus-stripped (one regexp_replace), the rate is integer
+    ppm, and the per-source rollup reports the code share.
+
+    Scale: per-row projection + one map-side-combinable aggregate on
+    the tiny source key."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    sym = F.length("text") - F.length(
+        F.regexp_replace("text", _CODE_RE, "")
+    )
+    flagged = docs.select(
+        "source",
+        (
+            F.floor(
+                sym * 1_000_000 / F.greatest(F.length("text"), F.lit(1))
+            ).cast("long")
+            >= CODE_SYM_PPM_T
+        )
+        .cast("long")
+        .alias("is_code"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_code").cast("long").alias("n_code"),
+        F.floor(F.sum("is_code") * 1_000_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("code_ppm"),
+    )
+
+
 _TOKS = "string_split_regex(text, '\\s+')"
 _STOPWORDS_SQL = "['the','a','an','of','and','or','to','in','is','for']"
 # language marker profiles — keep in sync with functions.textfns.LANG_MARKERS
@@ -852,6 +933,8 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable] = {
     "ext_cdc_chunk_dedup": cdc_chunk_dedup,
+    "ext_readability": readability,
+    "ext_code_detect": code_detect,
     "ext_tokenizer_fertility": tokenizer_fertility,
     "ext_log_odds_terms": log_odds_terms,
     "ext_text_token_stats": token_stats,
@@ -875,7 +958,54 @@ QUERIES: dict[str, Callable] = {
     "ext_bpe_pair_counts": bpe_pair_counts,
 }
 
+# {}-rich regex can't live inside an f-string — concatenate instead.
+_READABILITY_ORACLE = r"""
+    WITH counted AS (
+        SELECT doc_id,
+               GREATEST(len(string_split_regex(text, '\s+')), 1) AS n_words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_syllables
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(206835 - ((1015 * n_words) // n_sentences)
+                       - ((84600 * n_syllables) // n_words)
+                AS BIGINT) AS flesch_milli
+    FROM counted
+"""
+
+# NB: DuckDB regexp_replace needs the 'g' flag to strip ALL matches
+# (Spark's replaces all by default).
+_CODE_DETECT_ORACLE = (
+    """
+    WITH flagged AS (
+        SELECT source,
+               CASE WHEN FLOOR((length(text)
+                                - length(regexp_replace(text, '"""
+    + _CODE_RE
+    + """', '', 'g')))
+                              * 1000000 / GREATEST(length(text), 1))
+                         >= """
+    + str(CODE_SYM_PPM_T)
+    + """
+                    THEN 1 ELSE 0 END AS is_code
+        FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           CAST(FLOOR(SUM(is_code) * 1000000 / COUNT(*)) AS BIGINT)
+               AS code_ppm
+    FROM flagged GROUP BY source
+"""
+)
+
+
 ORACLES: dict[str, str] = {
+    "ext_readability": _READABILITY_ORACLE,
+    "ext_code_detect": _CODE_DETECT_ORACLE,
     "ext_log_odds_terms": rf"""
         WITH tok AS (
             SELECT lang, UNNEST(string_split_regex(text, '\s+')) AS t
