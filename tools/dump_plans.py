@@ -135,6 +135,16 @@ MARQUEE = [
     ("ext_mmd_drift", "linear-time kernel MMD: 4-way join on the thin "
      "quad key (one scan, exchange reused), h quantized to longs, one "
      "partial+final aggregate — O(n) where the U-statistic is O(n²)"),
+    ("ext_equidepth_histogram", "exact percentile boundaries WITHOUT "
+     "the percentile aggregate: value-distribution rollup (map-side "
+     "combined) + cumulative window over the DISTINCT-cents ladder "
+     "(documented single-partition, ladder-sized not data-sized) + an "
+     "18-row rank lookup; at real scale swap the exact ladder for "
+     "percentile_approx's mergeable t-digest, assignment unchanged"),
+    ("ext_capture_recapture", "composition cost by design: consumes "
+     "THREE verified pair tables (exact Jaccard, MinHash-LSH route, "
+     "SimHash route) then five 1-row counts over semi-joins on thin "
+     "keys — the estimator itself adds nothing data-sized"),
 ]
 
 
