@@ -1107,6 +1107,76 @@ def test_kendall_tau_properties(spark, sf_dir):
     assert taus[("n_tokens", "n_chars")].tau_b > 0.4, taus
 
 
+def test_kendall_tau_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the joint-histogram C/D masses
+    must equal the textbook O(n²) pair scan (the DuckDB oracle replays
+    the SAME histogram construction, so it cannot catch a construction
+    bug — this brute force can)."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.curation import kendall_tau
+
+    docs = [
+        (len(r.text.split()), len(r.text))
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    conc = disc = 0
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            da = docs[i][0] - docs[j][0]
+            db = docs[i][1] - docs[j][1]
+            if da * db > 0:
+                conc += 1
+            elif da * db < 0:
+                disc += 1
+    row = next(
+        r
+        for r in kendall_tau(spark, sf_dir).collect()
+        if (r.signal_a, r.signal_b) == ("n_tokens", "n_chars")
+    )
+    assert (row.concordant, row.discordant) == (conc, disc)
+
+
+def test_mmd_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check for the linear MMD estimator:
+    recompute the quadruple h-statistics in pure numpy (float64
+    sequential dots, same quantization) and match n_quads and the
+    exact nano-unit sum."""
+    import math
+
+    import numpy as np
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.auditing import MMD_NANO, mmd_drift
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def seq_dot(a, b):
+        return float(np.cumsum(a * b)[-1])
+
+    def k(a, b):
+        d = seq_dot(a, b)
+        return (1.0 + d) * (1.0 + d)
+
+    h_sum = 0
+    n_quads = 0
+    q = 0
+    while True:
+        ids = [4 * q, 4 * q + 2, 4 * q + 1, 4 * q + 3]
+        if not all(i in emb for i in ids):
+            break
+        x0, x1, y0, y1 = (emb[i] for i in ids)
+        h = k(x0, x1) + k(y0, y1) - k(x0, y1) - k(x1, y0)
+        h_sum += math.floor(h * MMD_NANO)
+        n_quads += 1
+        q += 1
+    row = mmd_drift(spark, sf_dir).collect()[0]
+    assert row.n_quads == n_quads
+    assert row.h_sum_nano == h_sum
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
