@@ -1177,6 +1177,150 @@ def test_mmd_matches_bruteforce(spark, sf_dir):
     assert row.h_sum_nano == h_sum
 
 
+def test_spearman_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the value-histogram average-rank
+    construction must equal textbook tied-rank Spearman computed
+    directly (average ranks + Pearson on ranks) in pure Python."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.curation import spearman_signals
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    xs = [len(t.split()) for t in texts]
+    ys = [len(t) for t in texts]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    expected = num / den
+    rho = next(
+        r.rho
+        for r in spearman_signals(spark, sf_dir).collect()
+        if (r.signal_a, r.signal_b) == ("n_tokens", "n_chars")
+    )
+    assert abs(rho - expected) < 1e-9, (rho, expected)
+
+
+def test_mann_kendall_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: S and the tie-corrected x18
+    variance recomputed by the textbook O(n²) pair scan over the daily
+    ladder must match the join-built integers exactly."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import mann_kendall_trend
+
+    import math
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        cents = math.floor(r.o_totalprice * 100 + 0.5)
+        daily[r.o_orderdate] = daily.get(r.o_orderdate, 0) + cents
+    revs = [daily[d] for d in sorted(daily)]
+    n = len(revs)
+    s = sum(
+        (1 if revs[j] > revs[i] else -1 if revs[j] < revs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(revs).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    row = mann_kendall_trend(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.s_stat, row.var18) == (n, s, var18)
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the rank-sum Gini identity
+    recomputed directly in Python (sorted revenues, exact integer
+    sums, same floor-ppm quantization) must match."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.auditing import gini_coefficient
+
+    per_cust: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        cents = math.floor(r.o_totalprice * 100 + 0.5)
+        per_cust[r.o_custkey] = per_cust.get(r.o_custkey, 0) + cents
+    items = sorted(per_cust.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    total = sum(v for _, v in items)
+    rank_sum = sum((i + 1) * v for i, (_, v) in enumerate(items))
+    expected = math.floor(
+        (2.0 * rank_sum - (n + 1) * float(total)) * 1_000_000 / (n * float(total))
+    )
+    row = gini_coefficient(spark, sf_dir).collect()[0]
+    assert (row.n_customers, row.total_cents, row.gini_ppm) == (
+        n,
+        total,
+        expected,
+    )
+
+
+def test_wasserstein_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: W1 between the click and
+    purchase cents distributions recomputed as the ECDF-gap integral
+    in pure Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import wasserstein_distance
+
+    a: dict = {}
+    b: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    ):
+        v = math.floor(r.value * 100 + 0.5)
+        d = a if r.event_type == "click" else b
+        d[v] = d.get(v, 0) + 1
+    vals = sorted(set(a) | set(b))
+    na, nb = sum(a.values()), sum(b.values())
+    w1 = 0.0
+    ca = cb = 0
+    for i, v in enumerate(vals[:-1]):
+        ca += a.get(v, 0)
+        cb += b.get(v, 0)
+        w1 += (vals[i + 1] - v) * abs(ca / na - cb / nb)
+    row = wasserstein_distance(spark, sf_dir).collect()[0]
+    assert (row.n_click, row.n_purchase) == (na, nb)
+    # operator emits ROUND(w1_usd, 6); brute force is unquantized float
+    assert abs(row.w1_usd - w1 / 100.0) < 1e-5, (row, w1 / 100.0)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
