@@ -1321,6 +1321,122 @@ def test_wasserstein_matches_bruteforce(spark, sf_dir):
     assert abs(row.w1_usd - w1 / 100.0) < 1e-5, (row, w1 / 100.0)
 
 
+def test_ks_two_sample_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: D = sup|F−G| and its argmin-v
+    location recomputed from raw ECDFs in Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import ks_two_sample
+
+    a: dict = {}
+    b: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    ):
+        v = math.floor(r.value * 100 + 0.5)
+        d = a if r.event_type == "click" else b
+        d[v] = d.get(v, 0) + 1
+    na, nb = sum(a.values()), sum(b.values())
+    best_d, best_v, ca, cb = -1.0, None, 0, 0
+    for v in sorted(set(a) | set(b)):
+        ca += a.get(v, 0)
+        cb += b.get(v, 0)
+        d = abs(ca / na - cb / nb)
+        if d > best_d:
+            best_d, best_v = d, v
+    row = ks_two_sample(spark, sf_dir).collect()[0]
+    assert (row.na, row.nb) == (na, nb)
+    assert abs(row.d_stat - best_d) < 1e-5
+    assert abs(row.at_usd - best_v / 100.0) < 1e-9
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the lower weighted median per
+    return flag recomputed by direct accumulation in Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import weighted_median
+
+    cells: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        key = (r.l_returnflag, int(r.l_quantity))
+        cells[key] = cells.get(key, 0) + math.floor(
+            r.l_extendedprice * 100 + 0.5
+        )
+    expected = {}
+    for flag in {k[0] for k in cells}:
+        qw = sorted((q, w) for (f, q), w in cells.items() if f == flag)
+        total = sum(w for _, w in qw)
+        cum = 0
+        for q, w in qw:
+            cum += w
+            if 2 * cum >= total:
+                expected[flag] = (q, total)
+                break
+    got = {
+        r.l_returnflag: (r.weighted_median_qty, r.total_cents)
+        for r in weighted_median(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_isotonic_matches_sequential_pav(spark, sf_dir):
+    """Independent-construction check: the minimax-identity fit must
+    equal the CLASSIC sequential pool-adjacent-violators algorithm run
+    in pure Python on the same ladder — the two standard formulations
+    of isotonic regression agree only if both are implemented right."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import isotonic_calibration
+
+    per = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .collect()
+    ):
+        key = (r.user_id, r.day)
+        c, y = per.get(key, (0, 0))
+        per[key] = (
+            c + (1 if r.event_type == "click" else 0),
+            max(y, 1 if r.event_type == "purchase" else 0),
+        )
+    ladder: dict = {}
+    for c, y in per.values():
+        n, pos = ladder.get(c, (0, 0))
+        ladder[c] = (n + 1, pos + y)
+    # classic sequential PAV over ascending clicks
+    blocks = []  # [clicks list, n, pos]
+    for c in sorted(ladder):
+        n, pos = ladder[c]
+        blocks.append([[c], n, pos])
+        while (
+            len(blocks) > 1
+            and blocks[-2][2] * blocks[-1][1] >= blocks[-1][2] * blocks[-2][1]
+        ):
+            cs, n2, p2 = blocks.pop()
+            blocks[-1][0] += cs
+            blocks[-1][1] += n2
+            blocks[-1][2] += p2
+    expected = {
+        c: blk[2] / blk[1] for blk in blocks for c in blk[0]
+    }
+    got = {
+        r.clicks: r.iso_p for r in isotonic_calibration(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for c in got:
+        assert abs(got[c] - expected[c]) < 1e-9, (c, got[c], expected[c])
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
