@@ -1437,6 +1437,113 @@ def test_isotonic_matches_sequential_pav(spark, sf_dir):
         assert abs(got[c] - expected[c]) < 1e-9, (c, got[c], expected[c])
 
 
+def test_pagerank_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the integer-ppm power iterations
+    recomputed in pure Python over the same transition edges (same
+    floor quantization, same damping ratio) must match exactly —
+    iterative distributed loops are the highest-risk construction
+    class, and the oracle replays the same unrolled CTE."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_event_types,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    edges: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for (s, _), c in edges.items():
+        out[s] = out.get(s, 0) + c
+    base = ((PR_D_DEN - PR_D_NUM) * PR_SCALE) // (PR_D_DEN * n)
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(PR_ITERS):
+        mass = {v: 0 for v in nodes}
+        for (s, d), c in edges.items():
+            mass[d] += (PR_D_NUM * pr[s] * c) // (PR_D_DEN * out[s])
+        pr = {v: base + mass[v] for v in nodes}
+    got = {
+        r.event_type: r.pr_ppm
+        for r in pagerank_event_types(spark, sf_dir).collect()
+    }
+    assert got == pr
+
+
+def test_kaplan_meier_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the right-censored day grid
+    (risk sets, events) and the product-limit survival recomputed
+    directly in Python from raw events."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import kaplan_meier
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    users: dict = {}
+    for r in ev:
+        u = users.setdefault(r.user_id, {"t0": None, "last": None, "buys": []})
+        if r.event_type == "click" and (u["t0"] is None or r.day < u["t0"]):
+            u["t0"] = r.day
+        if u["last"] is None or r.day > u["last"]:
+            u["last"] = r.day
+        if r.event_type == "purchase":
+            u["buys"].append(r.day)
+    durs = []
+    for u in users.values():
+        if u["t0"] is None:
+            continue
+        buys = [d for d in u["buys"] if d >= u["t0"]]
+        if buys:
+            durs.append(((min(buys) - u["t0"]).days, 1))
+        else:
+            durs.append(((u["last"] - u["t0"]).days, 0))
+    cells: dict = {}
+    for dur, d in durs:
+        n, dd = cells.get(dur, (0, 0))
+        cells[dur] = (n + 1, dd + d)
+    n_total = len(durs)
+    expected = {}
+    seen = 0
+    surv = 1.0
+    for dur in sorted(cells):
+        n_at, d_at = cells[dur]
+        n_risk = n_total - seen
+        seen += n_at
+        if d_at == 0:
+            continue
+        surv *= 1.0 - d_at / n_risk
+        expected[dur] = (n_risk, d_at, surv)
+    got = {
+        r.t_days: (r.n_risk, r.d_events, r.survival)
+        for r in kaplan_meier(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for t, (n_risk, d_at, surv) in expected.items():
+        gn, gd, gs = got[t]
+        assert (gn, gd) == (n_risk, d_at), (t, got[t], expected[t])
+        # operator quantizes ln-terms to nano-units then rounds to 6
+        assert math.isclose(gs, surv, abs_tol=5e-6), (t, gs, surv)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
