@@ -1544,6 +1544,89 @@ def test_kaplan_meier_matches_bruteforce(spark, sf_dir):
         assert math.isclose(gs, surv, abs_tol=5e-6), (t, gs, surv)
 
 
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: banded pairwise slopes and both
+    slope estimates recomputed directly in Python (numpy interpolated
+    median ≡ Spark percentile; closed-form OLS)."""
+    import math
+
+    import numpy as np
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        TS_MAX_OFFSET,
+        theil_sen_slope,
+    )
+
+    daily: dict = {}
+    epoch = None
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .collect()
+    ):
+        cents = math.floor(r.o_totalprice * 100 + 0.5)
+        daily[r.d] = daily.get(r.d, 0) + cents
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    pts = sorted(((d - epoch).days, rev) for d, rev in daily.items())
+    slopes = [
+        (yb - ya) / (xb - xa)
+        for i, (xa, ya) in enumerate(pts)
+        for xb, yb in pts[i + 1 :]
+        if 0 < xb - xa <= TS_MAX_OFFSET
+    ]
+    ts = float(np.percentile(np.array(slopes), 50, method="linear"))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = theil_sen_slope(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.n_pairs) == (n, len(slopes))
+    assert math.isclose(row.theil_sen_usd_per_day, ts / 100.0, abs_tol=2e-6)
+    assert math.isclose(row.ols_usd_per_day, ols / 100.0, abs_tol=2e-6)
+
+
+def test_cusum_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the n-scaled CUSUM statistic and
+    the top-|S| day ranking recomputed directly."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        CUSUM_TOP,
+        cusum_changepoint,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .collect()
+    ):
+        cents = math.floor(r.o_totalprice * 100 + 0.5)
+        daily[r.d] = daily.get(r.d, 0) + cents
+    days = sorted(daily)
+    n = len(days)
+    total = sum(daily.values())
+    scored = []
+    cum = 0
+    for i, d in enumerate(days, start=1):
+        cum += daily[d]
+        scored.append((d, n * cum - i * total))
+    top = sorted(scored, key=lambda t: (-abs(t[1]), t[0]))[:CUSUM_TOP]
+    got = [(r.day, r.cusum_usd) for r in cusum_changepoint(spark, sf_dir).collect()]
+    assert [str(d) for d, _ in got] == [d.isoformat() for d, _ in top]
+    for (_, usd), (_, s) in zip(got, top):
+        assert math.isclose(usd, round(s / n / 100.0, 2), abs_tol=0.011), (
+            usd,
+            s / n / 100.0,
+        )
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
