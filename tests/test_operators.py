@@ -1627,6 +1627,57 @@ def test_cusum_matches_bruteforce(spark, sf_dir):
         )
 
 
+def test_shapley_attribution_matches_definition(spark, sf_dir):
+    """Definition-level check: the closed-weight (2,1,1,2)/6 formula
+    must equal the PERMUTATION-AVERAGE definition of the Shapley value
+    (marginal contributions over all 3! channel orderings), computed
+    from per-user touch sets rebuilt in pure Python."""
+    from itertools import permutations
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        _SHAP_CHANNELS,
+        shapley_attribution,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    t_buy: dict = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            t_buy[r.user_id] = min(t_buy.get(r.user_id, r.ts_us), r.ts_us)
+    touched: dict = {}
+    for r in ev:
+        if r.user_id in t_buy and r.ts_us < t_buy[r.user_id]:
+            if r.event_type in _SHAP_CHANNELS:
+                touched.setdefault(r.user_id, set()).add(r.event_type)
+    sets = [s for s in touched.values() if s]
+
+    def v(coalition: frozenset) -> int:
+        return sum(1 for s in sets if s <= coalition)
+
+    chans = list(_SHAP_CHANNELS)
+    sh = {c: 0.0 for c in chans}
+    for perm in permutations(chans):
+        acc: frozenset = frozenset()
+        for c in perm:
+            sh[c] += (v(acc | {c}) - v(acc)) / 6.0
+            acc = acc | {c}
+    got = {
+        r.channel: (r.shapley_conversions, r.total_conv)
+        for r in shapley_attribution(spark, sf_dir).collect()
+    }
+    assert set(got) == set(chans)
+    for c in chans:
+        assert abs(got[c][0] - sh[c]) < 1e-4 + 1e-9, (c, got[c], sh[c])
+        assert got[c][1] == len(sets)
+    # additivity axiom: channel values sum to the attributed total
+    assert abs(sum(v0 for v0, _ in got.values()) - len(sets)) < 2e-4
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
