@@ -1678,6 +1678,73 @@ def test_shapley_attribution_matches_definition(spark, sf_dir):
     assert abs(sum(v0 for v0, _ in got.values()) - len(sets)) < 2e-4
 
 
+def test_mutual_information_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: MI, both marginal entropies and
+    NMI recomputed from raw (lang, source) counts with plain float
+    math — the quantized distributed sums must land within the
+    documented nano tolerance."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.pipeline_ops import mutual_information
+
+    cells: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("lang", "source").collect()
+    ):
+        cells[(r.lang, r.source)] = cells.get((r.lang, r.source), 0) + 1
+    nt = sum(cells.values())
+    nl: dict = {}
+    ns: dict = {}
+    for (lang, src), n in cells.items():
+        nl[lang] = nl.get(lang, 0) + n
+        ns[src] = ns.get(src, 0) + n
+    mi = sum(
+        (n / nt) * math.log(n * nt / (nl[lang] * ns[src]))
+        for (lang, src), n in cells.items()
+    )
+    hl = -sum((n / nt) * math.log(n / nt) for n in nl.values())
+    hs = -sum((n / nt) * math.log(n / nt) for n in ns.values())
+    row = mutual_information(spark, sf_dir).collect()[0]
+    assert row.n_cells == len(cells)
+    assert math.isclose(row.mi_nats, mi, abs_tol=1e-5)
+    assert math.isclose(row.h_lang, hl, abs_tol=1e-5)
+    assert math.isclose(row.h_source, hs, abs_tol=1e-5)
+    assert math.isclose(row.nmi, mi / min(hl, hs), abs_tol=1e-4)
+
+
+def test_token_entropy_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: per-source Shannon entropy of
+    the token distribution recomputed directly in Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.pipeline_ops import token_entropy
+
+    counts: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    ):
+        for t in r.text.split():
+            key = (r.source, t)
+            counts[key] = counts.get(key, 0) + 1
+    expected = {}
+    for src in {k[0] for k in counts}:
+        cs = [c for (s, _), c in counts.items() if s == src]
+        n = sum(cs)
+        h = -sum((c / n) * math.log(c / n) for c in cs)
+        expected[src] = (n, len(cs), h)
+    got = {
+        r.source: (r.n, r.n_types, r.entropy_nats)
+        for r in token_entropy(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for src, (n, n_types, h) in expected.items():
+        gn, gt, gh = got[src]
+        assert (gn, gt) == (n, n_types), (src, got[src], expected[src])
+        assert math.isclose(gh, h, abs_tol=1e-5), (src, gh, h)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
