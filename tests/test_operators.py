@@ -1745,6 +1745,56 @@ def test_token_entropy_matches_bruteforce(spark, sf_dir):
         assert math.isclose(gh, h, abs_tol=1e-5), (src, gh, h)
 
 
+def test_bm25_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: Robertson-idf BM25 recomputed
+    from raw token counts in pure Python; top-k set, hit counts and
+    scores must match within the quantization tolerance."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+        bm25_search,
+    )
+
+    tf: dict = {}
+    dl: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ):
+        toks = r.text.split()
+        dl[r.doc_id] = len(toks)
+        for t in toks:
+            if t in BM25_QUERY:
+                tf[(r.doc_id, t)] = tf.get((r.doc_id, t), 0) + 1
+    nd = len(dl)
+    avgdl = sum(dl.values()) / nd
+    df: dict = {}
+    for (_, t), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    scores: dict = {}
+    hits: dict = {}
+    for (d, t), c in tf.items():
+        idf = math.log(1.0 + (nd - df[t] + 0.5) / (df[t] + 0.5))
+        s = idf * (c * (BM25_K1 + 1.0)) / (
+            c + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+        )
+        scores[d] = scores.get(d, 0.0) + s
+        hits[d] = hits.get(d, 0) + 1
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    got = [
+        (r.doc_id, r.n_terms_hit, r.bm25)
+        for r in bm25_search(spark, sf_dir).collect()
+    ]
+    assert [d for d, _, _ in got] == [d for d, _ in top]
+    for (d, nh, s), (_, es) in zip(got, top):
+        assert nh == hits[d], (d, nh, hits[d])
+        assert math.isclose(s, es, abs_tol=1e-5), (d, s, es)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
