@@ -1795,6 +1795,113 @@ def test_bm25_matches_bruteforce(spark, sf_dir):
         assert math.isclose(s, es, abs_tol=1e-5), (d, s, es)
 
 
+def test_hill_tail_index_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the Hill estimator recomputed
+    from sorted per-customer revenue totals in Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        HILL_K,
+        hill_tail_index,
+    )
+
+    rev: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        rev[r.o_custkey] = rev.get(r.o_custkey, 0) + math.floor(
+            r.o_totalprice * 100 + 0.5
+        )
+    top = sorted(
+        ((c, k) for k, c in rev.items() if c > 0), key=lambda t: (-t[0], t[1])
+    )[: HILL_K + 1]
+    x_ref = min(c for c, _ in top)
+    tail = [c for c, _ in top if c > x_ref]
+    alpha = len(tail) / sum(math.log(c / x_ref) for c in tail)
+    row = hill_tail_index(spark, sf_dir).collect()[0]
+    assert row.k_used == len(tail)
+    assert math.isclose(row.x_ref_usd, round(x_ref / 100.0, 2), abs_tol=1e-9)
+    assert math.isclose(row.hill_alpha, alpha, abs_tol=2e-4), (
+        row.hill_alpha,
+        alpha,
+    )
+
+
+def test_zipf_fit_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the log-log rank regression
+    (slope, r²) recomputed with plain least squares in Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.quality import zipf_fit
+
+    cnt: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("text").collect()
+    ):
+        for t in r.text.split():
+            cnt[t] = cnt.get(t, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    slope = sxy / sxx
+    r2 = sxy * sxy / (sxx * syy)
+    row = zipf_fit(spark, sf_dir).collect()[0]
+    assert row.n_types == n
+    assert math.isclose(row.zipf_slope, slope, abs_tol=2e-3), (
+        row.zipf_slope,
+        slope,
+    )
+    assert math.isclose(row.zipf_r2, r2, abs_tol=2e-3), (row.zipf_r2, r2)
+
+
+def test_heaps_curve_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: first-occurrence vocabulary
+    growth recomputed by walking docs in id order in Python (same
+    3-token shingles, same bucket width)."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.dedup import SHINGLE_K
+    from mini_sql_engine_spark.operators.textprep import (
+        HEAPS_BUCKET,
+        heaps_law_curve,
+    )
+
+    docs = sorted(
+        (r.doc_id, r.text.split())
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    seen: set = set()
+    buckets: dict = {}
+    for doc_id, toks in docs:
+        new = 0
+        for i in range(len(toks) - SHINGLE_K + 1):
+            s = " ".join(toks[i : i + SHINGLE_K])
+            if s not in seen:
+                seen.add(s)
+                new += 1
+        b = doc_id // HEAPS_BUCKET
+        buckets[b] = buckets.get(b, 0) + new
+    got = {
+        r.bucket: (r.n_new, r.cum_vocab)
+        for r in heaps_law_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == set(buckets)
+    cum = 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        assert got[b] == (buckets[b], cum), (b, got[b], (buckets[b], cum))
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
