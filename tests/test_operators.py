@@ -1902,6 +1902,90 @@ def test_heaps_curve_matches_bruteforce(spark, sf_dir):
         assert got[b] == (buckets[b], cum), (b, got[b], (buckets[b], cum))
 
 
+def test_js_divergence_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: pairwise JS divergence between
+    source token distributions recomputed with plain float math."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.pipeline_ops import js_divergence
+
+    counts: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    ):
+        for t in r.text.split():
+            key = (r.source, t)
+            counts[key] = counts.get(key, 0) + 1
+    totals: dict = {}
+    for (s, _), c in counts.items():
+        totals[s] = totals.get(s, 0) + c
+    srcs = sorted(totals)
+    expected = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            vocab = {t for (s, t) in counts if s in (sa, sb)}
+            js = 0.0
+            for t in vocab:
+                p = counts.get((sa, t), 0) / totals[sa]
+                q = counts.get((sb, t), 0) / totals[sb]
+                if p > 0:
+                    js += 0.5 * p * math.log(2 * p / (p + q))
+                if q > 0:
+                    js += 0.5 * q * math.log(2 * q / (p + q))
+            expected[(sa, sb)] = (len(vocab), js)
+    got = {
+        (r.sa, r.sb): (r.n_types, r.js_nats)
+        for r in js_divergence(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (nt, js) in expected.items():
+        gn, gj = got[k]
+        assert gn == nt, (k, gn, nt)
+        assert math.isclose(gj, js, abs_tol=1e-5), (k, gj, js)
+
+
+def test_chao1_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: per-language Chao1 estimate and
+    Good-Turing unseen mass recomputed from raw token counts."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.textprep import chao1_vocab
+
+    counts: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    ):
+        for t in r.text.split():
+            key = (r.lang, t)
+            counts[key] = counts.get(key, 0) + 1
+    expected = {}
+    for lang in {k[0] for k in counts}:
+        cs = [c for (l, _), c in counts.items() if l == lang]
+        v_obs, n_tok = len(cs), sum(cs)
+        f1 = sum(1 for c in cs if c == 1)
+        f2 = sum(1 for c in cs if c == 2)
+        expected[lang] = (
+            v_obs,
+            n_tok,
+            f1,
+            f2,
+            v_obs + f1 * (f1 - 1) / (2 * (f2 + 1)),
+            f1 / n_tok,
+        )
+    got = {
+        r.lang: (r.v_obs, r.n_tokens, r.f1, r.f2, r.chao1_est, r.gt_unseen_mass)
+        for r in chao1_vocab(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for lang, exp in expected.items():
+        g = got[lang]
+        assert g[:4] == exp[:4], (lang, g, exp)
+        assert math.isclose(g[4], exp[4], rel_tol=1e-12)
+        assert math.isclose(g[5], exp[5], rel_tol=1e-12)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
