@@ -1986,6 +1986,82 @@ def test_chao1_matches_bruteforce(spark, sf_dir):
         assert math.isclose(g[5], exp[5], rel_tol=1e-12)
 
 
+def test_winsorized_stats_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: exact [p1, p99] interpolated
+    percentile bounds (numpy linear ≡ Spark percentile), clipping and
+    both means recomputed in Python on integer cents."""
+    import math
+
+    import numpy as np
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import winsorized_stats
+
+    groups: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        groups.setdefault(r.l_returnflag, []).append(
+            math.floor(r.l_extendedprice * 100 + 0.5)
+        )
+    expected = {}
+    for flag, cents in groups.items():
+        arr = np.array(sorted(cents), dtype=np.float64)
+        lo = math.floor(float(np.percentile(arr, 1, method="linear")) + 0.5)
+        hi = math.floor(float(np.percentile(arr, 99, method="linear")) + 0.5)
+        clipped = [min(max(c, lo), hi) for c in cents]
+        n = len(cents)
+        expected[flag] = (
+            n,
+            round(lo / 100.0, 2),
+            round(hi / 100.0, 2),
+            sum(cents) / (100.0 * n),
+            sum(clipped) / (100.0 * n),
+        )
+    got = {
+        r.l_returnflag: (r.n, r.lo, r.hi, r.mean_raw, r.mean_winsorized)
+        for r in winsorized_stats(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for flag, exp in expected.items():
+        g = got[flag]
+        assert g[0] == exp[0]
+        assert math.isclose(g[1], exp[1], abs_tol=1e-9)
+        assert math.isclose(g[2], exp[2], abs_tol=1e-9)
+        assert math.isclose(g[3], exp[3], abs_tol=1e-4)
+        assert math.isclose(g[4], exp[4], abs_tol=1e-4)
+
+
+def test_ess_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: Kish ESS per language from raw
+    n_chars weights."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.pipeline_ops import (
+        effective_sample_size,
+    )
+
+    w: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    ):
+        w.setdefault(r.lang, []).append(int(r.n_chars))
+    got = {
+        r.lang: (r.n_docs, r.ess, r.ess_ratio)
+        for r in effective_sample_size(spark, sf_dir).collect()
+    }
+    assert set(got) == set(w)
+    for lang, ws in w.items():
+        ess = sum(ws) ** 2 / sum(x * x for x in ws)
+        n, ge, gr = got[lang]
+        assert n == len(ws)
+        assert math.isclose(ge, ess, abs_tol=1e-3), (lang, ge, ess)
+        assert math.isclose(gr, ess / len(ws), abs_tol=1e-5)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
