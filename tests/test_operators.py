@@ -2062,6 +2062,88 @@ def test_ess_matches_bruteforce(spark, sf_dir):
         assert math.isclose(gr, ess / len(ws), abs_tol=1e-5)
 
 
+def test_autocorr_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: lag-k Pearson autocorrelation
+    recomputed from the daily ladder with plain Python integers."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import (
+        AUTOCORR_LAGS,
+        autocorr_daily,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .collect()
+    ):
+        daily[r.d] = daily.get(r.d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    import datetime
+
+    got = {
+        r.lag: (r.n_pairs, r[2]) for r in autocorr_daily(spark, sf_dir).collect()
+    }
+    for lag in AUTOCORR_LAGS:
+        pairs = [
+            (daily[d], daily[d + datetime.timedelta(days=lag)])
+            for d in daily
+            if d + datetime.timedelta(days=lag) in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        r_exp = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        gn, gr = got[lag]
+        assert gn == n
+        assert math.isclose(gr, r_exp, abs_tol=2e-6), (lag, gr, r_exp)
+
+
+def test_lorenz_curve_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the decile Lorenz shares
+    recomputed with exact integer fixed-point arithmetic."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.auditing import lorenz_curve
+
+    per_cust: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        per_cust[r.o_custkey] = per_cust.get(r.o_custkey, 0) + math.floor(
+            r.o_totalprice * 100 + 0.5
+        )
+    revs = [v for _, v in sorted(per_cust.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(revs)
+    tot = sum(revs)
+    cum = [0]
+    for v in revs:
+        cum.append(cum[-1] + v)
+    expected = {}
+    for decile in range(1, 11):
+        cut = (n * decile) // 10
+        expected[decile] = (
+            cut,
+            (1_000_000 * cut + n // 2) // n,
+            (1_000_000 * cum[cut] + tot // 2) // tot,
+        )
+    got = {
+        r.decile: (r.n_cust_cum, r.pop_share_ppm, r[3])
+        for r in lorenz_curve(spark, sf_dir).collect()
+    }
+    for d, exp in expected.items():
+        assert got[d] == exp, (d, got[d], exp)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
