@@ -2144,6 +2144,65 @@ def test_lorenz_curve_matches_bruteforce(spark, sf_dir):
         assert got[d] == exp, (d, got[d], exp)
 
 
+def test_benford_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: first-digit counts and ppm
+    rates recomputed from decimal strings in Python, expected ppm from
+    math.log10 directly."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.auditing import benford_audit
+
+    counts: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    ):
+        d = int(str(int(math.floor(r.o_totalprice)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    got = {
+        r.digit: (r.n, r.rate_ppm, r.benford_ppm, r.delta_ppm)
+        for r in benford_audit(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        rate = math.floor(n * 1_000_000 / total)
+        exp = math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000)
+        assert got[d] == (n, rate, exp, rate - exp), (d, got[d])
+
+
+def test_ewma_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: the power-of-two trailing EWMA
+    recomputed per day with exact integers."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.auditing import EWMA_K, ewma_daily
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"), "o_totalprice")
+        .collect()
+    ):
+        daily[r.d] = daily.get(r.d, 0) + math.floor(r.o_totalprice * 100 + 0.5)
+    days = sorted(daily)
+    expected = {}
+    for idx, d in enumerate(days):
+        num = den = 0
+        for i in range(EWMA_K):
+            if idx - i < 0:
+                break
+            weight = 1 << (EWMA_K - 1 - i)
+            num += daily[days[idx - i]] * weight
+            den += weight
+        expected[d] = (daily[d], math.floor(num / den))
+    got = {
+        r.day: (r.cents, r.ewma_cents) for r in ewma_daily(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
