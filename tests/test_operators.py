@@ -2203,6 +2203,86 @@ def test_ewma_matches_bruteforce(spark, sf_dir):
     assert got == expected
 
 
+def test_journey_entropy_matches_bruteforce(spark, sf_dir):
+    """Independent-construction check: per-state next-event entropy
+    recomputed from user-ordered transitions in Python."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.analytics import journey_entropy
+
+    by_user: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    ):
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id, r.event_type))
+    trans: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    expected = {}
+    for cur in {k[0] for k in trans}:
+        cs = [c for (a, _), c in trans.items() if a == cur]
+        ci = sum(cs)
+        h = -sum((c / ci) * math.log(c / ci) for c in cs)
+        expected[cur] = (ci, len(cs), h)
+    got = {
+        r.cur: (r.n_transitions, r.n_branches, r.h_nats)
+        for r in journey_entropy(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for cur, (ci, nb, h) in expected.items():
+        gci, gnb, gh = got[cur]
+        assert (gci, gnb) == (ci, nb), (cur, got[cur], expected[cur])
+        assert math.isclose(gh, h, abs_tol=1e-5), (cur, gh, h)
+
+
+def test_ndcg_metric_math_matches_ranking(spark, sf_dir):
+    """Metric-math check: NDCG recomputed from the operator's OWN
+    collected ANN ranking plus raw labels — isolates the discount/
+    ideal-length arithmetic from the (separately tested) ranking
+    producer."""
+    import math
+
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.operators.similarity import (
+        RBO_K,
+        _ann_ranking,
+        ndcg_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    ann = _ann_ranking(emb, RBO_K).collect()
+    per_q: dict = {}
+    for r in ann:
+        per_q.setdefault(r.q_id, []).append((r.rnk, r.n_id))
+    from collections import Counter
+
+    lab_counts = Counter(labels.values())
+    expected = {}
+    for q, lst in per_q.items():
+        ql = labels[q]
+        hits = [(rnk) for rnk, nid in lst if labels[nid] == ql]
+        dcg = sum(1.0 / math.log2(rnk + 1) for rnk in hits)
+        ideal_len = min(lab_counts[ql] - 1, RBO_K)
+        idcg = sum(1.0 / math.log2(d + 1) for d in range(1, ideal_len + 1))
+        expected[q] = (len(hits), dcg, 0.0 if ideal_len <= 0 else dcg / idcg)
+    got = {
+        r.q_id: (r.n_hits, r.dcg, r.ndcg)
+        for r in ndcg_eval(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for q, (nh, dcg, ndcg) in expected.items():
+        gn, gd, gnd = got[q]
+        assert gn == nh, (q, got[q], expected[q])
+        assert math.isclose(gd, dcg, abs_tol=1e-5), (q, gd, dcg)
+        assert math.isclose(gnd, ndcg, abs_tol=1e-5), (q, gnd, ndcg)
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
     """The PAV fit must be non-decreasing along the score ladder,
     bounded by [0, 1], and n-weighted mean-preserving (the projection
