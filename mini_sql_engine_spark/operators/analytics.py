@@ -323,10 +323,16 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     must reshuffle raw keys to re-aggregate at a coarser grain — the
     daily sketches are tiny, additive, and storable: a dashboard can
     roll up any date range by unioning pre-computed partials without
-    touching the fact table again. Exact count alongside for the
-    accuracy check (pytest asserts the relative error bound; no DuckDB
-    oracle — sketch internals are engine-specific, rows-only check).
-    """
+    touching the fact table again.
+
+    Cross-engine oracle contract: the sketch ESTIMATE itself is
+    engine-specific (never emitted), so the output carries only the
+    deterministic facts — the exact distinct count, the number of
+    daily partials — plus an in-plan ``within_tol`` boolean asserting
+    |union-estimate − exact| ≤ 10% · exact (lgK=12 → ~1.6% rse, so the
+    10% envelope has >5σ slack). DuckDB recomputes the exact values
+    and expects ``true``: a hard hash-matching check of the sketch's
+    accuracy without hashing sketch internals."""
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
@@ -334,7 +340,7 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_approx"),
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
         .join(
@@ -342,6 +348,16 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count_distinct("user_id").alias("exact_users")),
             "event_type",
+        )
+        .select(
+            "event_type",
+            "n_daily_sketches",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                * 10
+                <= F.col("exact_users")
+            ).alias("within_tol"),
         )
     )
 
@@ -391,23 +407,28 @@ def quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct-count sketch per event type, with exact count and
-    relative error alongside. No oracle-value check (sketches are
-    engine-specific); the pytest asserts rsd bounds instead."""
+    """HLL++ distinct-count sketch per event type, checked against the
+    exact count IN-PLAN: the sketch estimate (engine-specific, never
+    emitted) must land within 10% of the exact count (rsd was requested
+    at 2%, so 10% is a >5σ envelope). The output is fully deterministic
+    — (event_type, exact_users, within_tol) — so DuckDB hash-matches it
+    by recomputing the exact count and expecting ``true``. This keeps a
+    hard cross-engine oracle on the operator without pretending two
+    engines' HLL registers agree bit-for-bit."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
             F.count_distinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_err",
-            F.round(
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ),
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users")) * 10
+                <= F.col("exact_users")
+            ).alias("within_tol"),
         )
     )
 
@@ -6343,7 +6364,7 @@ QUERIES: dict[str, Callable] = {
     "ext_conditional_agg": conditional_aggregates,
     "ext_string_agg": string_agg_nations,
     "ext_approx_count_distinct": approx_count_distinct,
-    "ext_hll_mergeable": hll_mergeable_sketches,  # rows-only (sketches)
+    "ext_hll_mergeable": hll_mergeable_sketches,
     "ext_quantile_mergeable": quantile_mergeable,
 }
 
@@ -9304,9 +9325,24 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_nations
         FROM nation GROUP BY n_regionkey
     """,
-    # ext_approx_count_distinct: intentionally NO oracle — HLL++ sketch
-    # values are engine-specific; the driver records rows-only and
-    # tests/test_operators.py asserts the error bound.
+    # Sketch operators: the estimate itself is engine-specific and is
+    # never emitted; the output is the exact count plus an in-plan
+    # within-tolerance boolean, so the oracle recomputes the exact
+    # count and expects TRUE — a hard hash-matching accuracy check
+    # without hashing sketch internals.
+    "ext_approx_count_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+    """,
+    "ext_hll_mergeable": """
+        SELECT event_type,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+    """,
 }
 
 

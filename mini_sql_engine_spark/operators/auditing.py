@@ -68,6 +68,7 @@ from pyspark.sql.window import Window
 
 from mini_sql_engine_spark.catalog import load_table
 from mini_sql_engine_spark.functions import vector
+from mini_sql_engine_spark.functions.ranking import range_prefix
 
 # --- benford --------------------------------------------------------
 
@@ -214,26 +215,26 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline of distinct (p_retailprice asc-better, p_size desc-
     better) pairs, with the number of parts carrying each pair.
 
-    Sort pairs by (price asc, size desc); a pair is dominated iff the
+    Order pairs by (price asc, size desc); a pair is dominated iff the
     running max of size over strictly-preceding rows reaches its own
-    size (preceding rows are cheaper, or same-price-bigger). One
-    global sort of the pairs table — the oracle checks the same set
-    against the quadratic NOT EXISTS dominance definition."""
+    size (preceding rows are cheaper, or same-price-bigger). The
+    running max is range_prefix's prevmax — range-partitioned, no
+    single-partition sort even when the distinct-pair grid is large —
+    and the oracle checks the same set against the quadratic NOT
+    EXISTS dominance definition."""
     pairs = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_retailprice", "p_size")
         .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("_negsize", -F.col("p_size"))
     )
-    w = (
-        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    best = F.max("p_size").over(w)
     return (
-        pairs.withColumn("best_before", best)
+        range_prefix(
+            pairs, ["p_retailprice", "_negsize"], max_cols=("p_size",)
+        )
         .filter(
-            F.col("best_before").isNull()
-            | (F.col("p_size") > F.col("best_before"))
+            F.col("prevmax_p_size").isNull()
+            | (F.col("p_size") > F.col("prevmax_p_size"))
         )
         .select(
             "p_retailprice", F.col("p_size").cast("long").alias("p_size"),
@@ -466,18 +467,15 @@ def gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_supplier_hhi (concentration) with the inequality view. All
     Σ terms are exact BIGINTs (rank ≤ n, integer cents); the final
     ratio runs in double from those exact integers — identical IEEE
-    ops both engines. One customer rollup + one ranks-sized window."""
+    ops both engines. One customer rollup, then the global rank comes
+    from range_prefix (range-partitioned rank — no single-partition
+    sort; the customers ladder stays distributed at any scale)."""
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("rev"))
     )
-    ranked = per_cust.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy("rev", "o_custkey"))
-        .cast("long"),
-    )
+    ranked = range_prefix(per_cust, ["rev", "o_custkey"])
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev").alias("total_cents"),
@@ -509,22 +507,19 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sums — no doubles anywhere.
 
     Scale notes (100 TB): one map-side-combinable customer rollup;
-    the rank + cumulative window runs on the customers-sized ladder
-    (the documented ranks-sized single partition, same as Gini); the
-    10-row decile grid broadcasts onto it.
+    the global rank AND the cumulative revenue both come from
+    range_prefix — range-partitioned rank + per-partition running sum
+    with tiny pid offsets, so the customers ladder never funnels
+    through one task; the 10-row decile grid broadcasts onto it.
     """
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("rev"))
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = per_cust.select(
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.sum("rev")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_rev"),
-    )
+    ranked = range_prefix(
+        per_cust, ["rev", "o_custkey"], sum_cols=("rev",)
+    ).select("rnk", "cum_rev")
     tot = per_cust.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
     )

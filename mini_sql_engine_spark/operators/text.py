@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import hashing, textfns
+from mini_sql_engine_spark.functions.ranking import range_prefix
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,10 +694,14 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + token-count aggregate (map-side combined,
     shuffle bounded by |vocab| × partitions), one shuffle join of tokens
     against counts keyed by token (the natural key; a hot-token skew cap
-    would salt here), one per-doc aggregate. The tercile ntile is a
-    global sort of THIN (doc_id, avg_nll) rows only; at 100 TB replace
-    it with approx-quantile cut points from a sample — the bucket rule
-    stays the same, the global order-by disappears.
+    would salt here), one per-doc aggregate. The tercile assignment is
+    exact ntile semantics replayed by ARITHMETIC on the global rank
+    from range_prefix (range-partitioned rank over the thin
+    (doc_id, avg_nll) ladder — no single-partition sort): with
+    n = 3q + r, the first r buckets take q+1 rows, so
+    bucket(p) = ceil(p/(q+1)) while p ≤ r(q+1), else
+    r + ceil((p − r(q+1))/q). Bit-identical to ntile(3) over the same
+    (avg_nll, doc_id) order, so the oracle keeps DuckDB's own NTILE.
     """
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("tok"))
@@ -716,15 +721,30 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("avg_nll", "doc_id")
-    return scored.withColumn(
-        "bucket",
+    ranked = range_prefix(
+        scored, ["avg_nll", "doc_id"], total_rows_col="_n"
+    )
+    # exact ntile(3) replay on (rnk, n): n = 3q + r; first r buckets
+    # hold q+1 rows. All-integer `div` arithmetic — no doubles. The
+    # q=0 branch (n < 3) never divides by zero: every p falls in the
+    # head span r(q+1) = n, so the otherwise() (a NULL under div-0)
+    # is unreachable there.
+    bucket_no = F.expr(
+        """CASE WHEN rnk <= (_n % 3) * (_n div 3 + 1)
+                THEN (rnk + _n div 3) div (_n div 3 + 1)
+                ELSE _n % 3
+                     + (rnk - (_n % 3) * (_n div 3 + 1) + _n div 3 - 1)
+                       div (_n div 3)
+           END"""
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-            F.ntile(3).over(w),
-        ),
+            bucket_no.cast("int"),
+        ).alias("bucket"),
     )
 
 

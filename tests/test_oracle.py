@@ -31,10 +31,13 @@ def test_queries_enumeration_is_deterministic():
     module order."""
     first = list(entrymod.queries())
     assert first == list(entrymod.queries())
-    # the dedup pack leads the fixed module order (flagship surface)
-    from mini_sql_engine_spark.operators import dedup as dedup_mod
+    # pinned exact: the committed _PRIORITY head is a static property
+    # of the code; if _PRIORITY changes, this pin changes with it in
+    # the same commit (round-4 advice: no loose membership checks)
+    from mini_sql_engine_spark.operators import _PRIORITY
 
-    assert first[0] in dedup_mod.QUERIES, first[:3]
+    assert first[: len(_PRIORITY)] == list(_PRIORITY)
+    assert first[0] == "pipeline_quality_mix"
     assert len(first) == len(set(first))
 
 

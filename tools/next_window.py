@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -35,7 +36,18 @@ def main() -> None:
 
     passed: set[str] = set()
     failed: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    rows_only_passed: set[str] = set()
+
+    def _round_no(p: str) -> int:
+        # sort by the parsed round integer, not lexicographically —
+        # "r100" must not sort before "r02" (round-4 advice)
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_no
+    )
+    for path in paths:
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
@@ -57,18 +69,35 @@ def main() -> None:
             if ok:
                 passed.add(name)
                 failed.discard(name)
+                if rows_only_pass:
+                    rows_only_passed.add(name)
+                else:
+                    rows_only_passed.discard(name)
             else:
                 failed.add(name)
                 passed.discard(name)
+                rows_only_passed.discard(name)
 
     names = list(ALL_QUERIES)
     window = [n for n in names if n in failed]
     window += [n for n in names if n not in passed and n not in failed]
+    # rows-only passes are weaker evidence (no value hash) — once every
+    # never-checked entry has had its slot, cycle them back in so a
+    # later regression can't hide behind a one-time rows>0 (round-4
+    # advice); entries that have since GAINED an oracle re-enter the
+    # never-checked pool automatically when their recorded state is
+    # weaker than what the registry now promises.
+    window += [n for n in names if n in rows_only_passed and n not in window]
     window = window[:WINDOW]
     print(f"# re-check-first (failed rows): {sorted(failed)}", file=sys.stderr)
     print(
         f"# never-checked remaining: "
         f"{sum(1 for n in names if n not in passed and n not in failed)}",
+        file=sys.stderr,
+    )
+    print(
+        f"# rows-only passes queued for re-check after never-checked "
+        f"drain: {sorted(rows_only_passed)}",
         file=sys.stderr,
     )
     for n in window:
