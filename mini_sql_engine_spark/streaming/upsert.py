@@ -68,6 +68,63 @@ def _read_state(spark: SparkSession, data_dir: str, table: str) -> DataFrame | N
     )
 
 
+def _state_and_guard(
+    spark: SparkSession,
+    data_dir: str,
+    table: str,
+    empty_schema: str,
+    key_col: str,
+    ver_col: str,
+    sentinel_key: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split committed state into data rows + a 1-row version aggregate.
+
+    Returns ``(cur, last1)`` where ``last1`` has the single column
+    ``_last`` (NULL before the first commit). The replay guard is then
+    applied IN-PLAN: the caller gates its delta on ``_last`` (broadcast
+    1-row crossJoin) and rebuilds the sentinel as
+    ``greatest(_last, batch_id)`` — so a replayed batch rewrites state
+    UNCHANGED (delta gated to empty, version kept), which is exactly as
+    idempotent as the old skip-the-write guard but costs zero extra
+    Spark jobs. The old shape (localCheckpoint to share the state scan
+    + a driver collect of the sentinel) paid 3 job round-trips per
+    micro-batch; this shape pays 1 (the write), with the state file
+    read twice inside it — the dominant cost of the four exactly-once
+    demos at sf0.1 was that fixed job overhead, not data volume."""
+    state = _read_state(spark, data_dir, table)
+    if state is None:
+        cur = spark.createDataFrame([], empty_schema)
+        last1 = spark.range(1).select(
+            F.lit(None).cast("long").alias("_last")
+        )
+    else:
+        cur = state.filter(F.col(key_col) != sentinel_key)
+        last1 = state.filter(F.col(key_col) == sentinel_key).agg(
+            F.max(ver_col).cast("long").alias("_last")
+        )
+    return cur, last1
+
+
+def _gate_delta(delta: DataFrame, last1: DataFrame, batch_id: int) -> DataFrame:
+    """Filter a batch delta to empty when the batch is a replay."""
+    return (
+        delta.crossJoin(F.broadcast(last1))
+        .filter(
+            F.col("_last").isNull() | (F.lit(int(batch_id)) > F.col("_last"))
+        )
+        .drop("_last")
+    )
+
+
+def _next_version(batch_id: int) -> F.Column:
+    """In-plan new sentinel version (selected FROM the last1 row):
+    greatest(committed, this batch)."""
+    return F.greatest(
+        F.coalesce(F.col("_last"), F.lit(-1).cast("long")),
+        F.lit(int(batch_id)).cast("long"),
+    )
+
+
 def last_applied_batch(spark: SparkSession, data_dir: str, table: str) -> int:
     """Version of the current committed state (-1 if no table yet)."""
     state = _read_state(spark, data_dir, table)
@@ -90,30 +147,25 @@ def merge_batch(
     The state read happens in the write job's tasks, which all finish
     before the writer's driver-side commit swaps the file — so reading
     and overwriting the same table in one MERGE is safe (and a crash at
-    any point leaves the previous version readable).
+    any point leaves the previous version readable). The replay guard
+    runs IN-PLAN (`_gate_delta`): a replayed batch rewrites state
+    unchanged — idempotent, and one Spark job per batch instead of the
+    old checkpoint-collect-write three.
     """
     spark = batch_df.sparkSession
-    state = _read_state(spark, data_dir, table)
-    if state is None:
-        cur = spark.createDataFrame(
-            [], "user_id long, n_events long, total_cents long"
-        )
-    else:
-        # materialize the (small) state once: the replay guard and the
-        # merge both read it, and the single-file source should not be
-        # re-scanned per consumer
-        state = state.localCheckpoint()
-        last = (
-            state.filter(F.col("user_id") == SENTINEL_KEY)
-            .agg(F.max("n_events"))
-            .collect()[0][0]
-        )  # scalar control value, never data
-        if last is not None and batch_id <= int(last):
-            return  # replayed batch: already inside the committed state
-        cur = state.filter(F.col("user_id") != SENTINEL_KEY)
+    cur, last1 = _state_and_guard(
+        spark,
+        data_dir,
+        table,
+        "user_id long, n_events long, total_cents long",
+        "user_id",
+        "n_events",
+        SENTINEL_KEY,
+    )
     delta = batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("d_n"), F.sum(_cents("value")).alias("d_cents")
     )
+    delta = _gate_delta(delta, last1, batch_id)
     merged = (
         cur.join(delta, "user_id", "full_outer")
         .select(
@@ -126,8 +178,10 @@ def merge_batch(
             ).alias("total_cents"),
         )
     )
-    sentinel = spark.createDataFrame(
-        [(SENTINEL_KEY, int(batch_id), 0)], "user_id long, n_events long, total_cents long"
+    sentinel = last1.select(
+        F.lit(SENTINEL_KEY).cast("long").alias("user_id"),
+        _next_version(batch_id).alias("n_events"),
+        F.lit(0).cast("long").alias("total_cents"),
     )
     datasource.register(spark)
     (
@@ -146,13 +200,19 @@ def _multi_file_events(
     n_files: int = 4,
     cols: tuple[str, ...] = ("event_id", "user_id", "value"),
     schema: str = "event_id long, user_id long, value double",
+    files_per_trigger: int = 2,
 ) -> DataFrame:
     """readStream over a thin column subset of events staged as
-    n_files parquet files, so maxFilesPerTrigger=1 yields n_files
-    distinct micro-batches (the single testdata file would give one
-    batch — no incremental behavior to observe). Staged once per
-    (sf_dir, cols); the atomic directory rename makes concurrent
-    stagers safe."""
+    n_files parquet files, so maxFilesPerTrigger=files_per_trigger
+    yields n_files/files_per_trigger distinct micro-batches (the
+    single testdata file would give one batch — no incremental
+    behavior to observe). Two files per trigger is the default: the
+    demos still exercise a multi-commit incremental MERGE (2 commits),
+    but each exactly-once commit's fixed cost (trigger planning,
+    native-writer 2PC, state re-read) is paid half as often — the
+    four state demos were ~9% of the whole bench and the cost was
+    commit count, not data volume. Staged once per (sf_dir, cols);
+    the atomic directory rename makes concurrent stagers safe."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     digest = hashlib.md5(
         f"{sf_dir}|{n_files}|{','.join(cols)}".encode()
@@ -180,7 +240,9 @@ def _multi_file_events(
 
             shutil.rmtree(tmp, ignore_errors=True)
     return (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage)
     )
 
 
@@ -212,8 +274,8 @@ def run_upsert_stream(
 
 
 def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract query: stream events in 4 micro-batches through
-    the foreachBatch MERGE sink, then read the final native-format
+    """Driver-contract query: stream events through multiple exactly-
+    once micro-batch commits of the foreachBatch MERGE sink, then read the final native-format
     table back. Equals the one-shot batch aggregate (the DuckDB
     oracle) because integer-cent deltas accumulate associatively."""
     data_dir = tempfile.mkdtemp(prefix="minisql_upsert_")
@@ -289,21 +351,20 @@ def merge_bitmap_batch(
     sentinel replay guard as `merge_batch`). Bitwise OR is the whole
     trick: it is associative, commutative AND idempotent, so replays
     and partial re-merges can never overcount — the property exact
-    streaming COUNT(DISTINCT) needs and plain counters lack."""
+    streaming COUNT(DISTINCT) needs and plain counters lack. Replay
+    guard runs in-plan (`_gate_delta`) — and OR-idempotence means even
+    an ungated replay could not overcount; the guard just keeps the
+    version ledger exact."""
     spark = batch_df.sparkSession
-    state = _read_state(spark, data_dir, table)
-    if state is None:
-        cur = spark.createDataFrame([], "tid long, chunk long, mask long")
-    else:
-        state = state.localCheckpoint()
-        last = (
-            state.filter(F.col("tid") == _BM_SENTINEL)
-            .agg(F.max("chunk"))
-            .collect()[0][0]
-        )  # scalar control value, never data
-        if last is not None and batch_id <= int(last):
-            return
-        cur = state.filter(F.col("tid") != _BM_SENTINEL)
+    cur, last1 = _state_and_guard(
+        spark,
+        data_dir,
+        table,
+        "tid long, chunk long, mask long",
+        "tid",
+        "chunk",
+        _BM_SENTINEL,
+    )
     delta = (
         batch_df.select(
             md5_long(F.col("event_type")).alias("tid"),
@@ -317,6 +378,7 @@ def merge_bitmap_batch(
             )
         )
     )
+    delta = _gate_delta(delta, last1, batch_id)
     merged = cur.join(delta, ["tid", "chunk"], "full_outer").select(
         "tid",
         "chunk",
@@ -324,8 +386,10 @@ def merge_bitmap_batch(
         .bitwiseOR(F.coalesce("d_mask", F.lit(0)))
         .alias("mask"),
     )
-    sentinel = spark.createDataFrame(
-        [(_BM_SENTINEL, int(batch_id), 0)], "tid long, chunk long, mask long"
+    sentinel = last1.select(
+        F.lit(_BM_SENTINEL).cast("long").alias("tid"),
+        _next_version(batch_id).alias("chunk"),
+        F.lit(0).cast("long").alias("mask"),
     )
     datasource.register(spark)
     (
@@ -408,26 +472,16 @@ def merge_psi_batch(
     (bin, half) purchase counts into the native state table with the
     same in-table version sentinel replay guard as `merge_batch`.
     bkey = bin·2 + early packs the composite key into the integer-only
-    native format."""
+    native format. Replay guard runs in-plan (`_gate_delta`)."""
     from mini_sql_engine_spark.operators.analytics import (
         PSI_BIN_CENTS,
         PSI_BINS,
     )
 
     spark = batch_df.sparkSession
-    state = _read_state(spark, data_dir, table)
-    if state is None:
-        cur = spark.createDataFrame([], "bkey long, n long")
-    else:
-        state = state.localCheckpoint()
-        last = (
-            state.filter(F.col("bkey") == _PSI_SENTINEL)
-            .agg(F.max("n"))
-            .collect()[0][0]
-        )  # scalar control value, never data
-        if last is not None and batch_id <= int(last):
-            return
-        cur = state.filter(F.col("bkey") != _PSI_SENTINEL)
+    cur, last1 = _state_and_guard(
+        spark, data_dir, table, "bkey long, n long", "bkey", "n", _PSI_SENTINEL
+    )
     # the staged feed goes through catalog.load_table, so ts is the
     # normalized session-zoned timestamp — same day-of-month as batch
     dom = F.dayofmonth("ts")
@@ -448,12 +502,14 @@ def merge_psi_batch(
         .groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("d_n"))
     )
+    delta = _gate_delta(delta, last1, batch_id)
     merged = cur.join(delta, "bkey", "full_outer").select(
         "bkey",
         (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
     )
-    sentinel = batch_df.sparkSession.createDataFrame(
-        [(_PSI_SENTINEL, int(batch_id))], "bkey long, n long"
+    sentinel = last1.select(
+        F.lit(_PSI_SENTINEL).cast("long").alias("bkey"),
+        _next_version(batch_id).alias("n"),
     )
     datasource.register(spark)
     (
@@ -532,10 +588,16 @@ MG_K = 64  # Misra-Gries counters kept in state
 MG_THRESH = 50  # heavy hitter: exact count · MG_THRESH > corpus tokens
 
 
-def _multi_file_docs(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+def _multi_file_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    files_per_trigger: int = 2,
+) -> DataFrame:
     """readStream over documents text staged as n_files parquet files
-    (maxFilesPerTrigger=1 → n_files micro-batches; the single testdata
-    file would collapse to one batch and exercise no merging)."""
+    (two files per trigger → 2 micro-batches: still a real multi-commit
+    MG merge, half the fixed per-commit cost; the single testdata file
+    would collapse to one batch and exercise no merging)."""
     digest = hashlib.md5(f"docs|{sf_dir}|{n_files}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"docs_mg_{digest}")
     if not os.path.exists(stage):
@@ -557,7 +619,7 @@ def _multi_file_docs(spark: SparkSession, sf_dir: str, n_files: int = 4) -> Data
             shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(stage)
     )
 
@@ -571,23 +633,16 @@ def merge_mg_batch(
     value from all and drop the non-positive — total decrement across
     every merge is bounded by N/(MG_K+1), so any token with true
     frequency above that KEEPS a positive counter. Idempotent via the
-    same in-table version sentinel as the other native-state sinks."""
+    same in-table version sentinel as the other native-state sinks,
+    applied in-plan (`_gate_delta`): a replayed batch contributes an
+    empty delta, the decrement value is 0 (≤ MG_K counters survive, so
+    no (MG_K+1)-th row exists), and state rewrites unchanged."""
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
-    state = _read_state(spark, data_dir, table)
-    if state is None:
-        cur = spark.createDataFrame([], "tid long, cnt long")
-    else:
-        state = state.localCheckpoint()
-        last = (
-            state.filter(F.col("tid") == _MG_SENTINEL)
-            .agg(F.max("cnt"))
-            .collect()[0][0]
-        )  # scalar control value, never data
-        if last is not None and batch_id <= int(last):
-            return  # replayed batch: already inside the committed state
-        cur = state.filter(F.col("tid") != _MG_SENTINEL)
+    cur, last1 = _state_and_guard(
+        spark, data_dir, table, "tid long, cnt long", "tid", "cnt", _MG_SENTINEL
+    )
     delta = (
         batch_df.select(
             F.explode(F.split("text", r"\s+")).alias("token")
@@ -596,6 +651,7 @@ def merge_mg_batch(
         .groupBy("tid")
         .agg(F.count(F.lit(1)).alias("d_cnt"))
     )
+    delta = _gate_delta(delta, last1, batch_id)
     merged = cur.join(delta, "tid", "full_outer").select(
         "tid",
         (
@@ -618,8 +674,9 @@ def merge_mg_batch(
         .select("tid", (F.col("cnt") - F.col("v")).alias("cnt"))
         .filter(F.col("cnt") > 0)
     )
-    sentinel = spark.createDataFrame(
-        [(_MG_SENTINEL, int(batch_id))], "tid long, cnt long"
+    sentinel = last1.select(
+        F.lit(_MG_SENTINEL).cast("long").alias("tid"),
+        _next_version(batch_id).alias("cnt"),
     )
     datasource.register(spark)
     (
