@@ -91,7 +91,10 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(event_type, '{ALL}') AS event_type,
                coalesce(CAST(user_id AS STRING), '{ALL}') AS user_id,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS total_value
+               -- integer-cents money: per-row fixed point, exact
+               -- integer SUM — no float accumulation order anywhere
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM events
         GROUP BY GROUPING SETS ((event_type), (user_id), ())
         """
@@ -9201,7 +9204,8 @@ ORACLES: dict[str, str] = {
         SELECT coalesce(event_type, '{ALL}') AS event_type,
                coalesce(CAST(user_id AS VARCHAR), '{ALL}') AS user_id,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS total_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM events
         GROUP BY GROUPING SETS ((event_type), (user_id), ())
     """,

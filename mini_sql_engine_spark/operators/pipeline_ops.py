@@ -393,10 +393,13 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight is the bag-of-buckets log-likelihood ratio
     sum_b log(p_target(b) / p_raw(b)) with Laplace smoothing, where
     target = the DSIR_TARGET_LANG slice and raw = the whole corpus.
-    Output: (doc_id, n_tokens, weight) — the ranking a selection pass
-    (temperature/Gumbel top-k) consumes. Weight is rounded to 4
-    decimals so per-doc float-sum accumulation order (Spark partial
-    aggs vs DuckDB single-node) cannot surface.
+    Output: (doc_id, n_tokens, weight_micro) — the ranking a selection
+    pass (temperature/Gumbel top-k) consumes. Each bucket's log-ratio
+    is rounded ONCE to integer micro-nats on the 256-row ratio table;
+    the per-doc weight is then an exact integer sum, so float
+    accumulation order (Spark partial aggs vs DuckDB single-node)
+    cannot surface at all — stronger than the rounded-double form this
+    replaces (one of the three historical sf0.1 divergences).
 
     Scale notes (100 TB): both bucket histograms are map-side-combined
     aggregations whose shuffle is bounded by DSIR_BUCKETS, not corpus
@@ -428,16 +431,22 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
+                    )
                 )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
-                )
-            ).alias("lr"),
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
         )
     )
     return (
@@ -445,10 +454,9 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            # + 0.0 canonicalizes IEEE -0.0 to +0.0: a doc whose
-            # log-ratio sum rounds to zero from below otherwise prints
-            # -0.0 in one engine and 0.0 in the other (seen at sf0.1)
-            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("weight"),
+            # exact integer sum of per-bucket micro-nats: no float
+            # accumulation, no -0.0 canonicalization needed
+            F.sum("lr_micro").alias("weight_micro"),
         )
     )
 
@@ -983,16 +991,22 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
+                    )
                 )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0))
-                    / (F.col("tr") + F.lit(float(DSIR_BUCKETS)))
-                )
-            ).alias("lr"),
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
         )
     )
     wts = (
@@ -1000,10 +1014,9 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            # + 0.0 canonicalizes IEEE -0.0 to +0.0: a doc whose
-            # log-ratio sum rounds to zero from below otherwise prints
-            # -0.0 in one engine and 0.0 in the other (seen at sf0.1)
-            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("weight"),
+            # exact integer sum of per-bucket micro-nats: no float
+            # accumulation, no -0.0 canonicalization needed
+            F.sum("lr_micro").alias("weight_micro"),
         )
     )
     u = (
@@ -1015,9 +1028,17 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         wts.select(
             "doc_id",
             "n_tokens",
-            (F.col("weight") - F.log(-F.log(u))).alias("key"),
+            # integer micro key: the Gumbel term rounds to micros per
+            # doc BEFORE the subtraction, so the top-K comparator works
+            # on exact integers — no cross-engine boundary flips
+            (
+                F.col("weight_micro")
+                - F.floor(F.log(-F.log(u)) * 1_000_000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("key_micro"),
         )
-        .orderBy(F.col("key").desc(), "doc_id")
+        .orderBy(F.col("key_micro").desc(), "doc_id")
         .limit(SEL_K)
     )
     banded = sel.select(
@@ -1370,20 +1391,24 @@ ORACLES: dict[str, str] = {
                        (SELECT SUM(ct) FROM tgt) AS tt),
         lr AS (
             SELECT raw.b,
-                   LN((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
-                 - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)) AS lr
+                   CAST(FLOOR((
+                       LN((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                     - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0))
+                   ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
             FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
         wts AS (
             SELECT doc_id, COUNT(*) AS n_tokens,
-                   ROUND(SUM(lr), 4) + 0.0 AS weight
+                   CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
             FROM tok JOIN lr USING (b) GROUP BY doc_id),
         sel AS (
             SELECT doc_id, n_tokens,
-                   weight - LN(-LN((CAST('0x' || substr(md5('gumbsel:'
+                   weight_micro - CAST(FLOOR(
+                       LN(-LN((CAST('0x' || substr(md5('gumbsel:'
                               || CAST(doc_id AS VARCHAR)), 1, 15)
                            AS BIGINT) % {GUMBEL_RES} + 0.5)
-                         / {GUMBEL_RES}.0)) AS key
-            FROM wts ORDER BY key DESC, doc_id LIMIT {SEL_K}),
+                         / {GUMBEL_RES}.0)) * 1000000 + 0.5) AS BIGINT)
+                       AS key_micro
+            FROM wts ORDER BY key_micro DESC, doc_id LIMIT {SEL_K}),
         banded AS (
             SELECT doc_id,
                    CASE WHEN n_tokens <= 1 THEN 0
@@ -1641,11 +1666,13 @@ ORACLES: dict[str, str] = {
                        (SELECT SUM(ct) FROM tgt) AS tt),
         lr AS (
             SELECT raw.b,
-                   LN((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
-                 - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0)) AS lr
+                   CAST(FLOOR((
+                       LN((COALESCE(ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                     - LN((cr + 1.0) / (tr + {DSIR_BUCKETS}.0))
+                   ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
             FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
         SELECT doc_id, COUNT(*) AS n_tokens,
-               ROUND(SUM(lr), 4) + 0.0 AS weight
+               CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
         FROM tok JOIN lr USING (b)
         GROUP BY doc_id
     """,

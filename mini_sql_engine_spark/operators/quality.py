@@ -369,7 +369,17 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mutual = topk.join(rev, ["src", "dst"], "left_semi")
     per_node = topk.groupBy("src").agg(
-        F.round(F.avg("cos_sim"), 4).alias("mean_top_sim")
+        # exact-integer numerator (scores are 4-dec fixed point, so
+        # x10000 is integral), then ONE IEEE division — identical
+        # doubles in both engines with no float-sum order dependence
+        # and no round-at-a-tie (avg of an even neighbor count can
+        # land exactly on a .00005 boundary)
+        (
+            F.sum(F.round(F.col("cos_sim") * 10000).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * 10000)
+        ).alias("mean_top_sim")
     )
     mdeg = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_mutual"))
     return (
@@ -457,7 +467,12 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ext_lm_perplexity`'s unigram: p(w2|w1) = λ·c(w1,w2)/c(w1) +
     (1−λ)·(c(w2)+1)/(N+V). Bigram context catches word-salad text a
     unigram scorer rates as fluent (every token common, no common
-    transitions). Output: (doc_id, n_bigrams, nll).
+    transitions). Output: (doc_id, n_bigrams, nll_micro) — the doc
+    score is an integer micro-nat: each bigram TYPE's -ln p is rounded
+    to integer micros once on the type table, so the per-doc mean is
+    exact integer arithmetic, independent of float accumulation order
+    in either engine (the rounded-avg-of-logs it replaces was the
+    canonical unstable-double hazard).
 
     Plan: unigram and bigram TYPE tables aggregate with map-side
     combine (shuffle bounded by vocabulary, not corpus); the
@@ -495,11 +510,17 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
-            (
-                F.lit(BI_LAMBDA) * (F.col("cb") / F.col("c1"))
-                + F.lit(1.0 - BI_LAMBDA)
-                * ((F.col("c2") + F.lit(1.0)) / (F.col("n") + F.col("v")))
-            ).alias("p"),
+            F.floor(
+                -F.log(
+                    F.lit(BI_LAMBDA) * (F.col("cb") / F.col("c1"))
+                    + F.lit(1.0 - BI_LAMBDA)
+                    * ((F.col("c2") + F.lit(1.0)) / (F.col("n") + F.col("v")))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nll_micro"),
         )
     )
     return (
@@ -507,7 +528,9 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log("p")), 4).alias("nll"),
+            F.expr(
+                "(sum(nll_micro) + count(1) div 2) div count(1)"
+            ).alias("nll_micro"),
         )
     )
 
@@ -871,12 +894,14 @@ def pipeline_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s1 feeds the funnel count AND the perplexity join; without the
     # checkpoint the gate + dup-span subtree re-runs once per branch
     s1 = gated.join(dups, "doc_id", "left_anti").localCheckpoint(eager=False)
-    nll = bigram_perplexity(spark, sf_dir).select("doc_id", "nll")
+    nll = bigram_perplexity(spark, sf_dir).select("doc_id", "nll_micro")
     s1n = s1.join(nll, "doc_id").localCheckpoint(
         eager=False  # feeds the median agg and the filter
     )
-    med = s1n.agg(F.expr("percentile(nll, 0.5)").alias("m"))
-    s2 = s1n.crossJoin(F.broadcast(med)).filter(F.col("nll") <= F.col("m"))
+    med = s1n.agg(F.expr("percentile(nll_micro, 0.5)").alias("m"))
+    s2 = s1n.crossJoin(F.broadcast(med)).filter(
+        F.col("nll_micro") <= F.col("m")
+    )
     pr = hashing.md5_long(F.col("doc_id").cast("string"), "quota")
     wq = Window.partitionBy("source").orderBy("pr", "doc_id")
     kept = (
@@ -954,7 +979,17 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = topk.join(rev, ["src", "dst"], "left_semi")
     per_node = topk.groupBy("src").agg(
-        F.round(F.avg("cos_sim"), 4).alias("mean_top_sim")
+        # exact-integer numerator (scores are 4-dec fixed point, so
+        # x10000 is integral), then ONE IEEE division — identical
+        # doubles in both engines with no float-sum order dependence
+        # and no round-at-a-tie (avg of an even neighbor count can
+        # land exactly on a .00005 boundary)
+        (
+            F.sum(F.round(F.col("cos_sim") * 10000).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * 10000)
+        ).alias("mean_top_sim")
     )
     mdeg = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("n_mutual"))
     return (
@@ -1490,10 +1525,16 @@ ORACLES: dict[str, str] = {
             FROM bic
             JOIN uni u1 ON bic.w1 = u1.tok
             JOIN uni u2 ON bic.w2 = u2.tok
-            CROSS JOIN tot)
+            CROSS JOIN tot),
+        micro AS (
+            SELECT w1, w2,
+                   CAST(FLOOR(-ln(p) * 1000000 + 0.5) AS BIGINT)
+                       AS nll_micro
+            FROM types)
         SELECT b.doc_id, COUNT(*) AS n_bigrams,
-               ROUND(AVG(-ln(ty.p)), 4) AS nll
-        FROM b JOIN types ty ON b.w1 = ty.w1 AND b.w2 = ty.w2
+               CAST((SUM(nll_micro) + COUNT(*) // 2) // COUNT(*)
+                    AS BIGINT) AS nll_micro
+        FROM b JOIN micro ty ON b.w1 = ty.w1 AND b.w2 = ty.w2
         GROUP BY b.doc_id
     """,
     "ext_kneser_ney_bigram": f"""
@@ -1567,7 +1608,10 @@ ORACLES: dict[str, str] = {
                                 PARTITION BY src
                                 ORDER BY cos_sim DESC, dst) AS rn
                      FROM d) r WHERE rn <= {KNN_K}),
-        pn AS (SELECT src, ROUND(AVG(cos_sim), 4) AS mean_top_sim
+        pn AS (SELECT src,
+                      CAST(SUM(CAST(ROUND(cos_sim * 10000) AS BIGINT))
+                           AS DOUBLE) / (COUNT(*) * 10000)
+                          AS mean_top_sim
                FROM topk GROUP BY src),
         md AS (SELECT t.src, COUNT(*) AS n_mutual FROM topk t
                WHERE EXISTS (SELECT 1 FROM topk r
@@ -1720,7 +1764,10 @@ ORACLES: dict[str, str] = {
                                 PARTITION BY src
                                 ORDER BY cos_sim DESC, dst) AS rn
                      FROM d) r WHERE rn <= {KNN_K}),
-        pn AS (SELECT src, ROUND(AVG(cos_sim), 4) AS mean_top_sim
+        pn AS (SELECT src,
+                      CAST(SUM(CAST(ROUND(cos_sim * 10000) AS BIGINT))
+                           AS DOUBLE) / (COUNT(*) * 10000)
+                          AS mean_top_sim
                FROM topk GROUP BY src),
         md AS (SELECT t.src, COUNT(*) AS n_mutual FROM topk t
                WHERE EXISTS (SELECT 1 FROM topk r
@@ -1809,11 +1856,11 @@ ORACLES["pipeline_quality_mix"] = f"""
         WHERE doc_id NOT IN (
             SELECT DISTINCT doc_b FROM ({ORACLES["ext_dup_spans"]}) ds)),
     s1n AS (
-        SELECT s1.*, bp.nll
+        SELECT s1.*, bp.nll_micro
         FROM s1 JOIN ({ORACLES["ext_bigram_perplexity"]}) bp
           USING (doc_id)),
-    med AS (SELECT median(nll) AS m FROM s1n),
-    s2 AS (SELECT s1n.* FROM s1n, med WHERE s1n.nll <= med.m),
+    med AS (SELECT median(nll_micro) AS m FROM s1n),
+    s2 AS (SELECT s1n.* FROM s1n, med WHERE s1n.nll_micro <= med.m),
     kept AS (
         SELECT source, doc_id, n_chars FROM (
             SELECT source, doc_id, n_chars,

@@ -115,7 +115,9 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
         )
         .select(
             # ISO string, not date: date/timestamp objects round-trip
@@ -123,7 +125,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("w.start", "yyyy-MM-dd").alias("day"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -154,7 +156,9 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
         )
         .select(
             "user_id",
@@ -164,7 +168,7 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             # catalog normalization.
             F.unix_seconds(F.col("w.start").cast("timestamp")).alias("sess_start_s"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -296,7 +300,8 @@ ORACLES: dict[str, str] = {
     """,
     "ext_tumbling_window": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+               COUNT(*) AS n_events, CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
     """,
     "ext_sliding_window": oracle_shared.SLIDING_WINDOW_ORACLE,

@@ -697,11 +697,13 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     would salt here), one per-doc aggregate. The tercile assignment is
     exact ntile semantics replayed by ARITHMETIC on the global rank
     from range_prefix (range-partitioned rank over the thin
-    (doc_id, avg_nll) ladder — no single-partition sort): with
+    (doc_id, avg_nll_micro) ladder — no single-partition sort): with
     n = 3q + r, the first r buckets take q+1 rows, so
     bucket(p) = ceil(p/(q+1)) while p ≤ r(q+1), else
     r + ceil((p − r(q+1))/q). Bit-identical to ntile(3) over the same
-    (avg_nll, doc_id) order, so the oracle keeps DuckDB's own NTILE.
+    (avg_nll_micro, doc_id) order, so the oracle keeps DuckDB's own
+    NTILE. The doc score itself is an integer micro-nat fixed-point
+    (see the in-body note) — no rounded unstable double in the output.
     """
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("tok"))
@@ -709,20 +711,35 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     )
+    # per-DISTINCT-token NLL in integer micro-nats: the log runs once
+    # per vocabulary entry (not per token instance), and rounding to an
+    # integer BEFORE the per-doc reduction makes the doc score an exact
+    # integer sum — independent of float accumulation order, so Spark's
+    # partial-agg order and DuckDB's scan order cannot diverge (the
+    # rounded-avg-of-logs form this replaces was the repo's canonical
+    # unstable-double hazard).
+    micro = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            (F.log(F.col("n") + F.col("v")) - F.log(F.col("c") + 1))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
     scored = (
-        toks.join(counts, "tok")
-        .crossJoin(F.broadcast(tot))
+        toks.join(micro, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.avg(-F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))),
-                6,
-            ).alias("avg_nll"),
+            F.expr(
+                "(sum(nll_micro) + count(1) div 2) div count(1)"
+            ).alias("avg_nll_micro"),
         )
     )
     ranked = range_prefix(
-        scored, ["avg_nll", "doc_id"], total_rows_col="_n"
+        scored, ["avg_nll_micro", "doc_id"], total_rows_col="_n"
     )
     # exact ntile(3) replay on (rnk, n): n = 3q + r; first r buckets
     # hold q+1 rows. All-integer `div` arithmetic — no doubles. The
@@ -740,7 +757,7 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id",
         "n_tokens",
-        "avg_nll",
+        "avg_nll_micro",
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
             bucket_no.cast("int"),
@@ -1334,14 +1351,20 @@ ORACLES: dict[str, str] = {
         counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
                 FROM counts),
+        micro AS (
+            SELECT tok,
+                   CAST(FLOOR((ln(n + v) - ln(c + 1)) * 1000000 + 0.5)
+                        AS BIGINT) AS nll_micro
+            FROM counts CROSS JOIN tot),
         scored AS (
             SELECT doc_id, COUNT(*) AS n_tokens,
-                   ROUND(AVG(-ln((c + 1.0) / (n + v))), 6) AS avg_nll
-            FROM toks JOIN counts USING (tok) CROSS JOIN tot
+                   CAST((SUM(nll_micro) + COUNT(*) // 2) // COUNT(*)
+                        AS BIGINT) AS avg_nll_micro
+            FROM toks JOIN micro USING (tok)
             GROUP BY doc_id)
-        SELECT doc_id, n_tokens, avg_nll,
+        SELECT doc_id, n_tokens, avg_nll_micro,
                (['head', 'middle', 'tail'])[
-                   NTILE(3) OVER (ORDER BY avg_nll, doc_id)] AS bucket
+                   NTILE(3) OVER (ORDER BY avg_nll_micro, doc_id)] AS bucket
         FROM scored
     """,
     "ext_bpe_pair_counts": f"""

@@ -40,7 +40,8 @@ SESSION_WINDOW_ORACLE = f"""
         SELECT user_id,
                CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_cents
         FROM sess GROUP BY user_id, sess_id
     """
 

@@ -82,13 +82,15 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -197,13 +199,15 @@ def session_counts(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
         )
         .select(
             "user_id",
             F.col("w.start").cast("long").alias("sess_start_s"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -600,7 +604,8 @@ ORACLES: dict[str, str] = {
     "stream_tumbling_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                event_type, COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
     """,
     "stream_stateful_user_totals": """

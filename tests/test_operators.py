@@ -2500,22 +2500,74 @@ def test_range_prefix_matches_global_window(spark):
 
 def test_lm_perplexity_bucket_arithmetic_equals_ntile(spark, sf_dir):
     """The rank-arithmetic tercile replay must equal a literal
-    ntile(3) over the same (avg_nll, doc_id) order."""
+    ntile(3) over the same (avg_nll_micro, doc_id) order."""
     from pyspark.sql import Window
 
     from mini_sql_engine_spark.operators.text import lm_perplexity_buckets
 
     out = lm_perplexity_buckets(spark, sf_dir)
-    w = Window.orderBy("avg_nll", "doc_id")
+    w = Window.orderBy("avg_nll_micro", "doc_id")
     relabel = F.element_at(
         F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
         F.ntile(3).over(w),
     )
     want = {
         r.doc_id: r.b
-        for r in out.select("doc_id", "avg_nll")
+        for r in out.select("doc_id", "avg_nll_micro")
         .withColumn("b", relabel)
         .collect()
     }
     got = {r.doc_id: r.bucket for r in out.collect()}
     assert got == want
+
+
+def test_range_prefix_property_random_shapes(spark):
+    """Property-style check across adversarial shapes: tiny inputs,
+    all-equal keys (tie column carries the whole order), negative
+    sums, single row, and count ≪ partitions — each must reproduce
+    the single-partition global window exactly."""
+    from pyspark.sql import Window
+
+    from mini_sql_engine_spark.functions.ranking import range_prefix
+
+    cases = [
+        # (n, key_mod, val_mod, val_shift) — val_shift<0 makes sums negative
+        (1, 1, 7, 0),
+        (5, 1, 3, -2),
+        (64, 2, 9, -5),
+        (257, 97, 11, 0),
+        (1000, 4, 5, -3),
+    ]
+    for n, key_mod, val_mod, shift in cases:
+        df = (
+            spark.range(n)
+            .select(
+                (F.col("id") % key_mod).alias("k"),
+                F.col("id").alias("tie"),
+                ((F.col("id") * 31) % val_mod + shift).alias("v"),
+            )
+            .repartition(17)
+        )
+        got = {
+            r.tie: (r.rnk, r.cum_v, r.prevmax_v)
+            for r in range_prefix(
+                df, ["k", "tie"], sum_cols=("v",), max_cols=("v",)
+            ).collect()
+        }
+        w = Window.orderBy("k", "tie")
+        want = {
+            r.tie: (r.rnk, r.cum_v, r.prevmax_v)
+            for r in df.select(
+                "tie",
+                F.row_number().over(w).cast("long").alias("rnk"),
+                F.sum("v")
+                .over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                .alias("cum_v"),
+                F.max("v")
+                .over(w.rowsBetween(Window.unboundedPreceding, -1))
+                .alias("prevmax_v"),
+            ).collect()
+        }
+        assert got == want, (n, key_mod, val_mod, shift)
