@@ -733,15 +733,21 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tid") != _MG_SENTINEL)
         .select("tid")
     )
-    toks = load_table(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", r"\s+")).alias("token")
-    )
-    n_tok = toks.agg(F.count(F.lit(1)).alias("n"))
-    counts = (
-        toks.select("token", md5_long(F.col("token")).alias("tid"))
-        .join(F.broadcast(candidates), "tid", "left_semi")
+    # ONE corpus pass: the map-side-combined token count is vocab-sized,
+    # so both the corpus total and the candidate counts read from it —
+    # the old shape exploded the corpus twice (total + recount)
+    tokc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # two consumers, one corpus scan
+    )
+    n_tok = tokc.agg(F.sum("cnt").alias("n"))
+    counts = (
+        tokc.withColumn("tid", md5_long(F.col("token")))
+        .join(F.broadcast(candidates), "tid", "left_semi")
+        .select("token", "cnt")
     )
     return (
         counts.crossJoin(F.broadcast(n_tok))
