@@ -36,7 +36,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_prefix"]
+__all__ = ["ntile_expr", "range_lag", "range_prefix"]
+
+
+def ntile_expr(rank: str, total: str, buckets: int) -> Column:
+    """Exact ntile(buckets) replayed as integer arithmetic on a
+    1-based global rank column and a total-count column (both LONG,
+    e.g. from ``range_prefix(..., total_rows_col=...)``).
+
+    With n = b·q + r, ntile gives the first r buckets q+1 rows each:
+    bucket(p) = ceil(p/(q+1)) while p ≤ r(q+1), else
+    r + ceil((p − r(q+1))/q). All-`div` integer arithmetic —
+    bit-identical to the window ntile both in Spark and in a DuckDB
+    oracle's NTILE, with no single-partition window. The q=0 branch
+    (n < b) never divides by zero: every p falls inside the head span
+    r(q+1) = n, so the otherwise() is unreachable there."""
+    b = int(buckets)
+    q = f"({total} div {b})"
+    r = f"({total} % {b})"
+    head = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"""CASE WHEN {rank} <= {head}
+                 THEN ({rank} + {q}) div ({q} + 1)
+                 ELSE {r} + ({rank} - {head} + {q} - 1) div {q}
+            END"""
+    )
 
 
 def range_prefix(
@@ -130,3 +154,54 @@ def range_prefix(
     drop += [f"_off_sum_{c}" for c in sum_cols]
     drop += [f"_off_max_{c}" for c in max_cols]
     return out.drop(*drop)
+
+
+def range_lag(
+    df: DataFrame,
+    order_cols: list[str],
+    lag_cols: tuple[str, ...],
+) -> DataFrame:
+    """Attach ``prev_<c>`` — each row's predecessor value of ``c`` in
+    the global order over ``order_cols`` — with no single-partition
+    window (the distributed lag behind run-length counting and
+    change-detection along a sort order).
+
+    Mechanics mirror ``range_prefix``: range-partition on the order
+    key, lag within each partition, and stitch the partition
+    boundaries with a tiny per-partition "last row's values" table
+    (``max_by`` over the order key) lagged across pid — the first row
+    of each partition takes the previous NON-EMPTY partition's last
+    value, and the global first row stays NULL, exactly as the global
+    window form. Assumes ``lag_cols`` values are non-NULL (a data NULL
+    is indistinguishable from "no predecessor" only on the global
+    first row; callers here count runs over NOT-NULL columns)."""
+    part = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    okey = F.struct(*[F.col(c) for c in order_cols])
+    stats = part.groupBy("_pid").agg(
+        *[F.max_by(F.col(c), okey).alias(f"_last_{c}") for c in lag_cols]
+    )
+    # bounded grid: one row per NON-EMPTY partition, so lag over pid
+    # order skips empty partitions by construction
+    w_pid = Window.orderBy("_pid")
+    bounds = stats.select(
+        "_pid",
+        *[
+            F.lag(f"_last_{c}").over(w_pid).alias(f"_prevlast_{c}")
+            for c in lag_cols
+        ],
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = part.join(F.broadcast(bounds), "_pid")
+    first_local = F.row_number().over(w_loc) == 1
+    for c in lag_cols:
+        out = out.withColumn(
+            f"prev_{c}",
+            F.when(first_local, F.col(f"_prevlast_{c}")).otherwise(
+                F.lag(c).over(w_loc)
+            ),
+        )
+    return out.drop("_pid", *[f"_prevlast_{c}" for c in lag_cols])

@@ -39,6 +39,7 @@ from mini_sql_engine_spark.catalog import (
 from mini_sql_engine_spark.functions.hashing import md5_long
 from mini_sql_engine_spark.functions.numeric import NANO as _NANO
 from mini_sql_engine_spark.functions.numeric import qsum as _qsum
+from mini_sql_engine_spark.functions.ranking import ntile_expr, range_prefix
 
 ALL = "(all)"  # marker for super-aggregate rows (testdata is NOT NULL,
 # so coalescing grouped NULLs to a marker is unambiguous)
@@ -1097,14 +1098,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per user: Recency (days from last purchase to the corpus horizon),
     Frequency (purchase count), Monetary (integer cents); each scored
-    into quartiles by ntile with deterministic (metric, user_id)
-    tie-breaks, then labeled champion / loyal / at_risk / other by the
-    standard score rules. The horizon is max(ts) over the corpus — a
-    1-row broadcast scalar, not a driver-side collect. Two shuffles
-    total (user rollup + the ntile sort over the users-cardinality
-    table); segments are a projection."""
-    from pyspark.sql import Window
-
+    into quartiles with deterministic (metric, user_id) tie-breaks,
+    then labeled champion / loyal / at_risk / other by the standard
+    score rules. The horizon is max(ts) over the corpus — a 1-row
+    broadcast scalar, not a driver-side collect. The three quartile
+    scores are exact ntile replays (ntile_expr) on range-partitioned
+    global ranks (range_prefix) — the users ladder never funnels
+    through a single-partition window sort; segments are a
+    projection."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     per_user = purchases.groupBy("user_id").agg(
@@ -1123,17 +1124,30 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    r_w = Window.orderBy("recency_days", "user_id")  # low recency = best
-    f_w = Window.orderBy(F.desc("frequency"), "user_id")
-    m_w = Window.orderBy(F.desc("monetary_cents"), "user_id")
-    scored = base.select(
+    # three independent global ranks (low recency / high frequency /
+    # high monetary = best); desc orders ride as negated sort keys
+    ranked = range_prefix(
+        base, ["recency_days", "user_id"], rank_col="r_rnk",
+        total_rows_col="_n",
+    )
+    ranked = range_prefix(
+        ranked.withColumn("_negf", -F.col("frequency")),
+        ["_negf", "user_id"],
+        rank_col="f_rnk",
+    )
+    ranked = range_prefix(
+        ranked.withColumn("_negm", -F.col("monetary_cents")),
+        ["_negm", "user_id"],
+        rank_col="m_rnk",
+    )
+    scored = ranked.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(RFM_BUCKETS).over(r_w).cast("long").alias("r_score"),
-        F.ntile(RFM_BUCKETS).over(f_w).cast("long").alias("f_score"),
-        F.ntile(RFM_BUCKETS).over(m_w).cast("long").alias("m_score"),
+        ntile_expr("r_rnk", "_n", RFM_BUCKETS).cast("long").alias("r_score"),
+        ntile_expr("f_rnk", "_n", RFM_BUCKETS).cast("long").alias("f_score"),
+        ntile_expr("m_rnk", "_n", RFM_BUCKETS).cast("long").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -2022,12 +2036,13 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): NO global sort and NO ntile window — the
     B−1 boundary values broadcast as a tiny array and assignment is a
     per-row scan expression, then one (bucket, agg) shuffle of B
-    rows. At real scale compute boundaries with the mergeable
+    rows. The cumulative ladder over the DISTINCT values (which
+    scales with the value domain, ~rows for near-unique prices) runs
+    through range_prefix — range-partitioned prefix sums, never one
+    task. At real scale compute boundaries with the mergeable
     t-digest (`percentile_approx`) instead of exact percentile; the
     assignment side is unchanged.
     """
-    from pyspark.sql import Window
-
     li = (
         ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
         .select(
@@ -2046,18 +2061,10 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frac = ((n−1)·i mod B)/B — so both engines pick identical order
     # statistics (float (n−1)·q at a divisibility boundary does not).
     cells = li.groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
-    wo = Window.orderBy("pc")
-    dist = cells.select(
+    dist = range_prefix(cells, ["pc"], sum_cols=("c",)).select(
         "pc",
-        F.coalesce(
-            F.sum("c").over(
-                wo.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("cum_prev"),
-        F.sum("c")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
+        (F.col("cum_c") - F.col("c")).alias("cum_prev"),
+        F.col("cum_c").alias("cum"),
     )
     n = li.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
@@ -4991,11 +4998,12 @@ def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     in each direction, pick the closer side. The oracle runs the same
     two windows.
 
-    Scale notes (100 TB): the interleave is a sort on (score, tag) —
-    range-partitioned sort at scale (same note as
-    ext_dedup_sorted_neighborhood); everything after it is per-row
-    arithmetic plus one broadcast join back to the collapsed control
-    levels (|levels| ≪ |users|).
+    Scale notes (100 TB): the interleave's two directional passes run
+    through range_prefix (range-partitioned prefix max — the
+    last-non-null propagation, since control levels ascend with the
+    sort key); everything after is per-row arithmetic plus one
+    broadcast join back to the collapsed control levels
+    (|levels| ≪ |users|).
     """
     from pyspark.sql import Window
 
@@ -5044,18 +5052,24 @@ def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("ctrl_a"),
         )
     )
-    wf = (
-        Window.orderBy("a", "tag", "user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wb = (
-        Window.orderBy(F.col("a").desc(), "tag", "user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # last-non-null in each direction WITHOUT a single-partition
+    # window: ctrl_a equals the sort key on control rows, so along
+    # ascending (a, tag, user_id) order the last prior control level
+    # IS the prefix max of ctrl_a — range_prefix's prevmax; the
+    # backward pass is the same with negated keys. Treated rows carry
+    # NULL ctrl_a, so strict-vs-inclusive frames agree on them.
+    fwd = range_prefix(
+        stream, ["a", "tag", "user_id"], max_cols=("ctrl_a",)
+    ).withColumnRenamed("prevmax_ctrl_a", "prev_a")
+    bwd = range_prefix(
+        fwd.withColumn("_nega", -F.col("a")).withColumn(
+            "_negctrl", -F.col("ctrl_a")
+        ),
+        ["_nega", "tag", "user_id"],
+        max_cols=("_negctrl",),
+    ).withColumn("next_a", -F.col("prevmax__negctrl"))
     matched = (
-        stream.withColumn("prev_a", F.last("ctrl_a", ignorenulls=True).over(wf))
-        .withColumn("next_a", F.last("ctrl_a", ignorenulls=True).over(wb))
-        .filter(F.col("tag") == 1)
+        bwd.filter(F.col("tag") == 1)
         .select(
             "user_id",
             "a",
@@ -5236,8 +5250,9 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands below 2^53, so the double division floors identically on
     both engines; ties order by (value, event_id) for determinism.
 
-    Scale notes (100 TB): two rank windows (per-group and pooled —
-    range-partitioned sorts at scale) and one shuffle join on the
+    Scale notes (100 TB): the per-group rank window partitions by
+    event_type; the POOLED ladder rank comes from range_prefix
+    (range-partitioned, never one task); one shuffle join on the
     pooled rank. The pooled ladder can be sampled/sketched (t-digest)
     at real scale; the exact-rank form is the oracle-checkable spec.
     """
@@ -5260,13 +5275,9 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_g), "event_type")
         .crossJoin(F.broadcast(n_tot))
     )
-    pooled = ev.select(
-        F.row_number()
-        .over(Window.orderBy("v", "event_id"))
-        .cast("long")
-        .alias("k"),
-        F.col("v").alias("pv"),
-    )
+    pooled = range_prefix(
+        ev.select("v", "event_id"), ["v", "event_id"]
+    ).select(F.col("rnk").alias("k"), F.col("v").alias("pv"))
     keyed = ranked.select(
         "event_id",
         "event_type",

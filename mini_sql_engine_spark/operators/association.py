@@ -26,14 +26,14 @@ Scale notes (100 TB):
   — the canonical A-priori candidate shape. Item counts and the
   single-row order count are broadcast to the pair table, so the only
   wide shuffle carries (pair → count) partials, map-side combined.
-- sorted_neighborhood: one global sort of (key, doc_id) — at cluster
-  scale ``repartitionByRange`` on the key plus a W-row boundary
-  overlap per range gives the identical candidate set with no global
-  single-task window (the standard distributed-SN construction; the
-  rank window here is its local[*] degenerate form). Candidate pairs
-  are W per doc — linear in corpus size, vs the inverted-index join's
-  posting-list quadratic worst case. Verification joins the shingle
-  arrays onto the thin candidate set only.
+- sorted_neighborhood: the global rank comes from ``range_prefix``
+  (repartitionByRange on the key + per-partition row_number + pid
+  offsets) — the standard distributed-SN construction, no global
+  single-task window; the W-row boundary overlap rides on the rank
+  sequence join, which crosses partition boundaries by key. Candidate
+  pairs are W per doc — linear in corpus size, vs the inverted-index
+  join's posting-list quadratic worst case. Verification joins the
+  shingle arrays onto the thin candidate set only.
 """
 
 from __future__ import annotations
@@ -41,9 +41,9 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions.ranking import ntile_expr, range_prefix
 from mini_sql_engine_spark.operators.dedup import (
     _JACCARD_PAIRS,
     _MINHASH_ORACLE,
@@ -131,12 +131,14 @@ def sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc with the next SN_WINDOW docs in rank order, verify candidates
     with exact Jaccard >= JACCARD_T on the shared shingle sets."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ranked = docs.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(_sn_key("text"), "doc_id"))
-        .alias("rnk"),
-    )
+    # global rank over the prefix key via range_prefix — the sorted
+    # order the method needs, WITHOUT a single-partition sort (this is
+    # the repartitionByRange + boundary-window shape the docstring
+    # promises at cluster scale; the W-row overlap rides on the rank
+    # sequence join below, which crosses partition boundaries by key)
+    ranked = range_prefix(
+        docs.withColumn("_key", _sn_key("text")), ["_key", "doc_id"]
+    ).select("doc_id", F.col("rnk").cast("int").alias("rnk"))
     partner = ranked.select(
         F.col("doc_id").alias("id_lo"),
         F.explode(
@@ -271,17 +273,17 @@ def quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering decision.
 
     Scale: the quality projection is a pure scan-side expression; the
-    decile is one docs-sized sort (repartitionByRange at cluster
-    scale); dup membership is a semi-join against the near-dup pair
-    output, which is orders of magnitude below corpus size."""
+    decile is an exact ntile replay (ntile_expr) on a range-partitioned
+    global rank (range_prefix) — docs-sized but never one task; dup
+    membership is a semi-join against the near-dup pair output, which
+    is orders of magnitude below corpus size."""
     from mini_sql_engine_spark.operators.dedup import jaccard_dedup
     from mini_sql_engine_spark.operators.text import quality
 
     q = quality(spark, sf_dir).select("doc_id", "quality")
-    deciled = q.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("quality", "doc_id")).cast("long"),
-    )
+    deciled = range_prefix(
+        q, ["quality", "doc_id"], total_rows_col="_n"
+    ).withColumn("decile", ntile_expr("rnk", "_n", 10).cast("long"))
     pairs = jaccard_dedup(spark, sf_dir)
     dup_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))

@@ -43,9 +43,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from mini_sql_engine_spark.catalog import load_table
+from mini_sql_engine_spark.functions.ranking import (
+    ntile_expr,
+    range_lag,
+    range_prefix,
+)
 
 # --- zone maps ------------------------------------------------------
 
@@ -78,15 +82,15 @@ def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    native = orders.withColumn(
-        "zone", F.ntile(ZONES).over(Window.orderBy("o_orderkey")).cast("int")
-    )
-    clustered = orders.withColumn(
-        "zone",
-        F.ntile(ZONES)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("int"),
-    )
+    # exact ntile replay on range-partitioned ranks: the orders ladder
+    # is entity-scaled, so neither layout's zoning may funnel through
+    # a single-partition window sort
+    native = range_prefix(
+        orders, ["o_orderkey"], total_rows_col="_n"
+    ).withColumn("zone", ntile_expr("rnk", "_n", ZONES).cast("int"))
+    clustered = range_prefix(
+        orders, ["o_totalprice", "o_orderkey"], total_rows_col="_n"
+    ).withColumn("zone", ntile_expr("rnk", "_n", ZONES).cast("int"))
 
     def summarize(df: DataFrame, layout: str) -> DataFrame:
         stats = df.groupBy("zone").agg(
@@ -120,11 +124,12 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = li.groupBy(
         F.floor(F.col("l_orderkey") / ZONE_KEYS).cast("long").alias("zone")
     ).agg(F.count("*").alias("n_rows"))
-    w = Window.orderBy("zone").rowsBetween(Window.unboundedPreceding, -1)
-    planned = zones.withColumn(
+    # rows-before-this-zone from range_prefix (the zones ladder scales
+    # with the key domain — thin, but not one-task thin)
+    planned = range_prefix(zones, ["zone"], sum_cols=("n_rows",)).withColumn(
         "file_id",
         F.floor(
-            F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / TARGET_ROWS
+            (F.col("cum_n_rows") - F.col("n_rows")) / TARGET_ROWS
         ).cast("long"),
     )
     return planned.groupBy("file_id").agg(
@@ -177,10 +182,10 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = (1 << MORTON_BITS) - 1
 
     def blocks(df: DataFrame, order, layout: str) -> DataFrame:
-        w = Window.orderBy(*order)
-        blk = df.withColumn(
-            "block",
-            F.floor((F.row_number().over(w) - 1) / BLOCK_ROWS).cast("long"),
+        # range-partitioned global rank: the lineitem ladder is
+        # entity-scaled, no single-partition sort
+        blk = range_prefix(df, list(order)).withColumn(
+            "block", F.floor((F.col("rnk") - 1) / BLOCK_ROWS).cast("long")
         )
         per = blk.groupBy("block").agg(
             (F.max("qn") - F.min("qn")).alias("q_width"),
@@ -274,23 +279,22 @@ def rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact numbers on that trade per column before anyone rewrites
     100 TB.
 
-    Scale notes (100 TB): one window pass per layout over the sort
-    order (range-partitioned sort at scale; the lag-compare is
-    per-row). Counting runs needs no state beyond the previous row,
+    Scale notes (100 TB): one range-partitioned lag pass per layout
+    (functions.ranking.range_lag — per-partition lag + a tiny
+    boundary-row stitch; never a single-task sort); the lag-compare
+    is per-row. Counting runs needs no state beyond the previous row,
     so this is the cheapest possible probe of a rewrite's value —
     run it on a sampled fraction first at real scale.
     """
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
     out: DataFrame | None = None
     for layout, keys in RLE_LAYOUTS:
-        w = Window.orderBy(*keys)
-        flagged = orders.select(
+        lagged = range_lag(orders, keys, tuple(RLE_COLS))
+        flagged = lagged.select(
             *[
                 (
-                    (F.lag(c).over(w).isNull())
-                    | (F.col(c) != F.lag(c).over(w))
+                    (F.col(f"prev_{c}").isNull())
+                    | (F.col(c) != F.col(f"prev_{c}"))
                 )
                 .cast("long")
                 .alias(f"chg_{c}")

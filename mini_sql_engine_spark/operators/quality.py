@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
+from mini_sql_engine_spark.functions.ranking import range_prefix
 from mini_sql_engine_spark.functions import hashing, textfns, vector
 from mini_sql_engine_spark.operators.dedup import (
     EMB_DIM,
@@ -187,9 +188,11 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = freq.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token")),
+    # vocab-scaled frequency rank via range_prefix (desc rides as a
+    # negated key) — no single-partition window over the type table
+    ranked = range_prefix(
+        freq.withColumn("_negc", -F.col("cnt")), ["_negc", "token"],
+        rank_col="rk",
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_types"),
@@ -576,11 +579,10 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bic.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
     tt = bic.agg(F.count(F.lit(1)).alias("n_types"))
-    wtop = Window.orderBy(F.col("c1").desc(), F.col("w1"))
-    top_ctx = (
-        ctx.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= KN_CONTEXTS)
-        .drop("rn")
+    # global top-K via sort-limit: Spark plans TakeOrderedAndProject
+    # (per-partition heaps + K-row merge), never a full global sort
+    top_ctx = ctx.orderBy(F.col("c1").desc(), F.col("w1")).limit(
+        KN_CONTEXTS
     )
     scored = (
         bic.join(F.broadcast(top_ctx), "w1")

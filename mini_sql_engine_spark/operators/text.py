@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import hashing, textfns
-from mini_sql_engine_spark.functions.ranking import range_prefix
+from mini_sql_engine_spark.functions.ranking import ntile_expr, range_prefix
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,19 +741,7 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = range_prefix(
         scored, ["avg_nll_micro", "doc_id"], total_rows_col="_n"
     )
-    # exact ntile(3) replay on (rnk, n): n = 3q + r; first r buckets
-    # hold q+1 rows. All-integer `div` arithmetic — no doubles. The
-    # q=0 branch (n < 3) never divides by zero: every p falls in the
-    # head span r(q+1) = n, so the otherwise() (a NULL under div-0)
-    # is unreachable there.
-    bucket_no = F.expr(
-        """CASE WHEN rnk <= (_n % 3) * (_n div 3 + 1)
-                THEN (rnk + _n div 3) div (_n div 3 + 1)
-                ELSE _n % 3
-                     + (rnk - (_n % 3) * (_n div 3 + 1) + _n div 3 - 1)
-                       div (_n div 3)
-           END"""
-    )
+    bucket_no = ntile_expr("rnk", "_n", 3)
     return ranked.select(
         "doc_id",
         "n_tokens",

@@ -34,6 +34,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mini_sql_engine_spark.functions.ranking import range_prefix
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns
 from mini_sql_engine_spark.functions.hashing import md5_long
@@ -193,11 +194,8 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = first.groupBy(
         F.floor(F.col("first_doc") / HEAPS_BUCKET).cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_new"))
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return buckets.select(
-        "bucket", "n_new", F.sum("n_new").over(w).alias("cum_vocab")
+    return range_prefix(buckets, ["bucket"], sum_cols=("n_new",)).select(
+        "bucket", "n_new", F.col("cum_n_new").alias("cum_vocab")
     )
 
 
@@ -241,17 +239,13 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
-    wo = Window.orderBy("t")
-    ranges = weighted.select(
+    # vocab-scaled cumulative ranges via range_prefix — no
+    # single-partition window over the type table
+    ranges = range_prefix(weighted, ["t"], sum_cols=("w",)).select(
         "t",
         "w",
-        F.coalesce(
-            F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("lo"),
-        F.sum("w")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("hi"),
+        (F.col("cum_w") - F.col("w")).alias("lo"),
+        F.col("cum_w").alias("hi"),
     )
     tot = weighted.agg(F.sum("w").alias("tw"))
     pos = toks.filter(F.col("doc_id") % NEG_DOC_MOD == 0)

@@ -26,16 +26,18 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
-    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    cols = ["hour_start", "event_type", "n_events", "sum_cents"]
     assert rows_set(streamed, cols) == rows_set(batch, cols)
 
 
@@ -280,16 +282,18 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("sum_cents"),
             )
             .select(
                 F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
                 "event_type",
                 "n_events",
-                "sum_value",
+                "sum_cents",
             )
         )
-        cols = ["hour_start", "event_type", "n_events", "sum_value"]
+        cols = ["hour_start", "event_type", "n_events", "sum_cents"]
         assert rows_set(streamed, cols) == rows_set(batch, cols)
     finally:
         if prev is None:
