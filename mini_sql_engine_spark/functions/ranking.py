@@ -18,13 +18,15 @@ row_number / prefix-sum / prefix-max with no single-partition stage:
    offset: rows before it, sum before it, max before it;
 4. a broadcast join puts the offsets back on the big side.
 
-Determinism: ``spark_partition_id`` is materialized in the
-range-partitioned stage (the hash exchange for step 2 keys on it, so
-it is evaluated before any reshuffle), and Spark's RangePartitioner
-seeds its reservoir sample per input-partition index, so re-executions
-of the same plan see the same boundaries. Results do not depend on the
-boundaries anyway — any split of a total order yields the same global
-rank.
+Determinism: the offsets table and the main output BOTH read the
+range-partitioned data, and their pids must agree — but AQE may
+re-plan the range exchange per consumer (different sampled boundaries
+→ misaligned offsets → duplicated/skipped ranks; caught by the sf0.1
+sweep on ext_zorder_clustering). The partitioned input is therefore
+localCheckpoint'ed (lazy): it materializes exactly once on first use
+and every consumer reads the SAME partitioning. This is the
+"stage-table" materialization a production job would persist anyway
+before fanning out.
 
 Cost at 100 TB: one range shuffle + one hash shuffle of the ladder
 (both on thin projected rows), one tiny stats agg, one broadcast —
@@ -88,8 +90,13 @@ def range_prefix(
       for rank-arithmetic consumers like exact ntile replay.
     """
     ordered = [F.col(c).asc() for c in order_cols]
-    part = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        # one materialization shared by the offsets and main consumers:
+        # pids MUST come from a single physical execution (see module
+        # docstring — AQE may otherwise re-plan the exchange per branch)
+        .localCheckpoint(eager=False)
     )
 
     stats_aggs = [F.count(F.lit(1)).alias("_cnt")]
@@ -175,8 +182,10 @@ def range_lag(
     window form. Assumes ``lag_cols`` values are non-NULL (a data NULL
     is indistinguishable from "no predecessor" only on the global
     first row; callers here count runs over NOT-NULL columns)."""
-    part = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # same pid-consistency rule
     )
     okey = F.struct(*[F.col(c) for c in order_cols])
     stats = part.groupBy("_pid").agg(

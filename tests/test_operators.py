@@ -2571,3 +2571,38 @@ def test_range_prefix_property_random_shapes(spark):
             ).collect()
         }
         assert got == want, (n, key_mod, val_mod, shift)
+
+
+def test_range_lag_matches_global_window(spark):
+    """range_lag must replay the single-partition global lag exactly,
+    including the NULL on the global first row and boundary stitching
+    across range partitions (first row of each partition takes the
+    previous non-empty partition's last value)."""
+    from pyspark.sql import Window
+
+    from mini_sql_engine_spark.functions.ranking import range_lag
+
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 11).alias("k"),
+            F.col("id").alias("tie"),
+            ((F.col("id") * 13) % 7).alias("v"),
+            (F.col("id") % 3).alias("u"),
+        )
+        .repartition(9)
+    )
+    got = {
+        r.tie: (r.prev_v, r.prev_u)
+        for r in range_lag(df, ["k", "tie"], ("v", "u")).collect()
+    }
+    w = Window.orderBy("k", "tie")
+    want = {
+        r.tie: (r.prev_v, r.prev_u)
+        for r in df.select(
+            "tie",
+            F.lag("v").over(w).alias("prev_v"),
+            F.lag("u").over(w).alias("prev_u"),
+        ).collect()
+    }
+    assert got == want

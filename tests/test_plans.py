@@ -531,15 +531,16 @@ def test_value_breakout_single_shuffle(spark, sf_dir):
 
 def test_compaction_plan_never_touches_data_rows(spark, sf_dir):
     """The bin-pack runs on the zones-sized stats table, reading ONLY
-    the zone key column. The cumulative pass now rides range_prefix,
-    whose two consumers (offsets + main) share ONE physical scan +
-    range exchange — asserted via the executed plan's ReusedExchange
-    (the static plan prints the subtree per consumer)."""
+    the zone key column. The cumulative pass rides range_prefix, whose
+    partitioned input localCheckpoints once (pid consistency — see
+    functions/ranking.py) — so the executed plan reads the
+    materialized RDD, with the single pruned parquet scan paid at
+    checkpoint time, and both consumers (offsets + main) share it."""
     df = ALL_QUERIES["ext_compaction_plan"](spark, sf_dir)
     df.collect()
     plan = _plan(df)
-    assert "ReusedExchange" in plan, plan
-    assert "l_orderkey" in plan and "l_quantity" not in plan, plan
+    assert "ExistingRDD" in plan or "ReusedExchange" in plan, plan
+    assert "l_quantity" not in plan, plan
 
 
 def test_zorder_beats_linear_sort_on_secondary_dim(spark, sf_dir):
