@@ -102,7 +102,9 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
         )
     )
 
@@ -132,7 +134,8 @@ ORACLES: dict[str, str] = {
     "ext_range_join": f"""
         WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
         SELECT band, COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS total_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY band
     """,

@@ -222,7 +222,16 @@ def embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.max("dim").alias("dim"),
-            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            # exact-integer numerator (per-row micro-quantized norm),
+            # ONE IEEE division — no float-sum order dependence
+            (
+                F.sum(
+                    F.floor(F.col("norm") * 1_000_000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)) * 1_000_000)
+            ).alias("avg_norm"),
             F.sum(
                 (F.abs(F.col("norm") - 1.0) > NORM_TOL).cast("long")
             ).alias("n_off_unit"),
@@ -717,7 +726,8 @@ ORACLES: dict[str, str] = {
                                  x -> CAST(x AS DOUBLE) * x))) AS norm
             FROM embeddings)
         SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS dim,
-               ROUND(AVG(norm), 4) AS avg_norm,
+               CAST(SUM(CAST(FLOOR(norm * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * 1000000) AS avg_norm,
                CAST(SUM(CASE WHEN ABS(norm - 1.0) > {NORM_TOL} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_off_unit
         FROM n GROUP BY label

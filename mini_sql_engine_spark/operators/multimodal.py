@@ -171,9 +171,22 @@ def decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+            # exact-integer numerators over ONE division each: the
+            # per-item mean_intensity micro-quantizes per row, n_bytes
+            # is already integral — no float-sum order dependence
+            (
+                F.sum(
+                    F.floor(
+                        F.col("mean_intensity") * 1_000_000 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / (F.count(F.lit(1)) * 1_000_000)
+            ).alias("avg_intensity"),
             F.max("max_intensity").alias("peak"),
-            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            (
+                F.sum(F.col("n_bytes").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bytes"),
         )
     )
 
@@ -272,9 +285,12 @@ ORACLES: dict[str, str] = {
                    list_max({_BYTES}) AS max_intensity
             FROM documents)
         SELECT media_type, COUNT(*) AS n_items,
-               ROUND(AVG(mean_intensity), 4) AS avg_intensity,
+               CAST(SUM(CAST(FLOOR(mean_intensity * 1000000 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * 1000000) AS avg_intensity,
                CAST(MAX(max_intensity) AS BIGINT) AS peak,
-               ROUND(AVG(n_bytes), 4) AS avg_bytes
+               CAST(SUM(CAST(n_bytes AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) AS avg_bytes
         FROM d GROUP BY media_type
     """,
     "ext_mm_frame_sample": f"""

@@ -194,10 +194,39 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.withColumn("_negc", -F.col("cnt")), ["_negc", "token"],
         rank_col="rk",
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_types"),
-        F.round(F.expr("regr_slope(ln(cnt), ln(rk))"), 4).alias("zipf_slope"),
-        F.round(F.expr("regr_r2(ln(cnt), ln(rk))"), 4).alias("zipf_r2"),
+    # exact-moment regression: quantize ln(rk)/ln(cnt) to integer
+    # micros per TYPE, accumulate Σx Σy Σxy Σx² Σy² as DECIMAL (order-
+    # independent exact integer sums — regr_slope's internal float
+    # reduction is partial-agg-order dependent), then slope/r² are a
+    # handful of IEEE ops on identical exact operands in both engines.
+    moments = ranked.select(
+        F.floor(F.log("rk") * 1_000_000 + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.floor(F.log("cnt") * 1_000_000 + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return moments.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(num / den_x, 4).alias("zipf_slope"),
+        F.round(num * num / (den_x * den_y), 4).alias("zipf_r2"),
     )
 
 
@@ -1485,11 +1514,22 @@ ORACLES: dict[str, str] = {
             GROUP BY token),
         ranked AS (
             SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
-            FROM freq)
-        SELECT COUNT(*) AS n_types,
-               ROUND(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
-               ROUND(regr_r2(ln(cnt), ln(rk)), 4) AS zipf_r2
-        FROM ranked
+            FROM freq),
+        q AS (SELECT CAST(FLOOR(ln(rk) * 1000000 + 0.5) AS HUGEINT) AS x,
+                     CAST(FLOOR(ln(cnt) * 1000000 + 0.5) AS HUGEINT) AS y
+              FROM ranked),
+        m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM q)
+        SELECT CAST(n AS BIGINT) AS n_types,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS zipf_r2
+        FROM m
     """,
     "ext_ngram_novelty": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

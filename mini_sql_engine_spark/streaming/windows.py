@@ -114,28 +114,42 @@ def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 _STATE_SCHEMA = StructType(
-    [StructField("total", DoubleType()), StructField("n", LongType())]
+    [StructField("total_cents", LongType()), StructField("n", LongType())]
 )
 _TOTALS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_cents", LongType()),
     ]
 )
+
+
+def _batch_cents(values: "pd.Series") -> int:
+    """Exact per-batch cents: floor(v*100 + 0.5) per value (the repo
+    money rule — identical IEEE ops in numpy float64, the JVM, and
+    DuckDB), summed as integers. Integer state accumulates exactly
+    across batches in ANY order, so the N-batch streaming total equals
+    the one-shot batch aggregate bit-for-bit — a float running total
+    would drift with batch boundaries."""
+    import numpy as np
+
+    return int(
+        np.floor(values.to_numpy(dtype="float64") * 100 + 0.5).sum()
+    )
 
 
 def _user_totals_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: running per-user event count + value sum."""
-    total, n = state.get if state.exists else (0.0, 0)
+    total, n = state.get if state.exists else (0, 0)
     for pdf in batches:
-        total += float(pdf["value"].sum())
+        total += _batch_cents(pdf["value"])
         n += len(pdf)
     state.update((total, n))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
     )
 
 
@@ -165,13 +179,13 @@ class _TotalsProcessor(StatefulProcessor):
         self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
     ) -> Iterator[pd.DataFrame]:
         got = self._state.get() if self._state.exists() else None
-        total, n = got if got is not None else (0.0, 0)
+        total, n = got if got is not None else (0, 0)
         for pdf in rows:
-            total += float(pdf["value"].sum())
+            total += _batch_cents(pdf["value"])
             n += len(pdf)
         self._state.update((total, n))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
         )
 
     def close(self) -> None:
@@ -529,7 +543,9 @@ def batch_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
         )
     )
 
@@ -610,7 +626,8 @@ ORACLES: dict[str, str] = {
     """,
     "stream_stateful_user_totals": """
         SELECT user_id, COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS total_value
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM events GROUP BY user_id
     """,
     # stream-batch parity: streaming dropDuplicates over the key subset

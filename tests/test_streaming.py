@@ -44,7 +44,7 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
 def test_stateful_user_totals_matches_batch(spark, sf_dir):
     streamed = W.stream_user_totals(spark, sf_dir)
     batch = W.batch_user_totals(spark, sf_dir)
-    cols = ["user_id", "n_events", "total_value"]
+    cols = ["user_id", "n_events", "total_cents"]
     assert rows_set(streamed, cols) == rows_set(batch, cols)
 
 
@@ -247,11 +247,11 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     )
 
     got = {
-        r.user_id: (r.n_events, r.total_value)
+        r.user_id: (r.n_events, r.total_cents)
         for r in stream_tws_user_totals(spark, sf_dir).collect()
     }
     want = {
-        r.user_id: (r.n_events, round(r.total_value, 2))
+        r.user_id: (r.n_events, r.total_cents)
         for r in batch_user_totals(spark, sf_dir).collect()
     }
     assert got == want
