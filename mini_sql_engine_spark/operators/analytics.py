@@ -55,13 +55,21 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            # integer cents: the grand-total row sums the WHOLE orders
+            # table — a rounded float sum there is safe at sf0.1 but
+            # marginal at 100x (random-walk error approaches the round
+            # grid); integer cents are exact in any order at any scale
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_cents"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit(ALL)).alias("priority"),
             F.coalesce("o_orderstatus", F.lit(ALL)).alias("status"),
             "n_orders",
-            "total_price",
+            "total_cents",
         )
     )
 
@@ -9201,7 +9209,8 @@ ORACLES: dict[str, str] = {
         SELECT coalesce(o_orderpriority, '{ALL}') AS priority,
                coalesce(o_orderstatus, '{ALL}') AS status,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS total_price
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     "ext_cube": f"""
