@@ -2606,3 +2606,35 @@ def test_range_lag_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("buckets", [2, 3, 4, 7, 10])
+def test_ntile_expr_equals_window_ntile(spark, buckets):
+    """ntile_expr's integer-arithmetic replay must equal F.ntile for
+    every bucket count used in the repo, including n < buckets and
+    n % buckets != 0 edges."""
+    from pyspark.sql import Window
+
+    from mini_sql_engine_spark.functions.ranking import (
+        ntile_expr,
+        range_prefix,
+    )
+
+    for n in (1, 2, buckets - 1, buckets, buckets + 1, 97, 1000):
+        if n < 1:
+            continue
+        df = spark.range(n).select(F.col("id").alias("k"))
+        got = {
+            r.k: r.b
+            for r in range_prefix(df, ["k"], total_rows_col="_n")
+            .select("k", ntile_expr("rnk", "_n", buckets).alias("b"))
+            .collect()
+        }
+        want = {
+            r.k: r.b
+            for r in df.select(
+                "k",
+                F.ntile(buckets).over(Window.orderBy("k")).alias("b"),
+            ).collect()
+        }
+        assert got == want, (buckets, n)
