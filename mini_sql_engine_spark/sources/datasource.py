@@ -85,23 +85,17 @@ _PUSHABLE_OPS = {
 
 
 class MiniSQLReader(DataSourceReader):
-    """Splittable scan with native filter pushdown (Spark 4.1 Python
-    DataSource `pushFilters`): integer comparison predicates are
-    evaluated on the parsed fields BEFORE rows leave the Python reader,
-    so non-matching rows never cross the Arrow boundary into the JVM —
-    the same contract a database source honors. `IsNotNull` is absorbed
-    for free (the format is integer-only, nulls cannot exist);
-    everything else is returned to Spark for post-scan evaluation.
-
-    Pushdown is OPT-IN per read (``option("pushdown", "true")``):
-    Spark 4.1 caches the planned Python read — pushed filters baked
-    into the pickled reader — on the shared relation object, and a
-    later NO-filter query on the same loaded DataFrame reuses that
-    stale plan, silently returning the previous query's filtered rows
-    (verified against this Spark build; queries WITH filters re-plan
-    and are safe). Opting in per read() call, where every query builds
-    its own relation, sidesteps the stale-reuse hazard; a reused
-    multi-query DataFrame should leave pushdown off.
+    """Splittable scan of the native format. This BASE class
+    deliberately does NOT implement ``pushFilters``: Spark 4.1
+    hard-fails (``DATA_SOURCE_PUSHDOWN_DISABLED``) any Python data
+    source whose reader implements ``pushFilters()`` while the session
+    conf ``spark.sql.python.filterPushdown.enabled`` is false. The
+    engine's own ``get_spark()`` turns the conf on, but the connector
+    must also work under a *caller-owned* session with default confs
+    (this exact fragility produced round 5's only four failures), so
+    ``MiniSQLDataSource.reader()`` returns this pushdown-free base
+    under a conf-off session and the :class:`MiniSQLPushdownReader`
+    subclass only when the active session advertises the conf.
     """
 
     def __init__(
@@ -116,28 +110,6 @@ class MiniSQLReader(DataSourceReader):
         self._columns = columns
         self._enable_pushdown = enable_pushdown
         self._pushed: list[tuple[int, object, int]] = []  # (col idx, op, value)
-
-    def pushFilters(self, filters):  # noqa: N802 - Spark API name
-        if not self._enable_pushdown:
-            return filters
-        remaining = []
-        for f in filters:
-            op = _PUSHABLE_OPS.get(type(f))
-            if (
-                op is not None
-                and len(f.attribute) == 1
-                and f.attribute[0] in self._columns
-                and isinstance(f.value, int)
-                and not isinstance(f.value, bool)
-            ):
-                self._pushed.append(
-                    (self._columns.index(f.attribute[0]), op, f.value)
-                )
-            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
-                pass  # every value in the integer-only format is non-null
-            else:
-                remaining.append(f)
-        return remaining
 
     def partitions(self) -> Sequence[InputPartition]:
         offs = _aligned_offsets(self._csv_path, self._n)
@@ -160,6 +132,57 @@ class MiniSQLReader(DataSourceReader):
             )
             if all(op(row[i], v) for i, op, v in pushed):
                 yield row
+
+
+class MiniSQLPushdownReader(MiniSQLReader):
+    """Native filter pushdown (Spark 4.1 Python DataSource
+    ``pushFilters``): integer comparison predicates are evaluated on
+    the parsed fields BEFORE rows leave the Python reader, so
+    non-matching rows never cross the Arrow boundary into the JVM —
+    the same contract a database source honors. ``IsNotNull`` is
+    absorbed for free (the format is integer-only, nulls cannot
+    exist); everything else is returned to Spark for post-scan
+    evaluation.
+
+    Pushdown is OPT-IN per read (``option("pushdown", "true")``):
+    Spark 4.1 caches the planned Python read — pushed filters baked
+    into the pickled reader — on the shared relation object, and a
+    later NO-filter query on the same loaded DataFrame reuses that
+    stale plan, silently returning the previous query's filtered rows
+    (verified against this Spark build; queries WITH filters re-plan
+    and are safe). Opting in per read() call, where every query builds
+    its own relation, sidesteps the stale-reuse hazard; a reused
+    multi-query DataFrame should leave pushdown off.
+
+    Only instantiated for opt-in reads — a default read gets the base
+    :class:`MiniSQLReader` (no ``pushFilters`` attribute at all), so
+    the common path can never trip ``DATA_SOURCE_PUSHDOWN_DISABLED``
+    whatever the session's confs. An opt-in read additionally needs
+    ``spark.sql.python.filterPushdown.enabled`` (``register()`` turns
+    it on); Spark raises a clear ask-the-user error otherwise.
+    """
+
+    def pushFilters(self, filters):  # noqa: N802 - Spark API name
+        if not self._enable_pushdown:
+            return filters
+        remaining = []
+        for f in filters:
+            op = _PUSHABLE_OPS.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and f.attribute[0] in self._columns
+                and isinstance(f.value, int)
+                and not isinstance(f.value, bool)
+            ):
+                self._pushed.append(
+                    (self._columns.index(f.attribute[0]), op, f.value)
+                )
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                pass  # every value in the integer-only format is non-null
+            else:
+                remaining.append(f)
+        return remaining
 
 
 class MiniSQLDataSource(DataSource):
@@ -205,11 +228,23 @@ class MiniSQLDataSource(DataSource):
             csv_path = os.path.join(data_dir, f"{table}.csv")
         if not os.path.exists(csv_path):
             raise EngineError(f"table file not found: {csv_path}")
-        return MiniSQLReader(
+        # Serve a pushFilters-capable reader ONLY for opt-in reads.
+        # Spark 4.1's planning worker raises DATA_SOURCE_PUSHDOWN_DISABLED
+        # for any reader that merely IMPLEMENTS pushFilters while
+        # spark.sql.python.filterPushdown.enabled is off — and queries may
+        # run under a caller-owned session with default confs (round 5's
+        # only failure class). reader() itself executes inside Spark's
+        # Python planning worker, where the session conf is unreadable
+        # (no active session), so the gate must be the read option, which
+        # travels with the DataSource. Opt-in reads get the conf from
+        # register(); default reads are un-killable by construction.
+        pushdown = self.options.get("pushdown", "false").lower() == "true"
+        cls = MiniSQLPushdownReader if pushdown else MiniSQLReader
+        return cls(
             csv_path,
             int(self.options.get("numPartitions", "4")),
             [f.name for f in schema.fields],
-            enable_pushdown=self.options.get("pushdown", "false").lower() == "true",
+            enable_pushdown=pushdown,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "MiniSQLWriter":
@@ -394,5 +429,18 @@ class MiniSQLWriter(DataSourceWriter):
 
 
 def register(spark: SparkSession) -> None:
-    """Idempotently register the connector with the session."""
+    """Idempotently register the connector with the session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (a runtime
+    session conf) so pushdown-capable reads work even when the session
+    was built without :func:`mini_sql_engine_spark.session.get_spark` —
+    e.g. the correctness driver's default session. Harmless for every
+    other source (the conf only governs Python data sources), and the
+    conf-gated reader above keeps the connector working even if this
+    set is rejected by a locked-down session.
+    """
     spark.dataSource.register(MiniSQLDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass

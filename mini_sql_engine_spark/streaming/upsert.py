@@ -50,6 +50,21 @@ STATE_COLS = ["user_id", "n_events", "total_cents"]
 SENTINEL_KEY = -1  # user_id for the version row (real keys are >= 0)
 
 
+def _enable_native_pushdown(spark: SparkSession) -> None:
+    """Belt-and-braces for caller-owned sessions (e.g. the correctness
+    driver's): enable Python-source filter pushdown BEFORE the stream
+    starts so the foreachBatch sink's ``format("minisql")`` state reads
+    can never trip Spark 4.1's ``DATA_SOURCE_PUSHDOWN_DISABLED`` —
+    round 5's only failure class. The conf-gated reader in
+    ``sources/datasource.py`` already makes this unnecessary, but the
+    conf is a one-line runtime set and the microbatch session clone
+    inherits it, so the defense costs nothing."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+
+
 def _cents(col: str) -> F.Column:
     # floor(x*100 + 0.5): identical IEEE double ops on Spark and DuckDB,
     # unlike ROUND whose half-way tie rule differs across engines
@@ -278,6 +293,7 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     once micro-batch commits of the foreachBatch MERGE sink, then read the final native-format
     table back. Equals the one-shot batch aggregate (the DuckDB
     oracle) because integer-cent deltas accumulate associatively."""
+    _enable_native_pushdown(spark)
     data_dir = tempfile.mkdtemp(prefix="minisql_upsert_")
     run_upsert_stream(spark, sf_dir, data_dir)
     state = _read_state(spark, data_dir, "user_totals")
@@ -418,6 +434,7 @@ def stream_bitmap_distinct_counts(
     table and are joined back from the (tiny) type dictionary at
     read time.
     """
+    _enable_native_pushdown(spark)
     data_dir = tempfile.mkdtemp(prefix="minisql_bitmap_")
     chk = tempfile.mkdtemp(prefix="chk_bitmap_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -540,6 +557,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mini_sql_engine_spark.operators.analytics import psi_readout
 
+    _enable_native_pushdown(spark)
     data_dir = tempfile.mkdtemp(prefix="minisql_psi_")
     chk = tempfile.mkdtemp(prefix="chk_psi_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -709,6 +727,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes. This is THE frequent-items pattern when the stream cannot
     hold a per-token state table.
     """
+    _enable_native_pushdown(spark)
     data_dir = tempfile.mkdtemp(prefix="minisql_mg_")
     chk = tempfile.mkdtemp(prefix="chk_mg_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

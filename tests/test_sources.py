@@ -333,7 +333,10 @@ def test_minisql_filter_pushdown_unit():
         StringStartsWith,
     )
 
-    from mini_sql_engine_spark.sources.datasource import MiniSQLReader
+    from mini_sql_engine_spark.sources.datasource import (
+        MiniSQLPushdownReader,
+        MiniSQLReader,
+    )
 
     eq = EqualTo(("B",), 2)
     gt = GreaterThan(("C",), 10)
@@ -341,11 +344,16 @@ def test_minisql_filter_pushdown_unit():
     alien = StringStartsWith(("A",), "x")
     nested = EqualTo(("A", "b"), 1)
 
-    off = MiniSQLReader("/dev/null", 1, ["A", "B", "C"])
+    # the BASE reader must not even implement pushFilters — Spark 4.1
+    # hard-fails a Python source that implements it while the session
+    # conf is off (round 5's only failure class)
+    assert "pushFilters" not in MiniSQLReader.__dict__
+
+    off = MiniSQLPushdownReader("/dev/null", 1, ["A", "B", "C"])
     assert list(off.pushFilters([eq, gt, nn])) == [eq, gt, nn]
     assert off._pushed == []
 
-    on = MiniSQLReader("/dev/null", 1, ["A", "B", "C"], enable_pushdown=True)
+    on = MiniSQLPushdownReader("/dev/null", 1, ["A", "B", "C"], enable_pushdown=True)
     remaining = list(on.pushFilters([eq, gt, nn, alien, nested]))
     assert remaining == [alien, nested]
     assert (1, op_mod.eq, 2) in on._pushed
@@ -364,6 +372,37 @@ def test_minisql_filter_pushdown_end_to_end(spark):
     assert via_push == via_spark and via_push
     plan = pushed_df._jdf.queryExecution().executedPlan().toString()
     assert " Filter (" not in plan, plan  # no Filter node: absorbed by the scan
+
+
+def test_minisql_default_read_survives_pushdown_disabled(spark):
+    """With ``spark.sql.python.filterPushdown.enabled`` explicitly OFF
+    (a driver-default session), a DEFAULT read — no ``pushdown``
+    option, the shape every engine code path except the explicit
+    opt-ins uses — must serve the pushFilters-free base reader and
+    answer queries, filtered and unfiltered, instead of tripping
+    ``DATA_SOURCE_PUSHDOWN_DISABLED``. Regression test for round 5's
+    four driver-red streaming queries."""
+    from mini_sql_engine_spark.sources import datasource
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        spark.dataSource.register(datasource.MiniSQLDataSource)
+        base = (
+            spark.read.format("minisql")
+            .option("path", MINI_DIR)
+            .option("table", "table1")
+            .load()
+        )
+        full = sorted(map(tuple, base.collect()))
+        filtered = sorted(map(tuple, base.filter(F.col("B") == 2).collect()))
+        assert len(full) > len(filtered) > 0
+    finally:
+        spark.conf.set(key, prev)
+    # conf restored: the normal path (register() re-enables) still pushes
+    datasource.register(spark)
+    assert spark.conf.get(key) == "true"
 
 
 def test_minisql_pushdown_off_by_default_is_reuse_safe(spark):
