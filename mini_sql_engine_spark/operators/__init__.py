@@ -87,74 +87,68 @@ for _m in _MODULES:
         ALL_QUERIES[_name] = _fn
     ALL_ORACLES.update(getattr(_m, "ORACLES", {}))
 
-# Static head of the enumeration (round 5): the composed pipelines,
-# the two sketches whose oracle contract changed this round, the
-# streaming/UDF tail, the corpus-quality-gate pack, the entity-ladder
-# operators reworked onto range_prefix, and the dedup-governance/
-# retrieval head — per the round-4 verdict's explicit ordering ask.
-# This is a fixed list in the source — a property of the code,
-# independent of runtime state or recorded artifacts. The full
-# registry is verified locally every round regardless of this order
-# (tests/test_oracle.py sweeps all entries at sf0.001/0.01/0.1), so
-# entries outside the head keep being re-checked as shared code
-# changes.
+# Static head of the enumeration (round 6): the four round-5 reds
+# (conf-fragility, fixed this round — re-check first), then the next
+# never-checked block in registry order: retrieval-eval + data-valuation,
+# text/funcs diagnostics, multimodal phash, correlation/cluster ladders,
+# incremental dedup/ANN, BPE train/apply, and the governance pack
+# (privacy, contracts, CDC, time travel, Bloom). This is a fixed list in
+# the source — a property of the code, independent of runtime state or
+# recorded artifacts. The full registry is verified locally every round
+# regardless of this order (tests/test_oracle.py sweeps all entries at
+# sf0.001/0.01/0.1), so entries outside the head keep being re-checked
+# as shared code changes.
 _PRIORITY: tuple[str, ...] = (
-    # composed pipelines (nest the most logic per row)
-    "pipeline_quality_mix",
-    "pipeline_hybrid_retrieval",
-    "pipeline_curate_corpus",
-    "pipeline_select_shards",
-    # sketches re-oracled this round (exact count + in-plan tolerance)
-    "ext_approx_count_distinct",
-    "ext_hll_mergeable",
-    # streaming / UDF tail (most failure-prone machinery)
     "stream_upsert_totals",
-    "stream_native_tail",
-    "stream_gopher_gate",
     "stream_psi_drift",
     "stream_heavy_hitters",
     "stream_bitmap_distinct",
-    "ext_pandas_udf_score",
-    "ext_udtf_ngrams",
-    # corpus-quality gates
-    "ext_gopher_gate",
-    "ext_domain_quota",
-    "ext_zipf_fit",
-    "ext_semdedup",
-    "ext_ngram_novelty",
-    "ext_knn_graph",
-    "ext_dup_spans",
-    "ext_bigram_perplexity",
-    "ext_kneser_ney_bigram",
-    "ext_kmeans_refine",
-    "ext_char_ngram_langid",
-    "ext_dedup_rate_curve",
-    "ext_cluster_sample",
-    "ext_langid_kappa",
-    "ext_langid_class_report",
-    "ext_lm_perplexity",
-    # entity ladders reworked onto range_prefix this round
-    "ext_gini_coefficient",
-    "ext_lorenz_curve",
-    "ext_pareto_frontier",
-    # dedup governance / graph / retrieval head
-    "ext_golden_record",
-    "ext_graph_modularity",
-    "ext_adamic_adar",
-    "ext_locality_sharding",
-    "ext_lsh_tuning_curve",
-    "ext_fellegi_sunter_em",
-    "ext_dedup_cascade",
-    "ext_capture_recapture",
-    "ext_grouped_split",
-    "ext_dup_source_matrix",
-    "ext_dup_loss_weights",
-    "ext_cc_alternating",
-    "ext_contamination_ppr",
-    "ext_triangle_census",
-    "ext_sim_hard_negatives",
-    "ext_mmr_rerank",
-    "ext_label_noise_knn",
+    "ext_rank_biased_overlap",
+    "ext_ndcg_eval",
+    "ext_mrr_eval",
+    "ext_knn_shapley",
+    "ext_facility_location",
+    "ext_jl_projection_audit",
+    "ext_array_funcs",
+    "ext_cdc_chunk_dedup",
+    "ext_readability",
+    "ext_code_detect",
+    "ext_tokenizer_fertility",
+    "ext_log_odds_terms",
+    "ext_histogram",
+    "ext_regexp_extract",
+    "ext_bpe_pair_counts",
+    "stream_attribution",
+    "ext_mm_phash",
+    "ext_spearman_signals",
+    "ext_kendall_tau",
+    "ext_dedup_windowed",
+    "ext_pca_power_iteration",
+    "ext_cluster_silhouette",
+    "ext_knn_graph_ann",
+    "ext_dedup_incremental",
+    "ext_pq_ann_recall",
+    "ext_bpe_train",
+    "ext_bpe_apply",
+    "ext_l_diversity",
+    "ext_t_closeness",
+    "ext_schema_evolution",
+    "ext_ldp_frequency",
+    "ext_dataset_fingerprint",
+    "ext_erasure_audit",
+    "ext_fuzzy_vocab_join",
+    "ext_cms_frequency",
+    "ext_weighted_sample",
+    "ext_snapshot_diff",
+    "ext_k_anonymity",
+    "ext_value_breakout",
+    "ext_incremental_agg",
+    "ext_data_contract",
+    "ext_pseudonymize",
+    "ext_rollup_lattice",
+    "ext_bloom_membership",
+    "ext_time_travel_diff",
+    "ext_bloom_novelty",
 )
 
 _missing = [n for n in _PRIORITY if n not in ALL_QUERIES]
