@@ -35,10 +35,37 @@ versus the single-partition sort this replaces, which does not finish.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["ntile_expr", "range_lag", "range_prefix"]
+
+
+def _assert_unique_order(df: DataFrame, order_cols: list[str]) -> None:
+    """Debug-mode guard for the unique-composite-key contract.
+
+    ``order_cols`` forming a unique key is what makes every
+    range_prefix/range_lag output deterministic (per-partition window
+    tie order and ``max_by`` ties are otherwise free to differ between
+    runs — and between this engine and an oracle). The contract is
+    documented at every call site, but docstrings don't fail builds:
+    with ``SPARK_GRAFT_CHECK_UNIQUE_ORDER=1`` (set in the test suite)
+    a violating caller dies loudly here instead of shipping flaky
+    ranks. Off by default — the check is a full extra aggregate over
+    ``df``, unacceptable in the hot path."""
+    if os.environ.get("SPARK_GRAFT_CHECK_UNIQUE_ORDER") != "1":
+        return
+    n, d = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in order_cols]).alias("d"),
+    ).first()
+    if n != d:
+        raise AssertionError(
+            f"range order {order_cols} is not a unique key: "
+            f"{n} rows, {d} distinct — add a tie-break id column"
+        )
 
 
 def ntile_expr(rank: str, total: str, buckets: int) -> Column:
@@ -89,6 +116,7 @@ def range_prefix(
       (rides the same tiny stats table — no extra pass over ``df``),
       for rank-arithmetic consumers like exact ntile replay.
     """
+    _assert_unique_order(df, order_cols)
     ordered = [F.col(c).asc() for c in order_cols]
     part = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
@@ -182,6 +210,7 @@ def range_lag(
     window form. Assumes ``lag_cols`` values are non-NULL (a data NULL
     is indistinguishable from "no predecessor" only on the global
     first row; callers here count runs over NOT-NULL columns)."""
+    _assert_unique_order(df, order_cols)
     part = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

@@ -346,9 +346,17 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     and expects ``true``: a hard hash-matching check of the sketch's
     accuracy without hashing sketch internals."""
     events = load_table(spark, sf_dir, "events")
+    # COUPLED CONSTANTS: lgK=12 here and the *10 envelope in the select
+    # below (|est − exact| ≤ 10%·exact) are a pair. lgK=12 gives rse
+    # ≈ 1.04/sqrt(2^12) ≈ 1.6%, so 10% is a >5σ bound — effectively
+    # deterministic. Lowering lgK (or a future scale factor with very
+    # small per-type cardinalities) narrows that safety margin and can
+    # flip the whole correctness row to FAIL rather than reporting
+    # degraded accuracy: revisit the envelope whenever lgK changes.
+    _HLL_LGK = 12
     daily = events.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    ).agg(F.hll_sketch_agg("user_id", _HLL_LGK).alias("sketch"))
     return (
         daily.groupBy("event_type")
         .agg(
@@ -428,6 +436,10 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard cross-engine oracle on the operator without pretending two
     engines' HLL registers agree bit-for-bit."""
     events = load_table(spark, sf_dir, "events")
+    # COUPLED CONSTANTS: rsd=0.02 and the *10 (10%) envelope below are
+    # a pair (>5σ slack). Loosening rsd or shrinking per-type
+    # cardinality at a new scale factor erodes the margin and would
+    # flip this row to FAIL outright — revisit both together.
     return (
         events.groupBy("event_type")
         .agg(

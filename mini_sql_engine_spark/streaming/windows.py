@@ -134,8 +134,13 @@ def _batch_cents(values: "pd.Series") -> int:
     would drift with batch boundaries."""
     import numpy as np
 
+    # cast each floored value to int64 BEFORE summing: a float64 sum of
+    # integer-valued floats is exact only below 2^53, an int64 sum at
+    # any magnitude a long total can hold
     return int(
-        np.floor(values.to_numpy(dtype="float64") * 100 + 0.5).sum()
+        np.floor(values.to_numpy(dtype="float64") * 100 + 0.5)
+        .astype("int64")
+        .sum()
     )
 
 

@@ -2453,6 +2453,20 @@ def test_local_clustering_bounds(spark, sf_dir):
         assert r.n_triangles <= r.deg * (r.deg - 1) // 2, r
 
 
+def test_range_prefix_rejects_non_unique_order(spark):
+    """The unique-composite-order contract must fail LOUDLY under the
+    suite's debug flag (conftest sets SPARK_GRAFT_CHECK_UNIQUE_ORDER):
+    a tie-prone order would otherwise produce nondeterministic ranks
+    that diverge from the oracle only intermittently."""
+    import pytest as _pytest
+
+    from mini_sql_engine_spark.functions.ranking import range_prefix
+
+    tied = spark.range(100).select((F.col("id") % 7).alias("k"))
+    with _pytest.raises(AssertionError, match="not a unique key"):
+        range_prefix(tied, ["k"])
+
+
 def test_range_prefix_matches_global_window(spark):
     """range_prefix must replay the single-partition global window
     bit-for-bit: same rank, same inclusive prefix sum, same strict
