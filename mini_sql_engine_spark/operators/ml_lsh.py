@@ -4,10 +4,17 @@
 and random-hyperplane LSH from first principles so a DuckDB oracle can
 replay them bit-for-bit. This module is the other legitimate route: the
 built-in `pyspark.ml.feature` estimators (MinHashLSH,
-BucketedRandomProjectionLSH). Their hash families are engine-specific,
-so these queries are rows-only for the driver (no oracle_sql entry);
-the pytest properties instead assert containment against the exactly-
-verified operators.
+BucketedRandomProjectionLSH). Their hash families are engine-specific
+— no oracle can replay WHICH candidate pairs they surface — so each
+query emits a RECALL CERTIFICATE instead of raw pairs (the sketch
+pattern ext_approx_count_distinct established): the exact ground-truth
+pair count (oracle-computable by exhaustive SQL) plus an in-plan
+boolean asserting the LSH found at least a pinned fraction of the true
+pairs. Measured recall with these seeds/table sizes: MinHash 1.000 at
+sf0.001/0.01/0.1; BRP 0.857/1.000/0.993 — floors pinned at 4/5 and
+7/10 leave deterministic slack. The raw-pair variants remain available
+as `ml_minhash_raw_pairs` / `ml_brp_raw_pairs` for the containment
+property tests in tests/test_operators.py.
 
 Scale notes: `approxSimilarityJoin` is the distributed path — it
 explodes each row to its hash buckets, self-joins on bucket, then
@@ -30,8 +37,37 @@ COSINE_T = 0.45  # matches operators.dedup.COSINE_T
 N_HASH_TABLES = 4
 SEED = 42
 
+# Pinned recall floors (numerator/denominator — integer arithmetic, no
+# float compare): |found ∩ true| · DEN ≥ |true| · NUM. Floors sit well
+# under the measured recall at every scale factor (see module
+# docstring); they are coupled to N_HASH_TABLES and SEED — revisit on
+# any parameter change.
+MINHASH_RECALL_NUM, MINHASH_RECALL_DEN = 4, 5  # floor 0.80, measured 1.000
+BRP_RECALL_NUM, BRP_RECALL_DEN = 7, 10  # floor 0.70, measured ≥ 0.857
 
-def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _recall_certificate(
+    truth: DataFrame, found: DataFrame, keys: list[str], num: int, den: int
+) -> DataFrame:
+    """(n_true_pairs, recall_ok): exact truth count + in-plan floor
+    assertion on |found ∩ truth|. Both counts are 1-row aggregates —
+    the crossJoin is a broadcast of a scalar, never data×data."""
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    )
+    n_hit = (
+        found.join(truth, keys, "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_hit"))
+    )
+    return n_true.crossJoin(F.broadcast(n_hit)).select(
+        "n_true_pairs",
+        (F.col("_n_hit") * den >= F.col("n_true_pairs") * num).alias(
+            "recall_ok"
+        ),
+    )
+
+
+def ml_minhash_raw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via pyspark.ml MinHashLSH over binary
     token-shingle vectors."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -64,7 +100,7 @@ def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ml_brp_raw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via BucketedRandomProjectionLSH
     (euclidean); unit-norm inputs make dist² = 2·(1 − cos), so the
     euclidean threshold √(2·(1−T)) is exactly cosine ≥ T."""
@@ -99,11 +135,80 @@ def ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the ml MinHashLSH candidate join: exact
+    truth = the first-principles verified near-dup pair set
+    (dedup.jaccard_dedup, shingle-Jaccard ≥ JACCARD_T — the quantity
+    the DuckDB oracle recomputes exhaustively via the inverted-index
+    join); found = the LSH pairs. Engine-specific hash families mean
+    the PAIRS aren't oracle-replayable, but the truth count is exact
+    and the recall floor is a hard cross-engine assertion."""
+    from mini_sql_engine_spark.operators.dedup import jaccard_dedup
+
+    truth = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    found = ml_minhash_raw_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _recall_certificate(
+        truth, found, ["doc_a", "doc_b"], MINHASH_RECALL_NUM, MINHASH_RECALL_DEN
+    )
+
+
+def ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for BucketedRandomProjectionLSH: exact truth
+    = the exhaustive all-pairs cosine ≥ COSINE_T set (unit-norm
+    embeddings → cosine is a plain left-to-right dot, bit-identical in
+    Spark's expression fold and DuckDB's list_dot_product). The n²
+    truth join is certificate-scale work over the bounded embeddings
+    table, not the operator's scale path — the LSH join is."""
+    from mini_sql_engine_spark.functions import vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(vector.dot(F.col("a.e"), F.col("b.e")) >= COSINE_T)
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
+    found = ml_brp_raw_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    return _recall_certificate(
+        truth, found, ["vec_a", "vec_b"], BRP_RECALL_NUM, BRP_RECALL_DEN
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "ext_ml_minhash_pairs": ml_minhash_pairs,
     "ext_ml_brp_pairs": ml_brp_pairs,
 }
 
-# Rows-only by design: ml hash families are engine-specific (no DuckDB
-# replay). Containment properties live in tests/test_operators.py.
-ORACLES: dict[str, str] = {}
+
+def _oracles() -> dict[str, str]:
+    # import here: dedup's oracle fragments are module constants and
+    # importing at top level would be a cycle (dedup ← this module is
+    # fine; this module ← dedup is not needed)
+    from mini_sql_engine_spark.operators.dedup import (
+        _JACCARD_PAIRS,
+        JACCARD_T,
+    )
+
+    return {
+        "ext_ml_minhash_pairs": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+                   TRUE AS recall_ok
+            FROM ({_JACCARD_PAIRS}) p
+            WHERE jacc >= {JACCARD_T}
+        """,
+        "ext_ml_brp_pairs": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+                   TRUE AS recall_ok
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+                  >= {COSINE_T}
+        """,
+    }
+
+
+ORACLES: dict[str, str] = _oracles()
