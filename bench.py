@@ -8,12 +8,23 @@ Prints ONE JSON line:
 Execution uses the noop sink (full computation, no driver transfer), so
 timings measure the engine, not result serialization. Session startup
 and first-query JVM warmup are excluded via a warmup action.
+
+Noise discipline (the machine is shared): each LEG is a fresh JVM
+subprocess timing every query min-of-2; the output records each leg's
+total plus the 1-minute load average around it, so a load spike can't
+masquerade as a code regression (round 5's phantom TPC-H 2x). The
+default is ONE leg (the caller's timeout is unknown); set
+SPARK_GRAFT_BENCH_LEGS=2 for the min-over-two-fresh-JVMs variant —
+the round-close BENCH_LOCAL artifacts committed to the repo are
+produced that way. A leg slower than SPARK_GRAFT_BENCH_LEG_BUDGET
+seconds (default 420) suppresses any remaining legs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -101,5 +112,74 @@ def main() -> None:
         sys.exit(1)
 
 
+def _loadavg() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def orchestrate() -> int:
+    """Run 1-2 fresh-JVM legs of `main()` and print the combined JSON."""
+    here = os.path.abspath(__file__)
+    want_legs = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "1"))
+    leg_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LEG_BUDGET", "420"))
+    legs: list[dict] = []
+    loads: list[float] = []
+    rc = 0
+    for i in range(max(want_legs, 1)):
+        loads.append(_loadavg())
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, here, "--leg"], capture_output=True, text=True
+        )
+        leg_sec = time.perf_counter() - t0
+        rc = rc or proc.returncode
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if line is None:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            return proc.returncode or 1
+        # the leg's FIRST json line (full per-query map) is in BENCH_LAST.json
+        with open(os.path.join(os.path.dirname(here), "BENCH_LAST.json")) as fh:
+            legs.append(json.load(fh))
+        if leg_sec > leg_budget:
+            break  # protect the caller's timeout; one leg beats a kill
+    loads.append(_loadavg())
+
+    best = dict(legs[0]["queries"])
+    for leg in legs[1:]:
+        for name, sec in leg["queries"].items():
+            best[name] = min(best.get(name, float("inf")), sec)
+    out = {
+        "metric": legs[0]["metric"]
+        + f" (min over {len(legs)} fresh-JVM legs)",
+        "value": round(sum(best.values()), 4),
+        "unit": "sec",
+        "queries": dict(sorted(best.items(), key=lambda kv: -kv[1])[:20]),
+        "queries_truncated_to_slowest": 20,
+        "n_queries": len(best),
+        "leg_totals": [leg["value"] for leg in legs],
+        "loadavg_1m": loads,
+        "sf": legs[0]["sf"],
+    }
+    for leg in legs:
+        if leg.get("errors"):
+            out["errors"] = leg["errors"]
+    with open(os.path.join(os.path.dirname(here), "BENCH_LAST.json"), "w") as fh:
+        json.dump({**out, "queries": best}, fh)
+    print(json.dumps(out))
+    return rc
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--leg" in sys.argv:
+        sys.exit(main())
+    sys.exit(orchestrate())

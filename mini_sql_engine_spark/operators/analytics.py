@@ -127,25 +127,83 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates per market segment."""
+    """Statistical aggregates per market segment.
+
+    Fixed-point discipline (SCALE.md): avg/stddev/variance are derived
+    from EXACT integer-cent moment sums (s, ss as DECIMAL(38,0) — the
+    2-decimal money grid makes cents lossless), then a handful of IEEE
+    double ops in an order the DuckDB oracle mirrors token for token.
+    The streaming float moments (F.avg/F.stddev_samp over doubles)
+    they replace reduce in partial-aggregation order — the last
+    order-dependent aggregate class left in an oracle pair. min/max
+    are exact order statistics; median of an even group is one IEEE
+    midpoint op on exact operands — deterministic in both engines.
+    DECIMAL(38,0) headroom: cents² ≤ 1e12, so the n·ss cross term
+    stays inside 38 digits to n ≈ 1e25 rows."""
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    m = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
-        F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+        F.sum(cents).alias("_s"),
+        F.sum(cents * cents).alias("_ss"),
         F.round(F.median("c_acctbal"), 4).alias("med_bal"),
         F.round(F.min("c_acctbal"), 4).alias("min_bal"),
         F.round(F.max("c_acctbal"), 4).alias("max_bal"),
     )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    var_c2 = (n_dec * F.col("_ss") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    return m.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("_s").cast("double") / F.col("n") / 100.0, 4).alias(
+            "avg_bal"
+        ),
+        F.round(F.sqrt(var_c2) / 100.0, 4).alias("sd_bal"),
+        F.round(var_c2 / 10000.0, 2).alias("var_bal"),
+        "med_bal",
+        "min_bal",
+        "max_bal",
+    )
 
 
 def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation + covariance per return flag."""
+    """Pearson correlation + covariance per return flag.
+
+    Same fixed-point discipline as stats_by_segment: all five moment
+    sums are exact DECIMAL(38,0) integers (quantity is integral,
+    price/discount live on the 2-decimal grid → cents), so corr =
+    (n·Sqp − Sq·Sp) / (√(n·Sqq − Sq²)·√(n·Spp − Sp²)) is a fixed
+    sequence of IEEE ops on identical operands in Spark and DuckDB —
+    correlation is scale-invariant, so cents give the same value as
+    dollars. covar_samp comes back to dollar units via one /100."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    q = F.col("l_quantity").cast("decimal(38,0)")
+    p = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("_sq"),
+        F.sum(p).alias("_sp"),
+        F.sum(d).alias("_sd"),
+        F.sum(q * q).alias("_sqq"),
+        F.sum(p * p).alias("_spp"),
+        F.sum(q * p).alias("_sqp"),
+        F.sum(q * d).alias("_sqd"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = (n_dec * F.col("_sqp") - F.col("_sq") * F.col("_sp")).cast("double")
+    dq = (n_dec * F.col("_sqq") - F.col("_sq") * F.col("_sq")).cast("double")
+    dp = (n_dec * F.col("_spp") - F.col("_sp") * F.col("_sp")).cast("double")
+    cnum = (n_dec * F.col("_sqd") - F.col("_sq") * F.col("_sd")).cast("double")
+    den_n = F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.round(num / (F.sqrt(dq) * F.sqrt(dp)), 6).alias("corr_qty_price"),
+        F.round(cnum / den_n / 100.0, 6).alias("covar_qty_disc"),
     )
 
 
@@ -9250,21 +9308,59 @@ ORACLES: dict[str, str] = {
                COUNT(*) FILTER (event_type = 'view')     AS n_view
         FROM events GROUP BY user_id
     """,
+    # exact integer-cent moments, same IEEE op order as the Spark side
+    # (SUM over HUGEINT is exact; see stats_by_segment docstring)
     "ext_stats_by_group": """
-        SELECT c_mktsegment, COUNT(*) AS n,
-               ROUND(AVG(c_acctbal), 4) AS avg_bal,
-               ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
-               ROUND(var_samp(c_acctbal), 2) AS var_bal,
-               ROUND(median(c_acctbal), 4) AS med_bal,
-               ROUND(MIN(c_acctbal), 4) AS min_bal,
-               ROUND(MAX(c_acctbal), 4) AS max_bal
-        FROM customer GROUP BY c_mktsegment
+        WITH m AS (
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS HUGEINT)) AS s,
+                   SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS HUGEINT)
+                       * CAST(FLOOR(c_acctbal * 100 + 0.5) AS HUGEINT)) AS ss,
+                   ROUND(median(c_acctbal), 4) AS med_bal,
+                   ROUND(MIN(c_acctbal), 4) AS min_bal,
+                   ROUND(MAX(c_acctbal), 4) AS max_bal
+            FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+               ROUND(CAST(s AS DOUBLE) / n / 100.0, 4) AS avg_bal,
+               ROUND(SQRT(CAST(n * ss - s * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                     / 100.0, 4) AS sd_bal,
+               ROUND(CAST(n * ss - s * s AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                     / 10000.0, 2) AS var_bal,
+               med_bal, min_bal, max_bal
+        FROM m
     """,
+    # exact DECIMAL/HUGEINT moment sums, IEEE ops mirrored from
+    # corr_price_quantity (corr is scale-invariant, cents == dollars)
     "ext_corr_covar": """
+        WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS HUGEINT)) AS sq,
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                       AS HUGEINT)) AS sp,
+                   SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT)) AS sd,
+                   SUM(CAST(l_quantity AS HUGEINT)
+                       * CAST(l_quantity AS HUGEINT)) AS sqq,
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                       * CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                              AS HUGEINT)) AS spp,
+                   SUM(CAST(l_quantity AS HUGEINT)
+                       * CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                              AS HUGEINT)) AS sqp,
+                   SUM(CAST(l_quantity AS HUGEINT)
+                       * CAST(FLOOR(l_discount * 100 + 0.5)
+                              AS HUGEINT)) AS sqd
+            FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
-               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
-        FROM lineitem GROUP BY l_returnflag
+               ROUND(CAST(n * sqp - sq * sp AS DOUBLE)
+                     / (SQRT(CAST(n * sqq - sq * sq AS DOUBLE))
+                        * SQRT(CAST(n * spp - sp * sp AS DOUBLE))),
+                     6) AS corr_qty_price,
+               ROUND(CAST(n * sqd - sq * sd AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                     / 100.0, 6) AS covar_qty_disc
+        FROM m
     """,
     "ext_scalar_funcs": """
         SELECT o_orderkey,
