@@ -138,6 +138,59 @@ def allpairs_cosine(
     ).applyInPandas(score, "id_a long, id_b long, cos_sim double")
 
 
+def allpairs_dot_ge(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) whose RAW left-to-right dot
+    clears ``threshold`` — no rounding step, so membership equals a
+    DuckDB ``list_dot_product(...) >= t`` predicate bit for bit.
+
+    Same blocked matmul as :func:`allpairs_cosine`: the BLAS product
+    is only a prefilter (kept with a 1e-9 reorder margin); every
+    surviving candidate is re-scored with the sequential
+    :func:`_seq_dot` the oracle's accumulation order matches, and the
+    final keep uses that exact value. Work is n²/B(B+1)/2 per task —
+    parallel across block pairs, never a single-task nested loop."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return empty
+        same_block = pdf["bp"].iat[0] == pdf["bq"].iat[0]
+        ma = np.stack(a[vec_col].to_numpy()).astype(np.float64)
+        mb = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        ids_a = a[id_col].to_numpy()
+        ids_b = b[id_col].to_numpy()
+        scores = ma @ mb.T
+        mask = scores >= threshold - 1e-9  # matmul reorder drift only
+        if same_block:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        if ia.size == 0:
+            return empty
+        exact = _seq_dot(ma[ia], mb[ib])
+        keep = exact >= threshold
+        ka, kb = ids_a[ia][keep], ids_b[ib][keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ka, kb),
+                "id_b": np.maximum(ka, kb),
+            }
+        )
+
+    return _blocked_pairs(df.select(id_col, vec_col), id_col, n_blocks).groupBy(
+        "bp", "bq"
+    ).applyInPandas(score, "id_a long, id_b long")
+
+
 def blocked_topk(
     df: DataFrame,
     id_col: str,

@@ -161,16 +161,11 @@ def ml_brp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, not the operator's scale path — the LSH join is."""
     from mini_sql_engine_spark.functions import vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    truth = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(vector.dot(F.col("a.e"), F.col("b.e")) >= COSINE_T)
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = vector.allpairs_dot_ge(
+        emb, "vec_id", "embedding", COSINE_T, n_blocks=8
+    ).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
     )
     found = ml_brp_raw_pairs(spark, sf_dir).select("vec_a", "vec_b")
     return _recall_certificate(
