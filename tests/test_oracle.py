@@ -37,7 +37,9 @@ def test_queries_enumeration_is_deterministic():
     from mini_sql_engine_spark.operators import _PRIORITY
 
     assert first[: len(_PRIORITY)] == list(_PRIORITY)
-    assert first[0] == "pipeline_quality_mix"
+    # round-6 window head: the four round-5 conf-fragility streams
+    # re-check first (failed-first rotation)
+    assert first[0] == "stream_upsert_totals"
     assert len(first) == len(set(first))
 
 
