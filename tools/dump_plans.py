@@ -145,6 +145,18 @@ MARQUEE = [
      "THREE verified pair tables (exact Jaccard, MinHash-LSH route, "
      "SimHash route) then five 1-row counts over semi-joins on thin "
      "keys — the estimator itself adds nothing data-sized"),
+    ("ext_stats_by_group", "fixed-point moments: one map-side-combined "
+     "aggregate of exact DECIMAL(38,0) cent sums (s, ss) per segment; "
+     "avg/stddev/variance are derived scalars — no streaming float "
+     "moment whose partial-merge order could vary between runs"),
+    ("ext_corr_covar", "Pearson corr + covar from five exact DECIMAL "
+     "moment sums in ONE aggregate pass over lineitem — same single-"
+     "shuffle shape as a plain groupBy despite the richer statistics"),
+    ("ext_ml_brp_pairs", "recall certificate: the pyspark.ml BRP-LSH "
+     "candidate join (bucketed, exact-rescored) semi-joined against "
+     "the blocked-matmul exhaustive truth; output is two 1-row counts "
+     "crossJoined as broadcast scalars — nothing data-sized leaves "
+     "the executors"),
 ]
 
 
