@@ -2,14 +2,22 @@
 
 Images/audio/video are carried as `binary` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas UDFs over `mapInPandas`. The decode itself is
-STUBBED: real codec libraries (PIL/librosa/av) are not in this
-container, so `decode_real` raises NotImplementedError and the pipeline
-uses a DETERMINISTIC FAKE — the payload's raw bytes are "pixels"
-(numpy frombuffer). Everything around the stub — binary schema, Arrow
-batch shape, mapInPandas signature, output schema, partition behavior —
-is real and oracle-checked: payloads are UTF-8 text bytes, so DuckDB
-can recompute the byte statistics character-wise.
+Arrow-batched Pandas UDFs over `mapInPandas`. Decode comes in two
+tiers:
+
+- COMPRESSED codecs (JPEG/MP3/MP4) are STUBBED: PIL/librosa/av are not
+  in this container, so `decode_real` raises NotImplementedError and
+  the pipeline uses a DETERMINISTIC FAKE — the payload's raw bytes are
+  "pixels" (numpy frombuffer). Everything around the stub — binary
+  schema, Arrow batch shape, mapInPandas signature, output schema,
+  partition behavior — is real and oracle-checked: payloads are UTF-8
+  text bytes, so DuckDB can recompute the byte statistics
+  character-wise.
+- UNCOMPRESSED containers are decoded FOR REAL with pure stdlib
+  parsers: WAV (RIFF + PCM16 via `wave`) and 24bpp BMP (struct header
+  parse, row padding, bottom-up/BGR handling) — see
+  `ext_mm_wav_decode` / `ext_mm_bmp_decode` at the bottom of this
+  module. No codec library required, hash-exact DuckDB oracles.
 
 Scale notes (100 TB of media):
 - payloads stay opaque binary end-to-end: no base64 inflation, Arrow
@@ -479,4 +487,216 @@ ORACLES["ext_mm_phash"] = f"""
     WHERE bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
         + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
         <= {PHASH_HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# REAL container decode — pure-stdlib codecs (no PIL/librosa/av needed).
+#
+# The env-blocked stub above covers COMPRESSED codecs (JPEG/MP3/MP4).
+# Uncompressed containers need no codec library: WAV is RIFF + PCM
+# (stdlib `wave` parses it) and BMP is two fixed structs + padded BGR
+# rows (struct.unpack parses it). These two operators synthesize VALID
+# container files from deterministic integer formulas, then genuinely
+# decode them — header parse, sample-width/endianness handling, BMP
+# bottom-up row order and 4-byte row padding — in Arrow-batched
+# mapInPandas workers. Because the CONTENT is a closed-form integer
+# function of doc_id, a DuckDB oracle replays the decoded statistics
+# exactly (series join), making the decode path hash-checkable without
+# DuckDB ever reading a binary blob.
+#
+# Scale notes: both are pure maps (synth → decode fuse into one
+# pipelined Python stage, no shuffle); payloads are bounded (≤ ~0.5 KB)
+# so Arrow batch memory is rows × payload, independent of partition
+# size. At 100 TB the synth stage is replaced by the real binary
+# column; the decode worker is unchanged.
+# ---------------------------------------------------------------------------
+
+WAV_MAX_SAMPLES = 128  # n = 64 + doc_id % 64  (< WAV_MAX_SAMPLES)
+BMP_MAX_W, BMP_MAX_H = 16, 9  # w = 4 + doc_id % 13, h = 3 + doc_id % 7
+
+WAV_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, sum_abs long, "
+    "max_amp long"
+)
+BMP_SCHEMA = (
+    "doc_id long, width long, height long, sum_r long, sum_g long, sum_b long"
+)
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Valid mono PCM16 WAV: sr = 8000 + (doc_id%4)*4000, n = 64 +
+    doc_id%64 samples, sample_i = ((doc_id*7919 + i*104729) % 65536)
+    - 32768 — int16 full range, closed-form for the oracle."""
+    import io
+    import wave
+
+    import numpy as np
+
+    sr = 8000 + (doc_id % 4) * 4000
+    n = 64 + doc_id % 64
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _wav_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [_wav_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _wav_decode_batches(batches):
+    """REAL decode: stdlib `wave` parses the RIFF header (rate, width,
+    channels) and the frames are interpreted at the declared sample
+    width/endianness — nothing about the synth formulas is assumed."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "sum_abs", "max_amp")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(p))) as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                sr = w.getframerate()
+                frames = w.readframes(w.getnframes())
+            s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(sr)
+            out["n_samples"].append(len(s))
+            out["sum_abs"].append(int(np.abs(s).sum()))
+            out["max_amp"].append(int(s.max()) if len(s) else 0)
+        yield pd.DataFrame(out)
+
+
+def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize valid PCM16 WAV containers, then REALLY decode them
+    (stdlib `wave`) — per-doc sample-rate/amplitude statistics."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(
+        _wav_synth_batches, schema="doc_id long, payload binary"
+    )
+    return wavs.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA)
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """Valid 24bpp bottom-up BMP, rows padded to 4 bytes: w = 4 +
+    doc_id%13, h = 3 + doc_id%7; logical pixel (x, y) channel c (0=R,
+    1=G, 2=B) = (doc_id + 3*(y*w + x) + c) % 256."""
+    import struct
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    p = np.arange(w * h, dtype=np.int64)  # p = y*w + x in logical order
+    rgb = (
+        (doc_id + 3 * p[:, None] + np.arange(3, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(h, w, 3)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    pad = (-(w * 3)) % 4
+    rows = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(h)
+    )
+    pixel_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + len(rows), 0, 0, pixel_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + rows
+
+
+def _bmp_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [_bmp_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _bmp_decode_batches(batches):
+    """REAL decode: parse BITMAPFILEHEADER + BITMAPINFOHEADER with
+    struct, honor the declared pixel offset, strip per-row padding,
+    undo bottom-up row order and BGR channel order."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", p, 0)
+            assert magic == b"BM"
+            (_hsz, w, h, _planes, bpp) = struct.unpack_from("<Iii HH", p, 14)[:5]
+            assert bpp == 24 and h > 0  # positive height = bottom-up
+            stride = (w * 3 + 3) // 4 * 4
+            raw = np.frombuffer(p, dtype=np.uint8, count=stride * h, offset=off)
+            bgr = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            rgb = bgr[::-1, :, ::-1].astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(int(rgb[:, :, 0].sum()))
+            out["sum_g"].append(int(rgb[:, :, 1].sum()))
+            out["sum_b"].append(int(rgb[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize valid 24bpp BMP containers, then REALLY decode them
+    (struct header parse, padding/bottom-up/BGR handling) — per-doc
+    channel sums."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bmps = docs.mapInPandas(
+        _bmp_synth_batches, schema="doc_id long, payload binary"
+    )
+    return bmps.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA)
+
+
+QUERIES["ext_mm_wav_decode"] = wav_decode
+QUERIES["ext_mm_bmp_decode"] = bmp_decode
+
+# the decoded statistics are closed-form integer functions of doc_id —
+# DuckDB replays them with a bounded series join, never parsing binary
+ORACLES["ext_mm_wav_decode"] = f"""
+    WITH ser AS (SELECT unnest(range(0, {WAV_MAX_SAMPLES})) AS i)
+    SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           CAST(64 + (d.doc_id % 64) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(((d.doc_id * 7919 + ser.i * 104729) % 65536)
+                        - 32768)) AS BIGINT) AS sum_abs,
+           CAST(MAX(((d.doc_id * 7919 + ser.i * 104729) % 65536)
+                    - 32768) AS BIGINT) AS max_amp
+    FROM documents d JOIN ser ON ser.i < 64 + (d.doc_id % 64)
+    GROUP BY d.doc_id
+"""
+ORACLES["ext_mm_bmp_decode"] = f"""
+    WITH px AS (SELECT unnest(range(0, {BMP_MAX_W * BMP_MAX_H})) AS p),
+    d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents)
+    SELECT d.doc_id,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           CAST(SUM((d.doc_id + 3 * px.p + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id + 3 * px.p + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id + 3 * px.p + 2) % 256) AS BIGINT) AS sum_b
+    FROM d JOIN px ON px.p < d.w * d.h
+    GROUP BY d.doc_id, d.w, d.h
 """
