@@ -173,11 +173,20 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension = a predicate on it skips most blocks. The price sort is
     perfect on price and useless on quantity; Z-order is good on BOTH —
     this output is that argument with numbers."""
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    # and quantization can map two distinct rows to one z / pn — the
+    # raw (price, quantity) pair completes a provably unique composite
+    # (pinned by the suite's SPARK_GRAFT_CHECK_UNIQUE_ORDER guard,
+    # which caught exactly one colliding pair at sf0.1). Without the
+    # tie-break, the price_sorted layout's q_width could differ by
+    # which of two same-pn rows lands at a block boundary.
     li = load_table(spark, sf_dir, "lineitem").select(
         _norm_q().alias("qn"),
         _norm_p().alias("pn"),
         "l_orderkey",
         "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
     )
     full = (1 << MORTON_BITS) - 1
 
@@ -202,12 +211,13 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_range_ppm"),
         )
 
+    tiebreak = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
     zo = blocks(
         li.withColumn("z", _morton(F.col("qn"), F.col("pn"))),
-        ["z", "l_orderkey", "l_linenumber"],
+        ["z", *tiebreak],
         "zorder",
     )
-    ps = blocks(li, ["pn", "l_orderkey", "l_linenumber"], "price_sorted")
+    ps = blocks(li, ["pn", *tiebreak], "price_sorted")
     return zo.unionByName(ps)
 
 
@@ -439,7 +449,7 @@ ORACLES: dict[str, str] = {
                    LEAST(CAST(floor((l_extendedprice - {P_BASE!r})
                                     * {P_SCALE!r}) AS BIGINT),
                          {(1 << MORTON_BITS) - 1}) AS pn,
-                   l_orderkey, l_linenumber
+                   l_orderkey, l_linenumber, l_extendedprice, l_quantity
             FROM lineitem),
         z AS (
             SELECT *,
@@ -449,13 +459,15 @@ ORACLES: dict[str, str] = {
         zb AS (
             SELECT qn, pn,
                    CAST(floor((ROW_NUMBER() OVER (
-                            ORDER BY zval, l_orderkey, l_linenumber) - 1)
+                            ORDER BY zval, l_orderkey, l_linenumber,
+                                     l_extendedprice, l_quantity) - 1)
                         / {BLOCK_ROWS}) AS BIGINT) AS block
             FROM z),
         pb AS (
             SELECT qn, pn,
                    CAST(floor((ROW_NUMBER() OVER (
-                            ORDER BY pn, l_orderkey, l_linenumber) - 1)
+                            ORDER BY pn, l_orderkey, l_linenumber,
+                                     l_extendedprice, l_quantity) - 1)
                         / {BLOCK_ROWS}) AS BIGINT) AS block
             FROM pts),
         zs AS (SELECT block, MAX(qn) - MIN(qn) AS q_width,
