@@ -1281,7 +1281,69 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_STOPWORDS = [
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "for",
+]  # = functions.textfns.STOPWORDS; inlined for the oracle f-string
+
+
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction by quality tier under token budgets —
+    the data-ORDERING op of a pretraining run (easy/fluent first):
+    rank documents by stopword-ratio fluency (descending, doc_id
+    tie-break — a unique composite), then cut the ranked stream into
+    three phases at CUMULATIVE-TOKEN-share boundaries (20% / 50% /
+    rest), not document counts — phases are compute budgets, and
+    compute is tokens. Output per phase: docs, token mass, and the
+    fluency band it spans.
+
+    All-integer arithmetic end to end: sw_ppm = (stopword_count *
+    1e6) div tokens, inclusive cumulative token sums, integer-product
+    phase comparisons — hash-exact across engines.
+
+    Scale notes (100 TB): the global order rides ``range_prefix``
+    (range-partitioned ladder, no single-partition window); the total
+    token mass is a 1-row broadcast; the phase rollup is a 3-group
+    aggregate. The oracle replays the same order with a window
+    cumulative sum."""
+    from mini_sql_engine_spark.functions import textfns
+    from mini_sql_engine_spark.functions.ranking import range_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.expr(
+            "(size(filter(split(text, '\\\\s+'), "
+            "t -> array_contains(array("
+            + ", ".join(f"'{s}'" for s in CURRICULUM_STOPWORDS)
+            + "), t))) * CAST(1000000 AS BIGINT)) "
+            "div greatest(size(split(text, '\\\\s+')), 1)"
+        ).alias("sw_ppm"),
+    ).withColumn("neg_sw", -F.col("sw_ppm"))
+    ranked = range_prefix(
+        scored, ["neg_sw", "doc_id"], sum_cols=("nt",)
+    )
+    total = scored.agg(F.sum("nt").cast("long").alias("total_nt"))
+    phased = ranked.crossJoin(F.broadcast(total)).select(
+        "nt",
+        "sw_ppm",
+        F.when(F.col("cum_nt") * 5 <= F.col("total_nt"), F.lit(1))
+        .when(F.col("cum_nt") * 2 <= F.col("total_nt"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("phase"),
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("phase_tokens"),
+        F.min("sw_ppm").alias("min_sw_ppm"),
+        F.max("sw_ppm").alias("max_sw_ppm"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
+    "ext_curriculum_schedule": curriculum_schedule,
     "ext_neyman_allocation": neyman_allocation,
     "ext_ipf_raking": ipf_raking,
     "pipeline_select_shards": select_shards,
@@ -1311,7 +1373,40 @@ _PCT_CASE = " ".join(
     f"WHEN lang = '{lang}' THEN {p}" for lang, p in _LANG_PCT.items()
 )
 
+_CURRICULUM_SW_LIST = (
+    "[" + ", ".join(f"'{s}'" for s in CURRICULUM_STOPWORDS) + "]"
+)
+
 ORACLES: dict[str, str] = {
+    "ext_curriculum_schedule": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split_regex(text, '\s+')) AS nt,
+                   (len(list_filter(string_split_regex(text, '\s+'),
+                        t -> list_contains({_CURRICULUM_SW_LIST}, t)))
+                    * 1000000)
+                   // greatest(len(string_split_regex(text, '\s+')), 1)
+                       AS sw_ppm
+            FROM documents),
+        c AS (
+            SELECT nt, sw_ppm,
+                   SUM(nt) OVER (ORDER BY sw_ppm DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_nt,
+                   SUM(nt) OVER () AS total_nt
+            FROM t),
+        p AS (
+            SELECT nt, sw_ppm,
+                   CASE WHEN cum_nt * 5 <= total_nt THEN 1
+                        WHEN cum_nt * 2 <= total_nt THEN 2
+                        ELSE 3 END AS phase
+            FROM c)
+        SELECT CAST(phase AS BIGINT) AS phase,
+               COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS phase_tokens,
+               CAST(MIN(sw_ppm) AS BIGINT) AS min_sw_ppm,
+               CAST(MAX(sw_ppm) AS BIGINT) AS max_sw_ppm
+        FROM p GROUP BY phase
+    """,
     "ext_neyman_allocation": rf"""
         WITH mom AS (
             SELECT lang, COUNT(*) AS n,

@@ -2665,3 +2665,22 @@ def test_ntile_expr_equals_window_ntile(spark, buckets):
             ).collect()
         }
         assert got == want, (buckets, n)
+
+
+def test_curriculum_schedule_budget_invariants(spark, sf_dir):
+    """Phase cuts are CUMULATIVE-TOKEN budgets: phase 1 carries at most
+    20% of total token mass, phases 1+2 at most 50% (inclusive-rank
+    rule — the next doc would cross the boundary), and the fluency
+    bands are monotone: phase 1 spans the highest stopword ppm."""
+    from mini_sql_engine_spark.operators.pipeline_ops import (
+        curriculum_schedule,
+    )
+
+    rows = {r.phase: r for r in curriculum_schedule(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    total = sum(r.phase_tokens for r in rows.values())
+    assert rows[1].phase_tokens * 5 <= total
+    assert (rows[1].phase_tokens + rows[2].phase_tokens) * 2 <= total
+    # monotone fluency bands (ties may touch at the boundary)
+    assert rows[1].min_sw_ppm >= rows[2].max_sw_ppm - 1
+    assert rows[2].min_sw_ppm >= rows[3].max_sw_ppm - 1
