@@ -99,56 +99,61 @@ for _m in _MODULES:
 # sf0.001/0.01/0.1), so entries outside the head keep being re-checked
 # as shared code changes.
 _PRIORITY: tuple[str, ...] = (
-    "stream_upsert_totals",
-    "stream_psi_drift",
-    "stream_heavy_hitters",
-    "stream_bitmap_distinct",
-    "ext_rank_biased_overlap",
-    "ext_ndcg_eval",
-    "ext_mrr_eval",
-    "ext_knn_shapley",
-    "ext_facility_location",
-    "ext_jl_projection_audit",
-    "ext_array_funcs",
-    "ext_cdc_chunk_dedup",
-    "ext_readability",
-    "ext_code_detect",
-    "ext_tokenizer_fertility",
-    "ext_log_odds_terms",
-    "ext_histogram",
-    "ext_regexp_extract",
-    "ext_bpe_pair_counts",
-    "stream_attribution",
-    "ext_mm_phash",
-    "ext_spearman_signals",
-    "ext_kendall_tau",
-    "ext_dedup_windowed",
-    "ext_pca_power_iteration",
-    "ext_cluster_silhouette",
-    "ext_knn_graph_ann",
-    "ext_dedup_incremental",
-    "ext_pq_ann_recall",
-    "ext_bpe_train",
-    "ext_bpe_apply",
-    "ext_l_diversity",
-    "ext_t_closeness",
-    "ext_schema_evolution",
-    "ext_ldp_frequency",
-    "ext_dataset_fingerprint",
-    "ext_erasure_audit",
-    "ext_fuzzy_vocab_join",
-    "ext_cms_frequency",
-    "ext_weighted_sample",
-    "ext_snapshot_diff",
-    "ext_k_anonymity",
-    "ext_value_breakout",
-    "ext_incremental_agg",
-    "ext_data_contract",
-    "ext_pseudonymize",
-    "ext_rollup_lattice",
-    "ext_bloom_membership",
-    "ext_time_travel_diff",
-    "ext_bloom_novelty",
+    # round-7 window: front-load the 8 entries whose code CHANGED in
+    # round 6 (wav/bmp stdlib decode, curriculum, ml-LSH recall
+    # certificates, z-order tie fix, fixed-point stats rewrites — the
+    # last two have only pre-rewrite driver rows), then drain the
+    # never-driver-checked pool in registry order (tools/next_window.py).
+    "ext_mm_wav_decode",
+    "ext_mm_bmp_decode",
+    "ext_curriculum_schedule",
+    "ext_ml_minhash_pairs",
+    "ext_ml_brp_pairs",
+    "ext_zorder_clustering",
+    "ext_stats_by_group",
+    "ext_corr_covar",
+    "ext_dp_release",
+    "ext_rle_advisor",
+    "ext_zone_map_pruning",
+    "ext_compaction_plan",
+    "ext_partition_advisor",
+    "ext_asof_join",
+    "ext_range_join",
+    "ext_neyman_allocation",
+    "ext_ipf_raking",
+    "ext_js_divergence",
+    "ext_effective_sample_size",
+    "ext_token_entropy",
+    "ext_mutual_information",
+    "ext_rendezvous_routing",
+    "ext_nucleus_selection",
+    "ext_gumbel_topk",
+    "ext_shard_assignment",
+    "ext_dsir_weights",
+    "ext_stratified_split",
+    "ext_length_buckets",
+    "ext_pack_sequences",
+    "ext_temperature_sample",
+    "ext_mixture_weights",
+    "ext_emb_centroids",
+    "ext_emb_quantize",
+    "ext_stratified_sample",
+    "ext_salted_join",
+    "ext_pandas_udaf_median",
+    "ext_scd2_pit_lookup",
+    "ext_join_size_forecast",
+    "ext_bloom_pruned_join",
+    "ext_shuffle_hash_join",
+    "ext_session_gap_sweep",
+    "ext_qini_curve",
+    "ext_pr_curve",
+    "ext_f1_threshold",
+    "ext_brier_decomposition",
+    "ext_segment_auc",
+    "ext_offpolicy_ips",
+    "ext_rdd_cutoff",
+    "ext_double_ml_plm",
+    "ext_iv_wald",
 )
 
 _missing = [n for n in _PRIORITY if n not in ALL_QUERIES]

@@ -37,9 +37,9 @@ def test_queries_enumeration_is_deterministic():
     from mini_sql_engine_spark.operators import _PRIORITY
 
     assert first[: len(_PRIORITY)] == list(_PRIORITY)
-    # round-6 window head: the four round-5 conf-fragility streams
-    # re-check first (failed-first rotation)
-    assert first[0] == "stream_upsert_totals"
+    # round-7 window head: the round-6-changed operators re-check
+    # first (wav decode leads), then the never-checked drain
+    assert first[0] == "ext_mm_wav_decode"
     assert len(first) == len(set(first))
 
 
