@@ -135,21 +135,20 @@ def orchestrate() -> int:
         )
         leg_sec = time.perf_counter() - t0
         rc = rc or proc.returncode
+        # the leg prints the FULL per-query map as its first JSON line
+        # (the last line is the truncated summary) — parse stdout
+        # directly rather than round-tripping through the shared
+        # BENCH_LAST.json sidecar, which a leg dying between print and
+        # write would leave stale, and which concurrent runs clobber
         line = next(
-            (
-                ln
-                for ln in reversed(proc.stdout.splitlines())
-                if ln.startswith("{")
-            ),
+            (ln for ln in proc.stdout.splitlines() if ln.startswith("{")),
             None,
         )
         if line is None:
             print(proc.stdout[-2000:], file=sys.stderr)
             print(proc.stderr[-2000:], file=sys.stderr)
             return proc.returncode or 1
-        # the leg's FIRST json line (full per-query map) is in BENCH_LAST.json
-        with open(os.path.join(os.path.dirname(here), "BENCH_LAST.json")) as fh:
-            legs.append(json.load(fh))
+        legs.append(json.loads(line))
         if leg_sec > leg_budget:
             break  # protect the caller's timeout; one leg beats a kill
     loads.append(_loadavg())
@@ -172,7 +171,8 @@ def orchestrate() -> int:
     }
     for leg in legs:
         if leg.get("errors"):
-            out["errors"] = leg["errors"]
+            # merge — legs can fail on different queries
+            out.setdefault("errors", {}).update(leg["errors"])
     with open(os.path.join(os.path.dirname(here), "BENCH_LAST.json"), "w") as fh:
         json.dump({**out, "queries": best}, fh)
     print(json.dumps(out))

@@ -57,10 +57,30 @@ def _assert_unique_order(df: DataFrame, order_cols: list[str]) -> None:
     ``df``, unacceptable in the hot path."""
     if os.environ.get("SPARK_GRAFT_CHECK_UNIQUE_ORDER") != "1":
         return
-    n, d = df.select(
+    # count_distinct skips rows where ANY column is NULL, which would
+    # both miscount and mislabel the failure — wrap each column in a
+    # struct (NULL becomes a countable value) and report NULL-bearing
+    # rows with their own message, since a NULL in an order key is a
+    # different bug (nondeterministic NULLS FIRST/LAST placement vs
+    # the oracle) than a duplicate key
+    cols = [F.col(c) for c in order_cols]
+    n, d, nulls = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(c) for c in order_cols]).alias("d"),
+        F.count_distinct(F.struct(*cols)).alias("d"),
+        F.sum(
+            F.when(
+                F.greatest(*[c.isNull() for c in cols])
+                if len(cols) > 1
+                else cols[0].isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("nulls"),
     ).first()
+    if nulls:
+        raise AssertionError(
+            f"range order {order_cols} contains {nulls} rows with a "
+            f"NULL order column — order keys must be non-null"
+        )
     if n != d:
         raise AssertionError(
             f"range order {order_cols} is not a unique key: "

@@ -92,10 +92,14 @@ class MiniSQLReader(DataSourceReader):
     conf ``spark.sql.python.filterPushdown.enabled`` is false. The
     engine's own ``get_spark()`` turns the conf on, but the connector
     must also work under a *caller-owned* session with default confs
-    (this exact fragility produced round 5's only four failures), so
-    ``MiniSQLDataSource.reader()`` returns this pushdown-free base
-    under a conf-off session and the :class:`MiniSQLPushdownReader`
-    subclass only when the active session advertises the conf.
+    (this exact fragility produced round 5's only four failures).
+    Session confs are UNREADABLE inside the Python planning worker
+    where ``reader()`` runs, so selection is driven purely by the
+    per-read OPTION: ``MiniSQLDataSource.reader()`` returns the
+    :class:`MiniSQLPushdownReader` subclass only when the read was
+    created with ``.option("pushdown", "true")`` (whose caller has, by
+    opting in, accepted responsibility for the session conf), and this
+    pushdown-free base otherwise.
     """
 
     def __init__(

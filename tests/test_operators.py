@@ -2480,6 +2480,24 @@ def test_range_prefix_rejects_non_unique_order(spark):
         range_prefix(tied, ["k"])
 
 
+def test_range_prefix_rejects_null_order_key(spark):
+    """A NULL in an order column gets its OWN message: count_distinct
+    skips NULL-bearing rows, so before this guard a genuinely unique
+    key with NULLs failed with the misleading 'not a unique key'.
+    NULL order keys are a distinct bug (NULLS FIRST/LAST placement
+    diverges between engines) and must be named as such."""
+    import pytest as _pytest
+
+    from mini_sql_engine_spark.functions.ranking import range_prefix
+
+    # id column is unique, but one row's key is NULL
+    with_null = spark.range(100).select(
+        F.when(F.col("id") == 3, None).otherwise(F.col("id")).alias("k")
+    )
+    with _pytest.raises(AssertionError, match="NULL order column"):
+        range_prefix(with_null, ["k"])
+
+
 def test_range_prefix_matches_global_window(spark):
     """range_prefix must replay the single-partition global window
     bit-for-bit: same rank, same inclusive prefix sum, same strict
