@@ -105,10 +105,14 @@ def _codec_decode(module, payload: bytes, media_type: str):
 
 
 def decode_real(payload: bytes, media_type: str):
-    """Real decode hook: modality → codec module → ndarray.
+    """Real decode hook: modality → codec → ndarray.
 
-    PIL (image) / librosa (audio) / av (video) are absent in this
-    container, so the import raises NotImplementedError and the
+    Containers this repo can decode with the standard library are
+    handled first by SIGNATURE sniffing, no codec library needed:
+    PNG (zlib + 5-filter reconstruction, `_png_decode_one`) and
+    RIFF/WAVE PCM16 (stdlib `wave`). Everything else dispatches to
+    PIL (image) / librosa (audio) / av (video), which are absent in
+    this container, so the import raises NotImplementedError and the
     pipeline uses the deterministic fake decode (_decode_batches);
     everything after the import — dispatch table, module call, ndarray
     return — is exercised by tests/test_multimodal.py with a
@@ -116,6 +120,22 @@ def decode_real(payload: bytes, media_type: str):
     """
     import importlib
 
+    if media_type == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode_one(payload)[3].astype("uint8")
+    if (
+        media_type == "audio"
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getsampwidth() == 2
+            frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype="<i2")
     mod_name = _CODEC_MODULES.get(media_type)
     if mod_name is None:
         raise ValueError(f"unknown media_type {media_type!r}")
@@ -493,7 +513,9 @@ ORACLES["ext_mm_phash"] = f"""
 # ---------------------------------------------------------------------------
 # REAL container decode — pure-stdlib codecs (no PIL/librosa/av needed).
 #
-# The env-blocked stub above covers COMPRESSED codecs (JPEG/MP3/MP4).
+# The env-blocked stub above covers codec-library formats (JPEG/MP3/
+# MP4). PNG — a COMPRESSED codec — is real too (further below): its
+# compression is zlib, which is stdlib.
 # Uncompressed containers need no codec library: WAV is RIFF + PCM
 # (stdlib `wave` parses it) and BMP is two fixed structs + padded BGR
 # rows (struct.unpack parses it). These two operators synthesize VALID
@@ -670,8 +692,204 @@ def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmps.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# PNG: the first COMPRESSED codec done with pure stdlib — zlib (the
+# actual PNG compression) is in the standard library, so unlike
+# JPEG/MP3/MP4 nothing is env-blocked. The synth side emits spec-valid
+# PNGs (signature, IHDR, zlib-deflated filtered scanlines in IDAT,
+# CRC32 on every chunk) and deliberately cycles the row filter type
+# (doc_id + y) % 5 so every decode exercises all five PNG filters
+# (None/Sub/Up/Average/Paeth). The decode side is a genuine decoder:
+# chunk walk with CRC verification, zlib inflate, then sequential
+# per-scanline unfiltering — nothing about the synth formulas is
+# assumed. Same scale shape as WAV/BMP: a pure fused map, no shuffle,
+# bounded payloads.
+# ---------------------------------------------------------------------------
+
+PNG_MAX_W, PNG_MAX_H = 14, 7  # w = 4 + doc_id % 11, h = 3 + doc_id % 5
+
+PNG_SCHEMA = (
+    "doc_id long, width long, height long, n_filters long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """Spec-valid 8-bit truecolor PNG: w = 4 + doc_id%11, h = 3 +
+    doc_id%5; logical pixel (x, y) channel c (0=R,1=G,2=B) =
+    (doc_id*5 + 7*(y*w + x) + 11*c) % 256; row y uses filter type
+    (doc_id + y) % 5 so the corpus covers all five filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 11, 3 + doc_id % 5
+    p = np.arange(w * h, dtype=np.int64)
+    rgb = (
+        (doc_id * 5 + 7 * p[:, None] + 11 * np.arange(3, dtype=np.int64))
+        % 256
+    ).astype(np.uint8).reshape(h, w, 3)
+    raw = rgb.reshape(h, w * 3).astype(np.int64)
+    bpp = 3
+    scanlines = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        ft = (doc_id + y) % 5
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            pp = left + prior - ul
+            pa, pb, pc = np.abs(pp - left), np.abs(pp - prior), np.abs(pp - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = row - pred
+        scanlines.append(ft)
+        scanlines += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [_png_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _png_decode_one(p: bytes):
+    """REAL decode of one PNG: chunk walk with CRC32 verification,
+    IHDR parse, IDAT concatenation + zlib inflate, then sequential
+    scanline unfiltering (the byte-recursive inverse of all five
+    filter types). Returns (w, h, distinct filter count, rgb array)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert p[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(p):
+        (ln,) = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", p, pos + 8 + ln)
+        assert crc == zlib.crc32(ctype + data), f"CRC mismatch in {ctype!r}"
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            assert (depth, ctyp, comp, filt, ilace) == (8, 2, 0, 0, 0)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    assert w is not None, "no IHDR"
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    assert len(flat) == stride * h
+    bpp = 3
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    filters = set()
+    for y in range(h):
+        ft = int(flat[y * stride])
+        filters.add(ft)
+        row = flat[y * stride + 1 : (y + 1) * stride].astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(
+            w * 3, dtype=np.int64
+        )
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prior) % 256
+        else:
+            # Sub/Average/Paeth recurse on the just-reconstructed left
+            # byte — sequential within the row (w ≤ 14 here; a real
+            # decoder vectorizes per filter run)
+            rec = np.zeros(w * 3, dtype=np.int64)
+            for x in range(w * 3):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                rec[x] = (row[x] + pred) % 256
+        out[y] = rec.astype(np.uint8)
+    return w, h, len(filters), out.reshape(h, w, 3).astype(np.int64)
+
+
+def _png_decode_batches(batches):
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_filters",
+            "sum_r", "sum_g", "sum_b")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, nf, rgb = _png_decode_one(bytes(p))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_filters"].append(nf)
+            out["sum_r"].append(int(rgb[:, :, 0].sum()))
+            out["sum_g"].append(int(rgb[:, :, 1].sum()))
+            out["sum_b"].append(int(rgb[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+def png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize spec-valid zlib-compressed PNGs (filter types cycled
+    per row), then REALLY decode them — CRC-checked chunk walk, zlib
+    inflate, 5-filter scanline reconstruction — per-doc channel sums."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(
+        _png_synth_batches, schema="doc_id long, payload binary"
+    )
+    return pngs.mapInPandas(_png_decode_batches, schema=PNG_SCHEMA)
+
+
 QUERIES["ext_mm_wav_decode"] = wav_decode
 QUERIES["ext_mm_bmp_decode"] = bmp_decode
+QUERIES["ext_mm_png_decode"] = png_decode
 
 # the decoded statistics are closed-form integer functions of doc_id —
 # DuckDB replays them with a bounded series join, never parsing binary
@@ -686,6 +904,22 @@ ORACLES["ext_mm_wav_decode"] = f"""
                     - 32768) AS BIGINT) AS max_amp
     FROM documents d JOIN ser ON ser.i < 64 + (d.doc_id % 64)
     GROUP BY d.doc_id
+"""
+ORACLES["ext_mm_png_decode"] = f"""
+    WITH px AS (SELECT unnest(range(0, {PNG_MAX_W * PNG_MAX_H})) AS p),
+    d AS (SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h
+          FROM documents)
+    SELECT d.doc_id,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           -- row y uses filter (doc_id+y)%5, so h rows cover
+           -- min(h, 5) distinct filter types
+           CAST(LEAST(d.h, 5) AS BIGINT) AS n_filters,
+           CAST(SUM((d.doc_id * 5 + 7 * px.p + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 5 + 7 * px.p + 11) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 5 + 7 * px.p + 22) % 256) AS BIGINT) AS sum_b
+    FROM d JOIN px ON px.p < d.w * d.h
+    GROUP BY d.doc_id, d.w, d.h
 """
 ORACLES["ext_mm_bmp_decode"] = f"""
     WITH px AS (SELECT unnest(range(0, {BMP_MAX_W * BMP_MAX_H})) AS p),

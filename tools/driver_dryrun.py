@@ -9,9 +9,12 @@ comparing each against its ``oracle_sql()`` with the suite's exact
 replica of the driver compare (rows + schema + exact values).
 
     python tools/driver_dryrun.py [n_queries] [sf_dir]
+    python tools/driver_dryrun.py <name> [<name> ...] [sf_dir]
 
 Defaults: 50 queries (the driver window), /root/testdata/sf0.01 (the
-driver gate scale). Exit 0 = every entry would go green.
+driver gate scale). A non-integer first argument selects queries by
+NAME instead (spot-check a new operator under the bare session).
+Exit 0 = every entry would go green.
 """
 
 from __future__ import annotations
@@ -27,8 +30,17 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main() -> int:
-    n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    names: list[str] = []
+    n_window = 50
+    sf_dir = "/root/testdata/sf0.01"
+    if argv and argv[-1].startswith("/"):
+        sf_dir = argv.pop()
+    if argv:
+        try:
+            n_window = int(argv[0])
+        except ValueError:
+            names = argv
 
     from pyspark.sql import SparkSession
 
@@ -47,7 +59,12 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    window = list(queries)[:n_window]
+    if names:
+        unknown = [n for n in names if n not in queries]
+        assert not unknown, f"not in queries(): {unknown}"
+        window = names
+    else:
+        window = list(queries)[:n_window]
 
     failed: list[str] = []
     for i, name in enumerate(window):
