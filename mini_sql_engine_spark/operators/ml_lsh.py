@@ -108,8 +108,12 @@ def ml_brp_raw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     dist_t = float((2.0 * (1.0 - COSINE_T)) ** 0.5)
+    # ensure_min_partitions: the local parquet arrives as ONE split,
+    # which would serialize the bucket self-join's exact-distance
+    # verify (the expensive part — ~1M candidate pairs at sf0.1) on a
+    # single core; at production scale the scan is already many splits
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),

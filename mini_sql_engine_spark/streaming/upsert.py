@@ -200,7 +200,13 @@ def merge_batch(
     )
     datasource.register(spark)
     (
+        # coalesce(1): the single-CSV format merges every task
+        # fragment into ONE file at driver commit, so parallel write
+        # tasks buy nothing for the bounded state table — they cost a
+        # Python worker spin-up each, per commit (the format is the
+        # compatibility export; a real table format is the scale sink)
         merged.unionByName(sentinel)
+        .coalesce(1)
         .write.format("minisql")
         .option("path", data_dir)
         .option("table", table)
@@ -426,6 +432,7 @@ def merge_bitmap_batch(
     datasource.register(spark)
     (
         merged.unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
         .write.format("minisql")
         .option("path", data_dir)
         .option("table", table)
@@ -547,6 +554,7 @@ def merge_psi_batch(
     datasource.register(spark)
     (
         merged.unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
         .write.format("minisql")
         .option("path", data_dir)
         .option("table", table)
@@ -715,6 +723,7 @@ def merge_mg_batch(
     datasource.register(spark)
     (
         pruned.unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
         .write.format("minisql")
         .option("path", data_dir)
         .option("table", table)

@@ -332,10 +332,10 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
-    purchases = events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
+    # one source, both legs — see stream_click_nopurchase
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
     return stream_to_df(spark, click_purchase_join(clicks, purchases), "append")
 
 
