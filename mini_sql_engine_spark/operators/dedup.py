@@ -702,13 +702,26 @@ def dup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_CACHE: dict[str, DataFrame] = {}
+_SIMHASH_CACHE: dict[str, DataFrame] = {}
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH candidates → exact-Jaccard verify.
 
     The banded self-join shuffles only (band, doc_id) pairs — 4 thin
     rows per doc regardless of doc length; the heavy shingle arrays are
     joined back onto the (small) deduplicated candidate set afterwards,
-    so array bytes never ride the candidate-generation shuffle."""
+    so array bytes never ride the candidate-generation shuffle.
+
+    persist()ed + memoized per sf_dir like `jaccard_dedup`: the
+    verified pair table is consumed by its own query AND the blocker
+    audits (capture_recapture, the association consumer), each of which
+    would otherwise re-run the banded self-join. Lineage retained —
+    see `_shingled` for the persist-vs-checkpoint argument."""
+    cached = _MINHASH_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     sh = _shingled(spark, sf_dir)
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
     banded = sig.select(
@@ -733,15 +746,24 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = cand.join(sha, "doc_a").join(shb, "doc_b")
     inter = F.size(F.array_intersect("sha", "shb"))
     union_n = F.size("sha") + F.size("shb") - inter
-    return (
+    out = (
         verified.withColumn("jacc", F.round(inter / union_n, 6))
         .filter(F.col("jacc") >= JACCARD_T)
         .select("doc_a", "doc_b", "jacc")
+        .persist()
     )
+    _MINHASH_CACHE[sf_dir] = out
+    return out
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 3 via exact 4×15-bit banding."""
+    """SimHash near-dup pairs at hamming ≤ 3 via exact 4×15-bit banding.
+
+    persist()ed + memoized per sf_dir — consumed by its own query and
+    the blocker audits (see `minhash_lsh_dedup`)."""
+    cached = _SIMHASH_CACHE.get(sf_dir)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("t"))
     votes = (
@@ -764,7 +786,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sim", F.posexplode(bands_arr).alias("bpos", "bval")
     )
     a, b = bx.alias("a"), bx.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.bpos") == F.col("b.bpos"))
@@ -778,7 +800,10 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .persist()
     )
+    _SIMHASH_CACHE[sf_dir] = out
+    return out
 
 
 def _emb_plane(band: int, row: int) -> list[float]:
