@@ -327,17 +327,26 @@ def _stage_native_events(spark: SparkSession, sf_dir: str) -> str:
     version so a feed-definition change can never reuse a stale
     export."""
     digest = hashlib.md5(
-        f"tail|v2mod{_TAIL_FEED_MOD}|{sf_dir}".encode()
+        f"tail|v3mod{_TAIL_FEED_MOD}|{sf_dir}".encode()
     ).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"native_tail_{digest}")
     if not os.path.exists(os.path.join(stage, "metadata.txt")):
+        from mini_sql_engine_spark.catalog import load_table
+
         tmp = stage + f".tmp-{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # load through the catalog so events.ts normalizes to µs
+        # TimestampType under any parquet generation; the native
+        # format is integer-only, so time rides as unix micros
         feed = (
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            load_table(spark, sf_dir, "events")
             .filter(F.col("event_id") % _TAIL_FEED_MOD == 0)
-            .select("event_id", "user_id", _cents("value").alias("cents"))
+            .select(
+                "event_id",
+                "user_id",
+                _cents("value").alias("cents"),
+                F.unix_micros("ts").alias("ts_us"),
+            )
         )
         datasource.register(spark)
         (
@@ -374,6 +383,52 @@ def stream_native_tail_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents")
+    )
+    return stream_to_df(spark, agg, "complete")
+
+
+def stream_native_tail_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the NATIVE tail stream: `session_window`
+    with a 1-hour inactivity gap on event time reconstructed from the
+    integer-only native feed (time rides as unix micros in the CSV;
+    `timestamp_micros` restores the µs TimestampType the watermark
+    needs). Completes the native-loop story: the byte-offset tail
+    reader's micro-batches hit a MERGING stateful operator — unlike
+    the keyed totals, session windows must coalesce when a later batch
+    bridges two previously-open sessions. Oracled by the same
+    gaps-and-islands SQL as the parquet session streams, on the
+    thinned feed.
+
+    Scale notes (100 TB): state is open sessions only (closed sessions
+    evict once the watermark passes end + gap); the shuffle keys on
+    user_id, identical to the parquet-source session stream — the
+    source swap changes no state or shuffle shape."""
+    from mini_sql_engine_spark.streaming.windows import stream_to_df
+
+    data_dir = _stage_native_events(spark, sf_dir)
+    datasource.register(spark)
+    stream = (
+        spark.readStream.format("minisql")
+        .option("path", data_dir)
+        .option("table", "events_feed")
+        .load()
+    )
+    agg = (
+        stream.select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts"), "cents"
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            "n_events",
+            "sum_cents",
+        )
     )
     return stream_to_df(spark, agg, "complete")
 
@@ -813,6 +868,7 @@ QUERIES: dict[str, Callable] = {
     "stream_heavy_hitters": stream_heavy_hitters,
     "stream_upsert_totals": stream_upsert_user_totals,
     "stream_native_tail": stream_native_tail_totals,
+    "stream_native_tail_sessions": stream_native_tail_sessions,
     "stream_bitmap_distinct": stream_bitmap_distinct_counts,
 }
 
@@ -839,6 +895,34 @@ ORACLES: dict[str, str] = {
     "stream_native_tail": _USER_TOTALS_SQL.replace(
         "FROM events", f"FROM events WHERE event_id % {_TAIL_FEED_MOD} = 0"
     ),
+    # gaps-and-islands sessionization (same shape as the parquet
+    # session streams' shared oracle) on the thinned tail feed; the
+    # feed carries time as unix micros, so the oracle truncates ts to
+    # µs the same way
+    "stream_native_tail_sessions": f"""
+        WITH e AS (
+            SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_id % {_TAIL_FEED_MOD} = 0),
+        marked AS (
+            SELECT user_id, ts, cents,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '1 hour'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, cents,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM sess GROUP BY user_id, sess_id
+    """,
     "stream_bitmap_distinct": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_distinct_users
