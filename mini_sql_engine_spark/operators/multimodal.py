@@ -934,3 +934,251 @@ ORACLES["ext_mm_bmp_decode"] = f"""
     FROM d JOIN px ON px.p < d.w * d.h
     GROUP BY d.doc_id, d.w, d.h
 """
+
+
+# ---------------------------------------------------------------------------
+# GIF: a second COMPRESSED codec family done for real — LZW dictionary
+# coding, which shares nothing with PNG's zlib (no stdlib module does
+# GIF-LZW; both the variable-code-width encoder and decoder below are
+# implemented from the published GIF87a spec). The synth emits
+# spec-valid GIF87a files (logical screen descriptor, 16-entry global
+# color table, image descriptor, LZW-compressed indexed pixels in
+# 255-byte sub-blocks, trailer); the decoder genuinely parses and
+# LZW-decompresses them: LSB-first bit unpacking, code width growth at
+# dictionary fill, clear-code reset, and the cScSc corner case
+# (code == next unassigned entry). Palette and pixel indices are
+# closed-form integer functions of doc_id, so the DuckDB oracle
+# replays the decoded channel sums exactly without touching binary.
+# Same scale shape as WAV/BMP/PNG: a pure fused map, no shuffle.
+# ---------------------------------------------------------------------------
+
+GIF_MAX_W, GIF_MAX_H = 12, 8  # w = 4 + doc_id % 9, h = 3 + doc_id % 6
+GIF_PALETTE_N = 16  # 4-bit indexed color, LZW min code size 4
+
+GIF_SCHEMA = (
+    "doc_id long, width long, height long, n_colors long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _gif_palette(doc_id: int) -> list[tuple[int, int, int]]:
+    """16-entry palette, entry i = ((doc_id*7 + i*17) % 256,
+    (doc_id*11 + i*29) % 256, (doc_id*13 + i*31) % 256)."""
+    return [
+        (
+            (doc_id * 7 + i * 17) % 256,
+            (doc_id * 11 + i * 29) % 256,
+            (doc_id * 13 + i * 31) % 256,
+        )
+        for i in range(GIF_PALETTE_N)
+    ]
+
+
+def _lzw_compress(indices: list[int], min_code: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR first, grow code width at dict
+    fill, reset at 4096 entries, LSB-first bit packing."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {(i,): i for i in range(1 << min_code)}, eoi + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        buf = (idx,)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    """Spec-valid GIF87a: w = 4 + doc_id%9, h = 3 + doc_id%6, pixel p
+    (row-major) has palette index (doc_id + 3*p) % 16."""
+    import struct
+
+    w, h = 4 + doc_id % 9, 3 + doc_id % 6
+    indices = [(doc_id + 3 * p) % GIF_PALETTE_N for p in range(w * h)]
+    pal = b"".join(bytes(rgb) for rgb in _gif_palette(doc_id))
+    # packed: GCT flag 1, color res 3 (bits 4-6), sort 0, GCT size 3
+    # (2^(3+1) = 16 entries)
+    screen = struct.pack("<6sHHBBB", b"GIF87a", w, h, 0b1_011_0_011, 0, 0)
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    lzw = _lzw_compress(indices, 4)
+    blocks = bytearray([4])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return screen + pal + img_desc + bytes(blocks) + b"\x3b"
+
+
+def _lzw_decompress(data: bytes, min_code: int) -> list[int]:
+    """GIF-variant LZW decode: variable code width, clear-code reset,
+    and the cScSc case (incoming code == next unassigned entry)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(1 << min_code)}, eoi + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = n = pos = 0
+    while True:
+        while n < width:
+            if pos >= len(data):
+                raise AssertionError("LZW stream ended without EOI")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # cScSc: entry = prev + prev[0]
+            entry = prev + (prev[0],)
+        else:
+            raise AssertionError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_decode_one(p: bytes):
+    """REAL decode of one GIF87a: header + logical screen descriptor
+    parse, global color table read, image descriptor, sub-block
+    reassembly, LZW decompression, palette mapping. Returns
+    (w, h, n_palette_colors, rgb array)."""
+    import struct
+
+    import numpy as np
+
+    assert p[:6] in (b"GIF87a", b"GIF89a"), "bad GIF signature"
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", p, 6)
+    assert packed & 0x80, "no global color table"
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    pal = [tuple(p[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)]
+    pos += 3 * gct_n
+    assert p[pos] == 0x2C, "expected image descriptor"
+    _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", p, pos + 1)
+    assert ipacked & 0x80 == 0, "local color tables not supported"
+    assert ipacked & 0x40 == 0, "interlace not supported"
+    pos += 10
+    min_code = p[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        blen = p[pos]
+        pos += 1
+        if blen == 0:
+            break
+        lzw += p[pos : pos + blen]
+        pos += blen
+    assert p[pos] == 0x3B, "missing trailer"
+    indices = _lzw_decompress(bytes(lzw), min_code)
+    assert len(indices) == iw * ih, "pixel count mismatch"
+    rgb = np.array([pal[i] for i in indices], dtype=np.int64).reshape(
+        ih, iw, 3
+    )
+    return iw, ih, len(pal), rgb
+
+
+def _gif_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [_gif_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _gif_decode_batches(batches):
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_colors",
+            "sum_r", "sum_g", "sum_b")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, nc, rgb = _gif_decode_one(bytes(p))
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_colors"].append(nc)
+            out["sum_r"].append(int(rgb[:, :, 0].sum()))
+            out["sum_g"].append(int(rgb[:, :, 1].sum()))
+            out["sum_b"].append(int(rgb[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+def gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize spec-valid LZW-compressed GIF87a files, then REALLY
+    decode them — header/palette parse, sub-block reassembly,
+    variable-width LZW decompression — per-doc channel sums."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gifs = docs.mapInPandas(
+        _gif_synth_batches, schema="doc_id long, payload binary"
+    )
+    return gifs.mapInPandas(_gif_decode_batches, schema=GIF_SCHEMA)
+
+
+QUERIES["ext_mm_gif_decode"] = gif_decode
+
+# channel c of pixel p: palette[(doc_id + 3p) % 16][c], with palette
+# entry i closed-form in (doc_id, i) — the oracle inlines both layers
+ORACLES["ext_mm_gif_decode"] = f"""
+    WITH px AS (SELECT unnest(range(0, {GIF_MAX_W * GIF_MAX_H})) AS p),
+    d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h
+          FROM documents),
+    ix AS (SELECT d.doc_id, d.w, d.h,
+                  (d.doc_id + 3 * px.p) % {GIF_PALETTE_N} AS i
+           FROM d JOIN px ON px.p < d.w * d.h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST({GIF_PALETTE_N} AS BIGINT) AS n_colors,
+           CAST(SUM((doc_id * 7 + i * 17) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + i * 29) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 13 + i * 31) % 256) AS BIGINT) AS sum_b
+    FROM ix GROUP BY doc_id, w, h
+"""
