@@ -163,6 +163,139 @@ def _morton(qn: F.Column, pn: F.Column) -> F.Column:
     return out
 
 
+def _hilbert_np(xs, ys):
+    """Hilbert-curve distance of grid points (xs, ys) on the
+    2^MORTON_BITS square — the published xy2d algorithm (top-down
+    quadrant walk with reflect/swap rotation) as ~30 numpy vector ops.
+    Bijective on the grid, so d is unique per distinct point; exact
+    int64 arithmetic, bit-identical to the oracle's chained-CTE
+    replay (`_hilbert_sql`, generated from the same per-level loop).
+
+    Why numpy and not a column expression: the recursion's rotation
+    references x and y twice per level, so a single inlined expression
+    doubles its tree per level (2^MORTON_BITS blowup — OOMs plan
+    construction), and the chained-projection form materializing the
+    walk state per level builds, but its generated code falls out of
+    JIT/codegen limits and ran ~5 s for 600k rows at sf0.1 — the
+    Arrow-batched vector loop below does the same rows in
+    milliseconds. This is exactly the 'vectorized Pandas UDF when the
+    built-ins genuinely can't express it cheaply' escape hatch."""
+    import numpy as np
+
+    n1 = (1 << MORTON_BITS) - 1
+    x = np.asarray(xs, dtype=np.int64).copy()
+    y = np.asarray(ys, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    for lvl in range(MORTON_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = (x >> lvl) & 1
+        ry = (y >> lvl) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        nx = np.where(refl, n1 - y, y)
+        ny = np.where(refl, n1 - x, x)
+        x = np.where(swap, nx, x)
+        y = np.where(swap, ny, y)
+    return d
+
+
+def _hilbert_sql(passthrough: str) -> str:
+    """Chained-CTE DuckDB replay of `_hilbert`, generated from the
+    SAME per-level loop so the two engines cannot drift: h15..h0 each
+    update (hx, hy, hd) exactly as one unrolled level does."""
+    n1 = (1 << MORTON_BITS) - 1
+    ctes = [
+        "h16 AS (SELECT qn AS hx, pn AS hy, CAST(0 AS BIGINT) AS hd, "
+        f"qn, pn, {passthrough} FROM pts)"
+    ]
+    prev = "h16"
+    for lvl in range(MORTON_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"((hx >> {lvl}) & 1)"
+        ry = f"((hy >> {lvl}) & 1)"
+        ctes.append(
+            f"h{lvl} AS (SELECT "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {n1} - hy ELSE hy END ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {n1} - hx ELSE hx END ELSE hy END AS hy, "
+            f"hd + {s * s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS hd, "
+            f"qn, pn, {passthrough} FROM {prev})"
+        )
+        prev = f"h{lvl}"
+    return ",\n        ".join(ctes)
+
+
+def hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Z-order head-to-head on the SAME two-dimension
+    skipping metric as `zorder_clustering`: block the table under each
+    curve's order, report summed per-block min/max range width per
+    dimension in ppm of the domain. The Hilbert curve never jumps
+    (adjacent d values are always grid neighbors), so its blocks are
+    tighter rectangles than Morton's — this is the quantified argument
+    for choosing Hilbert clustering keys in a lakehouse layout.
+
+    Scale notes (100 TB): the Hilbert value is an Arrow-batched
+    vectorized pandas_udf (`_hilbert_np` — a pure map, no shuffle; see
+    its docstring for why the expression form loses here), the Morton
+    value stays a fused integer expression, and the blocking rank
+    rides the range-partitioned `range_prefix` ladder — never a
+    single-partition sort. Same plan shape as `zorder_clustering` at
+    any scale factor."""
+    import pandas as pd
+
+    # hint-free form: the module's `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf's eval-type inference
+    # can't resolve for a locally-imported pd
+    hilbert_udf = F.pandas_udf(
+        lambda xs, ys: pd.Series(_hilbert_np(xs.to_numpy(), ys.to_numpy())),
+        "long",
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _norm_q().alias("qn"),
+        _norm_p().alias("pn"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    full = (1 << MORTON_BITS) - 1
+
+    def blocks(df: DataFrame, order, layout: str) -> DataFrame:
+        blk = range_prefix(df, list(order)).withColumn(
+            "block", F.floor((F.col("rnk") - 1) / BLOCK_ROWS).cast("long")
+        )
+        per = blk.groupBy("block").agg(
+            (F.max("qn") - F.min("qn")).alias("q_width"),
+            (F.max("pn") - F.min("pn")).alias("p_width"),
+        )
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.floor(F.sum("q_width") * 1_000_000 / (F.count("*") * full))
+            .cast("long")
+            .alias("q_range_ppm"),
+            F.floor(F.sum("p_width") * 1_000_000 / (F.count("*") * full))
+            .cast("long")
+            .alias("p_range_ppm"),
+        )
+
+    tiebreak = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
+    hi = blocks(
+        li.withColumn("hd", hilbert_udf("qn", "pn")),
+        ["hd", *tiebreak],
+        "hilbert",
+    )
+    zo = blocks(
+        li.withColumn("z", _morton(F.col("qn"), F.col("pn"))),
+        ["z", *tiebreak],
+        "zorder",
+    )
+    return hi.unionByName(zo)
+
+
 def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-dimension skipping quality: Z-order vs single-column sort.
 
@@ -361,6 +494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_zone_map_pruning": zone_map_pruning,
     "ext_compaction_plan": compaction_plan,
     "ext_zorder_clustering": zorder_clustering,
+    "ext_hilbert_clustering": hilbert_clustering,
     "ext_partition_advisor": partition_advisor,
 }
 
@@ -489,5 +623,55 @@ ORACLES: dict[str, str] = {
                CAST(floor(SUM(p_width) * 1000000
                     / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
         FROM pss
+    """,
+    "ext_hilbert_clustering": f"""
+        WITH pts AS (
+            SELECT CAST(floor((l_quantity - 1.0) * {Q_SCALE!r}) AS BIGINT)
+                       AS qn,
+                   LEAST(CAST(floor((l_extendedprice - {P_BASE!r})
+                                    * {P_SCALE!r}) AS BIGINT),
+                         {(1 << MORTON_BITS) - 1}) AS pn,
+                   l_orderkey, l_linenumber, l_extendedprice, l_quantity
+            FROM lineitem),
+        {_hilbert_sql("l_orderkey, l_linenumber, l_extendedprice, l_quantity")},
+        z AS (
+            SELECT qn, pn, l_orderkey, l_linenumber, l_extendedprice,
+                   l_quantity,
+                   {" + ".join(f"(((qn >> {b}) & 1) << {2 * b}) + (((pn >> {b}) & 1) << {2 * b + 1})" for b in range(MORTON_BITS))}
+                       AS zval
+            FROM pts),
+        hb AS (
+            SELECT qn, pn,
+                   CAST(floor((ROW_NUMBER() OVER (
+                            ORDER BY hd, l_orderkey, l_linenumber,
+                                     l_extendedprice, l_quantity) - 1)
+                        / {BLOCK_ROWS}) AS BIGINT) AS block
+            FROM h0),
+        zb AS (
+            SELECT qn, pn,
+                   CAST(floor((ROW_NUMBER() OVER (
+                            ORDER BY zval, l_orderkey, l_linenumber,
+                                     l_extendedprice, l_quantity) - 1)
+                        / {BLOCK_ROWS}) AS BIGINT) AS block
+            FROM z),
+        hs AS (SELECT block, MAX(qn) - MIN(qn) AS q_width,
+                      MAX(pn) - MIN(pn) AS p_width FROM hb GROUP BY block),
+        zs AS (SELECT block, MAX(qn) - MIN(qn) AS q_width,
+                      MAX(pn) - MIN(pn) AS p_width FROM zb GROUP BY block)
+        SELECT 'hilbert' AS layout, COUNT(*) AS n_blocks,
+               CAST(floor(SUM(q_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
+                   AS q_range_ppm,
+               CAST(floor(SUM(p_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
+                   AS p_range_ppm
+        FROM hs
+        UNION ALL
+        SELECT 'zorder', COUNT(*),
+               CAST(floor(SUM(q_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT),
+               CAST(floor(SUM(p_width) * 1000000
+                    / (COUNT(*) * {(1 << MORTON_BITS) - 1})) AS BIGINT)
+        FROM zs
     """,
 }
