@@ -515,6 +515,114 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSK_K = 64  # summary points per partition
+QSK_P = 16  # fixed hash-partition count (part of the error bound)
+QSK_TARGETS = (100_000, 250_000, 500_000, 750_000, 900_000)  # ppm
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with a PROVEN rank-error certificate.
+
+    Each of QSK_P hash partitions of lineitem prices (integer cents)
+    is compacted to ≤ QSK_K evenly-spaced order statistics carrying
+    their local rank GAPS; the merged summary (≤ K·P rows — constant,
+    the point of a sketch) answers any quantile by prefix-summed
+    weight: est(t) = min value whose merged weight ≥ t. Two exact
+    in-plan counts certify the textbook mergeable-summary guarantee
+    for every target:
+
+      ok_hi: count(x <= est) >= t                       (slack-free)
+      ok_lo: count(x <  est) <  t + floor(n/K) + P      (the bound)
+
+    since each partition's recorded rank understates count(<= v) never
+    and overstates count(< v) by at most its max gap ceil(n_p/K), and
+    sum_p ceil(n_p/K) <= floor(n/K) + P. The estimate itself is
+    sketch-internal (depends on partition boundaries) and never
+    emitted; the OUTPUT — (q_ppm, n_rows, slack, ok_hi, ok_lo) — is
+    fully deterministic, so DuckDB hash-matches it by recomputing n
+    and the bound and expecting true/true (the
+    `ext_approx_count_distinct` certificate pattern).
+
+    Scale notes (100 TB): this is the one-pass distributed-quantile
+    shape (same family as Spark's approxQuantile/GK): a pure
+    per-partition map to K rows, a K·P-row merge, and ONE exact
+    counting pass for the certificate (drop it in production — it
+    exists to make the sketch falsifiable). Memory per executor is K
+    order statistics, independent of partition size."""
+    import numpy as np
+    import pandas as pd
+
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(cents.alias("cents"), "l_orderkey")
+        .repartition(QSK_P, "l_orderkey")
+        .localCheckpoint(eager=False)  # consumed by sketch AND certify
+    )
+
+    def summarize(batches):
+        vals = [pdf["cents"].to_numpy(np.int64) for pdf in batches]
+        v = np.sort(np.concatenate(vals)) if vals else np.empty(0, np.int64)
+        n = len(v)
+        out = {"val": [], "g": []}
+        prev = 0
+        for i in range(1, QSK_K + 1):
+            r = -(-i * n // QSK_K)  # ceil(i*n/K); r == n at i == K
+            if r > prev:
+                out["val"].append(int(v[r - 1]))
+                out["g"].append(r - prev)
+                prev = r
+        yield pd.DataFrame(out)
+
+    from mini_sql_engine_spark.functions.ranking import range_prefix
+
+    summ = (
+        base.mapInPandas(summarize, "val long, g long")
+        .groupBy("val")
+        .agg(F.sum("g").alias("g"))
+    )
+    ladder = range_prefix(summ, ["val"], sum_cols=("g",))
+    n1 = base.agg(F.count(F.lit(1)).alias("n"))
+    targets = spark.createDataFrame(
+        [(q,) for q in QSK_TARGETS], "q_ppm long"
+    ).crossJoin(F.broadcast(n1))
+    targets = targets.select(
+        "q_ppm",
+        "n",
+        F.greatest(
+            F.floor(F.col("q_ppm") * F.col("n") / 1_000_000), F.lit(1)
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    # est(t) = min summary value whose cumulative weight reaches t
+    ests = (
+        F.broadcast(targets)
+        .join(ladder, F.col("cum_g") >= F.col("t"))
+        .groupBy("q_ppm", "n", "t")
+        .agg(F.min("val").alias("est"))
+    )
+    # ONE exact pass certifies all targets: 5 broadcast rows × base
+    certify = base.crossJoin(F.broadcast(ests)).groupBy(
+        "q_ppm", "n", "t"
+    ).agg(
+        F.sum(F.when(F.col("cents") <= F.col("est"), 1).otherwise(0)).alias(
+            "_le"
+        ),
+        F.sum(F.when(F.col("cents") < F.col("est"), 1).otherwise(0)).alias(
+            "_lt"
+        ),
+    )
+    slack = (F.floor(F.col("n") / QSK_K) + QSK_P).cast("long")
+    return certify.select(
+        "q_ppm",
+        F.col("n").alias("n_rows"),
+        slack.alias("slack"),
+        (F.col("_le") >= F.col("t")).alias("ok_hi"),
+        (F.col("_lt") < F.col("t") + slack).alias("ok_lo"),
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-level cohort retention triangle: users grouped by their
     first-activity day, counted distinct on each later activity day.
@@ -6456,6 +6564,7 @@ QUERIES: dict[str, Callable] = {
     "ext_conditional_agg": conditional_aggregates,
     "ext_string_agg": string_agg_nations,
     "ext_approx_count_distinct": approx_count_distinct,
+    "ext_quantile_sketch": quantile_sketch,
     "ext_hll_mergeable": hll_mergeable_sketches,
     "ext_quantile_mergeable": quantile_mergeable,
 }
@@ -9467,6 +9576,17 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS within_tol
         FROM events GROUP BY event_type
+    """,
+    # the estimate is sketch-internal; the deterministic output is the
+    # target grid, n, the PROVEN bound floor(n/K) + P, and the two
+    # certificate booleans the in-plan exact counts must satisfy
+    "ext_quantile_sketch": f"""
+        WITH n1 AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, n1.n AS n_rows,
+               CAST(floor(n1.n / {QSK_K}) + {QSK_P} AS BIGINT) AS slack,
+               TRUE AS ok_hi, TRUE AS ok_lo
+        FROM (VALUES {", ".join(f"({q})" for q in QSK_TARGETS)}) q(q_ppm)
+        CROSS JOIN n1
     """,
     "ext_hll_mergeable": """
         SELECT event_type,
