@@ -227,6 +227,32 @@ def _hilbert_sql(passthrough: str) -> str:
     return ",\n        ".join(ctes)
 
 
+def _hilbert_relation(spark: SparkSession, sf_dir: str):
+    """(base lineitem point relation, same + Arrow-computed `hd`).
+
+    Split out so tests can assert the PRE-ladder plan (the
+    range_prefix checkpoint truncates lineage, hiding the
+    ArrowEvalPython node from the final plan string)."""
+    import pandas as pd
+
+    # hint-free form: the module's `from __future__ import annotations`
+    # stringifies type hints, which pandas_udf's eval-type inference
+    # can't resolve for a locally-imported pd
+    hilbert_udf = F.pandas_udf(
+        lambda xs, ys: pd.Series(_hilbert_np(xs.to_numpy(), ys.to_numpy())),
+        "long",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _norm_q().alias("qn"),
+        _norm_p().alias("pn"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return li, li.withColumn("hd", hilbert_udf("qn", "pn"))
+
+
 def hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert vs Z-order head-to-head on the SAME two-dimension
     skipping metric as `zorder_clustering`: block the table under each
@@ -243,24 +269,7 @@ def hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the range-partitioned `range_prefix` ladder — never a
     single-partition sort. Same plan shape as `zorder_clustering` at
     any scale factor."""
-    import pandas as pd
-
-    # hint-free form: the module's `from __future__ import annotations`
-    # stringifies type hints, which pandas_udf's eval-type inference
-    # can't resolve for a locally-imported pd
-    hilbert_udf = F.pandas_udf(
-        lambda xs, ys: pd.Series(_hilbert_np(xs.to_numpy(), ys.to_numpy())),
-        "long",
-    )
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        _norm_q().alias("qn"),
-        _norm_p().alias("pn"),
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        "l_quantity",
-    )
+    li, hd = _hilbert_relation(spark, sf_dir)
     full = (1 << MORTON_BITS) - 1
 
     def blocks(df: DataFrame, order, layout: str) -> DataFrame:
@@ -283,11 +292,7 @@ def hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tiebreak = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
-    hi = blocks(
-        li.withColumn("hd", hilbert_udf("qn", "pn")),
-        ["hd", *tiebreak],
-        "hilbert",
-    )
+    hi = blocks(hd, ["hd", *tiebreak], "hilbert")
     zo = blocks(
         li.withColumn("z", _morton(F.col("qn"), F.col("pn"))),
         ["z", *tiebreak],

@@ -864,3 +864,45 @@ def test_dup_weight_ops_ride_broadcasts(spark, sf_dir):
         plan = _plan(ALL_QUERIES[name](spark, sf_dir))
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_container_decode_is_shuffle_free_arrow_map(spark, sf_dir):
+    """The PNG/GIF decode pipelines are pure fused maps: scan →
+    Arrow-batched synth → Arrow-batched decode, with NO exchange —
+    at 100 TB of media the decode adds zero shuffle, only a pipelined
+    Python stage."""
+    for name in ("ext_mm_png_decode", "ext_mm_gif_decode"):
+        plan = _plan(ALL_QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan)
+        assert plan.count("MapInPandas") == 2, (name, plan)
+
+
+def test_hilbert_value_is_vectorized_not_per_row(spark, sf_dir):
+    """The Hilbert distance must come from the Arrow-vectorized
+    kernel (ArrowEvalPython), never a row-at-a-time Python UDF
+    (BatchEvalPython) — asserted on the pre-ladder relation, since
+    range_prefix's checkpoint truncates lineage out of the final plan
+    — and the blocking must ride range partitioning (the remaining
+    SinglePartition exchanges aggregate the bounded per-block stats
+    table, not data rows)."""
+    from mini_sql_engine_spark.operators.layout import _hilbert_relation
+
+    _, hd = _hilbert_relation(spark, sf_dir)
+    pre = _plan(hd)
+    assert "ArrowEvalPython" in pre, pre
+    assert "BatchEvalPython" not in pre, pre
+    # the blocking rank itself is range_prefix — the shared
+    # range-partitioned ladder, plan-audited by its own tests (the
+    # checkpoint inside it truncates these nodes out of the final
+    # plan string, so they can't be asserted here)
+
+
+def test_quantile_sketch_certificate_broadcasts(spark, sf_dir):
+    """The sketch's exact certificate pass joins the 5-row estimate
+    table against the data by BROADCAST (never shuffling the fact for
+    a 5-row side), and the whole plan has no cartesian of data or
+    sort-merge join — the summary merge is the only keyed exchange."""
+    plan = _plan(ALL_QUERIES["ext_quantile_sketch"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
