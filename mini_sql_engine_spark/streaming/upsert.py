@@ -944,3 +944,191 @@ ORACLES: dict[str, str] = {
         HAVING COUNT(*) * {MG_THRESH} > n
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable quantile sketch — the property that makes a
+# summary a SKETCH (merge = union of summaries) demonstrated through
+# the exactly-once machinery: each micro-batch compacts its partitions
+# to K-point order-statistic summaries and APPENDS them to the native
+# state table (gated by the replay sentinel); the final read merges
+# the constant-size state and certifies every target quantile with
+# exact in-plan counts, exactly like batch `ext_quantile_sketch`. The
+# rank-error bound simply gains the batch factor: each (batch,
+# partition) contributes max-gap ceil(n_bp/K), and with B batches of P
+# partitions the sum telescopes to floor(n/K) + B*P.
+# ---------------------------------------------------------------------------
+
+QSK_STREAM_P = 8  # per-batch summarize partitions (part of the bound)
+QSK_STREAM_B = 2  # micro-batches: 4 staged files / 2 per trigger
+_QSK_SENTINEL = -1  # val of the version row (real cents are >= 1)
+
+
+def _qsk_summarize(batches):
+    """Per-partition compaction to <= QSK_K evenly-spaced order
+    statistics with local rank gaps (shared constant with the batch
+    sketch so the bounds stay coupled)."""
+    import numpy as np
+    import pandas as pd
+
+    from mini_sql_engine_spark.operators.analytics import QSK_K
+
+    vals = [pdf["cents"].to_numpy(np.int64) for pdf in batches]
+    v = np.sort(np.concatenate(vals)) if vals else np.empty(0, np.int64)
+    n = len(v)
+    out = {"val": [], "g": []}
+    prev = 0
+    for i in range(1, QSK_K + 1):
+        r = -(-i * n // QSK_K)  # ceil(i*n/K)
+        if r > prev:
+            out["val"].append(int(v[r - 1]))
+            out["g"].append(r - prev)
+            prev = r
+    yield pd.DataFrame(out)
+
+
+def merge_qsketch_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: append this batch's partition summaries to
+    the sketch state (replay-gated). Merge IS union for a mergeable
+    summary — no keyed join, no recompaction, state stays <= B*P*K
+    rows by construction."""
+    spark = batch_df.sparkSession
+    cur, last1 = _state_and_guard(
+        spark, data_dir, table, "val long, g long", "val", "g",
+        _QSK_SENTINEL,
+    )
+    pts = batch_df.select(
+        _cents("value").alias("cents"), "event_id"
+    ).repartition(QSK_STREAM_P, "event_id")
+    delta = _gate_delta(
+        pts.mapInPandas(_qsk_summarize, "val long, g long"),
+        last1,
+        batch_id,
+    )
+    sentinel = last1.select(
+        F.lit(_QSK_SENTINEL).cast("long").alias("val"),
+        _next_version(batch_id).alias("g"),
+    )
+    datasource.register(spark)
+    (
+        cur.unionByName(delta)
+        .unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING twin of `ext_quantile_sketch`: partition
+    summaries accumulate across micro-batch commits in the native
+    state table; the final merged summary answers the target grid
+    with the certified bound floor(n/K) + B*P (B = QSK_STREAM_B
+    batches, P = QSK_STREAM_P partitions per batch). Oracle recomputes
+    n and the bound from events and expects true/true."""
+    from mini_sql_engine_spark.functions.ranking import range_prefix
+    from mini_sql_engine_spark.operators.analytics import (
+        QSK_K,
+        QSK_TARGETS,
+    )
+
+    _enable_native_pushdown(spark)
+    data_dir = tempfile.mkdtemp(prefix="minisql_qsk_")
+    chk = tempfile.mkdtemp(prefix="chk_qsk_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_events(spark, sf_dir)
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_qsketch_batch(
+                    df, bid, data_dir, "qsk_state"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    state = _read_state(spark, data_dir, "qsk_state")
+    summ = (
+        state.filter(F.col("val") != _QSK_SENTINEL)
+        .groupBy("val")
+        .agg(F.sum("g").alias("g"))
+    )
+    ladder = range_prefix(summ, ["val"], sum_cols=("g",))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mini_sql_engine_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        _cents("value").alias("cents")
+    )
+    n1 = base.agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        spark.createDataFrame([(qq,) for qq in QSK_TARGETS], "q_ppm long")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "q_ppm",
+            "n",
+            F.greatest(
+                F.floor(F.col("q_ppm") * F.col("n") / 1_000_000), F.lit(1)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    ests = (
+        F.broadcast(targets)
+        .join(ladder, F.col("cum_g") >= F.col("t"))
+        .groupBy("q_ppm", "n", "t")
+        .agg(F.min("val").alias("est"))
+    )
+    certify = base.crossJoin(F.broadcast(ests)).groupBy(
+        "q_ppm", "n", "t"
+    ).agg(
+        F.sum(F.when(F.col("cents") <= F.col("est"), 1).otherwise(0)).alias(
+            "_le"
+        ),
+        F.sum(F.when(F.col("cents") < F.col("est"), 1).otherwise(0)).alias(
+            "_lt"
+        ),
+    )
+    slack = (
+        F.floor(F.col("n") / QSK_K) + QSK_STREAM_B * QSK_STREAM_P
+    ).cast("long")
+    return certify.select(
+        "q_ppm",
+        F.col("n").alias("n_rows"),
+        slack.alias("slack"),
+        (F.col("_le") >= F.col("t")).alias("ok_hi"),
+        (F.col("_lt") < F.col("t") + slack).alias("ok_lo"),
+    )
+
+
+QUERIES["stream_quantile_sketch"] = stream_quantile_sketch
+
+
+def _qsk_stream_oracle() -> str:
+    from mini_sql_engine_spark.operators.analytics import QSK_K, QSK_TARGETS
+
+    return f"""
+        WITH n1 AS (SELECT COUNT(*) AS n FROM events)
+        SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm, n1.n AS n_rows,
+               CAST(floor(n1.n / {QSK_K})
+                    + {QSK_STREAM_B * QSK_STREAM_P} AS BIGINT) AS slack,
+               TRUE AS ok_hi, TRUE AS ok_lo
+        FROM (VALUES {", ".join(f"({q})" for q in QSK_TARGETS)}) q(q_ppm)
+        CROSS JOIN n1
+    """
+
+
+ORACLES["stream_quantile_sketch"] = _qsk_stream_oracle()
