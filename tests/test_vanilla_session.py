@@ -42,6 +42,11 @@ SAMPLE = [
     "stream_upsert_totals",
     "stream_psi_drift",
     "stream_native_tail",
+    # round-7 additions to the native-sink family: session_window over
+    # the tail's reconstructed µs timestamps, and the mergeable-sketch
+    # append sink
+    "stream_native_tail_sessions",
+    "stream_quantile_sketch",
     "ext_pandas_udf_score",
     "ext_session_window",
     "ext_time_travel_diff",
