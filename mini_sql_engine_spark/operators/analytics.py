@@ -574,14 +574,23 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prev = r
         yield pd.DataFrame(out)
 
-    from mini_sql_engine_spark.functions.ranking import range_prefix
-
     summ = (
         base.mapInPandas(summarize, "val long, g long")
         .groupBy("val")
         .agg(F.sum("g").alias("g"))
     )
-    ladder = range_prefix(summ, ["val"], sum_cols=("g",))
+    # bounded-summary window: the merged sketch is <= K*P rows BY
+    # CONSTRUCTION (constant in data scale), so the prefix sum runs as
+    # a single-partition window over the summary — the same bounded
+    # exception range_prefix itself uses for its offset grid
+    from pyspark.sql import Window
+
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = summ.coalesce(1).select(
+        "val", F.sum("g").over(w).alias("cum_g")
+    )
     n1 = base.agg(F.count(F.lit(1)).alias("n"))
     targets = spark.createDataFrame(
         [(q,) for q in QSK_TARGETS], "q_ppm long"

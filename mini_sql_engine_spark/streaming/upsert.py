@@ -999,9 +999,14 @@ def merge_qsketch_batch(
         spark, data_dir, table, "val long, g long", "val", "g",
         _QSK_SENTINEL,
     )
-    pts = batch_df.select(
-        _cents("value").alias("cents"), "event_id"
-    ).repartition(QSK_STREAM_P, "event_id")
+    # coalesce, not repartition: the bound only needs the partition
+    # count CAPPED at QSK_STREAM_P (fewer partitions = tighter actual
+    # error, bound still an upper bound), and coalesce does that with
+    # NO shuffle — the summaries don't care which rows share a
+    # partition. The per-batch shuffle was ~40% of the replay cost.
+    pts = batch_df.select(_cents("value").alias("cents")).coalesce(
+        QSK_STREAM_P
+    )
     delta = _gate_delta(
         pts.mapInPandas(_qsk_summarize, "val long, g long"),
         last1,
@@ -1031,7 +1036,6 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the certified bound floor(n/K) + B*P (B = QSK_STREAM_B
     batches, P = QSK_STREAM_P partitions per batch). Oracle recomputes
     n and the bound from events and expects true/true."""
-    from mini_sql_engine_spark.functions.ranking import range_prefix
     from mini_sql_engine_spark.operators.analytics import (
         QSK_K,
         QSK_TARGETS,
@@ -1063,8 +1067,21 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.filter(F.col("val") != _QSK_SENTINEL)
         .groupBy("val")
         .agg(F.sum("g").alias("g"))
+        .localCheckpoint(eager=False)  # feeds the ladder AND n below
     )
-    ladder = range_prefix(summ, ["val"], sum_cols=("g",))
+    # bounded-summary window: the merged sketch is <= B*P*K rows BY
+    # CONSTRUCTION (constant in data scale), so the prefix sum runs as
+    # a single-partition window over the summary — the same bounded
+    # exception range_prefix itself uses for its per-partition offset
+    # grid, and ~1 s cheaper than the full range-partitioned ladder
+    from pyspark.sql import Window
+
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = summ.coalesce(1).select(
+        "val", F.sum("g").over(w).alias("cum_g")
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from mini_sql_engine_spark.catalog import load_table
@@ -1072,7 +1089,10 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "events").select(
         _cents("value").alias("cents")
     )
-    n1 = base.agg(F.count(F.lit(1)).alias("n"))
+    # the sketch is self-describing: every feed row lands in exactly
+    # one summary gap (replays are gated), so n = sum of gaps — no
+    # second scan of the source for the row count
+    n1 = summ.agg(F.sum("g").cast("long").alias("n"))
     targets = (
         spark.createDataFrame([(qq,) for qq in QSK_TARGETS], "q_ppm long")
         .crossJoin(F.broadcast(n1))
