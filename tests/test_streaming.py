@@ -426,3 +426,64 @@ def test_mg_merge_replay_and_summary_bound(spark, tmp_path):
     # true count of "hot" after 2 batches = 180; counter must be a
     # positive lower bound (decrements only ever subtract)
     assert 0 < twice[hot_tid] <= 180, twice.get(hot_tid)
+
+
+def test_qsketch_merge_replay_and_bound(spark, tmp_path):
+    """The quantile-sketch append sink must be exactly-once under
+    replay (a re-applied batch id adds NO summary rows — duplicated
+    summaries would silently double every weight and shift every
+    estimate), and the accumulated gaps must sum to exactly the rows
+    fed (the self-describing-n property the final certificate and the
+    oracle both rely on)."""
+    from mini_sql_engine_spark.streaming import upsert as U
+
+    data_dir = str(tmp_path / "qsk")
+    os.makedirs(data_dir)
+    b0 = spark.createDataFrame(
+        [Row(event_id=i, value=float(i % 7) + 0.25) for i in range(50)]
+    )
+    b1 = spark.createDataFrame(
+        [Row(event_id=i, value=float(i % 3) + 1.5) for i in range(30)]
+    )
+
+    def gaps_total():
+        return (
+            U._read_state(spark, data_dir, "q")
+            .filter(F.col("val") != U._QSK_SENTINEL)
+            .agg(F.sum("g"))
+            .collect()[0][0]
+        )
+
+    U.merge_qsketch_batch(b0, 0, data_dir, "q")
+    assert gaps_total() == 50
+    U.merge_qsketch_batch(b0, 0, data_dir, "q")  # replay: no-op
+    assert gaps_total() == 50
+    U.merge_qsketch_batch(b1, 1, data_dir, "q")
+    assert gaps_total() == 80
+    U.merge_qsketch_batch(b1, 1, data_dir, "q")  # replay of latest
+    assert gaps_total() == 80
+    # merged summary answers the median within the bound: exact check
+    # over the fed values
+    vals = sorted([(i % 7) * 100 + 25 for i in range(50)]
+                  + [(i % 3) * 100 + 150 for i in range(30)])
+    summ = (
+        U._read_state(spark, data_dir, "q")
+        .filter(F.col("val") != U._QSK_SENTINEL)
+        .groupBy("val").agg(F.sum("g").alias("g"))
+        .orderBy("val").collect()
+    )
+    t = len(vals) // 2
+    cum = 0
+    est = None
+    for r in summ:
+        cum += r.g
+        if cum >= t:
+            est = r.val
+            break
+    from mini_sql_engine_spark.operators.analytics import QSK_K
+
+    slack = len(vals) // QSK_K + 2 * U.QSK_STREAM_P
+    n_le = sum(1 for v in vals if v <= est)
+    n_lt = sum(1 for v in vals if v < est)
+    assert n_le >= t
+    assert n_lt < t + slack
