@@ -335,3 +335,101 @@ def test_gif_decode_pipeline(spark, sf_dir):
         for c in range(3)
     ]
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(exp)
+
+
+def test_jpeg_container_is_spec_valid_and_decode_is_real():
+    """The synth emits spec-valid baseline grayscale JPEG (SOI, DQT,
+    SOF0, two DHTs, SOS, stuffed entropy scan, EOI) and the decoder
+    genuinely entropy-decodes: canonical Huffman from DHT, EXTEND,
+    ZRL, EOB, dezigzag, dequant, IDCT."""
+    import struct
+
+    payload = multimodal._jpeg_bytes(7)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    # SOF0 present with the plan's geometry
+    sof = payload.index(b"\xff\xc0")
+    _, prec, h, w, ncomp = struct.unpack_from(">HBHHB", payload, sof + 2)
+    assert (prec, ncomp) == (8, 1)
+    assert (w, h) == (8 * (1 + 7 % 3), 8 * (1 + 7 % 2))
+
+    dw, dh, blocks, img = multimodal._jpeg_decode_one(payload)
+    assert (dw, dh) == (w, h)
+    assert img.shape == (h, w)
+
+    # a foreign decoder-driven file the synth never produces: different
+    # quant table (all 2s), different Huffman shape (DC cats 0..3 at
+    # lengths 1,2,3,3 — mixed-length canonical), two ACs in one block.
+    dc_bits = [1, 1, 2] + [0] * 13
+    dc_vals = [0, 1, 2, 3]
+    ac_bits = [0, 1, 2, 1] + [0] * 12
+    ac_vals = [0x00, 0x11, 0x01, 0xF0]  # EOB, (1,1), (0,1), ZRL
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([2] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    for tc, bits, vals in ((0x00, dc_bits, dc_vals), (0x10, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 63, 0)
+    wtr = multimodal._JpegBitWriter()
+    dc_codes = multimodal._jpeg_canonical(dc_bits, dc_vals)
+    ac_codes = multimodal._jpeg_canonical(ac_bits, ac_vals)
+    # one block: DC diff +3 (cat 2), AC +1 at zigzag 1 via (0,1), AC
+    # -1 at zigzag 3 via (1,1) (run of 1 zero), EOB
+    wtr.put(*dc_codes[2]); wtr.put(3, 2)
+    wtr.put(*ac_codes[0x01]); wtr.put(1, 1)
+    wtr.put(*ac_codes[0x11]); wtr.put(0, 1)  # -1 encodes as 0
+    wtr.put(*ac_codes[0x00])
+    wtr.flush()
+    foreign = bytes(out) + bytes(wtr.out) + b"\xff\xd9"
+    fw, fh, fblocks, fimg = multimodal._jpeg_decode_one(foreign)
+    assert (fw, fh) == (8, 8) and len(fblocks) == 1
+    blk = fblocks[0]
+    assert blk[0, 0] == 3 * 2  # dequant by the foreign table's 2
+    zz = multimodal._jpeg_zigzag()
+    assert blk[zz[1]] == 1 * 2 and blk[zz[3]] == -1 * 2
+    assert np.count_nonzero(blk) == 3
+
+    # non-baseline frames are rejected, not mis-decoded
+    prog = bytearray(payload)
+    prog[sof + 1] = 0xC2  # SOF2 progressive
+    with pytest.raises(ValueError):
+        multimodal._jpeg_decode_one(bytes(prog))
+
+
+def test_jpeg_byte_stuffing_is_exercised_and_undone():
+    """Part of the corpus genuinely contains stuffed 0xFF 0x00 bytes in
+    the entropy scan (the (0,4)=11110 code next to all-ones magnitude
+    bits); decode of those docs is still coefficient-exact."""
+    stuffed_docs = [
+        d for d in range(600) if b"\xff\x00" in multimodal._jpeg_bytes(d)
+    ]
+    assert len(stuffed_docs) >= 10  # data exercises unstuffing
+    for d in stuffed_docs[:5]:
+        _, _, blocks, _ = multimodal._jpeg_decode_one(
+            multimodal._jpeg_bytes(d)
+        )
+        _, _, plan = multimodal._jpeg_plan(d)
+        for b, (dcq, acs) in enumerate(plan):
+            assert int(blocks[b][0, 0]) == dcq
+            ac = blocks[b].copy()
+            ac[0, 0] = 0
+            assert int(ac.sum()) == sum(a * (1 + (k % 3)) for k, a in acs)
+
+
+def test_jpeg_flat_blocks_are_pixel_exact(spark, sf_dir):
+    """End-to-end: synth → baseline decode over mapInPandas; flat
+    (DC-only) blocks reconstruct to exactly DC/8 + 128 per pixel."""
+    rows = {
+        r.doc_id: r
+        for r in multimodal.jpeg_decode(spark, sf_dir).limit(2000).collect()
+    }
+    d = min(rows)
+    r = rows[d]
+    bx, by, plan = multimodal._jpeg_plan(d)
+    assert (r.width, r.height, r.n_blocks) == (8 * bx, 8 * by, bx * by)
+    assert r.dc_sum == sum(dcq for dcq, _ in plan)
+    assert r.ac_nonzero == sum(len(acs) for _, acs in plan)
+    assert r.flat_pixel_sum == sum(
+        64 * (dcq // 8 + 128) for dcq, acs in plan if not acs
+    )
