@@ -77,6 +77,52 @@ def stream_click_nopurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_full_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """FULL OUTER stream-stream join, watermarked on both sides —
+    completes the inner/left-outer family. Unmatched CLICKS emit a
+    null-purchase row once the watermark passes click_ts + horizon
+    (same eviction as the left-outer); unmatched PURCHASES emit a
+    null-click row once the watermark passes purchase_ts itself: the
+    join condition bounds matching clicks to click_ts <= purchase_ts,
+    so the purchase is provably unmatched as soon as no older click
+    can still arrive. State remains O(events in the horizon) — the
+    full-outer adds null emissions on eviction, never extra state."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", DELAY)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", DELAY)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {HORIZON}"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+
+
+def stream_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one source feeds both legs (shared scan, see the left-outer note)
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return stream_to_df(
+        spark, click_purchase_full_join(clicks, purchases), "append"
+    )
+
+
 def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigger.AvailableNow backfill replay: the production pattern for
     "process everything that exists, then STOP" — unlike a continuous
@@ -116,6 +162,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_nopurchase": stream_click_nopurchase,
+    "stream_click_purchase_full": stream_click_purchase_full,
     "stream_available_now": stream_available_now,
 }
 
@@ -149,5 +196,40 @@ ORACLES: dict[str, str] = {
                 WHERE p.user_id = c.user_id
                   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
           AND c.ts + INTERVAL 1 HOUR < wm.w
+    """,
+    # full outer = left-outer rows UNION the symmetric unmatched
+    # purchases, whose state expires once the watermark passes
+    # purchase_ts (no older click can still arrive)
+    "stream_click_purchase_full": """
+        WITH c AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(ts) FROM c),
+                            (SELECT max(ts) FROM p))
+                      - INTERVAL 2 HOURS AS w)
+        SELECT c.user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id
+        FROM c, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+          AND c.ts + INTERVAL 1 HOUR < wm.w
+        UNION ALL
+        SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+               p.event_id AS purchase_id
+        FROM p, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM c
+                WHERE c.user_id = p.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+          AND p.ts < wm.w
     """,
 }
