@@ -69,8 +69,11 @@ def _blocked_pairs(df: DataFrame, id_col: str, n_blocks: int) -> DataFrame:
     side 'b' when r == bq; bp <= bq covers each unordered block pair
     once. groupBy("bp", "bq") then sees both sides of one block pair.
     """
+    from mini_sql_engine_spark.functions.frames import jvm_rows
+
     spark = df.sparkSession
-    pairs = spark.createDataFrame(
+    pairs = jvm_rows(
+        spark,
         [(p, q) for p in range(n_blocks) for q in range(p, n_blocks)],
         "bp int, bq int",
     )

@@ -5,99 +5,67 @@ DataFrame) and ``ORACLES`` (name → DuckDB oracle SQL; entries may be
 omitted for non-SQL-expressible operators). ``ALL_QUERIES`` /
 ``ALL_ORACLES`` are the merged registries consumed by
 ``__spark_entry__.py``.
+
+The registry is built LAZILY (PEP 562 module ``__getattr__``): the
+package ``__init__`` imports nothing until ``ALL_QUERIES`` /
+``ALL_ORACLES`` is first touched. This matters on the EXECUTORS, not
+just the driver: unpickling any mapInPandas/applyInPandas function
+defined in an ``operators.*`` module makes the Python worker import
+that module, which first runs this package init — when the init
+eagerly imported all ~28 packs (plus their numpy/pandas chains), every
+fresh worker paid ~0.6 s before its first batch. Lazy init cuts the
+worker-side cost to the one pack that defines the UDF. Driver-side
+consumers (``__spark_entry__``, ``bench.py``, the test suite) see the
+identical merged dicts, built on first attribute access and cached.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from mini_sql_engine_spark.operators import (
-    analytics,
-    asof,
-    association,
-    auditing,
-    bpe_train,
-    curation,
-    dedup,
-    funcs_ext,
-    governance,
-    graph_ops,
-    joins_ext,
-    layout,
-    ml_lsh,
-    multimodal,
-    parity,
-    pipeline_ops,
-    pq,
-    quality,
-    rollups,
-    similarity,
-    text,
-    textprep,
-    tpch,
-    udfs,
-    window_funcs,
+# Static, import-free list of the pack modules in registry order. The
+# LLM-pipeline packs (dedup, similarity, text, streaming, multimodal,
+# curation) lead because they are the flagship extension surface; the
+# parity/TPC-H packs follow. The order is a static property of the
+# code — it never depends on runtime state or any recorded artifact.
+_MODULE_NAMES: tuple[str, ...] = (
+    "mini_sql_engine_spark.operators.dedup",
+    "mini_sql_engine_spark.operators.similarity",
+    "mini_sql_engine_spark.operators.text",
+    "mini_sql_engine_spark.streaming.windows",
+    "mini_sql_engine_spark.streaming.upsert",
+    "mini_sql_engine_spark.operators.multimodal",
+    "mini_sql_engine_spark.operators.curation",
+    "mini_sql_engine_spark.operators.quality",
+    "mini_sql_engine_spark.operators.pq",
+    "mini_sql_engine_spark.operators.bpe_train",
+    "mini_sql_engine_spark.operators.governance",
+    "mini_sql_engine_spark.operators.layout",
+    "mini_sql_engine_spark.operators.asof",
+    "mini_sql_engine_spark.operators.ml_lsh",
+    "mini_sql_engine_spark.operators.pipeline_ops",
+    "mini_sql_engine_spark.operators.udfs",
+    "mini_sql_engine_spark.operators.parity",
+    "mini_sql_engine_spark.operators.tpch",
+    "mini_sql_engine_spark.operators.rollups",
+    "mini_sql_engine_spark.operators.window_funcs",
+    "mini_sql_engine_spark.operators.joins_ext",
+    "mini_sql_engine_spark.operators.funcs_ext",
+    "mini_sql_engine_spark.operators.analytics",
+    "mini_sql_engine_spark.operators.auditing",
+    "mini_sql_engine_spark.operators.association",
+    "mini_sql_engine_spark.operators.graph_ops",
+    "mini_sql_engine_spark.streaming.joins_ext",
+    "mini_sql_engine_spark.operators.textprep",
 )
-from mini_sql_engine_spark.streaming import joins_ext as streaming_joins_ext
-from mini_sql_engine_spark.streaming import upsert as streaming_upsert
-from mini_sql_engine_spark.streaming import windows as streaming_windows
 
-# Fixed, deterministic registry order. The LLM-pipeline packs (dedup,
-# similarity, text, streaming, multimodal, curation) lead because they
-# are the flagship extension surface; the parity/TPC-H packs follow.
-# The order is a static property of the code — it never depends on
-# runtime state or any recorded artifact.
-_MODULES = [
-    dedup,
-    similarity,
-    text,
-    streaming_windows,
-    streaming_upsert,
-    multimodal,
-    curation,
-    quality,
-    pq,
-    bpe_train,
-    governance,
-    layout,
-    asof,
-    ml_lsh,
-    pipeline_ops,
-    udfs,
-    parity,
-    tpch,
-    rollups,
-    window_funcs,
-    joins_ext,
-    funcs_ext,
-    analytics,
-    auditing,
-    association,
-    graph_ops,
-    streaming_joins_ext,
-    textprep,
-]
-
-ALL_QUERIES: dict[str, Callable] = {}
-ALL_ORACLES: dict[str, str] = {}
-for _m in _MODULES:
-    for _name, _fn in _m.QUERIES.items():
-        if _name in ALL_QUERIES:
-            raise ValueError(f"duplicate query name {_name!r}")
-        ALL_QUERIES[_name] = _fn
-    ALL_ORACLES.update(getattr(_m, "ORACLES", {}))
-
-# Static head of the enumeration (round 6): the four round-5 reds
-# (conf-fragility, fixed this round — re-check first), then the next
-# never-checked block in registry order: retrieval-eval + data-valuation,
-# text/funcs diagnostics, multimodal phash, correlation/cluster ladders,
-# incremental dedup/ANN, BPE train/apply, and the governance pack
-# (privacy, contracts, CDC, time travel, Bloom). This is a fixed list in
-# the source — a property of the code, independent of runtime state or
-# recorded artifacts. The full registry is verified locally every round
-# regardless of this order (tests/test_oracle.py sweeps all entries at
-# sf0.001/0.01/0.1), so entries outside the head keep being re-checked
-# as shared code changes.
+# Static head of the enumeration — the driver's correctness window.
+# This is a fixed list in the source, a property of the code,
+# independent of runtime state or recorded artifacts. The full
+# registry is verified locally every round regardless of this order
+# (tests/test_oracle.py sweeps all entries at sf0.001/0.01/0.1), so
+# entries outside the head keep being re-checked as shared code
+# changes.
 _PRIORITY: tuple[str, ...] = (
     # round-7 window: front-load the 8 entries whose code CHANGED in
     # round 6 (wav/bmp stdlib decode, curriculum, ml-LSH recall
@@ -156,10 +124,38 @@ _PRIORITY: tuple[str, ...] = (
     "ext_iv_wald",
 )
 
-_missing = [n for n in _PRIORITY if n not in ALL_QUERIES]
-if _missing:
-    raise ValueError(f"priority names not in registry: {_missing}")
-ALL_QUERIES = {
-    **{n: ALL_QUERIES[n] for n in _PRIORITY},
-    **{n: f for n, f in ALL_QUERIES.items() if n not in set(_PRIORITY)},
-}
+_CACHE: dict[str, dict] = {}
+
+
+def _build() -> None:
+    """Import every pack once and merge the registries (cached)."""
+    if _CACHE:
+        return
+    import importlib
+
+    all_queries: dict[str, Callable] = {}
+    all_oracles: dict[str, str] = {}
+    for mod_name in _MODULE_NAMES:
+        mod = importlib.import_module(mod_name)
+        for name, fn in mod.QUERIES.items():
+            if name in all_queries:
+                raise ValueError(f"duplicate query name {name!r}")
+            all_queries[name] = fn
+        all_oracles.update(getattr(mod, "ORACLES", {}))
+    missing = [n for n in _PRIORITY if n not in all_queries]
+    if missing:
+        raise ValueError(f"priority names not in registry: {missing}")
+    _CACHE["ALL_QUERIES"] = {
+        **{n: all_queries[n] for n in _PRIORITY},
+        **{n: f for n, f in all_queries.items() if n not in set(_PRIORITY)},
+    }
+    _CACHE["ALL_ORACLES"] = all_oracles
+
+
+def __getattr__(name: str):
+    if name in ("ALL_QUERIES", "ALL_ORACLES"):
+        _build()
+        return _CACHE[name]
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

@@ -31,12 +31,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mini_sql_engine_spark.functions.frames import jvm_rows
 from mini_sql_engine_spark.catalog import (
     ensure_min_partitions,
     load_table,
     register_sf_tables,
 )
 from mini_sql_engine_spark.functions.hashing import md5_long
+from mini_sql_engine_spark import oracle_shared
 from mini_sql_engine_spark.functions.numeric import NANO as _NANO
 from mini_sql_engine_spark.functions.numeric import qsum as _qsum
 from mini_sql_engine_spark.functions.ranking import ntile_expr, range_prefix
@@ -515,9 +517,11 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QSK_K = 64  # summary points per partition
+# QSK_K / QSK_TARGETS live in oracle_shared (leaf) so the streaming
+# twin can share them without importing this pack on the executors
+from mini_sql_engine_spark.oracle_shared import QSK_K, QSK_TARGETS  # noqa: E402
+
 QSK_P = 16  # fixed hash-partition count (part of the error bound)
-QSK_TARGETS = (100_000, 250_000, 500_000, 750_000, 900_000)  # ppm
 
 
 def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,8 +596,8 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val", F.sum("g").over(w).alias("cum_g")
     )
     n1 = base.agg(F.count(F.lit(1)).alias("n"))
-    targets = spark.createDataFrame(
-        [(q,) for q in QSK_TARGETS], "q_ppm long"
+    targets = jvm_rows(
+        spark, [(q,) for q in QSK_TARGETS], "q_ppm long"
     ).crossJoin(F.broadcast(n1))
     targets = targets.select(
         "q_ppm",
@@ -5297,8 +5301,11 @@ def propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PSI_BINS = 10
-PSI_BIN_CENTS = 3500  # fixed-width purchase-value bins (~$35 each)
+# shared with the streaming twin via the leaf oracle_shared module
+from mini_sql_engine_spark.oracle_shared import (  # noqa: E402
+    PSI_BIN_CENTS,
+    PSI_BINS,
+)
 
 
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7166,38 +7173,7 @@ ORACLES: dict[str, str] = {
                     ELSE 'continue' END AS decision
         FROM cum
     """,
-    "ext_psi_drift": f"""
-        WITH ev AS (
-            SELECT CAST(LEAST(FLOOR(FLOOR(value * 100 + 0.5)
-                       / {PSI_BIN_CENTS}), {PSI_BINS - 1}) AS BIGINT)
-                       AS bin,
-                   EXTRACT(day FROM ts) <= 15 AS early
-            FROM events WHERE event_type = 'purchase'),
-        per_bin AS (
-            SELECT bin,
-                   CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_early,
-                   CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT)
-                       AS n_late
-            FROM ev GROUP BY bin),
-        tot AS (
-            SELECT CAST(SUM(n_early) AS BIGINT) AS ne,
-                   CAST(SUM(n_late) AS BIGINT) AS nl
-            FROM per_bin),
-        rws AS (
-            SELECT bin, n_early, n_late,
-                   (n_early + 1) / (ne + {PSI_BINS}) AS p,
-                   (n_late + 1) / (nl + {PSI_BINS}) AS q
-            FROM per_bin CROSS JOIN tot),
-        psi AS (
-            SELECT CAST(SUM(CAST(FLOOR((p - q) * LN(p / q) * {_NANO}
-                       + 0.5) AS BIGINT)) AS BIGINT) AS psi_q
-            FROM rws)
-        SELECT bin, n_early, n_late,
-               ROUND(p, 6) AS p, ROUND(q, 6) AS q,
-               ROUND(psi_q / {_NANO} * 1.0, 6) AS psi
-        FROM rws CROSS JOIN psi
-    """,
+    "ext_psi_drift": oracle_shared.PSI_DRIFT_ORACLE,
     "ext_wasserstein_distance": f"""
         WITH ev AS (
             SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,

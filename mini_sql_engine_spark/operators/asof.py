@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mini_sql_engine_spark.functions.frames import jvm_rows
 from mini_sql_engine_spark.catalog import load_table
 
 VALUE_BANDS: list[tuple[str, float, float]] = [
@@ -90,8 +91,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin event values into literal bands via broadcast range join."""
-    spark_bands = spark.createDataFrame(
-        [(n, lo, hi) for n, lo, hi in VALUE_BANDS], "band string, lo double, hi double"
+    spark_bands = jvm_rows(
+        spark, [(n, lo, hi) for n, lo, hi in VALUE_BANDS], "band string, lo double, hi double"
     )
     events = load_table(spark, sf_dir, "events")
     return (

@@ -39,6 +39,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from mini_sql_engine_spark.functions.frames import jvm_rows
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions import textfns, vector
 from mini_sql_engine_spark.functions.hashing import (
@@ -284,8 +285,8 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         (FS_FIELDS[i], r6(m[i]), r6(u[i]), r6(m[i] / u[i]), r6(p), n_pairs)
         for i in range(3)
     ]
-    return spark.createDataFrame(
-        rows, "field string, m double, u double, mu_ratio double, "
+    return jvm_rows(
+        spark, rows, "field string, m double, u double, mu_ratio double, "
         "p double, n_pairs long"
     )
 

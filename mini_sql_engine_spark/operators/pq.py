@@ -46,6 +46,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mini_sql_engine_spark.functions.frames import jvm_rows
 from mini_sql_engine_spark.catalog import load_table
 from mini_sql_engine_spark.operators.similarity import CENTROIDS, N_QUERIES
 
@@ -103,8 +104,8 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = sub.filter(F.col("vec_id") >= N_QUERIES)
     queries = sub.filter(F.col("vec_id") < N_QUERIES)
 
-    cb0 = spark.createDataFrame(
-        _init_codebook_rows(), "m int, j int, sd int, cval long"
+    cb0 = jvm_rows(
+        spark, _init_codebook_rows(), "m int, j int, sd int, cval long"
     )
     # one Lloyd round per subspace over the candidate corpus
     a1 = _assign(cands, cb0)

@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mini_sql_engine_spark.functions.frames import jvm_rows
 from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
 from mini_sql_engine_spark.functions.ranking import range_prefix
 from mini_sql_engine_spark.functions import hashing, textfns, vector
@@ -655,7 +656,7 @@ def _int_centroids(spark: SparkSession) -> DataFrame:
         for c, vec in enumerate(CENTROIDS)
         for d, v in enumerate(vec)
     ]
-    return spark.createDataFrame(rows, "cidx int, dim int, cval long")
+    return jvm_rows(spark, rows, "cidx int, dim int, cval long")
 
 
 def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
@@ -780,8 +781,8 @@ def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    ts = spark.createDataFrame(
-        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    ts = jvm_rows(
+        spark, [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
     )
     hit = F.col("jacc") >= F.col("threshold")
     return (

@@ -31,6 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from mini_sql_engine_spark.functions.frames import jvm_rows
 from mini_sql_engine_spark.catalog import load_table
 from mini_sql_engine_spark.functions import vector
 
@@ -138,8 +139,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. The scale path for >billions of vectors: the cell id is the
     partition key, the centroid table is broadcast (it is tiny by
     construction), and only probed cells shuffle."""
-    cent = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(CENTROIDS)], "cidx int, cvec array<double>"
+    cent = jvm_rows(
+        spark, [(i, v) for i, v in enumerate(CENTROIDS)], "cidx int, cvec array<double>"
     )
     emb = load_table(spark, sf_dir, "embeddings")
     scored_cells = (

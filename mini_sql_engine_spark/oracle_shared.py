@@ -54,3 +54,54 @@ SLIDING_WINDOW_ORACLE = """
         FROM events, (VALUES (0), (1)) AS offs(i)
         GROUP BY 1, 2
     """
+
+# ---------------------------------------------------------------------------
+# Constants and oracles shared by operators.analytics and
+# streaming.upsert. They live HERE (leaf module) so that
+# streaming.upsert — whose mapInPandas functions Python workers
+# unpickle, importing the whole upsert module — never imports the
+# 9.5k-line analytics pack at module scope on the executor side.
+# ---------------------------------------------------------------------------
+
+from mini_sql_engine_spark.functions.numeric import NANO as _NANO
+
+QSK_K = 64  # quantile-summary points per partition (batch + stream)
+QSK_TARGETS = (100_000, 250_000, 500_000, 750_000, 900_000)  # ppm
+
+PSI_BINS = 10
+PSI_BIN_CENTS = 3500  # fixed-width purchase-value bins (~$35 each)
+
+# Population-stability-index drift monitor — oracle for BOTH
+# ext_psi_drift (batch) and stream_psi_drift (streaming full drain).
+PSI_DRIFT_ORACLE = f"""
+        WITH ev AS (
+            SELECT CAST(LEAST(FLOOR(FLOOR(value * 100 + 0.5)
+                       / {PSI_BIN_CENTS}), {PSI_BINS - 1}) AS BIGINT)
+                       AS bin,
+                   EXTRACT(day FROM ts) <= 15 AS early
+            FROM events WHERE event_type = 'purchase'),
+        per_bin AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_early,
+                   CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_late
+            FROM ev GROUP BY bin),
+        tot AS (
+            SELECT CAST(SUM(n_early) AS BIGINT) AS ne,
+                   CAST(SUM(n_late) AS BIGINT) AS nl
+            FROM per_bin),
+        rws AS (
+            SELECT bin, n_early, n_late,
+                   (n_early + 1) / (ne + {PSI_BINS}) AS p,
+                   (n_late + 1) / (nl + {PSI_BINS}) AS q
+            FROM per_bin CROSS JOIN tot),
+        psi AS (
+            SELECT CAST(SUM(CAST(FLOOR((p - q) * LN(p / q) * {_NANO}
+                       + 0.5) AS BIGINT)) AS BIGINT) AS psi_q
+            FROM rws)
+        SELECT bin, n_early, n_late,
+               ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+               ROUND(psi_q / {_NANO} * 1.0, 6) AS psi
+        FROM rws CROSS JOIN psi
+    """

@@ -43,6 +43,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mini_sql_engine_spark import oracle_shared
+from mini_sql_engine_spark.functions.frames import jvm_empty, jvm_rows
 from mini_sql_engine_spark.functions.hashing import md5_long
 from mini_sql_engine_spark.sources import datasource
 
@@ -108,7 +110,7 @@ def _state_and_guard(
     demos at sf0.1 was that fixed job overhead, not data volume."""
     state = _read_state(spark, data_dir, table)
     if state is None:
-        cur = spark.createDataFrame([], empty_schema)
+        cur = jvm_empty(spark, empty_schema)
         last1 = spark.range(1).select(
             F.lit(None).cast("long").alias("_last")
         )
@@ -568,7 +570,7 @@ def merge_psi_batch(
     same in-table version sentinel replay guard as `merge_batch`.
     bkey = bin·2 + early packs the composite key into the integer-only
     native format. Replay guard runs in-plan (`_gate_delta`)."""
-    from mini_sql_engine_spark.operators.analytics import (
+    from mini_sql_engine_spark.oracle_shared import (
         PSI_BIN_CENTS,
         PSI_BINS,
     )
@@ -887,9 +889,7 @@ ORACLES: dict[str, str] = {
     "stream_upsert_totals": _USER_TOTALS_SQL,
     # exact twin of the batch monitor — a full drain reproduces the
     # one-shot counts, so the oracle IS the batch PSI oracle
-    "stream_psi_drift": __import__(
-        "mini_sql_engine_spark.operators.analytics", fromlist=["ORACLES"]
-    ).ORACLES["ext_psi_drift"],
+    "stream_psi_drift": oracle_shared.PSI_DRIFT_ORACLE,
     # the tail feed is deterministically thinned (event_id % MOD = 0,
     # see _TAIL_FEED_MOD) — the oracle filters identically
     "stream_native_tail": _USER_TOTALS_SQL.replace(
@@ -971,7 +971,7 @@ def _qsk_summarize(batches):
     import numpy as np
     import pandas as pd
 
-    from mini_sql_engine_spark.operators.analytics import QSK_K
+    from mini_sql_engine_spark.oracle_shared import QSK_K
 
     vals = [pdf["cents"].to_numpy(np.int64) for pdf in batches]
     v = np.sort(np.concatenate(vals)) if vals else np.empty(0, np.int64)
@@ -1036,7 +1036,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the certified bound floor(n/K) + B*P (B = QSK_STREAM_B
     batches, P = QSK_STREAM_P partitions per batch). Oracle recomputes
     n and the bound from events and expects true/true."""
-    from mini_sql_engine_spark.operators.analytics import (
+    from mini_sql_engine_spark.oracle_shared import (
         QSK_K,
         QSK_TARGETS,
     )
@@ -1094,7 +1094,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second scan of the source for the row count
     n1 = summ.agg(F.sum("g").cast("long").alias("n"))
     targets = (
-        spark.createDataFrame([(qq,) for qq in QSK_TARGETS], "q_ppm long")
+        jvm_rows(spark, [(qq,) for qq in QSK_TARGETS], "q_ppm long")
         .crossJoin(F.broadcast(n1))
         .select(
             "q_ppm",
@@ -1138,7 +1138,7 @@ QUERIES["stream_quantile_sketch"] = stream_quantile_sketch
 
 
 def _qsk_stream_oracle() -> str:
-    from mini_sql_engine_spark.operators.analytics import QSK_K, QSK_TARGETS
+    from mini_sql_engine_spark.oracle_shared import QSK_K, QSK_TARGETS
 
     return f"""
         WITH n1 AS (SELECT COUNT(*) AS n FROM events)
