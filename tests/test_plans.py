@@ -871,10 +871,51 @@ def test_container_decode_is_shuffle_free_arrow_map(spark, sf_dir):
     Arrow-batched synth → Arrow-batched decode, with NO exchange —
     at 100 TB of media the decode adds zero shuffle, only a pipelined
     Python stage."""
-    for name in ("ext_mm_png_decode", "ext_mm_gif_decode"):
+    for name in ("ext_mm_png_decode", "ext_mm_gif_decode", "ext_mm_jpeg_decode"):
         plan = _plan(ALL_QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
         assert plan.count("MapInPandas") == 2, (name, plan)
+
+
+def test_literal_frames_are_jvm_local_relations(spark, sf_dir):
+    """jvm_rows/jvm_empty build literal seed tables as Catalyst
+    LocalRelations (LocalTableScan / empty scan) — NEVER a Python-RDD
+    createDataFrame, whose 32 Python partitions each pay a runner
+    round-trip per plan evaluation (~4 s when a downstream coalesce(1)
+    serializes them; the round-7 streaming-sketch finding)."""
+    from mini_sql_engine_spark.functions.frames import jvm_empty, jvm_rows
+
+    lit = jvm_rows(spark, [(1, 2.5), (2, -0.5)], "a int, b double")
+    plan = _plan(lit)
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "LocalTableScan" in plan, plan
+    emp = jvm_empty(spark, "a long, b string")
+    plan = _plan(emp)
+    assert "Scan ExistingRDD" not in plan, plan
+    # the IVF centroid seed (converted site) must stay a LocalRelation
+    plan = _plan(ALL_QUERIES["ext_sim_ivf_topk"](spark, sf_dir))
+    assert "Scan ExistingRDD" not in plan, plan
+
+
+def test_full_outer_stream_join_is_symmetric_hash(spark, sf_dir):
+    """The full-outer stream-stream join plans as a watermarked
+    StreamingSymmetricHashJoin in FullOuter mode, keyed on user — state
+    evicts by the watermark bounds, never an unbounded buffer."""
+    from mini_sql_engine_spark.streaming.joins_ext import (
+        click_purchase_full_join,
+    )
+    from mini_sql_engine_spark.streaming.windows import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    j = click_purchase_full_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    # streaming plans only materialize inside a query; the analyzed
+    # logical plan still pins the join type + watermarks
+    lp = j._jdf.queryExecution().analyzed().toString()
+    assert "FullOuter" in lp, lp
+    assert lp.count("EventTimeWatermark") == 2, lp
 
 
 def test_hilbert_value_is_vectorized_not_per_row(spark, sf_dir):
