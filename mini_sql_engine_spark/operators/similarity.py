@@ -884,6 +884,169 @@ def facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KC_K = 4  # total k-center picks: seed + 3 greedy selections
+KC_SCALE = 1_000_000  # component quantization (exact integer distances)
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez) coreset selection: seed with the
+    smallest vec_id, then repeatedly add the point FARTHEST from the
+    current centers (squared L2, ties to the smaller id). The greedy
+    sequence 2-approximates the optimal covering radius — the MINIMAX
+    dual of `facility_location_coreset` (which maximizes coverage
+    similarity): k-center picks OUTLIER-robust diverse exemplars,
+    facility location picks density-weighted representatives; a
+    curation pipeline wants both views.
+
+    Exactness: components are quantized to integers
+    (floor(v·1e6 + 0.5), identical IEEE ops in DuckDB), so every
+    distance is an exact BIGINT sum and the greedy trajectory is
+    engine- and partitioning-independent. Output is the selection
+    trace: each step's chosen center plus the covering radius of the
+    PREVIOUS center set (the chosen point's distance — the classic
+    certificate that the radius curve decreases), and a final row with
+    the covering radius of the full selection.
+
+    Scale notes (100 TB): each step is ONE narrow corpus pass — the
+    centers ride along as a broadcast 1-row array (≤ KC_K structs), the
+    per-point min-distance is a JVM higher-order expression
+    (zip_with + aggregate, no Python, no shuffle), and the argmax is a
+    TakeOrdered(1), not a sort. K passes total, the textbook
+    distributed Gonzalez; the selected-point frames are 1-row
+    localCheckpoints so step t never re-executes steps < t.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda v: F.floor(
+                    v.cast("double") * KC_SCALE + F.lit(0.5)
+                ).cast("long"),
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=False)  # reused by all K+1 passes
+    )
+
+    def dmin_col(cs_col: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                cs_col,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col("q"), c["c_q"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+
+    seed = (
+        pts.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(0).cast("long").alias("step"),
+            F.col("vec_id").alias("center_id"),
+            F.col("q").alias("c_q"),
+            F.lit(None).cast("long").alias("radius_sq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    centers = seed
+    trace = seed.select("step", "center_id", "radius_sq")
+    for t in range(1, KC_K):
+        cs1 = centers.agg(
+            F.collect_list(F.struct(F.col("c_q"))).alias("cs")
+        )
+        chosen = (
+            pts.crossJoin(F.broadcast(cs1))
+            .select(
+                "vec_id", "q", dmin_col(F.col("cs")).alias("dmin")
+            )
+            .orderBy(F.col("dmin").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(t).cast("long").alias("step"),
+                F.col("vec_id").alias("center_id"),
+                F.col("q").alias("c_q"),
+                F.col("dmin").alias("radius_sq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        centers = centers.unionByName(chosen)
+        trace = trace.unionByName(
+            chosen.select("step", "center_id", "radius_sq")
+        )
+    cs_final = centers.agg(
+        F.collect_list(F.struct(F.col("c_q"))).alias("cs")
+    )
+    final = (
+        pts.crossJoin(F.broadcast(cs_final))
+        .agg(F.max(dmin_col(F.col("cs"))).alias("radius_sq"))
+        .select(
+            F.lit(KC_K).cast("long").alias("step"),
+            F.lit(-1).cast("long").alias("center_id"),
+            "radius_sq",
+        )
+    )
+    return trace.unionByName(final)
+
+
+def _kc_oracle() -> str:
+    """Unrolled greedy k-center replay: center t is a 1-row CTE; the
+    per-point min distance at step t is LEAST of t correlated exact
+    integer sums over the quantized components."""
+    from mini_sql_engine_spark.operators.pipeline_ops import EMB_DIM
+
+    def dist(c: str) -> str:
+        return (
+            f"(SELECT SUM((p.q[i] - {c}.c_q[i]) * (p.q[i] - {c}.c_q[i]))"
+            f" FROM {c}, generate_series(1, {EMB_DIM}) t(i))"
+        )
+
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(FLOOR(CAST(v AS DOUBLE) * {KC_SCALE} + 0.5)
+                             AS BIGINT)) AS q
+        FROM embeddings),
+    c0 AS (SELECT vec_id AS center_id, q AS c_q FROM q
+           ORDER BY vec_id LIMIT 1)"""
+    ]
+    for t in range(1, KC_K + 1):
+        dmin = "LEAST(" + ", ".join(
+            dist(f"c{j}") for j in range(t)
+        ) + ")"
+        parts.append(
+            f""",
+    s{t} AS (SELECT p.vec_id, p.q, {dmin} AS dmin FROM q p)"""
+        )
+        if t < KC_K:
+            parts.append(
+                f""",
+    c{t} AS (SELECT vec_id AS center_id, q AS c_q, dmin AS r
+             FROM s{t} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS step, CAST(center_id AS BIGINT) AS "
+        "center_id, CAST(NULL AS BIGINT) AS radius_sq FROM c0"
+    ]
+    for t in range(1, KC_K):
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT), CAST(center_id AS BIGINT), "
+            f"CAST(r AS BIGINT) FROM c{t}"
+        )
+    selects.append(
+        f"SELECT CAST({KC_K} AS BIGINT), CAST(-1 AS BIGINT), "
+        f"CAST((SELECT MAX(dmin) FROM s{KC_K}) AS BIGINT)"
+    )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
 def _fl_oracle() -> str:
     q4 = f"CAST(FLOOR(ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) * {MMR_Q} + 0.5) AS BIGINT)"
     parts = [f"""
@@ -1491,6 +1654,7 @@ QUERIES: dict[str, Callable] = {
     "ext_label_noise_knn": label_noise_knn,
     "ext_knn_shapley": knn_shapley,
     "ext_facility_location": facility_location_coreset,
+    "ext_coreset_kcenter": kcenter_coreset,
     "ext_jl_projection_audit": jl_projection_audit,
     "ext_array_funcs": embedding_array_stats,
 }
@@ -1505,6 +1669,7 @@ ORACLES: dict[str, str] = {
     "ext_label_noise_knn": _NOISE_ORACLE,
     "ext_knn_shapley": _KSH_ORACLE,
     "ext_facility_location": _fl_oracle(),
+    "ext_coreset_kcenter": _kc_oracle(),
     "ext_jl_projection_audit": _JL_ORACLE,
     "ext_sim_ann_lsh_topk": _ANN_ORACLE,
     "ext_sim_ivf_topk": _IVF_ORACLE,
