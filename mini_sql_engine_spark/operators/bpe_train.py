@@ -237,3 +237,249 @@ ORACLES["ext_bpe_apply"] = (
         FROM t{BPE_ROUNDS} GROUP BY word, freq
     """
 )
+
+
+# ---------------------------------------------------------------------------
+# Unigram lattice tokenization (the SentencePiece/Kudo-2018 APPLY
+# shape): segment each word over a piece lattice by dynamic
+# programming, maximizing the summed piece scores — the Viterbi pass
+# every unigram-LM tokenizer runs at inference. Vocabulary and scores
+# are corpus-derived and fully relational: single characters are the
+# guaranteed-coverage fallback (score UNI_SCALE + corpus count) and
+# the UNI_V most frequent 2..4-gram substrings are the learned pieces
+# (score len²·UNI_SCALE + corpus count, ties to the lexicographically
+# smaller piece) — a longest-match-biased objective; swapping in
+# quantized log-probabilities is the same DP with different integer
+# weights. Tie-breaking across equal-score segmentations is made
+# exact by maximizing the single integer 64·Σscore − n_pieces
+# (n_pieces ≤ UNI_MAXW < 64), so the optimum value is unique and both
+# engines decompose it with obj//64 + 1 and 64 − obj%64.
+#
+# Plan shape (100 TB): the DP runs per DISTINCT word type, not per
+# token — the corpus is touched once for the type/count tables, the
+# edge lattice is a broadcast-vocab join over types, and the carried-
+# state recursion goes to an Arrow kernel per the round-7 decision
+# rule (state-carrying recursions fall out of codegen; see SCALE.md
+# "codegen limits"). Per-doc stats come from one instances×types join.
+# At larger corpora UNI_SCALE must dominate counts — derive it from
+# the corpus total rather than a constant.
+# ---------------------------------------------------------------------------
+
+UNI_MAXW = 8  # word-length cap (testdata max is 8; filter is explicit)
+UNI_MAXP = 4  # maximum learned-piece length
+UNI_V = 48  # learned pieces kept (by count desc, piece asc)
+UNI_SCALE = 1_000_000_000  # length-weight unit, >> any corpus count here
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) token instances, capped at UNI_MAXW chars."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(
+        (F.length("word") >= 1) & (F.length("word") <= UNI_MAXW)
+    )
+
+
+def _uni_vocab(inst: DataFrame) -> DataFrame:
+    """(piece, score) vocabulary: every character + top UNI_V 2..4-grams."""
+    wcnt = inst.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    subs = wcnt.select(
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(UNI_MAXP)),
+                    lambda L: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("word")),
+                            lambda j: F.when(
+                                j + L - 1 <= F.length("word"),
+                                F.col("word").substr(j, L),
+                            ),
+                        ),
+                        lambda p: p.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    cnts = subs.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    chars = cnts.filter(F.length("piece") == 1).select(
+        "piece", (F.lit(UNI_SCALE) + F.col("cnt")).alias("score")
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), "piece")
+    learned = (
+        cnts.filter(F.length("piece") >= 2)
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= UNI_V)
+        .select(
+            "piece",
+            (
+                F.length("piece").cast("long")
+                * F.length("piece").cast("long")
+                * F.lit(UNI_SCALE).cast("long")
+                + F.col("cnt")
+            ).alias("score"),
+        )
+    )
+    return chars.unionByName(learned)
+
+
+def _uni_dp_batches(batches):
+    """Arrow kernel: exact lattice DP per word type. edges[k] =
+    (start j, length L, weight w = 64*score - 1); obj[i] =
+    max_{(j,L,w): j+L = i} obj[j] + w. Plain loops over <= UNI_MAXW
+    positions — state-carrying recursion stays out of codegen."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"word": [], "s_sum": [], "n_pieces": []}
+        for word, edges in zip(pdf["word"], pdf["edges"]):
+            wlen = len(word)
+            best = [None] * (wlen + 1)
+            best[0] = 0
+            by_end: dict[int, list] = {}
+            for e in edges:
+                by_end.setdefault(int(e["j"]) + int(e["L"]), []).append(e)
+            for i in range(1, wlen + 1):
+                b = None
+                for e in by_end.get(i, ()):
+                    prev = best[int(e["j"])]
+                    if prev is None:
+                        continue
+                    cand = prev + int(e["w"])
+                    if b is None or cand > b:
+                        b = cand
+                best[i] = b
+            obj = best[wlen]
+            assert obj is not None  # chars guarantee a full path
+            out["word"].append(word)
+            out["s_sum"].append(obj // 64 + 1)
+            out["n_pieces"].append(64 - obj % 64)
+        yield pd.DataFrame(out)
+
+
+def unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram lattice tokenization: per-doc
+    (n_words, n_pieces, score_sum) under the corpus-derived piece
+    vocabulary — the Viterbi segmentation pass, exact by integer
+    scoring."""
+    inst = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
+    vocab = _uni_vocab(inst)
+    words_d = inst.select("word").distinct()
+    edges = None
+    for L in range(1, UNI_MAXP + 1):
+        cand = words_d.filter(F.length("word") >= L).select(
+            "word",
+            F.explode(
+                F.sequence(F.lit(0), F.length("word") - L)
+            ).alias("j"),
+            F.lit(L).alias("L"),
+        )
+        cand = cand.join(
+            F.broadcast(vocab),
+            F.col("word").substr(F.col("j") + 1, F.lit(L))
+            == F.col("piece"),
+        ).select("word", "j", "L", (F.col("score") * 64 - 1).alias("w"))
+        edges = cand if edges is None else edges.unionByName(cand)
+    lattice = edges.groupBy("word").agg(
+        F.collect_list(F.struct("j", "L", "w")).alias("edges")
+    )
+    stats = lattice.mapInPandas(
+        _uni_dp_batches, "word string, s_sum long, n_pieces long"
+    )
+    return (
+        inst.join(stats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("s_sum").alias("score_sum"),
+        )
+    )
+
+
+QUERIES["ext_unigram_tokenize"] = unigram_tokenize
+
+
+def _uni_oracle() -> str:
+    """Unrolled-position DP replay: d{i} holds the best objective per
+    word at position i; each step joins the ≤ UNI_MAXP predecessor
+    tables through the vocab on the exact substring."""
+    head = f"""
+        WITH inst AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS word
+                FROM documents) w
+            WHERE len(word) BETWEEN 1 AND {UNI_MAXW}),
+        wcnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM inst GROUP BY word),
+        subs AS (
+            SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+                SELECT w.n, w.word[t.j:t.j + t.L - 1] AS piece
+                FROM wcnt w,
+                     (SELECT j, L
+                      FROM generate_series(1, {UNI_MAXW}) s(j),
+                           generate_series(1, {UNI_MAXP}) g(L)) t
+                WHERE t.j + t.L - 1 <= len(w.word)) q
+            GROUP BY piece),
+        vocab AS (
+            SELECT piece, {UNI_SCALE} + cnt AS score FROM subs
+            WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece,
+                   len(piece) * len(piece) * CAST({UNI_SCALE} AS BIGINT)
+                   + cnt AS score
+            FROM (SELECT piece, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, piece)
+                             AS rk
+                  FROM subs WHERE len(piece) >= 2) r
+            WHERE rk <= {UNI_V}),
+        words_d AS (SELECT DISTINCT word FROM inst),
+        d0 AS (SELECT word, CAST(0 AS BIGINT) AS obj FROM words_d)"""
+    steps = []
+    for i in range(1, UNI_MAXW + 1):
+        branches = []
+        for L in range(1, min(UNI_MAXP, i) + 1):
+            j = i - L
+            branches.append(f"""
+            SELECT w.word, d.obj + v.score * 64 - 1 AS obj
+            FROM words_d w
+            JOIN d{j} d ON d.word = w.word
+            JOIN vocab v ON v.piece = w.word[{j + 1}:{i}]
+            WHERE len(w.word) >= {i}""")
+        steps.append(
+            f""",
+        d{i} AS (SELECT word, MAX(obj) AS obj FROM ({
+                " UNION ALL ".join(branches)
+            }) c GROUP BY word)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT word, obj FROM d{i} JOIN words_d USING (word) "
+        f"WHERE len(word) = {i}"
+        for i in range(1, UNI_MAXW + 1)
+    )
+    # DuckDB scoping: alias words_d per-branch to avoid USING ambiguity
+    finals = " UNION ALL ".join(
+        f"SELECT word, obj FROM d{i} WHERE len(word) = {i}"
+        for i in range(1, UNI_MAXW + 1)
+    )
+    return (
+        head
+        + "".join(steps)
+        + f""",
+        stats AS (
+            SELECT word, obj // 64 + 1 AS s_sum, 64 - obj % 64 AS n_pieces
+            FROM ({finals}) f)
+        SELECT i.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(SUM(s.s_sum) AS BIGINT) AS score_sum
+        FROM inst i JOIN stats s USING (word)
+        GROUP BY i.doc_id"""
+    )
+
+
+ORACLES["ext_unigram_tokenize"] = _uni_oracle()

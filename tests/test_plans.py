@@ -947,3 +947,13 @@ def test_quantile_sketch_certificate_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_unigram_dp_is_single_arrow_kernel(spark, sf_dir):
+    """The unigram lattice tokenizer keeps exactly ONE Python stage —
+    the per-word-type DP kernel (the round-7 decision rule for
+    state-carrying recursions); the vocab rides a broadcast join into
+    the edge lattice."""
+    plan = _plan(ALL_QUERIES["ext_unigram_tokenize"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
