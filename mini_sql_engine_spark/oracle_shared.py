@@ -105,3 +105,41 @@ PSI_DRIFT_ORACLE = f"""
                ROUND(psi_q / {_NANO} * 1.0, 6) AS psi
         FROM rws CROSS JOIN psi
     """
+
+# Dynamic-gap sessionization (clicks 30 min, purchases 2 h, views 1 h):
+# "new session at row i" = ts_i > running max of (ts_j + gap_j) over the
+# user's previous rows — valid because every closed session's end
+# precedes the next session's first event. Oracle for
+# stream_session_dynamic_gap (and any future batch twin).
+SESSION_DYNAMIC_ORACLE = f"""
+        WITH e AS (
+            SELECT user_id, ts, value,
+                   ts + CASE event_type
+                            WHEN 'click' THEN INTERVAL '30 minutes'
+                            WHEN 'purchase' THEN INTERVAL '2 hours'
+                            ELSE INTERVAL '1 hour' END AS ext
+            FROM {EVENTS_US}),
+        marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN MAX(ext) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                             OR ts > MAX(ext) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked)
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+        FROM sess GROUP BY user_id, sess_id
+    """

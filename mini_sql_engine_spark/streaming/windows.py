@@ -231,6 +231,54 @@ def session_counts(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
+def session_counts_dynamic(stream: DataFrame) -> DataFrame:
+    """Streaming sessionization with a DYNAMIC per-event gap — Spark's
+    session_window(gapDuration=Column) form: each event extends its
+    session to ts + gap(event_type) (clicks 30 min, purchases 2 h,
+    views 1 h) and overlapping extents merge. The fixed-gap query
+    above is the classic gaps-and-islands; the dynamic form is what a
+    product analytics pipeline actually ships (interaction kinds keep
+    sessions alive for different horizons).
+
+    Oracle note: a session's end is the RUNNING MAX of (ts + gap) over
+    its events, and any closed session's end precedes the next
+    session's first event — so "new session at row i" is exactly
+    ts_i > max_{j<i}(ts_j + gap_j) over the user's full history, and
+    the replay is one window + gaps-and-islands (no per-session
+    recursion needed). Tie rows (equal ts) are order-insensitive: the
+    second-ordered row always lands inside the first's extent.
+
+    State/scale: identical eviction to the fixed gap — open sessions
+    only, closed once the watermark passes end + gap."""
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("2 hours"))
+        .otherwise(F.lit("1 hour"))
+    )
+    return (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_to_df(
+        spark, session_counts_dynamic(events_stream(spark, sf_dir)), "complete"
+    )
+
+
 def click_purchase_join(
     clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:
@@ -559,6 +607,7 @@ QUERIES: dict[str, Callable] = {
     "stream_tumbling_counts": stream_tumbling,
     "stream_stateful_user_totals": stream_user_totals,
     "stream_session_windows": stream_sessions,
+    "stream_session_dynamic_gap": stream_session_dynamic,
     "stream_click_purchase_join": stream_click_purchase,
     "stream_sliding_counts": stream_sliding,
     "stream_static_enrich": stream_static_enrich,
@@ -603,6 +652,7 @@ ORACLES: dict[str, str] = {
         FROM tagged WHERE event_type = 'purchase'
     """,
     "stream_session_windows": oracle_shared.SESSION_WINDOW_ORACLE,
+    "stream_session_dynamic_gap": oracle_shared.SESSION_DYNAMIC_ORACLE,
     "stream_sliding_counts": oracle_shared.SLIDING_WINDOW_ORACLE,
     "stream_static_enrich": """
         SELECT n_name, COUNT(*) AS n_purchases,
