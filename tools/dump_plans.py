@@ -157,6 +157,18 @@ MARQUEE = [
      "the blocked-matmul exhaustive truth; output is two 1-row counts "
      "crossJoined as broadcast scalars — nothing data-sized leaves "
      "the executors"),
+    ("ext_mm_jpeg_decode", "baseline JPEG from the T.81 spec: a pure "
+     "fused scan → Arrow synth → Arrow decode map — zero exchanges; "
+     "at 100 TB of media the codec adds pipeline cost only, bounded "
+     "by the Arrow batch size"),
+    ("ext_coreset_kcenter", "greedy k-center: K narrow corpus passes — "
+     "centers ride a broadcast 1-row struct array, min-distance is a "
+     "JVM zip_with/aggregate expression, the argmax a TakeOrdered(1); "
+     "literal seeds are LocalRelations, never Python-RDD scans"),
+    ("ext_unigram_tokenize", "unigram lattice tokenization: DP per "
+     "DISTINCT word type in ONE Arrow kernel (state-carrying "
+     "recursion per the codegen rule); the piece vocab broadcasts "
+     "into the edge lattice; per-doc stats are one instances join"),
 ]
 
 
