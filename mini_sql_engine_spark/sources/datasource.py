@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -265,6 +266,16 @@ class MiniSQLDataSource(DataSource):
         table, data_dir = self._table_and_dir()
         return MiniSQLStreamReader(os.path.join(data_dir, f"{table}.csv"))
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise EngineError(
+                "minisql streaming sink supports append mode only"
+            )
+        table, data_dir = self._table_and_dir()
+        return MiniSQLStreamWriter(
+            data_dir, table, [f.name for f in schema.fields]
+        )
+
 
 def _parse_lines(chunk: bytes) -> list[tuple]:
     return [
@@ -427,6 +438,109 @@ class MiniSQLWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class MiniSQLStreamWriter(DataSourceStreamWriter):
+    """First-class streaming SINK for the native format —
+    ``writeStream.format("minisql")`` in append mode, exactly-once.
+
+    Idempotency is TRUNCATION-based, sized to a single-file format:
+    before the data swap, the commit LOG (``<table>.streamlog.json``,
+    atomically replaced as a whole) records ``batchId -> size_before``
+    (the table's byte length before this batch). A replayed commit —
+    after a crash anywhere between log write and data swap, or a whole
+    re-run against the same checkpoint — finds its batchId in the log,
+    truncates the table back to ``size_before`` (append-only, so the
+    batch's bytes are exactly the tail) and re-appends the re-executed
+    fragments: the table converges to the same bytes no matter where
+    the previous attempt died. Later batches only commit after this
+    one succeeds, so the truncation window can never clip a successor.
+
+    Same single-concurrent-writer assumption as the batch writer; the
+    scale path is a real table format — this sink is the streaming
+    half of the reference-format compatibility story (the connector
+    now covers read, write, stream-read, and stream-write).
+    """
+
+    def __init__(self, data_dir: str, table: str, columns: list[str]) -> None:
+        import uuid
+
+        self.data_dir = data_dir
+        self.table = table
+        self.columns = columns
+        self.staging = os.path.join(
+            data_dir, f".{table}.stream-staging-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(self.staging, exist_ok=True)
+
+    def write(self, iterator) -> _Fragment:
+        import uuid
+
+        frag = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.csv")
+        with open(frag, "w") as fh:
+            for row in iterator:
+                fh.write(",".join(str(int(v)) for v in row) + "\n")
+        return _Fragment(frag)
+
+    def _log_path(self) -> str:
+        return os.path.join(self.data_dir, f"{self.table}.streamlog.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import shutil
+
+        final = os.path.join(self.data_dir, f"{self.table}.csv")
+        logp = self._log_path()
+        log: dict[str, int] = {}
+        if os.path.exists(logp):
+            with open(logp) as fh:
+                log = json.load(fh)
+        key = str(int(batchId))
+        if key in log:
+            size_before = log[key]  # replay: undo the previous attempt
+        else:
+            size_before = os.path.getsize(final) if os.path.exists(final) else 0
+            log[key] = size_before
+            tmp = logp + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(log, fh)
+            os.replace(tmp, logp)  # log lands BEFORE the data swap
+        merged = os.path.join(self.staging, "_merged.csv")
+        with open(merged, "wb") as out:
+            if size_before and os.path.exists(final):
+                with open(final, "rb") as prev:
+                    out.write(prev.read(size_before))
+            for m in messages:
+                if m is not None:
+                    with open(m.path, "rb") as frag:
+                        shutil.copyfileobj(frag, out)
+        os.replace(merged, final)
+        meta_path = os.path.join(self.data_dir, "metadata.txt")
+        catalog = (
+            load_metadata(meta_path) if os.path.exists(meta_path) else {}
+        )
+        if self.table in catalog and catalog[self.table] != self.columns:
+            raise EngineError(
+                f"schema mismatch for {self.table!r}: catalog has "
+                f"{catalog[self.table]}, writing {self.columns}"
+            )
+        if self.table not in catalog:
+            with open(meta_path, "a") as mf:
+                mf.write(
+                    "<begin_table>\n"
+                    + self.table
+                    + "\n"
+                    + "\n".join(self.columns)
+                    + "\n<end_table>\n"
+                )
+        for m in messages:  # fragments are per-batch scratch
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)

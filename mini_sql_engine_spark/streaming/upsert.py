@@ -367,6 +367,63 @@ def _stage_native_events(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
+def stream_native_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the native streaming loop: a parquet stream
+    written exactly-once through the connector's first-class streaming
+    SINK — ``writeStream.format("minisql")`` with the truncation-based
+    idempotent commit (`MiniSQLStreamWriter`) — then the committed
+    table is read back through the batch reader and aggregated.
+    Unlike the foreachBatch MERGE demos, nothing here is hand-rolled:
+    Spark's own sink protocol (write → WriterCommitMessage →
+    commit(batchId)) carries the exactly-once contract. The feed is
+    thinned (event_id % MOD == 0) like the tail demos; the oracle
+    aggregates the identically-thinned events, so a dropped or doubled
+    micro-batch breaks the hash.
+
+    Scale notes (100 TB): per-batch cost is fragment IO + one
+    driver-side merge — the single-file format's inherent bottleneck
+    (same as the batch writer); a real table format would commit
+    fragment manifests instead. State in the STREAM is zero (stateless
+    passthrough); exactly-once lives entirely in the sink's commit
+    log."""
+    import tempfile
+
+    from mini_sql_engine_spark.catalog import load_table
+
+    _enable_native_pushdown(spark)
+    data_dir = tempfile.mkdtemp(prefix="minisql_sink_")
+    chk = tempfile.mkdtemp(prefix="chk_sink_")
+    datasource.register(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_events(spark, sf_dir)
+            .filter(F.col("event_id") % _TAIL_FEED_MOD == 0)
+            .select("event_id", "user_id", _cents("value").alias("cents"))
+            .coalesce(2)
+            .writeStream.format("minisql")
+            .option("path", data_dir)
+            .option("table", "sink_feed")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    back = (
+        spark.read.format("minisql")
+        .option("path", data_dir)
+        .option("table", "sink_feed")
+        .load()
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
 def stream_native_tail_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the native-format table through the connector's tail
     reader (byte-offset micro-batches) into a per-user aggregate —
@@ -870,6 +927,7 @@ QUERIES: dict[str, Callable] = {
     "stream_heavy_hitters": stream_heavy_hitters,
     "stream_upsert_totals": stream_upsert_user_totals,
     "stream_native_tail": stream_native_tail_totals,
+    "stream_native_sink_totals": stream_native_sink_totals,
     "stream_native_tail_sessions": stream_native_tail_sessions,
     "stream_bitmap_distinct": stream_bitmap_distinct_counts,
 }
@@ -892,6 +950,10 @@ ORACLES: dict[str, str] = {
     "stream_psi_drift": oracle_shared.PSI_DRIFT_ORACLE,
     # the tail feed is deterministically thinned (event_id % MOD = 0,
     # see _TAIL_FEED_MOD) — the oracle filters identically
+    # same thinned-feed totals through the first-class streaming SINK
+    "stream_native_sink_totals": _USER_TOTALS_SQL.replace(
+        "FROM events", f"FROM events WHERE event_id % {_TAIL_FEED_MOD} = 0"
+    ),
     "stream_native_tail": _USER_TOTALS_SQL.replace(
         "FROM events", f"FROM events WHERE event_id % {_TAIL_FEED_MOD} = 0"
     ),

@@ -540,3 +540,54 @@ def test_minisql_writer_ignores_stale_staging(spark, tmp_path):
             .option("table", "table3").load())
     got = sorted(map(tuple, back.collect()))
     assert got == [(i, i * 2) for i in range(5)]  # orphan rows absent
+
+
+def test_minisql_stream_writer_replay_is_idempotent(tmp_path):
+    """The streaming sink's truncation-based commit converges no matter
+    where a previous attempt died: (a) full replay of a committed
+    batch, (b) crash AFTER the log write but BEFORE the data swap,
+    (c) crash AFTER the swap — all end with identical table bytes."""
+    import json
+    import os
+
+    from mini_sql_engine_spark.sources.datasource import (
+        MiniSQLStreamWriter,
+        _Fragment,
+    )
+
+    d = str(tmp_path)
+
+    def frag(w, rows):
+        p = os.path.join(w.staging, f"f{len(os.listdir(w.staging))}.csv")
+        with open(p, "w") as fh:
+            fh.writelines(f"{a},{b}\n" for a, b in rows)
+        return _Fragment(p)
+
+    w = MiniSQLStreamWriter(d, "t", ["a", "b"])
+    w.commit([frag(w, [(1, 10), (2, 20)])], 0)
+    w.commit([frag(w, [(3, 30)])], 1)
+    final = os.path.join(d, "t.csv")
+    committed = open(final).read()
+    assert committed == "1,10\n2,20\n3,30\n"
+
+    # (a) replay batch 1 wholesale (re-executed fragments)
+    w.commit([frag(w, [(3, 30)])], 1)
+    assert open(final).read() == committed
+
+    # (b) crash window: log has batch 2's size_before but the data
+    # swap never happened — the retry must append exactly once
+    logp = os.path.join(d, "t.streamlog.json")
+    log = json.load(open(logp))
+    log["2"] = os.path.getsize(final)
+    json.dump(log, open(logp, "w"))
+    w.commit([frag(w, [(4, 40)])], 2)
+    after2 = open(final).read()
+    assert after2 == committed + "4,40\n"
+
+    # (c) crash after the swap: replay batch 2 again — truncate + re-append
+    w.commit([frag(w, [(4, 40)])], 2)
+    assert open(final).read() == after2
+
+    # metadata registered once
+    meta = open(os.path.join(d, "metadata.txt")).read()
+    assert meta.count("<begin_table>") == 1

@@ -47,6 +47,8 @@ SAMPLE = [
     # append sink
     "stream_native_tail_sessions",
     "stream_quantile_sketch",
+    # round-7 continuation: the first-class minisql streaming SINK
+    "stream_native_sink_totals",
     "ext_pandas_udf_score",
     "ext_session_window",
     "ext_time_travel_diff",
