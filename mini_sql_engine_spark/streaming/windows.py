@@ -559,6 +559,47 @@ def _attr_fn(
         yield o
 
 
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query — Spark's
+    multi-stateful pipeline support (3.5+): a watermarked
+    dropDuplicatesWithinWatermark feeds a windowed aggregation, each
+    with its own state store, watermark propagated between them. The
+    query is hourly ACTIVE USERS per event type: dedup on
+    (user_id, event_type, hour) then count per (hour window, type).
+    The dedup key includes the hour bucket, so the count depends only
+    on the KEY SET — never on which duplicate row happened to arrive
+    first — keeping the chained result engine- and order-exact.
+
+    Scale notes (100 TB): dedup state is O(distinct keys within the
+    watermark horizon), the agg state O(open windows × types); both
+    evict by the same propagated watermark. One shuffle per stateful
+    operator, keyed exactly like the batch equivalent."""
+    s = events_stream(spark, sf_dir).select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hb"),
+    )
+    # 2-hour delay: the replay arrives as ONE micro-batch (watermark
+    # still at epoch while it processes), so dedup state never evicts
+    # mid-batch and the key set equals batch DISTINCT exactly; the
+    # delay then decides which windows the final no-data batch flushes
+    # (oracle models that eviction rule, like the outer joins)
+    deduped = s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hb"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "active_users",
+        )
+    )
+    return stream_to_df(spark, agg, "append")
+
+
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming last-touch attribution via applyInPandasWithState —
     the stateful-streaming twin of batch `ext_attribution_last_touch`,
@@ -608,6 +649,7 @@ QUERIES: dict[str, Callable] = {
     "stream_stateful_user_totals": stream_user_totals,
     "stream_session_windows": stream_sessions,
     "stream_session_dynamic_gap": stream_session_dynamic,
+    "stream_dedup_then_window": stream_dedup_then_window,
     "stream_click_purchase_join": stream_click_purchase,
     "stream_sliding_counts": stream_sliding,
     "stream_static_enrich": stream_static_enrich,
@@ -653,6 +695,19 @@ ORACLES: dict[str, str] = {
     """,
     "stream_session_windows": oracle_shared.SESSION_WINDOW_ORACLE,
     "stream_session_dynamic_gap": oracle_shared.SESSION_DYNAMIC_ORACLE,
+    # chained dedup->window: count of DISTINCT (user, type, hour) keys
+    # per hour window — key-set-only, so duplicate-arrival order is moot
+    "stream_dedup_then_window": f"""
+        WITH e AS (SELECT * FROM {_EVENTS_US}),
+        wm AS (SELECT max(ts) - INTERVAL 2 HOURS AS w FROM e),
+        k AS (SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS hb FROM e)
+        SELECT strftime(hb, '%Y-%m-%d %H:%M') AS hour_start,
+               event_type, COUNT(*) AS active_users
+        FROM k, wm
+        WHERE hb + INTERVAL 1 HOUR <= wm.w
+        GROUP BY hb, event_type
+    """,
     "stream_sliding_counts": oracle_shared.SLIDING_WINDOW_ORACLE,
     "stream_static_enrich": """
         SELECT n_name, COUNT(*) AS n_purchases,
