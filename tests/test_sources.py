@@ -591,3 +591,37 @@ def test_minisql_stream_writer_replay_is_idempotent(tmp_path):
     # metadata registered once
     meta = open(os.path.join(d, "metadata.txt")).read()
     assert meta.count("<begin_table>") == 1
+
+
+def test_minisql_stream_writer_schema_and_mode_guards(tmp_path):
+    """The streaming sink refuses a schema drift against the committed
+    catalog (same contract as the batch writer) and refuses non-append
+    output modes at the DataSource level."""
+    import os
+
+    import pytest as _pytest
+
+    from mini_sql_engine_spark.plans.dialect import EngineError
+    from mini_sql_engine_spark.sources.datasource import (
+        MiniSQLDataSource,
+        MiniSQLStreamWriter,
+        _Fragment,
+    )
+
+    d = str(tmp_path)
+    w = MiniSQLStreamWriter(d, "t", ["a", "b"])
+    p = os.path.join(w.staging, "f0.csv")
+    with open(p, "w") as fh:
+        fh.write("1,10\n")
+    w.commit([_Fragment(p)], 0)
+
+    w2 = MiniSQLStreamWriter(d, "t", ["a", "c"])  # drifted column name
+    p2 = os.path.join(w2.staging, "f0.csv")
+    with open(p2, "w") as fh:
+        fh.write("2,20\n")
+    with _pytest.raises(EngineError, match="schema mismatch"):
+        w2.commit([_Fragment(p2)], 1)
+
+    ds = MiniSQLDataSource(options={"path": d, "table": "t"})
+    with _pytest.raises(EngineError, match="append mode only"):
+        ds.streamWriter(schema=None, overwrite=True)
