@@ -68,6 +68,14 @@ def _sql_lit(v) -> str:
     if isinstance(v, str):
         escaped = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{escaped}'"
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # bytes IS a Sequence, so without this guard a binary value
+        # would silently render as array(104, 105, ...) int literals —
+        # wrong data with no error against an array-typed column
+        raise TypeError(
+            "binary literals are not supported by jvm_rows; "
+            "hex-encode to str or use createDataFrame"
+        )
     if isinstance(v, Sequence):
         return "array(" + ", ".join(_sql_lit(x) for x in v) + ")"
     raise TypeError(f"unsupported literal type {type(v).__name__}")

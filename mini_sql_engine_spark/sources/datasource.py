@@ -493,6 +493,21 @@ class MiniSQLStreamWriter(DataSourceStreamWriter):
         import shutil
 
         final = os.path.join(self.data_dir, f"{self.table}.csv")
+        # Schema guard FIRST — before the commit-log write and the
+        # merge/os.replace data swap — so a schema-drifted batch is
+        # rejected with the table bytes AND the streamlog untouched
+        # (matching MiniSQLWriter.commit, which validates before
+        # merging). Checking after the swap would record + append the
+        # bad batch and only then raise, leaving the table corrupted.
+        meta_path = os.path.join(self.data_dir, "metadata.txt")
+        catalog = (
+            load_metadata(meta_path) if os.path.exists(meta_path) else {}
+        )
+        if self.table in catalog and catalog[self.table] != self.columns:
+            raise EngineError(
+                f"schema mismatch for {self.table!r}: catalog has "
+                f"{catalog[self.table]}, writing {self.columns}"
+            )
         logp = self._log_path()
         log: dict[str, int] = {}
         if os.path.exists(logp):
@@ -503,7 +518,12 @@ class MiniSQLStreamWriter(DataSourceStreamWriter):
             size_before = log[key]  # replay: undo the previous attempt
         else:
             size_before = os.path.getsize(final) if os.path.exists(final) else 0
-            log[key] = size_before
+            # Batches commit strictly in order, so only the LATEST
+            # batchId can ever be replayed — prune every older entry
+            # when recording a new one. The log stays O(1) instead of
+            # gaining one entry per micro-batch for the stream's life
+            # (it is rewritten wholesale on each commit either way).
+            log = {key: size_before}
             tmp = logp + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(log, fh)
@@ -511,22 +531,23 @@ class MiniSQLStreamWriter(DataSourceStreamWriter):
         merged = os.path.join(self.staging, "_merged.csv")
         with open(merged, "wb") as out:
             if size_before and os.path.exists(final):
+                # copy the committed prefix in bounded chunks — the
+                # table grows with stream lifetime, so a single
+                # prev.read(size_before) would buffer the whole table
+                # in memory every batch
                 with open(final, "rb") as prev:
-                    out.write(prev.read(size_before))
+                    remaining = size_before
+                    while remaining > 0:
+                        chunk = prev.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                        remaining -= len(chunk)
             for m in messages:
                 if m is not None:
                     with open(m.path, "rb") as frag:
                         shutil.copyfileobj(frag, out)
         os.replace(merged, final)
-        meta_path = os.path.join(self.data_dir, "metadata.txt")
-        catalog = (
-            load_metadata(meta_path) if os.path.exists(meta_path) else {}
-        )
-        if self.table in catalog and catalog[self.table] != self.columns:
-            raise EngineError(
-                f"schema mismatch for {self.table!r}: catalog has "
-                f"{catalog[self.table]}, writing {self.columns}"
-            )
         if self.table not in catalog:
             with open(meta_path, "a") as mf:
                 mf.write(

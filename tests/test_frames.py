@@ -103,3 +103,15 @@ def test_split_schema_handles_nesting():
         ("b", "map<string,int>"),
         ("c", "array<double>"),
     ]
+
+
+def test_sql_lit_rejects_binary():
+    # bytes IS a Sequence — without an explicit guard it would render
+    # as array(104, 105) int literals (wrong data, no error)
+    from mini_sql_engine_spark.functions.frames import _sql_lit
+
+    import pytest as _pytest
+
+    for v in (b"hi", bytearray(b"hi"), memoryview(b"hi")):
+        with _pytest.raises(TypeError, match="binary literals"):
+            _sql_lit(v)

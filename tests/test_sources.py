@@ -570,6 +570,11 @@ def test_minisql_stream_writer_replay_is_idempotent(tmp_path):
     committed = open(final).read()
     assert committed == "1,10\n2,20\n3,30\n"
 
+    # only the latest batchId can be replayed, so recording batch 1
+    # pruned batch 0's entry — the streamlog stays O(1) over the
+    # stream's lifetime instead of one entry per micro-batch
+    assert set(json.load(open(os.path.join(d, "t.streamlog.json")))) == {"1"}
+
     # (a) replay batch 1 wholesale (re-executed fragments)
     w.commit([frag(w, [(3, 30)])], 1)
     assert open(final).read() == committed
@@ -615,12 +620,23 @@ def test_minisql_stream_writer_schema_and_mode_guards(tmp_path):
         fh.write("1,10\n")
     w.commit([_Fragment(p)], 0)
 
+    import json as _json
+
+    final = os.path.join(d, "t.csv")
+    logp = os.path.join(d, "t.streamlog.json")
+    table_before = open(final, "rb").read()
+    log_before = _json.load(open(logp))
+
     w2 = MiniSQLStreamWriter(d, "t", ["a", "c"])  # drifted column name
     p2 = os.path.join(w2.staging, "f0.csv")
     with open(p2, "w") as fh:
         fh.write("2,20\n")
     with _pytest.raises(EngineError, match="schema mismatch"):
         w2.commit([_Fragment(p2)], 1)
+    # the guard must fire BEFORE the commit-log write and the data
+    # swap: a rejected batch leaves table bytes AND streamlog untouched
+    assert open(final, "rb").read() == table_before
+    assert _json.load(open(logp)) == log_before
 
     ds = MiniSQLDataSource(options={"path": d, "table": "t"})
     with _pytest.raises(EngineError, match="append mode only"):
