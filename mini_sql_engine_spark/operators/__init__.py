@@ -67,61 +67,61 @@ _MODULE_NAMES: tuple[str, ...] = (
 # entries outside the head keep being re-checked as shared code
 # changes.
 _PRIORITY: tuple[str, ...] = (
-    # round-7 window: front-load the 8 entries whose code CHANGED in
-    # round 6 (wav/bmp stdlib decode, curriculum, ml-LSH recall
-    # certificates, z-order tie fix, fixed-point stats rewrites — the
-    # last two have only pre-rewrite driver rows), then drain the
-    # never-driver-checked pool in registry order (tools/next_window.py).
-    "ext_mm_wav_decode",
-    "ext_mm_bmp_decode",
-    "ext_curriculum_schedule",
-    "ext_ml_minhash_pairs",
-    "ext_ml_brp_pairs",
-    "ext_zorder_clustering",
-    "ext_stats_by_group",
-    "ext_corr_covar",
-    "ext_dp_release",
-    "ext_rle_advisor",
-    "ext_zone_map_pruning",
-    "ext_compaction_plan",
-    "ext_partition_advisor",
-    "ext_asof_join",
-    "ext_range_join",
-    "ext_neyman_allocation",
-    "ext_ipf_raking",
-    "ext_js_divergence",
-    "ext_effective_sample_size",
-    "ext_token_entropy",
-    "ext_mutual_information",
-    "ext_rendezvous_routing",
-    "ext_nucleus_selection",
-    "ext_gumbel_topk",
-    "ext_shard_assignment",
-    "ext_dsir_weights",
-    "ext_stratified_split",
-    "ext_length_buckets",
-    "ext_pack_sequences",
-    "ext_temperature_sample",
-    "ext_mixture_weights",
-    "ext_emb_centroids",
-    "ext_emb_quantize",
-    "ext_stratified_sample",
-    "ext_salted_join",
-    "ext_pandas_udaf_median",
-    "ext_scd2_pit_lookup",
-    "ext_join_size_forecast",
-    "ext_bloom_pruned_join",
-    "ext_shuffle_hash_join",
-    "ext_session_gap_sweep",
-    "ext_qini_curve",
-    "ext_pr_curve",
-    "ext_f1_threshold",
-    "ext_brier_decomposition",
-    "ext_segment_auc",
-    "ext_offpolicy_ips",
-    "ext_rdd_cutoff",
-    "ext_double_ml_plm",
-    "ext_iv_wald",
+    # round-8 window: front-load round-7's never-driver-checked
+    # marquee additions (codec decodes, unigram tokenizer, k-center
+    # coreset, Hilbert clustering, quantile sketch, XML round-trip,
+    # the six new stream entries), then continue draining the
+    # never-checked pool in registry order (tools/next_window.py).
+    "ext_coreset_kcenter",
+    "stream_session_dynamic_gap",
+    "stream_dedup_then_window",
+    "stream_native_sink_totals",
+    "stream_native_tail_sessions",
+    "stream_quantile_sketch",
+    "ext_mm_png_decode",
+    "ext_mm_gif_decode",
+    "ext_mm_jpeg_decode",
+    "ext_unigram_tokenize",
+    "ext_xml_roundtrip",
+    "ext_hilbert_clustering",
+    "ext_sprt_monitor",
+    "ext_psi_drift",
+    "ext_wasserstein_distance",
+    "ext_quantile_normalize",
+    "ext_calibration_ece",
+    "ext_isotonic_calibration",
+    "ext_aipw_ate",
+    "ext_propensity_match",
+    "ext_conformal_interval",
+    "ext_experiment_health",
+    "ext_hill_tail_index",
+    "ext_price_elasticity",
+    "ext_stratified_effect",
+    "ext_quantile_treatment_effect",
+    "ext_churn_features",
+    "ext_target_encoding",
+    "ext_decayed_engagement",
+    "ext_simpson_screen",
+    "ext_permutation_test",
+    "ext_journey_entropy",
+    "ext_shapley_attribution",
+    "ext_theil_sen_slope",
+    "ext_mann_kendall_trend",
+    "ext_ratio_metric_delta",
+    "ext_ltv_triangle",
+    "ext_sliding_median",
+    "ext_max_drawdown",
+    "ext_logrank_test",
+    "ext_rrf_fusion",
+    "ext_snippet_extraction",
+    "ext_bm25_search",
+    "ext_bh_fdr",
+    "ext_tfidf_cosine_pairs",
+    "ext_cuped_adjustment",
+    "ext_mann_whitney",
+    "ext_poisson_bootstrap",
+    "ext_kaplan_meier",
+    "ext_nelson_aalen",
 )
 
 _CACHE: dict[str, dict] = {}

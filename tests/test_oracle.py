@@ -37,9 +37,10 @@ def test_queries_enumeration_is_deterministic():
     from mini_sql_engine_spark.operators import _PRIORITY
 
     assert first[: len(_PRIORITY)] == list(_PRIORITY)
-    # round-7 window head: the round-6-changed operators re-check
-    # first (wav decode leads), then the never-checked drain
-    assert first[0] == "ext_mm_wav_decode"
+    # round-8 window head: round-7's never-driver-checked marquee
+    # additions re-check first (k-center coreset leads, then the six
+    # new stream entries), then the never-checked drain
+    assert first[0] == "ext_coreset_kcenter"
     assert len(first) == len(set(first))
 
 
