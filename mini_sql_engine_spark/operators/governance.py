@@ -1152,6 +1152,145 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _format_roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str, mult: int
+) -> DataFrame:
+    """Shared core of the JSON/ORC round-trip audits: stage a documents
+    projection through ``sources.io.write_any`` once per sf_dir (atomic
+    rename), read it back through ``sources.io.read_any`` — JSON with
+    an EXPLICIT schema (the 100-TB rule: inference scans twice and
+    types drift per file), ORC with its embedded schema — and audit per
+    language with an integer per-row checksum
+    Σ(doc_id·mult + n_chars·31 + len(source)). The oracle recomputes
+    the audit straight from the parquet, so any encode/escape/decode
+    mangling in the format loop breaks the hash. ``mult`` differs per
+    format so a cross-wired staging dir can't satisfy both entries.
+
+    Scale notes: the write is one pass, the read parallelizes per file
+    like any splittable source, and the audit is a single map-side-
+    combined aggregate on a tiny (lang) key."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.io import read_any, write_any
+
+    digest = hashlib.md5(f"{fmt}rt|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"{fmt}_rt_{digest}")
+    if not os.path.exists(stage):
+        tmp = stage + f".tmp-{os.getpid()}"
+        write_any(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            tmp,
+            fmt,
+        )
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = (
+        "doc_id long, lang string, source string, n_chars long"
+        if fmt == "json"
+        else None  # ORC files carry their own schema
+    )
+    back = read_any(spark, stage, fmt, schema=schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.col("doc_id") * mult
+            + F.col("n_chars") * 31
+            + F.length("source")
+        ).alias("row_checksum"),
+    )
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip through ``sources.io`` with an
+    explicit read schema — see :func:`_format_roundtrip`."""
+    return _format_roundtrip(spark, sf_dir, "json", 999983)
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip through ``sources.io`` (schema embedded in
+    the files) — see :func:`_format_roundtrip`."""
+    return _format_roundtrip(spark, sf_dir, "orc", 1000033)
+
+
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File round-trip with a FROM-SPEC codec
+    (``sources.avro_codec`` — Apache Avro 1.11.1 spec; the sandbox has
+    no spark-avro jar, so magic/metadata-map/zigzag-varints/sync-
+    markers/deflate blocks are implemented directly, the way the
+    from-spec JPEG decoder closed the image row).
+
+    Write: each input partition serializes itself into ONE container
+    file via ``mapInPandas`` (distributed encode; staged once per
+    sf_dir behind an atomic rename). Read: ``binaryFile`` scan →
+    ``mapInPandas`` decode, validating every block's 16-byte sync
+    marker. The audit is the shared per-language checksum recomputed
+    by the oracle straight from parquet, so any encode/compress/decode
+    mangling breaks the hash.
+
+    Scale notes (100 TB): container files parallelize per-file (the
+    sync markers exist so real readers can split WITHIN a file; this
+    reader keeps whole-file grain, the right call for the staged
+    file-per-partition layout). Executors here write to local tmp —
+    on a cluster the same ``mapInPandas`` body writes to shared
+    storage; nothing driver-side touches row data."""
+    import functools
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.avro_codec import avro_decode_files, avro_write_partition
+
+    digest = hashlib.md5(f"avrort|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"avro_rt_{digest}")
+    if not os.path.exists(stage):
+        tmp = stage + f".tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        manifest = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .repartition(4)
+            .mapInPandas(
+                functools.partial(avro_write_partition, out_dir=tmp),
+                schema="path string, n_records long",
+            )
+        )
+        manifest.count()  # run the distributed encode job
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(stage)
+        .select("content")
+        .mapInPandas(
+            avro_decode_files,
+            schema="doc_id long, lang string, source string, n_chars long",
+        )
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.col("doc_id") * 1000099
+            + F.col("n_chars") * 31
+            + F.length("source")
+        ).alias("row_checksum"),
+    )
+
+
 L_DIV = 3  # minimum sensitive-value diversity per equivalence class
 T_CLOSE = 0.2  # t-closeness threshold
 BAL_BAND_CENTS = 100_000  # $1000 account-balance bands (sensitive attr)
@@ -1293,6 +1432,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_t_closeness": t_closeness,
     "ext_schema_evolution": schema_evolution,
     "ext_xml_roundtrip": xml_roundtrip,
+    "ext_json_roundtrip": json_roundtrip,
+    "ext_orc_roundtrip": orc_roundtrip,
+    "ext_avro_roundtrip": avro_roundtrip,
     "ext_ldp_frequency": ldp_frequency,
     "ext_dataset_fingerprint": dataset_fingerprint,
     "ext_erasure_audit": erasure_audit,
@@ -1346,6 +1488,29 @@ ORACLES: dict[str, str] = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(doc_id * 1000003 + n_chars * 31 + len(source))
+                    AS BIGINT) AS row_checksum
+        FROM documents GROUP BY lang
+    """,
+    # same audit recomputed from parquet; mult differs per format so a
+    # cross-wired staging dir can't satisfy both entries
+    "ext_json_roundtrip": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id * 999983 + n_chars * 31 + len(source))
+                    AS BIGINT) AS row_checksum
+        FROM documents GROUP BY lang
+    """,
+    "ext_orc_roundtrip": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id * 1000033 + n_chars * 31 + len(source))
+                    AS BIGINT) AS row_checksum
+        FROM documents GROUP BY lang
+    """,
+    "ext_avro_roundtrip": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(doc_id * 1000099 + n_chars * 31 + len(source))
                     AS BIGINT) AS row_checksum
         FROM documents GROUP BY lang
     """,

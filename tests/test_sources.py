@@ -641,3 +641,52 @@ def test_minisql_stream_writer_schema_and_mode_guards(tmp_path):
     ds = MiniSQLDataSource(options={"path": d, "table": "t"})
     with _pytest.raises(EngineError, match="append mode only"):
         ds.streamWriter(schema=None, overwrite=True)
+
+
+def test_avro_codec_roundtrip_blocks_and_sync(tmp_path):
+    """From-spec Avro container codec: multi-block files round-trip
+    exactly, block boundaries land every BLOCK_RECORDS records, a
+    corrupted sync marker is detected, and the null codec works."""
+    import os
+
+    from mini_sql_engine_spark.sources import avro_codec as ac
+
+    rows = [
+        (i, f"lang{i % 3}", f"src-{i}é\n\"quoted\"", i * 7)
+        for i in range(ac.BLOCK_RECORDS * 2 + 17)  # 3 blocks, last partial
+    ]
+    path = str(tmp_path / "t.avro")
+    n = ac.write_container(path, rows)
+    assert n == len(rows)
+
+    data = open(path, "rb").read()
+    assert data[:4] == ac.MAGIC
+    schema, back = ac.read_container(data)
+    assert [f["name"] for f in schema["fields"]] == [
+        "doc_id", "lang", "source", "n_chars",
+    ]
+    assert back == rows
+
+    # sync marker appears once after metadata + once per data block
+    import hashlib
+
+    sync = hashlib.md5(path.encode()).digest()
+    assert data.count(sync) == 1 + 3
+
+    # flip one byte of the LAST sync marker → torn-block detection
+    idx = data.rfind(sync)
+    torn = data[:idx] + bytes([data[idx] ^ 0xFF]) + data[idx + 1:]
+    with pytest.raises(ValueError, match="sync marker"):
+        ac.read_container(torn)
+
+    # null codec round-trips too
+    p2 = str(tmp_path / "n.avro")
+    ac.write_container(p2, rows[:5], codec="null")
+    _, back2 = ac.read_container(open(p2, "rb").read())
+    assert back2 == rows[:5]
+
+    # zigzag edge values survive (negative longs, int64 extremes)
+    for v in (0, -1, 1, -2**63, 2**63 - 1, 12345, -98765):
+        buf = ac.zigzag_encode(v)
+        got, pos = ac.zigzag_decode(buf, 0)
+        assert got == v and pos == len(buf)
