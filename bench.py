@@ -92,7 +92,7 @@ def main() -> None:
     # consumer that tail-captures limited output still gets parseable
     # JSON with the headline number.
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"), "w") as fh:
+    with open(_sidecar_path("leg"), "w") as fh:
         json.dump(out, fh)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     summary = {
@@ -110,6 +110,24 @@ def main() -> None:
     if errors:
         print(f"bench: {len(errors)} queries FAILED: {sorted(errors)}", file=sys.stderr)
         sys.exit(1)
+
+
+def _sidecar_path(kind: str) -> str:
+    """Per-run sidecar path: the full per-query map is diagnostics, and
+    a fixed repo-root BENCH_LAST.json meant concurrent bench runs
+    clobbered each other's record (round-7 advice). Unique per
+    invocation; overridable for tooling that wants a stable path."""
+    import tempfile
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
+    if override:
+        base, ext = os.path.splitext(override)
+        return f"{base}.{kind}{ext}" if kind != "run" else override
+    path = os.path.join(
+        tempfile.gettempdir(), f"bench_{kind}_{os.getpid()}.json"
+    )
+    print(f"bench: sidecar -> {path}", file=sys.stderr)
+    return path
 
 
 def _loadavg() -> float:
@@ -173,7 +191,7 @@ def orchestrate() -> int:
         if leg.get("errors"):
             # merge — legs can fail on different queries
             out.setdefault("errors", {}).update(leg["errors"])
-    with open(os.path.join(os.path.dirname(here), "BENCH_LAST.json"), "w") as fh:
+    with open(_sidecar_path("run"), "w") as fh:
         json.dump({**out, "queries": best}, fh)
     print(json.dumps(out))
     return rc

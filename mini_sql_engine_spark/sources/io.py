@@ -31,12 +31,17 @@ def read_any(
     path: str,
     fmt: str,
     schema: StructType | str | None = None,
+    allow_infer: bool = False,
     **options: str,
 ) -> DataFrame:
     """Lazy scan of `path` in any supported format.
 
-    Parquet/ORC carry their own schema; CSV/JSON require one (explicit
-    schema beats inference: one pass, stable types, nullability kept).
+    Parquet/ORC carry their own schema; CSV/JSON require one — an
+    explicit schema beats inference (one pass, stable types,
+    nullability kept), and at 100 TB inference is an extra full scan
+    whose result can differ per file. That rule is enforced: a
+    schema-less CSV/JSON read raises unless ``allow_infer=True`` is
+    passed explicitly (tests / interactive exploration only).
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
@@ -46,7 +51,13 @@ def read_any(
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
-        reader = reader.option("inferSchema", "true")  # tests/small data only
+        if not allow_infer:
+            raise ValueError(
+                f"{fmt} read of {path!r} needs an explicit schema "
+                "(inference double-scans and drifts per file at scale); "
+                "pass allow_infer=True to opt in for small/test data"
+            )
+        reader = reader.option("inferSchema", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)

@@ -690,3 +690,20 @@ def test_avro_codec_roundtrip_blocks_and_sync(tmp_path):
         buf = ac.zigzag_encode(v)
         got, pos = ac.zigzag_decode(buf, 0)
         assert got == v and pos == len(buf)
+
+
+def test_read_any_strict_schema_gate(spark, sf_dir, tmp_path):
+    """Schema-less CSV/JSON reads raise unless allow_infer=True —
+    the 100-TB no-inference rule is self-enforcing."""
+    df = load_table(spark, sf_dir, "region")
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"r_{fmt}")
+        src_io.write_any(df, path, fmt)
+        with pytest.raises(ValueError, match="explicit schema"):
+            src_io.read_any(spark, path, fmt)
+        back = src_io.read_any(spark, path, fmt, allow_infer=True)
+        assert back.count() == df.count()
+    # self-describing formats stay schema-optional
+    path = str(tmp_path / "r_parquet")
+    src_io.write_any(df, path, "parquet")
+    assert src_io.read_any(spark, path, "parquet").count() == df.count()
