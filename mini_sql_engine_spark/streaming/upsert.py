@@ -73,9 +73,36 @@ def _cents(col: str) -> F.Column:
     return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
-def _read_state(spark: SparkSession, data_dir: str, table: str) -> DataFrame | None:
+def _read_state(
+    spark: SparkSession,
+    data_dir: str,
+    table: str,
+    schema: str | None = None,
+) -> DataFrame | None:
+    """Read committed sketch state back from the native table.
+
+    With ``schema`` given, reads the table's CSV file directly with the
+    JVM CSV reader — the native format IS headerless CSV plus a catalog
+    entry, and the caller of every merge sink already knows its state
+    schema. This keeps the per-micro-batch fixed cost JVM-side: the
+    ``format("minisql")`` path pays a Python planning worker per plan
+    plus Python read workers per scan, which dominated the exactly-once
+    demos' wall-clock at sf0.1 (the data itself is ≤ a few hundred
+    rows). The connector's read path stays covered by the batch
+    connector entries and the native tail/sink streams; this helper is
+    about the STATE loop, whose contract is only "read back what the
+    2PC writer committed"."""
+    csv_path = os.path.join(data_dir, f"{table}.csv")
     if not os.path.exists(os.path.join(data_dir, "metadata.txt")):
         return None
+    if schema is not None and os.path.exists(csv_path):
+        # FAILFAST: a caller-schema/table mismatch must raise, not
+        # silently truncate columns the way PERMISSIVE mode would
+        return (
+            spark.read.schema(schema)
+            .option("mode", "FAILFAST")
+            .csv(csv_path)
+        )
     datasource.register(spark)
     return (
         spark.read.format("minisql")
@@ -108,7 +135,7 @@ def _state_and_guard(
     micro-batch; this shape pays 1 (the write), with the state file
     read twice inside it — the dominant cost of the four exactly-once
     demos at sf0.1 was that fixed job overhead, not data volume."""
-    state = _read_state(spark, data_dir, table)
+    state = _read_state(spark, data_dir, table, schema=empty_schema)
     if state is None:
         cur = jvm_empty(spark, empty_schema)
         last1 = spark.range(1).select(
@@ -304,7 +331,8 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     _enable_native_pushdown(spark)
     data_dir = tempfile.mkdtemp(prefix="minisql_upsert_")
     run_upsert_stream(spark, sf_dir, data_dir)
-    state = _read_state(spark, data_dir, "user_totals")
+    state = _read_state(spark, data_dir, "user_totals",
+                        schema="user_id long, n_events long, total_cents long")
     return state.filter(F.col("user_id") != SENTINEL_KEY).select(
         "user_id", "n_events", "total_cents"
     )
@@ -596,7 +624,8 @@ def stream_bitmap_distinct_counts(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    state = _read_state(spark, data_dir, "type_bitmaps")
+    state = _read_state(spark, data_dir, "type_bitmaps",
+                        schema="tid long, chunk long, mask long")
     counts = (
         state.filter(F.col("tid") != _BM_SENTINEL)
         .groupBy("tid")
@@ -718,7 +747,8 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    state = _read_state(spark, data_dir, "psi_bins")
+    state = _read_state(spark, data_dir, "psi_bins",
+                        schema="bkey long, n long")
     per_bin = (
         state.filter(F.col("bkey") != _PSI_SENTINEL)
         .select(
@@ -793,8 +823,6 @@ def merge_mg_batch(
     applied in-plan (`_gate_delta`): a replayed batch contributes an
     empty delta, the decrement value is 0 (≤ MG_K counters survive, so
     no (MG_K+1)-th row exists), and state rewrites unchanged."""
-    from pyspark.sql import Window
-
     spark = batch_df.sparkSession
     cur, last1 = _state_and_guard(
         spark, data_dir, table, "tid long, cnt long", "tid", "cnt", _MG_SENTINEL
@@ -813,20 +841,21 @@ def merge_mg_batch(
         (
             F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
         ).alias("cnt"),
-    )
+    ).localCheckpoint(eager=False)  # two consumers, one merge compute
     # the decrement value: the (MG_K+1)-th largest counter (0 when the
-    # summary still fits) — deterministic tie-break on tid
-    ranked = merged.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tid")),
-    )
-    dec = ranked.agg(
-        F.max(
-            F.when(F.col("rn") == MG_K + 1, F.col("cnt")).otherwise(0)
-        ).alias("v")
+    # summary still fits). orderBy().limit() plans as
+    # TakeOrderedAndProject — a per-partition partial top-(K+1) merged
+    # on the driver — instead of the old row_number() global window,
+    # which funnelled the whole vocab-sized merge through ONE
+    # partition's sort just to read a single rank.
+    topk1 = merged.orderBy(F.col("cnt").desc(), "tid").limit(MG_K + 1)
+    dec = topk1.agg(
+        F.when(F.count(F.lit(1)) == MG_K + 1, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("v")
     )
     pruned = (
-        ranked.crossJoin(F.broadcast(dec))
+        merged.crossJoin(F.broadcast(dec))
         .select("tid", (F.col("cnt") - F.col("v")).alias("cnt"))
         .filter(F.col("cnt") > 0)
     )
@@ -887,7 +916,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_sql_engine_spark.catalog import load_table
 
     candidates = (
-        _read_state(spark, data_dir, "mg_counters")
+        _read_state(spark, data_dir, "mg_counters", schema="tid long, cnt long")
         .filter(F.col("tid") != _MG_SENTINEL)
         .select("tid")
     )
@@ -1124,7 +1153,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
-    state = _read_state(spark, data_dir, "qsk_state")
+    state = _read_state(spark, data_dir, "qsk_state", schema="val long, g long")
     summ = (
         state.filter(F.col("val") != _QSK_SENTINEL)
         .groupBy("val")
