@@ -2370,3 +2370,70 @@ ORACLES["ext_capture_recapture"] = f"""
                AS est_missed
     FROM c
 """
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 near-duplicate pairs via FastSS deletion-
+    neighborhood blocking (Bocek et al. 2007, "Fast Similarity Search
+    in Large Dictionaries" — public). Two strings within Levenshtein
+    distance 1 always share an entry of U1(s) = {s} ∪ {s with one char
+    deleted}: a substitution at i makes both i-deletions equal, an
+    insert/delete makes one string a deletion variant of the other.
+    So: explode U1 per name, self-join on the variant (the ONLY
+    shuffle, keyed on variant strings), dedupe candidates, then verify
+    with the exact `levenshtein` built-in. The oracle is the
+    INDEPENDENT quadratic method — all pairs filtered by
+    levenshtein <= 1 — so a blocking bug that drops a candidate
+    breaks the hash.
+
+    Scale notes (100 TB): candidates ∝ real near-dups, never n² —
+    each string emits len+1 variant rows and a variant block only
+    contains strings one edit apart (block width is alphabet-bounded).
+    This is THE dictionary-scale edit-distance join pattern; depth-k
+    neighborhoods generalize to distance k with the same shape.
+    Reference scope: the reference engine has no string similarity at
+    all (SURVEY §2.1); this extends the near-dup family
+    (minhash/simhash/embedding) with the typo-distance member."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"), F.col("s_name").alias("nm")
+    )
+    variants = sup.select(
+        "k",
+        "nm",
+        F.explode(
+            F.concat(
+                F.array(F.col("nm")),
+                F.expr(
+                    "transform(sequence(1, length(nm)), i -> "
+                    "concat(substr(nm, 1, i-1), substr(nm, i+1, length(nm))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k")))
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.nm").alias("nm_a"),
+            F.col("b.nm").alias("nm_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("nm_a", "nm_b") <= 1).select(
+        "key_a",
+        "key_b",
+        F.levenshtein("nm_a", "nm_b").cast("long").alias("dist"),
+    )
+
+
+QUERIES["ext_edit_distance_pairs"] = edit_distance_pairs
+
+# independent quadratic oracle: any blocking miss breaks the hash
+ORACLES["ext_edit_distance_pairs"] = """
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""

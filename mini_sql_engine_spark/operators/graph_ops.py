@@ -319,3 +319,87 @@ ORACLES: dict[str, str] = {
         WHERE d.deg >= 2
     """,
 }
+
+
+PJ_MAX_ROUNDS = 64  # doubling rounds backstop (reaches depth 2^64)
+
+
+def pointer_jump_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-depth resolution by POINTER DOUBLING (pointer jumping —
+    Wyllie's list-ranking construction, standard PRAM technique): over
+    a deterministic random recursive forest on the customer keys
+    (parent(k) = md5-hash(k) mod k, root = key 0 — every parent id is
+    a smaller key, so the forest is well-formed on the contiguous key
+    range), resolve every node's distance to the root in
+    O(log depth) self-join rounds: each round replaces (ancestor,
+    distance) with (ancestor's ancestor, distance + ancestor's
+    distance), halving the unresolved path length. Output: the depth
+    histogram.
+
+    The oracle walks parents one step at a time with a recursive CTE —
+    the O(depth) sequential method — so the two engines agree only if
+    the doubling recurrence is exactly right.
+
+    Scale notes (100 TB): THE pattern for transitive closure /
+    hierarchy flattening when the chain is too deep to walk row-at-a-
+    time: a naive resolve is `depth` dependent joins, doubling needs
+    ceil(log2(depth)) self-joins each shuffled on the node key (a
+    bucketed node table makes them co-located). Convergence check is
+    a scalar count per round (metadata-only, the house rule for
+    iterative operators); localCheckpoint cuts the lineage so round N
+    doesn't replan rounds 1..N-1."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.functions.hashing import md5_long
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    ptr = cust.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0).cast("long"))
+        .otherwise(md5_long(F.col("node").cast("string"), "pj") % F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") == 0, F.lit(0).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("d"),
+    ).localCheckpoint()
+    for rounds in range(1, PJ_MAX_ROUNDS + 1):
+        nxt = (
+            ptr.alias("x")
+            .join(ptr.alias("p"), F.col("x.anc") == F.col("p.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("p.anc").alias("anc"),
+                (F.col("x.d") + F.col("p.d")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+        # root rows (anc = 0) join the root's own (anc=0, d=0) entry and
+        # pass through unchanged, so the join needs no special casing
+        ptr = nxt
+        if ptr.filter(F.col("anc") != 0).count() == 0:  # scalar only
+            ITERATION_COUNTS["pointer_jump"] = rounds
+            break
+    return ptr.groupBy(F.col("d").alias("depth")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+QUERIES["ext_pointer_jump_roots"] = pointer_jump_roots
+
+# sequential-walk oracle: one parent step per recursion level
+ORACLES["ext_pointer_jump_roots"] = """
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur,
+               CAST(0 AS BIGINT) AS d
+        FROM customer
+        UNION ALL
+        SELECT node,
+               CAST('0x' || substr(md5('pj:' || CAST(cur AS VARCHAR)),
+                                   1, 15) AS BIGINT) % cur,
+               d + 1
+        FROM walk WHERE cur <> 0
+    )
+    SELECT d AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM walk WHERE cur = 0 GROUP BY d
+"""

@@ -439,3 +439,102 @@ ORACLES: dict[str, str] = {
         SELECT user_id AS custkey FROM events
     """,
 }
+
+
+GRID_R = 50  # Chebyshev radius; cell size = R so 3x3 cells cover it
+GRID_SPACE = 10_000  # coordinate range per axis
+
+
+def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join by GRID-CELL BLOCKING: documents get
+    deterministic md5-derived integer coordinates in a
+    GRID_SPACE² plane; pairs within Chebyshev distance GRID_R are
+    found by hashing points into R-sized cells and joining each point
+    against its 3×3 cell neighborhood (one side stamped into the 9
+    neighbor cells, the other keyed on its home cell), then verifying
+    the exact distance. Integer coordinates and Chebyshev (max-norm)
+    distance keep the predicate engine-portable — no sqrt, no float.
+
+    The oracle is the INDEPENDENT quadratic method (all pairs,
+    distance filter), so a stamping bug that misses a neighbor cell
+    breaks the hash.
+
+    Scale notes (100 TB): the classic point-pair pattern — shuffle
+    keys are cells (constant 9× stamping overhead on one side only),
+    candidate count ∝ true neighbor density × 9, never n². Skewed
+    cells (hotspots) salt like any hot join key; R-tree/quad-tree
+    refinements change the cell function, not the join shape."""
+    from mini_sql_engine_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    pts = docs.select(
+        "id",
+        (md5_long(F.col("id").cast("string"), "gx") % GRID_SPACE).alias("x"),
+        (md5_long(F.col("id").cast("string"), "gy") % GRID_SPACE).alias("y"),
+    )
+    home = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / GRID_R).alias("cx"),
+        F.floor(F.col("y") / GRID_R).alias("cy"),
+    )
+    # stamp side: each point also claims the 8 surrounding cells (one
+    # generator: a 9-struct offset array, exploded once)
+    stamped = pts.select(
+        "id", "x", "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "id", "x", "y",
+        (F.floor(F.col("x") / GRID_R) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("y") / GRID_R) + F.col("o.dy")).alias("cy"),
+    )
+    a, b = stamped.alias("a"), home.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.greatest(
+                F.abs(F.col("a.x") - F.col("b.x")),
+                F.abs(F.col("a.y") - F.col("b.y")),
+            )
+            <= GRID_R
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.greatest(
+                F.abs(F.col("a.x") - F.col("b.x")),
+                F.abs(F.col("a.y") - F.col("b.y")),
+            ).cast("long").alias("cheb"),
+        )
+    )
+
+
+QUERIES["ext_grid_spatial_join"] = grid_spatial_join
+
+ORACLES["ext_grid_spatial_join"] = f"""
+    WITH pts AS (
+        SELECT doc_id AS id,
+               CAST('0x' || substr(md5('gx:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % {GRID_SPACE} AS x,
+               CAST('0x' || substr(md5('gy:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % {GRID_SPACE} AS y
+        FROM documents)
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           CAST(GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS BIGINT) AS cheb
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= {GRID_R}
+"""

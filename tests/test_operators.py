@@ -2772,3 +2772,18 @@ def test_hilbert_clustering_beats_zorder_on_range_width(spark, sf_dir):
     h, z = rows["hilbert"], rows["zorder"]
     assert h.n_blocks == z.n_blocks
     assert h.q_range_ppm + h.p_range_ppm < z.q_range_ppm + z.p_range_ppm
+
+
+def test_pointer_jump_is_logarithmic(spark):
+    """Pointer doubling must converge in ~log2(max depth) rounds — the
+    whole point of the construction. At driver scale the random
+    recursive forest is ~25 levels deep, so the doubling loop must
+    finish in <= 6 rounds (2^6 = 64 levels of headroom) and the depth
+    histogram must cover every node exactly once."""
+    from mini_sql_engine_spark.operators import graph_ops
+
+    out = graph_ops.pointer_jump_roots(spark, "/root/testdata/sf0.01").collect()
+    rounds = graph_ops.ITERATION_COUNTS["pointer_jump"]
+    assert 1 <= rounds <= 6, rounds
+    assert sum(r.n_nodes for r in out) == 1500  # every customer counted
+    assert min(r.depth for r in out) == 0  # the root
