@@ -1643,3 +1643,186 @@ ORACLES["ext_mm_jpeg_decode"] = f"""
              AS BIGINT) AS flat_pixel_sum
     FROM j GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TIFF: baseline uncompressed RGB TIFF 6.0 done from the published
+# spec (Adobe TIFF 6.0, 1992 — public). Unlike the single-blob BMP,
+# TIFF is a DIRECTORY format: the decoder must parse the II byte-order
+# header, walk the IFD's 12-byte entries, distinguish inline values
+# from offset-addressed ones (SHORT vs LONG types, arrays beyond 4
+# bytes live elsewhere in the file), and reassemble pixel data from
+# MULTIPLE strips via the StripOffsets/StripByteCounts arrays
+# (RowsPerStrip = 2 here, so every image has >= 2 strips and the strip
+# walk is always exercised). Pixels are closed-form in doc_id so the
+# DuckDB oracle replays the channel sums without touching binary.
+# Same scale shape as WAV/BMP/PNG/GIF: a pure fused map, no shuffle.
+# ---------------------------------------------------------------------------
+
+TIFF_MAX_W, TIFF_MAX_H = 15, 10  # w = 4 + doc_id % 12, h = 3 + doc_id % 8
+TIFF_ROWS_PER_STRIP = 2
+
+TIFF_SCHEMA = (
+    "doc_id long, width long, height long, n_strips long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _tiff_bytes(doc_id: int) -> bytes:
+    """Spec-valid little-endian baseline TIFF: II header, strip data,
+    external BitsPerSample/StripOffsets/StripByteCounts arrays, then
+    one IFD with ascending tags. Pixel p channel c =
+    (doc_id*3 + 5*p + 13*c) % 256."""
+    import struct
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 12, 3 + doc_id % 8
+    p = np.arange(w * h, dtype=np.int64)
+    rgb = (
+        (doc_id * 3 + 5 * p[:, None] + 13 * np.arange(3, dtype=np.int64))
+        % 256
+    ).astype(np.uint8).reshape(h, w, 3)
+
+    n_strips = -(-h // TIFF_ROWS_PER_STRIP)
+    strips = [
+        rgb[y : y + TIFF_ROWS_PER_STRIP].tobytes()
+        for y in range(0, h, TIFF_ROWS_PER_STRIP)
+    ]
+    pos = 8  # after the 8-byte header
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bps_off = pos  # BitsPerSample: 3 SHORTs (6 bytes, never inline)
+    pos += 6
+    so_off = pos  # StripOffsets array (LONG x n_strips)
+    pos += 4 * n_strips
+    sbc_off = pos  # StripByteCounts array (LONG x n_strips)
+    pos += 4 * n_strips
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+    # arrays of count 1 are inline; the multi-strip arrays point at
+    # their external position (the spec's offset-vs-value rule)
+    def arr(tag: int, values: list[int], off: int) -> bytes:
+        if len(values) == 1:
+            return entry(tag, 4, 1, values[0])
+        return entry(tag, 4, len(values), off)
+
+    entries = [
+        entry(256, 3, 1, w),  # ImageWidth, SHORT inline
+        entry(257, 3, 1, h),  # ImageLength
+        entry(258, 3, 3, bps_off),  # BitsPerSample -> [8,8,8]
+        entry(259, 3, 1, 1),  # Compression: none
+        entry(262, 3, 1, 2),  # Photometric: RGB
+        arr(273, strip_offsets, so_off),  # StripOffsets
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 3, 1, TIFF_ROWS_PER_STRIP),  # RowsPerStrip
+        arr(279, [len(s) for s in strips], sbc_off),  # StripByteCounts
+    ]
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack("<3H", 8, 8, 8)
+    out += struct.pack(f"<{n_strips}I", *strip_offsets)
+    out += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    return bytes(out)
+
+
+def _tiff_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [_tiff_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _tiff_decode_batches(batches):
+    """REAL decode: byte-order header, IFD walk, inline-vs-offset value
+    resolution, multi-strip reassembly per StripOffsets/ByteCounts."""
+    import struct
+
+    import numpy as np
+
+    def read_values(buf, typ, count, raw):
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        if size * count <= 4:
+            return list(struct.unpack_from(f"<{count}{fmt}", raw, 0))
+        (off,) = struct.unpack("<I", raw)
+        return list(struct.unpack_from(f"<{count}{fmt}", buf, off))
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_strips",
+            "sum_r", "sum_g", "sum_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            assert buf[:2] == b"II", "little-endian TIFF expected"
+            magic, ifd_off = struct.unpack_from("<HI", buf, 2)
+            assert magic == 42
+            (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+            tags = {}
+            for i in range(n_entries):
+                tag, typ, count = struct.unpack_from(
+                    "<HHI", buf, ifd_off + 2 + i * 12
+                )
+                raw = buf[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 12]
+                tags[tag] = read_values(buf, typ, count, raw)
+            w, h = tags[256][0], tags[257][0]
+            assert tags[258] == [8, 8, 8] and tags[259] == [1]
+            assert tags[262] == [2] and tags[277] == [3]
+            data = b"".join(
+                buf[off : off + cnt]
+                for off, cnt in zip(tags[273], tags[279])
+            )
+            rgb = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+            rgb = rgb.astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_strips"].append(len(tags[273]))
+            out["sum_r"].append(int(rgb[:, :, 0].sum()))
+            out["sum_g"].append(int(rgb[:, :, 1].sum()))
+            out["sum_b"].append(int(rgb[:, :, 2].sum()))
+        yield pd.DataFrame(out)
+
+
+def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize spec-valid multi-strip baseline TIFFs, then REALLY
+    decode them (IFD walk, offset resolution, strip reassembly) —
+    per-doc channel sums. See the section comment above."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tiffs = docs.mapInPandas(
+        _tiff_synth_batches, schema="doc_id long, payload binary"
+    )
+    return tiffs.mapInPandas(_tiff_decode_batches, schema=TIFF_SCHEMA)
+
+
+QUERIES["ext_mm_tiff_decode"] = tiff_decode
+
+ORACLES["ext_mm_tiff_decode"] = f"""
+    WITH px AS (SELECT unnest(range(0, {TIFF_MAX_W * TIFF_MAX_H})) AS p),
+    d AS (SELECT doc_id, 4 + doc_id % 12 AS w, 3 + doc_id % 8 AS h
+          FROM documents)
+    SELECT d.doc_id,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           CAST((d.h + {TIFF_ROWS_PER_STRIP} - 1)
+                // {TIFF_ROWS_PER_STRIP} AS BIGINT) AS n_strips,
+           CAST(SUM((d.doc_id * 3 + 5 * px.p + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id * 3 + 5 * px.p + 13) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 3 + 5 * px.p + 26) % 256) AS BIGINT) AS sum_b
+    FROM d JOIN px ON px.p < d.w * d.h
+    GROUP BY d.doc_id, d.w, d.h
+"""

@@ -1243,3 +1243,141 @@ def _qsk_stream_oracle() -> str:
 
 
 ORACLES["stream_quantile_sketch"] = _qsk_stream_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV (k-minimum-values) distinct-count sketch — the fourth
+# mergeable summary on the exactly-once native-state machinery (after
+# the bitmap exact-distinct, Misra-Gries heavy hitters, and quantile
+# summaries). KMV (Bar-Yossef et al. 2002, "Counting Distinct Elements
+# in a Data Stream") keeps the K smallest hash values seen; merge IS
+# "K smallest of the union", so replays and partial re-merges are
+# harmless, and the estimator (K-1) * H / h_K (H = hash domain) is a
+# deterministic function of deterministic md5 hashes — which is what
+# lets a plain SQL oracle reproduce the ESTIMATE bit-for-bit, not just
+# the exact count. 44-bit hashes (11 md5 hex digits) keep
+# (K-1) * 2^44 inside a BIGINT so the estimator divides exactly in
+# integer math on both engines.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size: ~1/sqrt(K) = 12% relative error
+_KMV_DOMAIN = 1 << 44  # 11 md5 hex digits
+_KMV_SENTINEL = -1  # h of the version row (real hashes are >= 0)
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), col)), 1, 11), 16, 10
+    ).cast("long")
+
+
+def merge_kmv_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: fold this batch's distinct user hashes into
+    the K-minimum-values state (replay-gated; a replayed batch unions
+    an empty delta and the K smallest of the state is the state)."""
+    spark = batch_df.sparkSession
+    cur, last1 = _state_and_guard(
+        spark, data_dir, table, "h long, meta long", "h", "meta",
+        _KMV_SENTINEL,
+    )
+    delta = _gate_delta(
+        batch_df.select(
+            _kmv_hash(F.col("user_id").cast("string")).alias("h")
+        ).distinct(),
+        last1,
+        batch_id,
+    )
+    merged = (
+        cur.select("h")
+        .unionByName(delta)
+        .distinct()
+        .orderBy("h")  # with limit: TakeOrderedAndProject, no full sort
+        .limit(KMV_K)
+        .select("h", F.lit(0).cast("long").alias("meta"))
+    )
+    sentinel = last1.select(
+        F.lit(_KMV_SENTINEL).cast("long").alias("h"),
+        _next_version(batch_id).alias("meta"),
+    )
+    datasource.register(spark)
+    (
+        merged.unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimate with BOUNDED state: micro-batch
+    commits maintain the K smallest user-id hashes exactly-once; the
+    final read derives (n_hashes, kth hash, estimate) — under K
+    distinct users the sketch IS exact, at or above K the estimator
+    (K-1) * 2^44 / h_K applies, floor-divided in integer math so the
+    oracle reproduces the estimate exactly from the raw events.
+
+    Scale notes (100 TB): state is K longs — constant; per batch one
+    map-side-combined distinct + a TakeOrdered top-K. This is the
+    distinct-count twin of the MG heavy-hitter design: both keep a
+    provably-sufficient constant-size candidate set, and merge = union
+    keeps replays free."""
+    _enable_native_pushdown(spark)
+    data_dir = tempfile.mkdtemp(prefix="minisql_kmv_")
+    chk = tempfile.mkdtemp(prefix="chk_kmv_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_events(
+                spark,
+                sf_dir,
+                cols=("user_id",),
+                schema="user_id long",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_kmv_batch(df, bid, data_dir, "kmv_state")
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = _read_state(
+        spark, data_dir, "kmv_state", schema="h long, meta long"
+    )
+    agg = state.filter(F.col("h") != _KMV_SENTINEL).agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth")
+    )
+    numer = (KMV_K - 1) * _KMV_DOMAIN
+    return agg.select(
+        "n_hashes",
+        "kth",
+        F.when(F.col("n_hashes") < KMV_K, F.col("n_hashes"))
+        .otherwise(F.expr(f"{numer} div kth"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+QUERIES["stream_kmv_distinct"] = stream_kmv_distinct
+
+ORACLES["stream_kmv_distinct"] = f"""
+    WITH h AS (
+        SELECT DISTINCT CAST('0x' || substr(
+            md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 11) AS BIGINT) AS h
+        FROM events),
+    k AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+    agg AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM k)
+    SELECT CAST(n AS BIGINT) AS n_hashes, kth,
+           CAST(CASE WHEN n < {KMV_K} THEN n
+                ELSE {(KMV_K - 1) * _KMV_DOMAIN} // kth END AS BIGINT)
+               AS est_distinct
+    FROM agg
+"""
