@@ -403,3 +403,187 @@ ORACLES["ext_pointer_jump_roots"] = """
     SELECT d AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
     FROM walk WHERE cur = 0 GROUP BY d
 """
+
+
+DB_R = 150  # DBSCAN eps (Chebyshev); grid cell size = DB_R
+DB_MINPTS = 3  # core point: >= MINPTS points within eps (incl. itself)
+DB_SPACE_MULT = 425  # plane side = 425 * floor(sqrt(n)) -> constant density
+DB_MAX_ROUNDS = 24  # label-propagation backstop (max cluster diameter)
+
+
+def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) with GRID-CELL neighbor blocking and
+    distributed label propagation — the density-based member of the
+    clustering family (k-means and Gonzalez k-center already exist).
+    Documents get deterministic md5 coordinates on a plane whose side
+    scales with sqrt(n) (DB_SPACE_MULT · floor(sqrt(n)), computed
+    IN-PLAN from the corpus count), so the expected neighbor degree —
+    and with it core density, cluster sizes, and propagation depth —
+    is the SAME at every scale factor: the subcritical-percolation
+    regime where components stay small. Pipeline: 9-cell grid join for
+    eps-neighbor pairs (never n²) → degree count → core points
+    (≥ DB_MINPTS−1 neighbors) → min-label propagation over core-core
+    edges (scalar-only convergence, localCheckpoint per round) →
+    border points adopt the min label among their core neighbors.
+    Output: per-cluster core/border counts, label = min core doc_id.
+
+    The oracle recomputes everything quadratically with a recursive-
+    CTE reachability closure — an independent method for both the
+    blocking AND the propagation.
+
+    Scale notes (100 TB): neighbor discovery is the grid join
+    (shuffle keys = cells, candidates ∝ true density); propagation
+    rounds = cluster diameter, which the density regime keeps O(1) —
+    the same loop shape as `dedup_clusters`, whose alternating-star
+    variant takes over if components grow."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n1 = docs.agg(
+        (
+            F.lit(DB_SPACE_MULT)
+            * F.floor(F.sqrt(F.count(F.lit(1)))).cast("long")
+        ).alias("space")
+    )
+    pts = docs.crossJoin(F.broadcast(n1)).select(
+        "id",
+        (md5_long(F.col("id").cast("string"), "db:gx") % F.col("space")).alias("x"),
+        (md5_long(F.col("id").cast("string"), "db:gy") % F.col("space")).alias("y"),
+    )
+    home = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / DB_R).alias("cx"),
+        F.floor(F.col("y") / DB_R).alias("cy"),
+    )
+    stamped = pts.select(
+        "id", "x", "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "id", "x", "y",
+        (F.floor(F.col("x") / DB_R) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("y") / DB_R) + F.col("o.dy")).alias("cy"),
+    )
+    nbr = (
+        stamped.alias("a")
+        .join(
+            home.alias("b"),
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .filter(
+            F.greatest(
+                F.abs(F.col("a.x") - F.col("b.x")),
+                F.abs(F.col("a.y") - F.col("b.y")),
+            )
+            <= DB_R
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .localCheckpoint()  # feeds degree, edges, and border below
+    )
+    core = (
+        nbr.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= DB_MINPTS - 1)
+        .select(F.col("a").alias("id"))
+    )
+    ce = (
+        nbr.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    lab = core.select("id", F.col("id").alias("lab")).localCheckpoint()
+    for rounds in range(1, DB_MAX_ROUNDS + 1):
+        prop = (
+            ce.join(lab.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "lab")
+            .unionByName(lab)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.alias("n")
+            .join(lab.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )  # scalar-only convergence check
+        lab = prop
+        if changed == 0:
+            ITERATION_COUNTS["grid_dbscan"] = rounds
+            break
+    border = (
+        nbr.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .join(
+            lab.withColumnRenamed("id", "b").withColumnRenamed("lab", "blab"),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("blab").alias("lab"))
+    )
+    n_core = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("n_core"))
+    n_border = border.groupBy("lab").agg(F.count(F.lit(1)).alias("n_border"))
+    return (
+        n_core.join(n_border, "lab", "left_outer")
+        .select(
+            F.col("lab").alias("cluster"),
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).cast("long").alias("n_border"),
+        )
+    )
+
+
+QUERIES["ext_grid_dbscan"] = grid_dbscan
+
+# independent oracle: quadratic neighbors + recursive-CTE reachability
+ORACLES["ext_grid_dbscan"] = f"""
+    WITH RECURSIVE n1 AS (
+        SELECT {DB_SPACE_MULT} * CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)
+               AS space
+        FROM documents),
+    pts AS (
+        SELECT doc_id AS id,
+               CAST('0x' || substr(md5('db:gx:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % space AS x,
+               CAST('0x' || substr(md5('db:gy:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % space AS y
+        FROM documents CROSS JOIN n1),
+    nbr AS (
+        SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+        ON a.id <> b.id
+           AND GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= {DB_R}),
+    core AS (SELECT a AS id FROM nbr GROUP BY a
+             HAVING COUNT(*) >= {DB_MINPTS - 1}),
+    ce AS (SELECT n.a, n.b FROM nbr n
+           WHERE EXISTS (SELECT 1 FROM core c WHERE c.id = n.a)
+             AND EXISTS (SELECT 1 FROM core c WHERE c.id = n.b)),
+    reach AS (
+        SELECT id, id AS lab FROM core
+        UNION
+        SELECT e.b AS id, r.lab FROM reach r JOIN ce e ON e.a = r.id),
+    lab AS (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id),
+    border AS (
+        SELECT n.a AS id, MIN(l.lab) AS lab FROM nbr n
+        JOIN lab l ON l.id = n.b
+        WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = n.a)
+        GROUP BY n.a)
+    SELECT l.lab AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_core,
+           CAST(COALESCE(MAX(b.nb), 0) AS BIGINT) AS n_border
+    FROM lab l LEFT JOIN (
+        SELECT lab, COUNT(*) AS nb FROM border GROUP BY lab) b
+      ON b.lab = l.lab
+    GROUP BY l.lab
+"""
