@@ -1946,3 +1946,94 @@ ORACLES: dict[str, str] = {
           AND (value > hi * {BREAKOUT_HI} OR value < lo * {BREAKOUT_LO})
     """,
 }
+
+
+MERKLE_ARITY = 16
+MERKLE_LEVELS = 4  # 16^4 = 65,536 leaf capacity >= every testdata SF
+
+
+def merkle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree dataset fingerprint (Merkle 1987 — public): leaf =
+    md5 of the canonical row encoding, each level hashes the
+    child-bucket hashes in child order (16-ary, 4 levels — capacity
+    65,536 rows). The root hash certifies the whole table; two
+    versions of a dataset diff in O(log n) comparisons by descending
+    only into buckets whose hashes differ — the integrity primitive
+    behind dataset version audits (complements the time-travel reads
+    and the CDC operators). Output: levels 2..4 (bucket hashes + the
+    root), small at every scale.
+
+    The oracle rebuilds the identical tree with chained
+    string_agg-ordered CTEs, so any row mutation, dropped row, or
+    child-ordering bug flips hashes all the way to the root.
+
+    Scale notes (100 TB): each level is one map-side-combinable
+    groupBy on a key that shrinks 16× per level; leaf hashing is
+    embarrassingly parallel. The same shape backs content-addressed
+    storage manifests; arity trades tree depth for per-node fanout."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        F.col("doc_id").cast("long").alias("b"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                "lang",
+                F.col("n_chars").cast("string"),
+                F.md5("text"),
+            )
+        ).alias("h"),
+    )
+    levels: dict[int, DataFrame] = {}
+    for k in range(1, MERKLE_LEVELS + 1):
+        cur = (
+            cur.groupBy(F.floor(F.col("b") / MERKLE_ARITY).alias("b"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("b", "h"))
+                            ),
+                            lambda s: s["h"],
+                        ),
+                    )
+                ).alias("h")
+            )
+        )
+        levels[k] = cur.select(
+            F.lit(k).cast("long").alias("level"), F.col("b").cast("long"), "h"
+        )
+    out = levels[2]
+    for k in range(3, MERKLE_LEVELS + 1):
+        out = out.unionByName(levels[k])
+    return out
+
+
+QUERIES["ext_merkle_fingerprint"] = merkle_fingerprint
+
+ORACLES["ext_merkle_fingerprint"] = f"""
+    WITH l0 AS (
+        SELECT doc_id AS b,
+               md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
+                   CAST(n_chars AS VARCHAR) || '|' || md5(text)) AS h
+        FROM documents),
+    l1 AS (SELECT b // {MERKLE_ARITY} AS b,
+                  md5(string_agg(h, '' ORDER BY b)) AS h
+           FROM l0 GROUP BY b // {MERKLE_ARITY}),
+    l2 AS (SELECT b // {MERKLE_ARITY} AS b,
+                  md5(string_agg(h, '' ORDER BY b)) AS h
+           FROM l1 GROUP BY b // {MERKLE_ARITY}),
+    l3 AS (SELECT b // {MERKLE_ARITY} AS b,
+                  md5(string_agg(h, '' ORDER BY b)) AS h
+           FROM l2 GROUP BY b // {MERKLE_ARITY}),
+    l4 AS (SELECT b // {MERKLE_ARITY} AS b,
+                  md5(string_agg(h, '' ORDER BY b)) AS h
+           FROM l3 GROUP BY b // {MERKLE_ARITY})
+    SELECT CAST(2 AS BIGINT) AS level, CAST(b AS BIGINT) AS b, h FROM l2
+    UNION ALL
+    SELECT 3, b, h FROM l3
+    UNION ALL
+    SELECT 4, b, h FROM l4
+"""

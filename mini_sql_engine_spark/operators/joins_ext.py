@@ -538,3 +538,72 @@ ORACLES["ext_grid_spatial_join"] = f"""
     FROM pts a JOIN pts b ON a.id < b.id
     WHERE GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= {GRID_R}
 """
+
+
+def yannakakis_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yannakakis semi-join reduction (Yannakakis 1981 — public) over
+    the acyclic chain lineitem — orders — customer with selective
+    filters on both leaves: a leaf→root→leaf SEMI-JOIN sweep removes
+    every dangling tuple BEFORE the expensive joins, so the join phase
+    shuffles only rows that appear in the final result — the classic
+    optimality guarantee for acyclic queries, and at 100 TB the
+    difference between shuffling the full orders table and shuffling
+    the ~few-% that survive both filters. Spark's optimizer does not
+    synthesize this rewrite (it pushes filters but not cross-relation
+    semi-reductions; the Bloom-pruned join entry is the probabilistic
+    cousin). The oracle is the plain 3-way join, which the reduced
+    plan must equal EXACTLY — semi-join reduction never changes the
+    answer, only the intermediate sizes.
+
+    Output: per-nation surviving item counts and integer quantity
+    mass."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    # reduction sweep: orders keeps only tuples that can join BOTH
+    # ways (explicit aliases: the reduced relations share lineage with
+    # the originals, so qualified names keep the re-joins unambiguous)
+    ord_r = orders.alias("o1").join(
+        cust.select(F.col("c_custkey").alias("ck")),
+        F.col("o1.o_custkey") == F.col("ck"),
+        "left_semi",
+    )
+    ord_r = ord_r.alias("o2").join(
+        li.select(F.col("l_orderkey").alias("lk")),
+        F.col("o2.o_orderkey") == F.col("lk"),
+        "left_semi",
+    )
+    li_r = li.alias("l1").join(
+        ord_r.select(F.col("o_orderkey").alias("rk")),
+        F.col("l1.l_orderkey") == F.col("rk"),
+        "left_semi",
+    )
+    joined = (
+        li_r.alias("L")
+        .join(ord_r.alias("O"), F.col("L.l_orderkey") == F.col("O.o_orderkey"))
+        .join(cust.alias("C"), F.col("O.o_custkey") == F.col("C.c_custkey"))
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+QUERIES["ext_yannakakis_reduction"] = yannakakis_reduction
+
+# the plain join: semi-join reduction must not change the answer
+ORACLES["ext_yannakakis_reduction"] = """
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_quantity > 45 AND c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_nationkey
+"""
