@@ -2037,3 +2037,106 @@ ORACLES["ext_merkle_fingerprint"] = f"""
     UNION ALL
     SELECT 4, b, h FROM l4
 """
+
+
+MERKLE_MUT_MOD = 97  # v2 mutates docs with doc_id % 97 == 13
+
+
+def merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle DIFF LOCALIZATION — the use-case
+    :func:`merkle_fingerprint` exists for: version 2 of the documents
+    table mutates a deterministic ~1% slice (doc_id % MERKLE_MUT_MOD
+    == 13 gets its n_chars bumped), both versions build the same
+    16-ary tree, and the diff walk compares hashes level by level —
+    only buckets whose hashes differ need descending, so the changed
+    rows are localized by comparing O(changed · log n) hashes instead
+    of re-scanning either version. Output: per level (4 → 0), how many
+    buckets exist and how many differ; level 0 differing "buckets" ARE
+    the mutated rows, so the walk provably bottoms out at exactly the
+    mutation slice.
+
+    The oracle computes the differing-bucket counts directly from the
+    mutation predicate (a bucket differs iff it CONTAINS a mutated
+    doc), so any hash-propagation bug — a mutation that fails to flip
+    every ancestor hash — breaks the comparison.
+
+    Scale notes (100 TB): both trees build with the log-shrinking
+    groupBy ladder of the fingerprint; the diff itself joins hash
+    tables level-wise on bucket id (broadcast — level tables shrink
+    16× per level). This is how content-addressed replication ships
+    only changed blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def leaf(df: DataFrame, bump) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("long").alias("b"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    (F.col("n_chars") + bump).cast("string"),
+                    F.md5("text"),
+                )
+            ).alias("h"),
+        )
+
+    mutated = F.when(
+        F.col("doc_id") % MERKLE_MUT_MOD == 13, F.lit(1)
+    ).otherwise(F.lit(0))
+    trees = {}
+    for tag, bump in (("v1", F.lit(0)), ("v2", mutated)):
+        cur = leaf(docs, bump)
+        levels = [cur]
+        for _ in range(MERKLE_LEVELS):
+            cur = cur.groupBy(
+                F.floor(F.col("b") / MERKLE_ARITY).alias("b")
+            ).agg(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("b", "h"))),
+                            lambda s: s["h"],
+                        ),
+                    )
+                ).alias("h")
+            )
+            levels.append(cur)
+        trees[tag] = levels
+    out = None
+    for lvl in range(MERKLE_LEVELS + 1):
+        a = trees["v1"][lvl].withColumnRenamed("h", "h1")
+        b = trees["v2"][lvl].withColumnRenamed("h", "h2")
+        cmp = a.join(b, "b").select(
+            F.lit(lvl).cast("long").alias("level"),
+            (F.col("h1") != F.col("h2")).cast("long").alias("differs"),
+        )
+        agg = cmp.groupBy("level").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("differs").alias("n_differing"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+QUERIES["ext_merkle_diff"] = merkle_diff
+
+# direct oracle: a bucket differs iff it contains a mutated doc
+ORACLES["ext_merkle_diff"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {MERKLE_MUT_MOD} = 13 THEN 1 ELSE 0 END
+                   AS mut
+        FROM documents),
+    lv AS (SELECT unnest(range(0, {MERKLE_LEVELS + 1})) AS level)
+    SELECT CAST(lv.level AS BIGINT) AS level,
+           CAST(COUNT(DISTINCT doc_id
+                      // POWER({MERKLE_ARITY}, lv.level)::BIGINT)
+                AS BIGINT) AS n_buckets,
+           CAST(COUNT(DISTINCT CASE WHEN mut = 1 THEN doc_id
+                      // POWER({MERKLE_ARITY}, lv.level)::BIGINT END)
+                AS BIGINT) AS n_differing
+    FROM d CROSS JOIN lv
+    GROUP BY lv.level
+"""
