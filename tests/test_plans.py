@@ -957,3 +957,40 @@ def test_unigram_dp_is_single_arrow_kernel(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_unigram_tokenize"](spark, sf_dir))
     assert plan.count("MapInPandas") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_edit_distance_blocking_single_variant_exchange(spark, sf_dir):
+    """FastSS blocking joins on the deletion variant — a SortMergeJoin
+    or hash join keyed on the variant string, with the exact
+    levenshtein verify as a post-join Filter, never a cartesian."""
+    plan = _plan(ALL_QUERIES["ext_edit_distance_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_grid_joins_block_on_cells_not_allpairs(spark, sf_dir):
+    """The spatial self-join must key on (cx, cy) cells (constant 9x
+    stamping), never plan a cartesian. DBSCAN's final plan reads its
+    checkpointed neighbor RDD (lineage cut per round), so the cell
+    keys are asserted on the spatial join it builds from; DBSCAN
+    itself is pinned cartesian-free."""
+    plan = _plan(ALL_QUERIES["ext_grid_spatial_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "cx" in plan and "cy" in plan, plan
+    dplan = _plan(ALL_QUERIES["ext_grid_dbscan"](spark, sf_dir))
+    assert "CartesianProduct" not in dplan, dplan
+
+
+def test_yannakakis_semi_reducers_survive(spark, sf_dir):
+    """The semi-join sweep must stay in the physical plan (Catalyst
+    must not collapse the reducers into the plain join)."""
+    plan = _plan(ALL_QUERIES["ext_yannakakis_reduction"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 3, plan
+
+
+def test_merkle_ladder_is_hash_aggregates(spark, sf_dir):
+    """The fingerprint ladder is groupBy levels (objhash/sort agg on a
+    16x-shrinking key) with no window, no collect-to-driver loop."""
+    plan = _plan(ALL_QUERIES["ext_merkle_fingerprint"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert plan.count("Aggregate") >= 4, plan

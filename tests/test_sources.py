@@ -707,3 +707,57 @@ def test_read_any_strict_schema_gate(spark, sf_dir, tmp_path):
     path = str(tmp_path / "r_parquet")
     src_io.write_any(df, path, "parquet")
     assert src_io.read_any(spark, path, "parquet").count() == df.count()
+
+
+def test_avro_codec_property_roundtrip():
+    """Property: ANY (long, string, string, long) row list round-trips
+    through the container codec byte-for-byte — unicode, newlines,
+    quotes, int64 extremes, empty strings, block-boundary counts."""
+    from hypothesis import given, settings, strategies as st
+
+    from mini_sql_engine_spark.sources import avro_codec as ac
+
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    texts = st.text(max_size=40)
+    rows_strategy = st.lists(
+        st.tuples(longs, texts, texts, longs), max_size=30
+    )
+
+    @given(rows=rows_strategy)
+    @settings(max_examples=150, deadline=None)
+    def check(rows):
+        import io
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            n = ac.write_container(path, rows)
+            assert n == len(rows)
+            _, back = ac.read_container(open(path, "rb").read())
+            assert back == rows
+        finally:
+            os.remove(path)
+
+    check()
+
+
+def test_read_state_failfast_on_schema_mismatch(tmp_path, spark):
+    """A state read whose caller schema has FEWER columns than the
+    table must raise (FAILFAST), never silently truncate — the failure
+    mode that produced zeroed bitmap counts in round 8 dev."""
+    import os
+
+    from mini_sql_engine_spark.streaming.upsert import _read_state
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "metadata.txt"), "w") as fh:
+        fh.write("<begin_table>\nt\na\nb\nc\n<end_table>\n")
+    with open(os.path.join(d, "t.csv"), "w") as fh:
+        fh.write("1,2,3\n4,5,6\n")
+    ok = _read_state(spark, d, "t", schema="a long, b long, c long")
+    assert sorted(map(tuple, ok.collect())) == [(1, 2, 3), (4, 5, 6)]
+    bad = _read_state(spark, d, "t", schema="a long, b long")
+    with pytest.raises(Exception, match="MALFORMED_RECORD|FAILFAST"):
+        bad.collect()

@@ -169,6 +169,19 @@ MARQUEE = [
      "DISTINCT word type in ONE Arrow kernel (state-carrying "
      "recursion per the codegen rule); the piece vocab broadcasts "
      "into the edge lattice; per-doc stats are one instances join"),
+    ("ext_edit_distance_pairs", "FastSS blocking: the deletion-variant "
+     "explode is the ONLY shuffle key; candidates ∝ near-dups, the "
+     "exact levenshtein verify runs post-join — never n² pairs"),
+    ("ext_grid_spatial_join", "grid-cell blocking: 9-cell stamping on "
+     "one side only (constant fan-out), home-cell key on the other; "
+     "the exact Chebyshev check is a post-join filter"),
+    ("ext_yannakakis_reduction", "acyclic-chain semi-join sweep: the "
+     "LeftSemi reducers run before the join phase so the joins "
+     "shuffle only result-contributing rows — the rewrite Catalyst "
+     "doesn't synthesize from the plain 3-way join"),
+    ("ext_merkle_fingerprint", "16-ary hash ladder: each level is one "
+     "map-side-combinable groupBy on a key that shrinks 16× — no "
+     "wide rows, no collect; leaf hashing fused into the scan"),
 ]
 
 
