@@ -1381,3 +1381,208 @@ ORACLES["stream_kmv_distinct"] = f"""
                AS est_distinct
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental Merkle maintenance — INCREMENTAL VIEW MAINTENANCE of the
+# integrity tree (the streaming twin of ext_merkle_fingerprint /
+# ext_merkle_diff): each micro-batch inserts its document leaves and
+# recomputes ONLY the tree paths those leaves touch — O(batch · log n)
+# hash work per commit instead of rebuilding the tree — with the same
+# exactly-once sentinel machinery as the other merge sinks. Hashes are
+# 60-bit md5 longs (the native state format is integer-only); parent =
+# md5-long over the ordered "bucket:hash" child encoding, so the
+# DuckDB oracle can rebuild the full tree from the raw table and match
+# every level, including the root, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+MKS_ARITY = 32  # wider fan-out than the batch tree: one less level
+MKS_LEVELS = 3  # 32^3 = 32,768 leaf capacity >= every testdata SF
+_MKS_SENTINEL = -1  # level of the version row (real levels are >= 0)
+
+
+def _mks_leaf(df: DataFrame) -> DataFrame:
+    """(b, h) leaf rows: b = doc_id, h = md5-long of the canonical
+    row encoding."""
+    return df.select(
+        F.col("doc_id").cast("long").alias("b"),
+        md5_long(
+            F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.md5("text")
+            ),
+            "ml",
+        ).alias("h"),
+    )
+
+
+def _mks_parent_hash() -> F.Column:
+    """Aggregate: md5-long over ',' -joined 'bucket:hash' children in
+    bucket order (collect_list sorted by struct order — deterministic)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("b", "h"))),
+                        lambda s: F.concat(
+                            s["b"].cast("string"),
+                            F.lit(":"),
+                            s["h"].cast("string"),
+                        ),
+                    ),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def merge_merkle_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: insert this batch's leaves, then recompute
+    only the ancestor buckets the batch touches, level by level —
+    unchanged subtrees are carried over without rehashing."""
+    spark = batch_df.sparkSession
+    cur, last1 = _state_and_guard(
+        spark, data_dir, table, "level long, b long, h long", "level",
+        "b", _MKS_SENTINEL,
+    )
+    delta = _gate_delta(_mks_leaf(batch_df), last1, batch_id)
+    # level 0: union of committed leaves and the batch's new leaves
+    new_levels = []
+    lvl = (
+        cur.filter(F.col("level") == 0)
+        .select("b", "h")
+        .unionByName(delta)
+        .localCheckpoint(eager=False)  # reused by level 1's recompute
+    )
+    new_levels.append(lvl.select(F.lit(0).cast("long").alias("level"), "b", "h"))
+    changed = delta.select(F.col("b")).distinct()
+    for k in range(1, MKS_LEVELS + 1):
+        changed = changed.select(
+            F.floor(F.col("b") / MKS_ARITY).alias("b")
+        ).distinct()
+        # recompute ONLY the changed parent buckets from level k-1
+        recomputed = (
+            lvl.withColumn("pb", F.floor(F.col("b") / MKS_ARITY))
+            .join(
+                F.broadcast(changed.withColumnRenamed("b", "pb")), "pb"
+            )
+            .groupBy("pb")
+            .agg(_mks_parent_hash().alias("h"))
+            .select(F.col("pb").alias("b"), "h")
+        )
+        carried = (
+            cur.filter(F.col("level") == k)
+            .select("b", "h")
+            .join(F.broadcast(changed), "b", "left_anti")
+        )
+        lvl = carried.unionByName(recomputed).localCheckpoint(eager=False)
+        new_levels.append(
+            lvl.select(F.lit(k).cast("long").alias("level"), "b", "h")
+        )
+    state = new_levels[0]
+    for part in new_levels[1:]:
+        state = state.unionByName(part)
+    sentinel = last1.select(
+        F.lit(_MKS_SENTINEL).cast("long").alias("level"),
+        _next_version(batch_id).alias("b"),
+        F.lit(0).cast("long").alias("h"),
+    )
+    datasource.register(spark)
+    (
+        state.unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once INCREMENTAL Merkle maintenance over the document
+    stream: per micro-batch, O(batch · log n) hash recomputation along
+    touched paths only; the final state holds the same tree a from-
+    scratch build produces — which is exactly what the oracle builds
+    from the raw table, comparing per level the bucket count, the hash
+    mass (sum), and implicitly the root. This is incremental view
+    maintenance applied to an integrity structure: the pattern that
+    keeps a 100 TB dataset's fingerprint current without re-reading
+    the dataset on every append.
+
+    Scale notes: per batch, the leaf upsert is one union; each level's
+    recompute joins level k-1 against the (tiny, broadcast) changed-
+    bucket set and shrinks 16× per level; unchanged subtrees carry
+    over with an anti-join, never rehash. State is n·(1+1/16+...)
+    rows — the leaf table dominates, as in any Merkle store; the
+    single-file demo format caps it (the real target is a keyed table
+    format, the operator shape is unchanged)."""
+    _enable_native_pushdown(spark)
+    data_dir = tempfile.mkdtemp(prefix="minisql_mks_")
+    chk = tempfile.mkdtemp(prefix="chk_mks_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_docs(spark, sf_dir)
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_merkle_batch(
+                    df, bid, data_dir, "mks_tree"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = _read_state(
+        spark, data_dir, "mks_tree", schema="level long, b long, h long"
+    )
+    return (
+        state.filter(F.col("level") != _MKS_SENTINEL)
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            # mod before summing: 60-bit hashes overflow a long sum
+            F.sum(F.col("h") % 1000000007).alias("hash_mass"),
+        )
+    )
+
+
+QUERIES["stream_merkle_root"] = stream_merkle_root
+
+_MKS_HEX = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+ORACLES["stream_merkle_root"] = f"""
+    WITH l0 AS (
+        SELECT doc_id AS b,
+               {_MKS_HEX.format(x="'ml:' || CAST(doc_id AS VARCHAR) || '|' || md5(text)")} AS h
+        FROM documents),
+    l1 AS (SELECT b // {MKS_ARITY} AS b,
+                  {_MKS_HEX.format(x="string_agg(CAST(b AS VARCHAR) || ':' || CAST(h AS VARCHAR), ',' ORDER BY b)")} AS h
+           FROM l0 GROUP BY b // {MKS_ARITY}),
+    l2 AS (SELECT b // {MKS_ARITY} AS b,
+                  {_MKS_HEX.format(x="string_agg(CAST(b AS VARCHAR) || ':' || CAST(h AS VARCHAR), ',' ORDER BY b)")} AS h
+           FROM l1 GROUP BY b // {MKS_ARITY}),
+    l3 AS (SELECT b // {MKS_ARITY} AS b,
+                  {_MKS_HEX.format(x="string_agg(CAST(b AS VARCHAR) || ':' || CAST(h AS VARCHAR), ',' ORDER BY b)")} AS h
+           FROM l2 GROUP BY b // {MKS_ARITY}),
+    allv AS (
+        SELECT 0 AS level, b, h FROM l0
+        UNION ALL SELECT 1, b, h FROM l1
+        UNION ALL SELECT 2, b, h FROM l2
+        UNION ALL SELECT 3, b, h FROM l3)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(h % 1000000007) AS BIGINT) AS hash_mass
+    FROM allv GROUP BY level
+"""
