@@ -122,7 +122,11 @@ def _sidecar_path(kind: str) -> str:
     override = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
     if override:
         base, ext = os.path.splitext(override)
-        return f"{base}.{kind}{ext}" if kind != "run" else override
+        # each leg runs in its own subprocess under orchestrate, so the
+        # pid suffix keeps multi-leg runs from clobbering one sidecar
+        return (
+            f"{base}.{kind}{os.getpid()}{ext}" if kind != "run" else override
+        )
     path = os.path.join(
         tempfile.gettempdir(), f"bench_{kind}_{os.getpid()}.json"
     )

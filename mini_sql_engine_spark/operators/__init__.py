@@ -67,61 +67,61 @@ _MODULE_NAMES: tuple[str, ...] = (
 # entries outside the head keep being re-checked as shared code
 # changes.
 _PRIORITY: tuple[str, ...] = (
-    # round-8 window: front-load round-7's never-driver-checked
-    # marquee additions (codec decodes, unigram tokenizer, k-center
-    # coreset, Hilbert clustering, quantile sketch, XML round-trip,
-    # the six new stream entries), then continue draining the
+    # round-9 window: front-load round-8's never-driver-checked
+    # additions (FastSS edit-distance, streaming KMV, Merkle trio +
+    # incremental stream, TIFF decode, JSON/ORC/Avro round-trips,
+    # grid spatial join, Yannakakis), then continue draining the
     # never-checked pool in registry order (tools/next_window.py).
-    "ext_coreset_kcenter",
-    "stream_session_dynamic_gap",
-    "stream_dedup_then_window",
-    "stream_native_sink_totals",
-    "stream_native_tail_sessions",
-    "stream_quantile_sketch",
-    "ext_mm_png_decode",
-    "ext_mm_gif_decode",
-    "ext_mm_jpeg_decode",
-    "ext_unigram_tokenize",
-    "ext_xml_roundtrip",
-    "ext_hilbert_clustering",
-    "ext_sprt_monitor",
-    "ext_psi_drift",
-    "ext_wasserstein_distance",
-    "ext_quantile_normalize",
-    "ext_calibration_ece",
-    "ext_isotonic_calibration",
-    "ext_aipw_ate",
-    "ext_propensity_match",
-    "ext_conformal_interval",
-    "ext_experiment_health",
-    "ext_hill_tail_index",
-    "ext_price_elasticity",
-    "ext_stratified_effect",
-    "ext_quantile_treatment_effect",
-    "ext_churn_features",
-    "ext_target_encoding",
-    "ext_decayed_engagement",
-    "ext_simpson_screen",
-    "ext_permutation_test",
-    "ext_journey_entropy",
-    "ext_shapley_attribution",
-    "ext_theil_sen_slope",
-    "ext_mann_kendall_trend",
-    "ext_ratio_metric_delta",
-    "ext_ltv_triangle",
-    "ext_sliding_median",
-    "ext_max_drawdown",
-    "ext_logrank_test",
-    "ext_rrf_fusion",
-    "ext_snippet_extraction",
-    "ext_bm25_search",
-    "ext_bh_fdr",
-    "ext_tfidf_cosine_pairs",
-    "ext_cuped_adjustment",
-    "ext_mann_whitney",
-    "ext_poisson_bootstrap",
-    "ext_kaplan_meier",
-    "ext_nelson_aalen",
+    "ext_edit_distance_pairs",
+    "stream_kmv_distinct",
+    "stream_merkle_root",
+    "ext_mm_tiff_decode",
+    "ext_json_roundtrip",
+    "ext_orc_roundtrip",
+    "ext_avro_roundtrip",
+    "ext_merkle_fingerprint",
+    "ext_merkle_diff",
+    "ext_grid_spatial_join",
+    "ext_yannakakis_reduction",
+    "ext_ks_two_sample",
+    "ext_vshape_patterns",
+    "ext_diff_in_diff",
+    "ext_ab_power_mde",
+    "ext_fifo_allocation",
+    "ext_peak_days",
+    "ext_burstiness_fano",
+    "ext_equidepth_histogram",
+    "ext_sliding_bitmap_distinct",
+    "ext_audience_overlap",
+    "ext_kmv_intersection",
+    "ext_weighted_median",
+    "ext_cusum_changepoint",
+    "ext_bitmap_distinct",
+    "ext_ols_trend",
+    "ext_autocorr_daily",
+    "ext_kmv_distinct",
+    "ext_winsorized_stats",
+    "ext_interval_union",
+    "ext_time_to_convert",
+    "ext_supplier_hhi",
+    "ext_inactivity_histogram",
+    "ext_repeat_purchase_rate",
+    "ext_rfm_segments",
+    "ext_slo_burn",
+    "ext_drift_chi2",
+    "ext_ab_test_zscore",
+    "ext_pagerank_types",
+    "ext_gap_fill_daily",
+    "ext_attribution_last_touch",
+    "ext_watermark_audit",
+    "ext_map_funcs",
+    "ext_running_distinct_users",
+    "ext_concurrency_sweep",
+    "ext_session_paths",
+    "ext_event_transitions",
+    "ext_anomaly_mad",
+    "ext_quantile_sketch",
+    "ext_benford_audit",
 )
 
 _CACHE: dict[str, dict] = {}

@@ -83,6 +83,22 @@ BREAKOUT_HI = 1.5  # value > trailing max * HI  -> spike
 BREAKOUT_LO = 0.5  # value < trailing min * LO  -> collapse
 
 
+def _stage_token(sf_dir: str, table: str = "documents") -> str:
+    """Cache token for tempdir staging keyed on sf_dir CONTENT, not just
+    its path: regenerating testdata in place must invalidate any staged
+    copy, or the audit silently compares stale staged data against a
+    fresh oracle (round-8 advice). Size+mtime of the source parquet is
+    a cheap, stat-only fingerprint — no data read."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        return sf_dir
+
+
 def _deletion_variants(name) -> F.Column:
     """All single-character deletions of ``name``, plus ``name`` itself.
 
@@ -701,7 +717,7 @@ def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    digest = hashlib.md5(f"tt|{sf_dir}".encode()).hexdigest()[:8]
+    digest = hashlib.md5(f"tt|{_stage_token(sf_dir, 'orders')}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"minisql_tt_{digest}")
     datasource.register(spark)
     if not os.path.exists(os.path.join(stage, "metadata.txt")):
@@ -1054,7 +1070,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    digest = hashlib.md5(f"schemaevo|{sf_dir}".encode()).hexdigest()[:8]
+    digest = hashlib.md5(f"schemaevo|{_stage_token(sf_dir)}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"schema_evo_{digest}")
     if not os.path.exists(stage):
         tmp = stage + f".tmp-{os.getpid()}"
@@ -1116,7 +1132,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    digest = hashlib.md5(f"xmlrt|{sf_dir}".encode()).hexdigest()[:8]
+    digest = hashlib.md5(f"xmlrt|{_stage_token(sf_dir)}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"xml_rt_{digest}")
     if not os.path.exists(stage):
         tmp = stage + f".tmp-{os.getpid()}"
@@ -1175,7 +1191,7 @@ def _format_roundtrip(
 
     from ..sources.io import read_any, write_any
 
-    digest = hashlib.md5(f"{fmt}rt|{sf_dir}".encode()).hexdigest()[:8]
+    digest = hashlib.md5(f"{fmt}rt|{_stage_token(sf_dir)}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"{fmt}_rt_{digest}")
     if not os.path.exists(stage):
         tmp = stage + f".tmp-{os.getpid()}"
@@ -1249,7 +1265,7 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.avro_codec import avro_decode_files, avro_write_partition
 
-    digest = hashlib.md5(f"avrort|{sf_dir}".encode()).hexdigest()[:8]
+    digest = hashlib.md5(f"avrort|{_stage_token(sf_dir)}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"avro_rt_{digest}")
     if not os.path.exists(stage):
         tmp = stage + f".tmp-{os.getpid()}"

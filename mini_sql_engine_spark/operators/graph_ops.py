@@ -524,6 +524,15 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             ITERATION_COUNTS["grid_dbscan"] = rounds
             break
+    else:
+        # The density argument bounds cluster diameter only in
+        # expectation — an adversarial layout can exceed DB_MAX_ROUNDS.
+        # Partially-propagated labels would silently diverge from the
+        # oracle's exact connected components, so fail loudly instead.
+        raise RuntimeError(
+            f"grid_dbscan: label propagation did not converge within "
+            f"{DB_MAX_ROUNDS} rounds ({changed} labels still changing)"
+        )
     border = (
         nbr.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
         .join(

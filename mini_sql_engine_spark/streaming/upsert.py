@@ -1519,9 +1519,10 @@ def stream_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: per batch, the leaf upsert is one union; each level's
     recompute joins level k-1 against the (tiny, broadcast) changed-
-    bucket set and shrinks 16× per level; unchanged subtrees carry
-    over with an anti-join, never rehash. State is n·(1+1/16+...)
-    rows — the leaf table dominates, as in any Merkle store; the
+    bucket set and shrinks MKS_ARITY (32)× per level; unchanged
+    subtrees carry over with an anti-join, never rehash. State is
+    n·(1+1/32+...) rows — the leaf table dominates, as in any Merkle
+    store; the
     single-file demo format caps it (the real target is a keyed table
     format, the operator shape is unchanged)."""
     _enable_native_pushdown(spark)

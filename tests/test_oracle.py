@@ -37,10 +37,10 @@ def test_queries_enumeration_is_deterministic():
     from mini_sql_engine_spark.operators import _PRIORITY
 
     assert first[: len(_PRIORITY)] == list(_PRIORITY)
-    # round-8 window head: round-7's never-driver-checked marquee
-    # additions re-check first (k-center coreset leads, then the six
-    # new stream entries), then the never-checked drain
-    assert first[0] == "ext_coreset_kcenter"
+    # round-9 window head: round-8's never-driver-checked additions
+    # re-check first (FastSS edit-distance leads, then streaming KMV
+    # and the Merkle trio), then the never-checked drain
+    assert first[0] == "ext_edit_distance_pairs"
     assert len(first) == len(set(first))
 
 
