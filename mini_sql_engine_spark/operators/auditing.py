@@ -196,6 +196,7 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
         .agg(F.sum(_cents("o_totalprice")).alias("cents"))
     )
+    # bounded global window: calendar-days ladder (~thousands of rows)
     w = Window.orderBy("day")
     num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
@@ -554,8 +555,9 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lineitem revenue, classify by cumulative revenue share — A up
     to 80%, B to 95%, C the tail. The inventory-policy classic; at
     100 TB the per-part rollup is one map-side-combinable aggregation
-    and the cumulative window runs over the parts-sized table
-    (repartitionByRange at cluster scale). Revenue is integer cents;
+    and the cumulative sum runs through range_prefix (range-
+    partitioned prefix sums — the parts table is millions of rows at
+    scale, never one task; round-8 verdict). Revenue is integer cents;
     shares are floor-ppm of exact integer ratios, and ties in the
     revenue sort break by part key, so class assignment is
     deterministic in both engines. Output is the per-class summary
@@ -564,14 +566,18 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(_cents("l_extendedprice")).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    total = per_part.agg(F.sum("rev").alias("total_rev"))
+    # descending revenue order as an ascending composite key (negated
+    # revenue, part key breaks ties) — range_prefix orders ascending
+    ranked = range_prefix(
+        per_part.withColumn("negrev", -F.col("rev")),
+        ["negrev", "l_partkey"],
+        sum_cols=("rev",),
     )
-    total = F.sum("rev").over(Window.partitionBy())
     cum_ppm = F.floor(
-        F.sum("rev").over(w) * 1_000_000 / total
+        F.col("cum_rev") * 1_000_000 / F.col("total_rev")
     ).cast("long")
-    classed = per_part.withColumn(
+    classed = ranked.crossJoin(F.broadcast(total)).withColumn(
         "cls",
         F.when(cum_ppm <= ABC_A_PPM, "A")
         .when(cum_ppm <= ABC_B_PPM, "B")

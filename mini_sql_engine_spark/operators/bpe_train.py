@@ -308,6 +308,7 @@ def _uni_vocab(inst: DataFrame) -> DataFrame:
     chars = cnts.filter(F.length("piece") == 1).select(
         "piece", (F.lit(UNI_SCALE) + F.col("cnt")).alias("score")
     )
+    # bounded global window: vocab-sized piece table (<= VOCAB target)
     wv = Window.orderBy(F.col("cnt").desc(), "piece")
     learned = (
         cnts.filter(F.length("piece") >= 2)

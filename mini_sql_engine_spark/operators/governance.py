@@ -941,6 +941,7 @@ def ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn(
             "idx",
+            # bounded global window: one row per distinct event_type
             F.row_number().over(Window.orderBy("event_type")).cast("long")
             - 1,
         )

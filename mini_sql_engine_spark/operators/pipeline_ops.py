@@ -494,9 +494,8 @@ def gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # bounded global window: post-limit top-K rows, never the corpus
     w = Window.orderBy(F.col("key").desc(), "doc_id")
-    # unpartitioned window is fine HERE: it runs over the K surviving
-    # rows post-limit, never the corpus
     return ranked.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "doc_id",
@@ -1256,6 +1255,7 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tw",
         "tn",
     )
+    # bounded global windows: one row per language (<= |langs|)
     wn = Window.orderBy(F.col("rem_ney").desc(), "lang")
     wp = Window.orderBy(F.col("rem_prop").desc(), "lang")
     tots2 = base.agg(

@@ -852,6 +852,7 @@ def facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.withColumn(
                 "rn",
                 F.row_number().over(
+                    # bounded global window: argmax over the bounded candidate pool
                     Window.orderBy(F.col("gain").desc(), F.col("c"))
                 ),
             )

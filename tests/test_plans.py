@@ -994,3 +994,41 @@ def test_merkle_ladder_is_hash_aggregates(spark, sf_dir):
     plan = _plan(ALL_QUERIES["ext_merkle_fingerprint"](spark, sf_dir))
     assert "Window" not in plan, plan
     assert plan.count("Aggregate") >= 4, plan
+
+
+def test_global_windows_carry_bounded_justification():
+    """Every ``Window.orderBy`` without ``partitionBy`` funnels all its
+    input through one task; at 100 TB that is only acceptable when the
+    input is bounded BY CONSTRUCTION (post-limit top-K, a sketch
+    summary <= K*P rows, a calendar-days or value-domain ladder).
+    Round-8 verdict: each such site must be classifiable at a glance.
+    This lint enforces a ``bounded`` justification comment within the
+    six lines above (or one line below) every global-window site; the
+    corpus-proportional ladders (KS, Mann-Whitney, W1, conformal, ABC)
+    were rewritten onto range_prefix instead of being tagged.
+    ``functions/ranking.py`` is exempt: its internal windows run on the
+    one-row-per-shuffle-partition offset grid and the module docstring
+    is the justification."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    offenders: list[str] = []
+    for path in glob.glob(
+        os.path.join(root, "mini_sql_engine_spark", "**", "*.py"),
+        recursive=True,
+    ):
+        if path.endswith(os.path.join("functions", "ranking.py")):
+            continue
+        lines = open(path).read().split("\n")
+        for i, line in enumerate(lines):
+            if "Window.orderBy" not in line or line.strip().startswith("#"):
+                continue
+            ctx = "\n".join(lines[max(0, i - 6) : i + 2]).lower()
+            if "bounded" not in ctx:
+                offenders.append(f"{os.path.relpath(path, root)}:{i + 1}")
+    assert not offenders, (
+        "unjustified global windows (add a '# bounded global window: "
+        "<why>' tag or rewrite onto functions.ranking.range_prefix): "
+        f"{offenders}"
+    )
