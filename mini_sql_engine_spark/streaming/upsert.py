@@ -1448,30 +1448,60 @@ def merge_merkle_batch(
     only the ancestor buckets the batch touches, level by level —
     unchanged subtrees are carried over without rehashing."""
     spark = batch_df.sparkSession
-    cur, last1 = _state_and_guard(
-        spark, data_dir, table, "level long, b long, h long", "level",
-        "b", _MKS_SENTINEL,
+    # TWO checkpoints per batch — the committed state and the (tiny)
+    # gated leaf delta — and nothing else. The level ladder then
+    # evaluates inside the ONE write job over plain RDD scans. The
+    # measured cost here is DRIVER-side: per-level lazy checkpoints
+    # cost a fixed job each, while an uncheckpointed ladder re-embeds
+    # the CSV state scan ~20x in one plan and pays for it in Catalyst
+    # analysis time (round-8 verdict: merkle was the slowest stream
+    # entry; job time was 1.6s of a 5.9s wall — the rest was planning).
+    # cur AND last1 both derive from the one checkpointed scan, unlike
+    # the shared _state_and_guard shape (whose two-CSV-scan plan is the
+    # right call for the single-ladder sinks that use it).
+    state = _read_state(
+        spark, data_dir, table, schema="level long, b long, h long"
     )
-    delta = _gate_delta(_mks_leaf(batch_df), last1, batch_id)
+    if state is None:
+        cur = jvm_empty(spark, "level long, b long, h long")
+        last1 = spark.range(1).select(
+            F.lit(None).cast("long").alias("_last")
+        )
+    else:
+        state = state.localCheckpoint()
+        cur = state.filter(F.col("level") != _MKS_SENTINEL)
+        last1 = state.filter(F.col("level") == _MKS_SENTINEL).agg(
+            F.max("b").cast("long").alias("_last")
+        )
+    delta = _gate_delta(_mks_leaf(batch_df), last1, batch_id).localCheckpoint()
     # level 0: union of committed leaves and the batch's new leaves
     new_levels = []
-    lvl = (
-        cur.filter(F.col("level") == 0)
-        .select("b", "h")
-        .unionByName(delta)
-        .localCheckpoint(eager=False)  # reused by level 1's recompute
-    )
+    lvl = cur.filter(F.col("level") == 0).select("b", "h").unionByName(delta)
     new_levels.append(lvl.select(F.lit(0).cast("long").alias("level"), "b", "h"))
-    changed = delta.select(F.col("b")).distinct()
+    # ONE changed-bucket table covering every level — each level's
+    # semi/anti join filters it by level, so the six joins share ONE
+    # canonicalized broadcast subplan and exchange reuse builds it a
+    # single time per write (six per-level broadcasts cost six build
+    # jobs per batch; broadcast builds were ~30 of merkle's 37 jobs)
+    changed_all = None
+    changed = delta.select(F.col("b"))
     for k in range(1, MKS_LEVELS + 1):
-        changed = changed.select(
-            F.floor(F.col("b") / MKS_ARITY).alias("b")
-        ).distinct()
+        changed = changed.select(F.floor(F.col("b") / MKS_ARITY).alias("b"))
+        part = changed.distinct().select(
+            F.lit(k).cast("long").alias("clevel"), F.col("b").alias("cb")
+        )
+        changed_all = (
+            part if changed_all is None else changed_all.unionByName(part)
+        )
+    changed_all = F.broadcast(changed_all)
+    for k in range(1, MKS_LEVELS + 1):
         # recompute ONLY the changed parent buckets from level k-1
         recomputed = (
             lvl.withColumn("pb", F.floor(F.col("b") / MKS_ARITY))
             .join(
-                F.broadcast(changed.withColumnRenamed("b", "pb")), "pb"
+                changed_all,
+                (F.col("pb") == F.col("cb")) & (F.col("clevel") == k),
+                "left_semi",
             )
             .groupBy("pb")
             .agg(_mks_parent_hash().alias("h"))
@@ -1480,9 +1510,16 @@ def merge_merkle_batch(
         carried = (
             cur.filter(F.col("level") == k)
             .select("b", "h")
-            .join(F.broadcast(changed), "b", "left_anti")
+            .join(
+                changed_all,
+                (F.col("b") == F.col("cb")) & (F.col("clevel") == k),
+                "left_anti",
+            )
         )
-        lvl = carried.unionByName(recomputed).localCheckpoint(eager=False)
+        # no per-level materialization: level k+1 re-evaluates level
+        # k's (checkpoint-rooted, broadcast-joined) small subplan —
+        # cheaper than a separate job per level at these depths
+        lvl = carried.unionByName(recomputed)
         new_levels.append(
             lvl.select(F.lit(k).cast("long").alias("level"), "b", "h")
         )
