@@ -1032,3 +1032,46 @@ def test_global_windows_carry_bounded_justification():
         "<why>' tag or rewrite onto functions.ranking.range_prefix): "
         f"{offenders}"
     )
+
+
+def test_aqe_splits_the_skewed_join(spark, sf_dir):
+    """ext_aqe_skew_join leaves a 75%-hot join key to adaptive
+    execution. With demo-scale thresholds, AQE must (a) mark the
+    shuffle-hash join ``skew=true`` in the final adaptive plan and
+    (b) produce exactly the plain-join result — the runtime split is
+    a pure re-partitioning, the same contract ext_salted_join pins
+    for manual salting."""
+    from mini_sql_engine_spark.operators.pipeline_ops import aqe_skew_join
+
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # amplified fact side: sf0.001 holds ~200 purchase rows, far
+        # below any realistic byte threshold; x256 pushes the hot
+        # partition into the hundreds of KB so real thresholds fire
+        df = aqe_skew_join(spark, sf_dir, amplify=256)
+        rows = {r.c_nationkey: (r.n_purchases, r.revenue) for r in df.collect()}
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # identical result with the skew machinery left at defaults
+    base = {
+        r.c_nationkey: (r.n_purchases, r.revenue)
+        for r in aqe_skew_join(spark, sf_dir, amplify=256).collect()
+    }
+    assert rows == base
