@@ -84,6 +84,15 @@ def _merge_round(t: DataFrame) -> tuple[DataFrame, DataFrame]:
         .orderBy(F.desc("pair_count"), "sym1", "sym2")
         .limit(1)
     )
+    return best, _greedy_apply(t2, best)
+
+
+def _greedy_apply(t2: DataFrame, best: DataFrame) -> DataFrame:
+    """Merge every leftmost-greedy occurrence of ``best``'s 1-row pair
+    in the lead-annotated table ``t2``; positions renumbered. Shared
+    by the BPE (count argmax) and WordPiece (likelihood argmax)
+    trainers — the merge mechanics are scorer-independent."""
+    w = Window.partitionBy("word").orderBy("pos")
     matches = t2.join(
         F.broadcast(best),
         (t2["sym"] == best["sym1"]) & (t2["s2"] == best["sym2"]),
@@ -120,7 +129,7 @@ def _merge_round(t: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .withColumn("pos", F.row_number().over(w))
     )
-    return best, merged
+    return merged
 
 
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,9 +167,86 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("word", "freq", "n_chars", "n_syms", "saved")
 
 
+WP_ROUNDS = 3
+WP_SCALE = 1_000_000_000_000  # likelihood-ratio fixed point; with
+# corpus token mass T: pair_count·WP_SCALE ≤ T·10¹² and cnt1·cnt2 ≤ T²,
+# both < 2⁶³ for T up to ~9M types-weighted tokens at this demo scale
+# (a 100 TB corpus derives the scale from T instead of a constant,
+# same rule as the unigram pack's UNI_SCALE note)
+
+
+def _wp_round(t: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One WordPiece round: argmax of the LIKELIHOOD score
+    count(ab)/(count(a)·count(b)) (Schuster & Nakajima 2012; the
+    wordpiece difference from BPE's raw count argmax — it prefers
+    pairs whose parts rarely appear apart), computed as an exact
+    scaled integer division so both engines pick identical pairs;
+    ties break lexicographically. Merge mechanics shared with BPE."""
+    w = Window.partitionBy("word").orderBy("pos")
+    t2 = t.withColumn("s2", F.lead("sym").over(w))
+    pairs = (
+        t2.filter(F.col("s2").isNotNull())
+        .groupBy(F.col("sym").alias("sym1"), F.col("s2").alias("sym2"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    syms = t.groupBy("sym").agg(F.sum("freq").alias("cnt"))
+    best = (
+        pairs.join(
+            F.broadcast(syms.select(F.col("sym").alias("sym1"),
+                                    F.col("cnt").alias("cnt1"))),
+            "sym1",
+        )
+        .join(
+            F.broadcast(syms.select(F.col("sym").alias("sym2"),
+                                    F.col("cnt").alias("cnt2"))),
+            "sym2",
+        )
+        .select(
+            "sym1",
+            "sym2",
+            "pair_count",
+            F.expr(
+                f"pair_count * {WP_SCALE} div (cnt1 * cnt2)"
+            ).alias("score_scaled"),
+        )
+        .orderBy(F.desc("score_scaled"), "sym1", "sym2")
+        .limit(1)
+    )
+    return best, _greedy_apply(t2, best)
+
+
+def wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WP_ROUNDS greedy likelihood merges over the corpus type table —
+    the WordPiece trainer completing the tokenizer-family trio (BPE
+    count-argmax: `ext_bpe_train`; unigram-LM lattice:
+    `ext_unigram_tokenize`). Output the learned merge table
+    (round, sym1, sym2, pair_count, score_scaled).
+
+    Scale notes (100 TB): identical plan economics to BPE — the corpus
+    is touched once for the type table; each round adds one window
+    pass, one vocabulary-sized symbol rollup and two tiny broadcast
+    joins over the TYPE table (vocabulary-sized, never corpus-sized).
+    """
+    t = _char_rows(_word_types(spark, sf_dir)).localCheckpoint(eager=False)
+    out: DataFrame | None = None
+    for r in range(1, WP_ROUNDS + 1):
+        best, t = _wp_round(t)
+        t = t.localCheckpoint(eager=False)  # feeds next count AND merge
+        row = best.select(
+            F.lit(r).cast("long").alias("round"),
+            "sym1",
+            "sym2",
+            "pair_count",
+            "score_scaled",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_bpe_train": bpe_train,
     "ext_bpe_apply": bpe_apply,
+    "ext_wordpiece_train": wordpiece_train,
 }
 
 
@@ -225,6 +311,80 @@ ORACLES: dict[str, str] = {
         )}
     """,
 }
+
+def _wp_round_sql(r: int) -> str:
+    """CTE block for WordPiece round r: w{r-1} -> wbest{r}, w{r}.
+    Same gaps-and-islands merge as `_round_sql`; only the argmax
+    differs (scaled likelihood ratio instead of raw pair count)."""
+    p, c = f"w{r - 1}", f"w{r}"
+    return f"""
+        wp{r} AS (
+            SELECT word, freq, pos, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS s2
+            FROM {p}),
+        wpc{r} AS (
+            SELECT sym AS sym1, s2 AS sym2,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM wp{r} WHERE s2 IS NOT NULL
+            GROUP BY sym, s2),
+        wsc{r} AS (
+            SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM {p} GROUP BY sym),
+        wbest{r} AS (
+            SELECT p.sym1, p.sym2, p.pair_count,
+                   CAST(p.pair_count * {WP_SCALE}
+                        // (c1.cnt * c2.cnt) AS BIGINT) AS score_scaled
+            FROM wpc{r} p
+            JOIN wsc{r} c1 ON p.sym1 = c1.sym
+            JOIN wsc{r} c2 ON p.sym2 = c2.sym
+            ORDER BY score_scaled DESC, sym1, sym2 LIMIT 1),
+        wm{r} AS (
+            SELECT p.word, p.pos,
+                   p.pos - row_number() OVER (
+                       PARTITION BY p.word ORDER BY p.pos) AS island
+            FROM wp{r} p JOIN wbest{r} b
+              ON p.sym = b.sym1 AND p.s2 = b.sym2),
+        wk{r} AS (
+            SELECT word, pos FROM (
+                SELECT word, pos,
+                       pos - MIN(pos) OVER (PARTITION BY word, island)
+                           AS off
+                FROM wm{r}) q WHERE off % 2 = 0),
+        {c} AS (
+            SELECT word, freq,
+                   row_number() OVER (PARTITION BY word ORDER BY pos)
+                       AS pos,
+                   CASE WHEN mrg THEN sym || s2 ELSE sym END AS sym
+            FROM (
+                SELECT p.word, p.freq, p.pos, p.sym, p.s2,
+                       k1.pos IS NOT NULL AS mrg
+                FROM wp{r} p
+                LEFT JOIN wk{r} k1
+                  ON p.word = k1.word AND p.pos = k1.pos
+                LEFT JOIN wk{r} k2
+                  ON p.word = k2.word AND p.pos = k2.pos + 1
+                WHERE k2.pos IS NULL) q)"""
+
+
+ORACLES["ext_wordpiece_train"] = f"""
+    WITH types AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents) w GROUP BY word),
+    w0 AS (
+        SELECT word, freq, s.pos AS pos, s.sym AS sym FROM (
+            SELECT word, freq,
+                   unnest([struct_pack(pos := i, sym := word[i:i])
+                           for i in range(1, len(word) + 1)]) AS s
+            FROM types) q),
+    {", ".join(_wp_round_sql(r).strip() for r in range(1, WP_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, sym1, sym2, pair_count,"
+        f" score_scaled FROM wbest{r}"
+        for r in range(1, WP_ROUNDS + 1)
+    )}
+"""
+
 
 # same unrolled rounds, but the output is the final table's per-word
 # tokenization stats instead of the merge rows
