@@ -1624,3 +1624,202 @@ ORACLES["stream_merkle_root"] = f"""
            CAST(SUM(h % 1000000007) AS BIGINT) AS hash_mass
     FROM allv GROUP BY level
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate registry: the LSH-band complement of
+# `stream_dedup` (exact keys). The state is the per-band MINIMUM
+# doc_id over every MinHash band ever streamed — the incremental
+# "have I seen something like this" index a 100 TB ingest keeps
+# current instead of re-running the banded self-join per batch. The
+# kept-set rule is arrival-order-INDEPENDENT by construction (a doc
+# is kept iff it is the global minimum of every one of its band
+# buckets), so the oracle reproduces it from the raw table with no
+# notion of batches.
+
+_BND_SENTINEL = -1  # md5_long keys are 60-bit non-negative
+
+
+def _doc_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, band) rows: position-inclusive MinHash band keys as
+    60-bit `md5_long`s of the comma-joined (band index, signature
+    values) string — the exact expression the DuckDB oracle replays,
+    so band GROUPS (collisions included) match across engines, and
+    the key fits the integer-only native state format (its CSV writer
+    is the reason the registry key is a hash, not the hex string)."""
+    from mini_sql_engine_spark.functions.hashing import md5_long, minhash_signature
+    from mini_sql_engine_spark.functions.textfns import shingles
+    from mini_sql_engine_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_ROWS,
+        SHINGLE_K,
+    )
+
+    sig = minhash_signature(
+        F.array_distinct(shingles("text", SHINGLE_K)), MINHASH_K
+    )
+    w = df.withColumn("_sig", sig)
+    bands = F.array(
+        *[
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[
+                        F.col("_sig")[b * MINHASH_ROWS + r].cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                ),
+                "bnd",
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return w.select("doc_id", F.explode(bands).alias("band"))
+
+
+def merge_band_batch(
+    batch_df: DataFrame, batch_id: int, data_dir: str, table: str
+) -> None:
+    """foreachBatch body: fold this batch's (band, doc_id) rows into
+    the per-band minimum registry (replay-gated; min is idempotent,
+    so a replayed batch merges to the identical state)."""
+    spark = batch_df.sparkSession
+    cur, last1 = _state_and_guard(
+        spark, data_dir, table, "band long, mn long", "band", "mn",
+        _BND_SENTINEL,
+    )
+    delta = _gate_delta(_doc_bands(batch_df), last1, batch_id)
+    merged = (
+        cur.select("band", "mn")
+        .unionByName(delta.select("band", F.col("doc_id").alias("mn")))
+        .groupBy("band")
+        .agg(F.min("mn").alias("mn"))
+    )
+    sentinel = last1.select(
+        F.lit(_BND_SENTINEL).cast("long").alias("band"),
+        _next_version(batch_id).alias("mn"),
+    )
+    datasource.register(spark)
+    (
+        merged.unionByName(sentinel)
+        .coalesce(1)  # single-file format — see merge_batch
+        .write.format("minisql")
+        .option("path", data_dir)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def stream_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming LSH band registry + batch kept-set audit:
+    micro-batch commits maintain min(doc_id) per MinHash band; the
+    final read re-derives each document's bands from the table and
+    keeps a doc iff it is the minimum of ALL its band buckets — the
+    canonical-keeper rule, independent of arrival order, which is what
+    makes the state mergeable (min is associative/commutative/
+    idempotent) and the whole pipeline replay-safe.
+
+    Scale notes (100 TB): per batch one explode to 4 thin (band,
+    doc_id) rows per doc and one map-side-combined min — shingle
+    arrays never ride the shuffle (same economics as
+    `ext_dedup_minhash_lsh`, incrementalized). State is
+    |distinct bands| rows ~ 4·n_docs longs+hashes — registry-sized by
+    necessity (it IS the index); a real deployment keys it by band
+    prefix in a keyed table format, the merge shape is unchanged."""
+    _enable_native_pushdown(spark)
+    data_dir = tempfile.mkdtemp(prefix="minisql_bnd_")
+    chk = tempfile.mkdtemp(prefix="chk_bnd_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            _multi_file_docs(spark, sf_dir)
+            .writeStream.foreachBatch(
+                lambda df, bid: merge_band_batch(
+                    df, bid, data_dir, "band_registry"
+                )
+            )
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from mini_sql_engine_spark.catalog import load_table
+
+    registry = _read_state(
+        spark, data_dir, "band_registry", schema="band long, mn long"
+    ).filter(F.col("band") != _BND_SENTINEL)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    flags = (
+        _doc_bands(docs)
+        .join(registry, "band")
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("mn") < F.col("doc_id")).cast("long")).alias(
+                "dropped"
+            )
+        )
+    )
+    n_bands = registry.agg(F.count(F.lit(1)).alias("n_bands"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(1 - F.col("dropped")).alias("n_kept"),
+        F.sum("dropped").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("dropped") == 0, F.col("doc_id")).otherwise(0)
+        ).alias("sum_kept_ids"),
+    ).crossJoin(F.broadcast(n_bands))
+
+
+QUERIES["stream_band_dedup"] = stream_band_dedup
+
+
+def _band_dedup_oracle() -> str:
+    from mini_sql_engine_spark.operators.dedup import (
+        _BANDS_LIST,
+        _BASE,
+        _SIG_EXPRS,
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+    )
+
+    # md5_long twin of dedup's _BAND_EXPRS: 60-bit integer band keys
+    bandh = ", ".join(
+        "CAST(('0x' || substr(md5('bnd:' || '"
+        + str(b)
+        + "' || ',' || "
+        + " || ',' || ".join(
+            f"CAST(s{b * MINHASH_ROWS + r} AS VARCHAR)"
+            for r in range(MINHASH_ROWS)
+        )
+        + f"), 1, 15)) AS BIGINT) AS b{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH base AS ({_BASE}),
+        sig AS (SELECT doc_id, sh, {_SIG_EXPRS} FROM base),
+        bands AS (SELECT doc_id, sh, {bandh} FROM sig),
+        bx AS (SELECT doc_id, unnest({_BANDS_LIST}) AS band FROM bands),
+        mins AS (SELECT band, MIN(doc_id) AS mn FROM bx GROUP BY band),
+        flags AS (
+            SELECT bx.doc_id,
+                   MAX(CASE WHEN mins.mn < bx.doc_id THEN 1 ELSE 0 END)
+                       AS dropped
+            FROM bx JOIN mins USING (band)
+            GROUP BY bx.doc_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(1 - dropped) AS BIGINT) AS n_kept,
+               CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN dropped = 0 THEN doc_id ELSE 0 END)
+                    AS BIGINT) AS sum_kept_ids,
+               CAST((SELECT COUNT(*) FROM mins) AS BIGINT) AS n_bands
+        FROM flags
+    """
+
+
+ORACLES["stream_band_dedup"] = _band_dedup_oracle()
