@@ -1640,26 +1640,47 @@ ORACLES["stream_merkle_root"] = f"""
 _BND_SENTINEL = -1  # md5_long keys are 60-bit non-negative
 
 
-def _doc_bands(df: DataFrame) -> DataFrame:
-    """(doc_id, band) rows: position-inclusive MinHash band keys as
-    60-bit `md5_long`s of the comma-joined (band index, signature
-    values) string — the exact expression the DuckDB oracle replays,
-    so band GROUPS (collisions included) match across engines, and
-    the key fits the integer-only native state format (its CSV writer
-    is the reason the registry key is a hash, not the hex string)."""
-    from mini_sql_engine_spark.functions.hashing import md5_long, minhash_signature
-    from mini_sql_engine_spark.functions.textfns import shingles
-    from mini_sql_engine_spark.operators.dedup import (
-        MINHASH_BANDS,
-        MINHASH_K,
-        MINHASH_ROWS,
-        SHINGLE_K,
-    )
+BND_BANDS = 4
+BND_ROWS = 4
+BND_MOD = 2147483647  # 2^31 - 1 (prime): permutation arithmetic ring
 
-    sig = minhash_signature(
-        F.array_distinct(shingles("text", SHINGLE_K)), MINHASH_K
+
+def _doc_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, band) rows: MinHash band keys from ONE md5 per shingle
+    plus 16 affine permutations h_i = (a_i*h + b_i) mod (2^31-1) —
+    the universal-hashing construction that makes streaming banding
+    cheap (the batch dedup's 16-independent-md5 signature costs 16
+    string-hash passes over every shingle array; measured 80 s for a
+    one-split sf0.1 scan, and still the dominant term multi-split,
+    per SCALE.md round-9 notes). The DuckDB oracle replays the exact
+    integer arithmetic, so band GROUPS (collisions included) match
+    across engines; the final 60-bit md5_long band key fits the
+    integer-only native state format."""
+    from mini_sql_engine_spark.catalog import ensure_min_partitions
+    from mini_sql_engine_spark.functions.hashing import md5_long
+    from mini_sql_engine_spark.functions.textfns import shingles
+    from mini_sql_engine_spark.operators.dedup import SHINGLE_K
+
+    # one hash pass over the shingle set, folded into the 31-bit ring
+    h31 = F.transform(
+        F.array_distinct(shingles("text", SHINGLE_K)),
+        lambda sh: md5_long(sh, "bnd") % BND_MOD,
     )
-    w = df.withColumn("_sig", sig)
+    # never let per-shingle hashing run on a one-split scan (the
+    # micro-batch arrives as files_per_trigger splits, the audit as 1)
+    w = ensure_min_partitions(df).withColumn("_h", h31)
+    comps = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    lambda h: (h * (2 * i + 1) + 104729 * i) % BND_MOD,
+                )
+            ),
+            F.lit(0).cast("long"),
+        )
+        for i in range(BND_BANDS * BND_ROWS)
+    ]
     bands = F.array(
         *[
             md5_long(
@@ -1667,13 +1688,13 @@ def _doc_bands(df: DataFrame) -> DataFrame:
                     ",",
                     F.lit(str(b)),
                     *[
-                        F.col("_sig")[b * MINHASH_ROWS + r].cast("string")
-                        for r in range(MINHASH_ROWS)
+                        comps[b * BND_ROWS + r].cast("string")
+                        for r in range(BND_ROWS)
                     ],
                 ),
                 "bnd",
             )
-            for b in range(MINHASH_BANDS)
+            for b in range(BND_BANDS)
         ]
     )
     return w.select("doc_id", F.explode(bands).alias("band"))
@@ -1690,7 +1711,11 @@ def merge_band_batch(
         spark, data_dir, table, "band long, mn long", "band", "mn",
         _BND_SENTINEL,
     )
-    delta = _gate_delta(_doc_bands(batch_df), last1, batch_id)
+    # one checkpoint: the per-shingle hash expression is this file's
+    # most expensive projection; without it the (band, doc_id) delta
+    # re-evaluates inside every consumer of the write plan (merkle
+    # lesson, SCALE.md round-9: count plan copies, not jobs)
+    delta = _gate_delta(_doc_bands(batch_df), last1, batch_id).localCheckpoint()
     merged = (
         cur.select("band", "mn")
         .unionByName(delta.select("band", F.col("doc_id").alias("mn")))
@@ -1780,31 +1805,37 @@ QUERIES["stream_band_dedup"] = stream_band_dedup
 
 
 def _band_dedup_oracle() -> str:
-    from mini_sql_engine_spark.operators.dedup import (
-        _BANDS_LIST,
-        _BASE,
-        _SIG_EXPRS,
-        MINHASH_BANDS,
-        MINHASH_ROWS,
-    )
+    from mini_sql_engine_spark.operators.dedup import _BASE
 
-    # md5_long twin of dedup's _BAND_EXPRS: 60-bit integer band keys
-    bandh = ", ".join(
-        "CAST(('0x' || substr(md5('bnd:' || '"
-        + str(b)
-        + "' || ',' || "
-        + " || ',' || ".join(
-            f"CAST(s{b * MINHASH_ROWS + r} AS VARCHAR)"
-            for r in range(MINHASH_ROWS)
-        )
-        + f"), 1, 15)) AS BIGINT) AS b{b}"
-        for b in range(MINHASH_BANDS)
+    hexp = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    comps = ", ".join(
+        "COALESCE(list_min(list_transform(hs, h -> "
+        f"(h * {2 * i + 1} + {104729 * i}) % {BND_MOD})), 0) AS c{i}"
+        for i in range(BND_BANDS * BND_ROWS)
     )
+    bandh = ", ".join(
+        hexp.format(
+            x="'bnd:' || '"
+            + str(b)
+            + "' || ',' || "
+            + " || ',' || ".join(
+                f"CAST(c{b * BND_ROWS + r} AS VARCHAR)"
+                for r in range(BND_ROWS)
+            )
+        )
+        + f" AS b{b}"
+        for b in range(BND_BANDS)
+    )
+    bands_list = "[" + ", ".join(f"b{b}" for b in range(BND_BANDS)) + "]"
     return f"""
         WITH base AS ({_BASE}),
-        sig AS (SELECT doc_id, sh, {_SIG_EXPRS} FROM base),
-        bands AS (SELECT doc_id, sh, {bandh} FROM sig),
-        bx AS (SELECT doc_id, unnest({_BANDS_LIST}) AS band FROM bands),
+        hs AS (SELECT doc_id,
+                      list_transform(sh, s -> {hexp.format(x="'bnd:' || s")}
+                                     % {BND_MOD}) AS hs
+               FROM base),
+        sig AS (SELECT doc_id, {comps} FROM hs),
+        bands AS (SELECT doc_id, {bandh} FROM sig),
+        bx AS (SELECT doc_id, unnest({bands_list}) AS band FROM bands),
         mins AS (SELECT band, MIN(doc_id) AS mn FROM bx GROUP BY band),
         flags AS (
             SELECT bx.doc_id,
