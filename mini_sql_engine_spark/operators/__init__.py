@@ -83,6 +83,14 @@ _PRIORITY: tuple[str, ...] = (
     "ext_merkle_diff",
     "ext_grid_spatial_join",
     "ext_yannakakis_reduction",
+    # round-9 additions, driver-checked the round they ship (the r8
+    # verdict flagged additions that wait rounds for a driver row)
+    "ext_aqe_skew_join",
+    "ext_mm_mp3_header_scan",
+    "ext_mm_mp4_box_scan",
+    "ext_wordpiece_train",
+    "stream_band_dedup",
+    "ext_holt_linear",
     "ext_ks_two_sample",
     "ext_vshape_patterns",
     "ext_diff_in_diff",
@@ -116,12 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "ext_watermark_audit",
     "ext_map_funcs",
     "ext_running_distinct_users",
-    "ext_concurrency_sweep",
-    "ext_session_paths",
-    "ext_event_transitions",
-    "ext_anomaly_mad",
-    "ext_quantile_sketch",
-    "ext_benford_audit",
 )
 
 _CACHE: dict[str, dict] = {}
