@@ -1075,3 +1075,20 @@ def test_aqe_splits_the_skewed_join(spark, sf_dir):
         for r in aqe_skew_join(spark, sf_dir, amplify=256).collect()
     }
     assert rows == base
+
+
+def test_band_registry_is_jvm_side_and_blocked(spark, sf_dir):
+    """The streaming band registry's per-doc banding must stay JVM-side
+    (md5 + affine-permutation expressions — no Python eval in the hot
+    projection) and the final audit must join registry-by-band, never
+    plan a cartesian."""
+    from mini_sql_engine_spark.catalog import load_table
+    from mini_sql_engine_spark.streaming.upsert import _doc_bands
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(_doc_bands(docs))
+    assert "Python" not in plan, plan  # no Arrow/pickled eval in the path
+    assert "CartesianProduct" not in plan, plan
+    audit = ALL_QUERIES["stream_band_dedup"](spark, sf_dir)
+    aplan = _plan(audit)
+    assert "CartesianProduct" not in aplan, aplan
