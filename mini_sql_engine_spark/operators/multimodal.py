@@ -2199,3 +2199,304 @@ ORACLES["ext_mm_mp4_box_scan"] = f"""
     FROM d JOIN tr ON tr.k < d.n_tracks
     GROUP BY d.doc_id, d.timescale, d.duration_ts, d.n_tracks, d.mdat_bytes
 """
+
+
+# ---------------------------------------------------------------------------
+# gzip (RFC 1952): REAL compressed round-trip for text payloads — the
+# container every web-crawl ingest actually decompresses (WET/WARC
+# members are gzip streams). Synthesis gzip-compresses each document's
+# text (stdlib zlib, deterministic: fixed level, mtime=0); the decoder
+# parses the gzip HEADER from-spec (magic, CM=deflate, flag bits,
+# optional FNAME with NUL terminator), inflates the raw DEFLATE body
+# via zlib with wbits=-15 (no library gzip shortcut — header handling
+# is ours), and verifies BOTH RFC-1952 trailer fields: CRC32 and
+# ISIZE (length mod 2^32). The audit row carries the decoded length
+# and a 60-bit md5 of the decoded text, which the oracle recomputes
+# straight from the raw table — any header/inflate/trailer mishap
+# breaks the hash.
+
+GZ_FNAME = b"doc.txt"  # FNAME member exercised in every header
+
+
+def _gzip_bytes(doc_id: int, text: str) -> bytes:
+    """RFC 1952 container with FNAME flag, mtime 0, deflate level 6."""
+    import struct
+    import zlib
+
+    raw = text.encode("utf-8")
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    header = (
+        b"\x1f\x8b\x08\x08"  # magic, CM=8 (deflate), FLG=FNAME
+        + struct.pack("<I", 0)  # MTIME
+        + b"\x00\x03"  # XFL, OS=unix
+        + GZ_FNAME
+        + b"\x00"
+    )
+    trailer = struct.pack(
+        "<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw) & 0xFFFFFFFF
+    )
+    return header + body + trailer
+
+
+def _gzip_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    _gzip_bytes(int(d), t)
+                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            }
+        )
+
+
+def _gzip_decode_batches(batches):
+    """REAL decode: from-spec header walk (flag bits, FNAME scan to
+    NUL), raw-deflate inflate, CRC32 + ISIZE trailer verification."""
+    import hashlib
+    import struct
+    import zlib
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "fname_len", "n_chars", "text_h")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            assert p[:2] == b"\x1f\x8b" and p[2] == 8, "not gzip/deflate"
+            flg = p[3]
+            pos = 10
+            assert flg & 0x04 == 0 and flg & 0x02 == 0, "FEXTRA/FHCRC unused"
+            fname_len = 0
+            if flg & 0x08:  # FNAME: zero-terminated
+                end = p.index(b"\x00", pos)
+                fname_len = end - pos
+                pos = end + 1
+            raw = zlib.decompress(p[pos:-8], wbits=-15)
+            crc, isize = struct.unpack("<II", p[-8:])
+            assert crc == (zlib.crc32(raw) & 0xFFFFFFFF), "CRC32 mismatch"
+            assert isize == (len(raw) & 0xFFFFFFFF), "ISIZE mismatch"
+            text = raw.decode("utf-8")
+            out["doc_id"].append(doc_id)
+            out["fname_len"].append(fname_len)
+            out["n_chars"].append(len(text))
+            out["text_h"].append(
+                int(hashlib.md5(("gz:" + text).encode()).hexdigest()[:15], 16)
+            )
+        yield pd.DataFrame(out)
+
+
+GZIP_SCHEMA = "doc_id long, fname_len long, n_chars long, text_h long"
+
+
+def gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compress every document's text, then REALLY decode the
+    containers (from-spec header, raw inflate, CRC32+ISIZE trailer
+    checks) — per-doc decoded length and content hash.
+
+    Scale notes (100 TB): shuffle-free `mapInPandas`, one pass; this
+    is the decompression stage of a crawl-ingest pipeline, which
+    parallelizes per member because gzip members are independent
+    streams (the reason WARC stores one gzip member per record)."""
+    from mini_sql_engine_spark.catalog import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    gz = docs.mapInPandas(
+        _gzip_synth_batches, schema="doc_id long, payload binary"
+    )
+    return gz.mapInPandas(_gzip_decode_batches, schema=GZIP_SCHEMA)
+
+
+QUERIES["ext_mm_gzip_decode"] = gzip_decode
+
+ORACLES["ext_mm_gzip_decode"] = f"""
+    SELECT doc_id,
+           CAST({len(GZ_FNAME)} AS BIGINT) AS fname_len,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(('0x' || substr(md5('gz:' || text), 1, 15)) AS BIGINT)
+               AS text_h
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# ZIP (APPNOTE.TXT): the archive container. The spec's genuinely
+# tricky part is that a reader must start from the END: scan backward
+# for the End-Of-Central-Directory signature (its comment field makes
+# the offset variable), then follow cd_offset to the central
+# directory, and only trust local file headers after reconciling them
+# against their central entries. Members here are STORED (method 0) —
+# the walk exercises structure, offsets and redundancy checks, not
+# DEFLATE (ext_mm_gzip_decode covers real inflation).
+
+ZIP_MAX_MEMBERS = 4
+
+
+def _zip_bytes(doc_id: int) -> bytes:
+    """Spec-valid ZIP: n = 1 + doc_id%4 STORED members; member k is
+    named 'm<k>' with body length 5 + (doc_id + 7*k) % 40 of bytes
+    (doc_id + k + i) % 256; EOCD carries a comment of doc_id % 13
+    bytes so the backward scan is exercised with a variable tail."""
+    import struct
+    import zlib
+
+    members = []
+    offsets = []
+    blob = b""
+    n = 1 + doc_id % ZIP_MAX_MEMBERS
+    for k in range(n):
+        name = f"m{k}".encode()
+        body = bytes((doc_id + k + i) % 256 for i in range(5 + (doc_id + 7 * k) % 40))
+        crc = zlib.crc32(body) & 0xFFFFFFFF
+        offsets.append(len(blob))
+        local = (
+            b"PK\x03\x04"
+            + struct.pack("<HHHHH", 20, 0, 0, 0, 0)  # ver, flg, mth, time, date
+            + struct.pack("<III", crc, len(body), len(body))
+            + struct.pack("<HH", len(name), 0)
+            + name
+        )
+        blob += local + body
+        members.append((name, body, crc))
+    cd_off = len(blob)
+    for k, (name, body, crc) in enumerate(members):
+        blob += (
+            b"PK\x01\x02"
+            + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+            + struct.pack("<III", crc, len(body), len(body))
+            + struct.pack("<HHHHH", len(name), 0, 0, 0, 0)
+            + struct.pack("<II", 0, offsets[k])
+            + name
+        )
+    cd_size = len(blob) - cd_off
+    comment = bytes((doc_id + i) % 256 for i in range(doc_id % 13))
+    blob += (
+        b"PK\x05\x06"
+        + struct.pack("<HHHH", 0, 0, n, n)
+        + struct.pack("<II", cd_size, cd_off)
+        + struct.pack("<H", len(comment))
+        + comment
+    )
+    return blob
+
+
+def _zip_synth_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [_zip_bytes(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _zip_scan_batches(batches):
+    """REAL archive walk: backward EOCD scan past the variable-length
+    comment, central-directory entry parse, local-header
+    reconciliation (signature, sizes, CRC, name) per member."""
+    import struct
+    import zlib
+
+    for pdf in batches:
+        out = {
+            k: []
+            for k in (
+                "doc_id",
+                "n_members",
+                "total_bytes",
+                "sum_name_len",
+                "content_sum",
+            )
+        }
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            eocd = p.rfind(b"PK\x05\x06")
+            assert eocd >= 0, "no EOCD"
+            n_cd, cd_size, cd_off, clen = struct.unpack_from(
+                "<HIIH", p, eocd + 10
+            )
+            assert eocd + 22 + clen == len(p), "EOCD comment length wrong"
+            pos = cd_off
+            total = 0
+            name_len_sum = 0
+            csum = 0
+            for _ in range(n_cd):
+                assert p[pos : pos + 4] == b"PK\x01\x02", "bad CD entry"
+                crc, csize, usize = struct.unpack_from("<III", p, pos + 16)
+                nlen, elen, cmt = struct.unpack_from("<HHH", p, pos + 28)
+                (loff,) = struct.unpack_from("<I", p, pos + 42)
+                name = p[pos + 46 : pos + 46 + nlen]
+                # reconcile against the local header it points at
+                assert p[loff : loff + 4] == b"PK\x03\x04", "bad local hdr"
+                lcrc, lcsize, lusize = struct.unpack_from("<III", p, loff + 14)
+                lnlen, lelen = struct.unpack_from("<HH", p, loff + 26)
+                assert (lcrc, lcsize, lusize, lnlen) == (
+                    crc, csize, usize, nlen,
+                ), "central/local mismatch"
+                assert p[loff + 30 : loff + 30 + lnlen] == name
+                body = p[loff + 30 + lnlen + lelen : loff + 30 + lnlen + lelen + csize]
+                assert (zlib.crc32(body) & 0xFFFFFFFF) == crc, "member CRC"
+                total += usize
+                name_len_sum += nlen
+                csum += sum(body)
+                pos += 46 + nlen + elen + cmt
+            assert pos == cd_off + cd_size, "central directory size"
+            out["doc_id"].append(doc_id)
+            out["n_members"].append(n_cd)
+            out["total_bytes"].append(total)
+            out["sum_name_len"].append(name_len_sum)
+            out["content_sum"].append(csum)
+        yield pd.DataFrame(out)
+
+
+ZIP_SCHEMA = (
+    "doc_id long, n_members long, total_bytes long, sum_name_len long, "
+    "content_sum long"
+)
+
+
+def zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize spec-valid STORED-member ZIP archives, then REALLY
+    walk them (backward EOCD scan, central directory, local-header
+    reconciliation, per-member CRC) — per-doc member stats.
+
+    Scale notes (100 TB): shuffle-free `mapInPandas`; real archive
+    ingest reads the EOCD + central directory (KBs at the file tail)
+    to plan member extraction, so listing cost is per-ARCHIVE while
+    extraction parallelizes per member."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    zips = docs.mapInPandas(
+        _zip_synth_batches, schema="doc_id long, payload binary"
+    )
+    return zips.mapInPandas(_zip_scan_batches, schema=ZIP_SCHEMA)
+
+
+QUERIES["ext_mm_zip_scan"] = zip_scan
+
+ORACLES["ext_mm_zip_scan"] = f"""
+    WITH m AS (SELECT unnest(range(0, {ZIP_MAX_MEMBERS})) AS k),
+    d AS (SELECT doc_id, 1 + doc_id % {ZIP_MAX_MEMBERS} AS n
+          FROM documents),
+    per AS (
+        SELECT d.doc_id, d.n,
+               5 + (d.doc_id + 7 * m.k) % 40 AS blen,
+               m.k
+        FROM d JOIN m ON m.k < d.n),
+    body AS (
+        SELECT doc_id, n, blen, k,
+               -- sum over i in [0, blen) of (doc_id + k + i) % 256:
+               -- expand the byte ladder relationally
+               (SELECT SUM((p.doc_id + p.k + i.i) % 256)
+                FROM (SELECT unnest(range(0, 45)) AS i) i
+                WHERE i.i < p.blen) AS bsum
+        FROM per p)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(SUM(blen) AS BIGINT) AS total_bytes,
+           CAST(SUM(2) AS BIGINT) AS sum_name_len,
+           CAST(SUM(bsum) AS BIGINT) AS content_sum
+    FROM body
+    GROUP BY doc_id, n
+"""
