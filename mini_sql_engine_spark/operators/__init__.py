@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     "ext_wordpiece_train",
     "stream_band_dedup",
     "ext_holt_linear",
+    "ext_mm_gzip_decode",
+    "ext_mm_zip_scan",
     "ext_ks_two_sample",
     "ext_vshape_patterns",
     "ext_diff_in_diff",
@@ -122,8 +124,6 @@ _PRIORITY: tuple[str, ...] = (
     "ext_gap_fill_daily",
     "ext_attribution_last_touch",
     "ext_watermark_audit",
-    "ext_map_funcs",
-    "ext_running_distinct_users",
 )
 
 _CACHE: dict[str, dict] = {}
