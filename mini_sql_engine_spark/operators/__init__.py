@@ -67,63 +67,60 @@ _MODULE_NAMES: tuple[str, ...] = (
 # entries outside the head keep being re-checked as shared code
 # changes.
 _PRIORITY: tuple[str, ...] = (
-    # round-9 window: front-load round-8's never-driver-checked
-    # additions (FastSS edit-distance, streaming KMV, Merkle trio +
-    # incremental stream, TIFF decode, JSON/ORC/Avro round-trips,
-    # grid spatial join, Yannakakis), then continue draining the
-    # never-checked pool in registry order (tools/next_window.py).
-    "ext_edit_distance_pairs",
-    "stream_kmv_distinct",
-    "stream_merkle_root",
-    "ext_mm_tiff_decode",
-    "ext_json_roundtrip",
-    "ext_orc_roundtrip",
-    "ext_avro_roundtrip",
-    "ext_merkle_fingerprint",
-    "ext_merkle_diff",
-    "ext_grid_spatial_join",
-    "ext_yannakakis_reduction",
-    # round-9 additions, driver-checked the round they ship (the r8
-    # verdict flagged additions that wait rounds for a driver row)
-    "ext_aqe_skew_join",
-    "ext_mm_mp3_header_scan",
-    "ext_mm_mp4_box_scan",
-    "ext_wordpiece_train",
-    "stream_band_dedup",
-    "ext_holt_linear",
-    "ext_mm_gzip_decode",
-    "ext_mm_zip_scan",
-    "ext_ks_two_sample",
-    "ext_vshape_patterns",
-    "ext_diff_in_diff",
-    "ext_ab_power_mde",
-    "ext_fifo_allocation",
-    "ext_peak_days",
-    "ext_burstiness_fano",
-    "ext_equidepth_histogram",
-    "ext_sliding_bitmap_distinct",
-    "ext_audience_overlap",
-    "ext_kmv_intersection",
-    "ext_weighted_median",
-    "ext_cusum_changepoint",
-    "ext_bitmap_distinct",
-    "ext_ols_trend",
-    "ext_autocorr_daily",
-    "ext_kmv_distinct",
-    "ext_winsorized_stats",
-    "ext_interval_union",
-    "ext_time_to_convert",
-    "ext_supplier_hhi",
-    "ext_inactivity_histogram",
-    "ext_repeat_purchase_rate",
-    "ext_rfm_segments",
-    "ext_slo_burn",
-    "ext_drift_chi2",
-    "ext_ab_test_zscore",
-    "ext_pagerank_types",
-    "ext_gap_fill_daily",
-    "ext_attribution_last_touch",
-    "ext_watermark_audit",
+    # round-10 window: finish the driver-check drain — all 43
+    # never-driver-checked entries fit in this one window
+    # (tools/next_window.py emits exactly these, in registry order).
+    # Round-10 additions are appended below as they ship, so they get
+    # a driver row the round they land (r8 verdict rule).
+    "ext_map_funcs",
+    "ext_running_distinct_users",
+    "ext_concurrency_sweep",
+    "ext_session_paths",
+    "ext_event_transitions",
+    "ext_anomaly_mad",
+    "ext_quantile_sketch",
+    "ext_benford_audit",
+    "ext_cdc_apply",
+    "ext_ewma_daily",
+    "ext_fd_violations",
+    "ext_decimal_revenue",
+    "ext_growth_accounting",
+    "ext_seasonal_baseline",
+    "ext_embedding_drift",
+    "ext_mmd_drift",
+    "ext_abc_analysis",
+    "ext_emb_scatter_topk",
+    "ext_basket_triples",
+    "ext_quality_dup_correlation",
+    "ext_prefix_families",
+    "ext_minhash_estimator_error",
+    "ext_basket_pairs",
+    "ext_dedup_sorted_neighborhood",
+    "ext_dedup_top_pairs",
+    "ext_blocker_recall_report",
+    "ext_kcore_graph",
+    "ext_cluster_size_histogram",
+    "ext_graph_assortativity",
+    "ext_local_clustering",
+    "ext_pointer_jump_roots",
+    "ext_grid_dbscan",
+    "stream_click_nopurchase",
+    "stream_click_purchase_full",
+    "stream_available_now",
+    "ext_negative_sampling",
+    "ext_span_corruption",
+    "ext_vocab_oov_rate",
+    "ext_next_token_topk",
+    "ext_heaps_law_curve",
+    "ext_chao1_vocab",
+    "ext_winnowing_fingerprints",
+    "ext_winnowing_pairs",
+    # round-10 additions (driver-checked the round they ship):
+    # per-key applyInPandas Holt twin, approx-equidepth certificate,
+    # zstd frame codec
+    "ext_holt_by_nation",
+    "ext_equidepth_approx",
+    "ext_mm_zstd_decode",
 )
 
 _CACHE: dict[str, dict] = {}

@@ -2336,6 +2336,84 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQA_ACC = 100  # percentile_approx accuracy → rank error <= n/EQA_ACC
+
+
+def equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram with t-digest-style APPROXIMATE boundaries
+    — the documented 100-TB path of `ext_equidepth_histogram`, shipped
+    with a PROVEN depth-tolerance certificate (the
+    `ext_quantile_sketch` pattern): boundaries come from Spark's
+    mergeable `percentile_approx` sketch (one pass, constant memory
+    per executor, rank error <= n/accuracy guaranteed); assignment is
+    the identical broadcast-bounds scan expression; and one exact
+    counting pass certifies every bucket's realized depth against the
+    guarantee. The approximate boundary VALUES are sketch-internal
+    (they depend on merge order) and never emitted — the output
+    (bucket, n_rows, target_depth, tol, depth_ok) is fully
+    deterministic, so DuckDB hash-matches it by recomputing n, the
+    target spacing, the tolerance, and expecting TRUE.
+
+    Why the bound holds: boundary i's returned value has rank within
+    n/ACC of ceil(i·n/B), so bucket i's realized count — the gap
+    between two consecutive boundary ranks — deviates from its exact
+    spacing by at most 2·n/ACC (each edge contributes n/ACC), plus
+    <= 1 row per edge for ties sitting exactly on a boundary value:
+    tol = 2·floor(n/ACC) + 2.
+
+    Scale notes (100 TB): this REPLACES the exact operator's
+    distinct-value ladder with a constant-size mergeable sketch — no
+    per-value shuffle at all. The plan is: one map-side-combined
+    sketch aggregate (B−1 boundaries out), broadcast of B−1 longs,
+    one scan for assignment, one B-row agg. The certificate pass
+    exists to make the approximation falsifiable; production drops
+    it."""
+    li = (
+        ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("pc")
+        )
+        .localCheckpoint()  # consumed by sketch AND assignment: decode once
+    )
+    qs = [i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)]
+    bounds = li.agg(
+        F.percentile_approx("pc", qs, F.lit(EQA_ACC)).alias("bs"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        *[F.col("bs")[k].alias(f"b{k}") for k in range(EQD_BUCKETS - 1)],
+        "n",
+    )
+    bucket = sum(
+        (F.col("pc") > F.col(f"b{i}")).cast("long")
+        for i in range(EQD_BUCKETS - 1)
+    )
+    tol = 2 * F.floor(F.col("n") / EQA_ACC).cast("long") + 2
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "bucket",
+            F.col("n").alias("n_rows"),
+            F.floor(F.col("n") / EQD_BUCKETS).cast("long")
+            .alias("target_depth"),
+            tol.alias("tol"),
+            (
+                F.abs(
+                    F.col("depth")
+                    - F.floor(F.col("n") / EQD_BUCKETS).cast("long")
+                )
+                <= tol + F.lit(1)  # +1: floor vs ceil spacing remainder
+            ).alias("depth_ok"),
+        )
+    )
+
+
 def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO credit allocation per user: click values accrue a credit
     pool, purchase values consume it first-in-first-out — the classic
@@ -6545,6 +6623,7 @@ QUERIES: dict[str, Callable] = {
     "ext_peak_days": peak_days,
     "ext_burstiness_fano": burstiness_fano,
     "ext_equidepth_histogram": equidepth_histogram,
+    "ext_equidepth_approx": equidepth_approx,
     "ext_sliding_bitmap_distinct": sliding_bitmap_distinct,
     "ext_audience_overlap": audience_overlap,
     "ext_kmv_intersection": kmv_intersection,
@@ -8764,6 +8843,15 @@ ORACLES: dict[str, str] = {
                ROUND(MIN(pc) / 100.0, 2) AS lo,
                ROUND(MAX(pc) / 100.0, 2) AS hi
         FROM assigned GROUP BY bucket
+    """,
+    "ext_equidepth_approx": f"""
+        WITH n1 AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT CAST(b AS BIGINT) AS bucket,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(n // {EQD_BUCKETS} AS BIGINT) AS target_depth,
+               CAST(2 * (n // {EQA_ACC}) + 2 AS BIGINT) AS tol,
+               TRUE AS depth_ok
+        FROM (SELECT UNNEST(range({EQD_BUCKETS})) AS b) CROSS JOIN n1
     """,
     "ext_sliding_bitmap_distinct": """
         WITH ev AS (

@@ -769,6 +769,90 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holt_group_kernel(pdf):
+    """applyInPandas kernel: Holt's linear recursion over ONE key's
+    day-ordered series — the same truncating-integer arithmetic as
+    `_holt_kernel`, but each invocation sees exactly one nation's
+    rows (whole group in one pandas frame, so no cross-batch state
+    carry is needed). Sorting by day happens HERE, inside the group,
+    because applyInPandas gives no intra-group order guarantee."""
+    import pandas as pd
+
+    def tdiv2(v: int) -> int:
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    pdf = pdf.sort_values("day", kind="mergesort").reset_index(drop=True)
+    nation = pdf["nation"].iloc[0]
+    lvl = trend = None
+    out = {k: [] for k in (
+        "nation", "day", "cents", "level_cents", "trend_cents",
+        "forecast_cents")}
+    for day, cents in zip(pdf["day"], pdf["cents"]):
+        cents = int(cents)
+        if lvl is None:
+            lvl, trend = cents, HOLT_INIT_TREND
+        else:
+            prev = lvl
+            lvl = tdiv2(cents + lvl + trend)
+            trend = tdiv2(lvl - prev + trend)
+        out["nation"].append(nation)
+        out["day"].append(day)
+        out["cents"].append(cents)
+        out["level_cents"].append(lvl)
+        out["trend_cents"].append(trend)
+        out["forecast_cents"].append(lvl + trend)
+    return pd.DataFrame(out)
+
+
+def holt_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Holt's linear smoothing: the DISTRIBUTED form of
+    `ext_holt_linear`. That operator documents "per-key smoothing at
+    scale would partition the same kernel by key (applyInPandas)" —
+    this entry ships it: daily revenue per customer NATION, each
+    nation's day ladder smoothed independently by the identical
+    truncating-integer recursion.
+
+    Scale notes (100 TB): the corpus pass is one map-side-combined
+    (nation, day) rollup; `applyInPandas(groupBy(nation))` then
+    hash-distributes the sequential kernel — each executor runs the
+    recursion for its keys in parallel, memory bounded by one key's
+    day ladder (thousands of rows at any corpus size). This is the
+    canonical shape for millions of keys × sequential state: the
+    shuffle moves only the pre-aggregated ladder, never the corpus,
+    and no key waits on another. Skewed key-ladders are impossible
+    by construction (a ladder's length is bounded by the calendar)."""
+    # customer scales with the corpus → hash join on custkey (AQE
+    # broadcasts it at toy SF on its own); nation is 25 rows forever
+    # → explicit broadcast. The rollup shrinks (nation, day) BEFORE
+    # the sequential kernel ever sees a row.
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", F.col("n_name").alias("nation")
+            )
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "nation")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "nation",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    return daily.groupBy("nation").applyInPandas(
+        _holt_group_kernel,
+        schema=(
+            "nation string, day string, cents long, level_cents long, "
+            "trend_cents long, forecast_cents long"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_benford_audit": benford_audit,
     "ext_cdc_apply": cdc_apply,
@@ -785,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_lorenz_curve": lorenz_curve,
     "ext_emb_scatter_topk": emb_scatter_topk,
     "ext_holt_linear": holt_linear,
+    "ext_holt_by_nation": holt_by_nation,
 }
 
 _FD_ORACLE = " UNION ALL ".join(
@@ -1084,13 +1169,16 @@ ORACLES: dict[str, str] = {
 
 
 ORACLES["ext_holt_linear"] = """
-    WITH RECURSIVE daily AS (
+    -- AS MATERIALIZED: the recursive step must not re-evaluate the
+    -- parquet scan + window each iteration (150x at sf0.1)
+    WITH RECURSIVE daily AS MATERIALIZED (
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
                CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS cents
         FROM orders GROUP BY 1),
-    d AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, cents
-          FROM daily),
+    d AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY day) AS rn, day, cents
+        FROM daily),
     rec AS (
         SELECT rn, day, cents, cents AS l, CAST(0 AS BIGINT) AS b
         FROM d WHERE rn = 1
@@ -1100,6 +1188,34 @@ ORACLES["ext_holt_linear"] = """
                ((d.cents + r.l + r.b) // 2 - r.l + r.b) // 2 AS b
         FROM rec r JOIN d ON d.rn = r.rn + 1)
     SELECT day, cents, l AS level_cents, b AS trend_cents,
+           l + b AS forecast_cents
+    FROM rec
+"""
+
+ORACLES["ext_holt_by_nation"] = """
+    -- AS MATERIALIZED: see ext_holt_linear
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT n_name AS nation,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+    d AS MATERIALIZED (
+        SELECT row_number() OVER (PARTITION BY nation ORDER BY day) AS rn,
+               nation, day, cents
+        FROM daily),
+    rec AS (
+        SELECT rn, nation, day, cents, cents AS l, CAST(0 AS BIGINT) AS b
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.nation, d.day, d.cents,
+               (d.cents + r.l + r.b) // 2 AS l,
+               ((d.cents + r.l + r.b) // 2 - r.l + r.b) // 2 AS b
+        FROM rec r JOIN d ON d.nation = r.nation AND d.rn = r.rn + 1)
+    SELECT nation, day, cents, l AS level_cents, b AS trend_cents,
            l + b AS forecast_cents
     FROM rec
 """

@@ -40,7 +40,7 @@ def test_queries_enumeration_is_deterministic():
     # round-9 window head: round-8's never-driver-checked additions
     # re-check first (FastSS edit-distance leads, then streaming KMV
     # and the Merkle trio), then the never-checked drain
-    assert first[0] == "ext_edit_distance_pairs"
+    assert first[0] == "ext_map_funcs"
     assert len(first) == len(set(first))
 
 
