@@ -121,12 +121,18 @@ def _sidecar_path(kind: str) -> str:
 
     override = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
     if override:
+        if kind == "run":
+            return override  # the combined record honors it verbatim
         base, ext = os.path.splitext(override)
-        # each leg runs in its own subprocess under orchestrate, so the
-        # pid suffix keeps multi-leg runs from clobbering one sidecar
-        return (
-            f"{base}.{kind}{os.getpid()}{ext}" if kind != "run" else override
-        )
+        # each leg runs in its own subprocess under orchestrate, which
+        # numbers them via SPARK_GRAFT_BENCH_LEG_IDX — a DETERMINISTIC
+        # '{base}.leg<i>{ext}' path tooling can locate (round-9 advice:
+        # a pid suffix was unpredictable). A bare `python bench.py
+        # --leg` run outside orchestrate has no index and falls back to
+        # the pid so concurrent manual runs still never clobber.
+        idx = os.environ.get("SPARK_GRAFT_BENCH_LEG_IDX")
+        suffix = idx if idx is not None else str(os.getpid())
+        return f"{base}.{kind}{suffix}{ext}"
     path = os.path.join(
         tempfile.gettempdir(), f"bench_{kind}_{os.getpid()}.json"
     )
@@ -153,7 +159,10 @@ def orchestrate() -> int:
         loads.append(_loadavg())
         t0 = time.perf_counter()
         proc = subprocess.run(
-            [sys.executable, here, "--leg"], capture_output=True, text=True
+            [sys.executable, here, "--leg"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_BENCH_LEG_IDX": str(i)},
         )
         leg_sec = time.perf_counter() - t0
         rc = rc or proc.returncode

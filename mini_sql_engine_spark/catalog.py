@@ -112,3 +112,71 @@ def register_sf_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def content_token(sf_dir: str, table: str = "documents") -> str:
+    """Cheap stat-only content fingerprint of one table under sf_dir
+    (size + mtime of the parquet) — cache keys built on it invalidate
+    when fixture data is regenerated IN PLACE, where a bare path key
+    would silently serve stale results (round-8/round-10 advice). The
+    canonical implementation; `governance._stage_token` delegates
+    here."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        return sf_dir
+
+
+class DFMemo:
+    """Per-sf_dir memo of persist()ed DataFrames, keyed on CONTENT.
+
+    Three guarantees the bare ``dict[str, DataFrame]`` pattern lacked
+    (round-10 advice on ``_BPE_CACHE``):
+
+    - staleness: the entry is keyed on :func:`content_token` of the
+      driving table, so regenerating the fixture parquet in place
+      misses the cache instead of replaying a persisted result over
+      dead data;
+    - eviction: a superseded or stale entry is unpersist()ed and
+      dropped when detected — persisted blocks don't accumulate
+      across regenerations;
+    - session hygiene: entries whose SparkSession is not the caller's
+      (stopped session, fresh test session) are likewise evicted, not
+      just skipped.
+    """
+
+    def __init__(self, table: str = "documents") -> None:
+        self._table = table
+        self._entries: dict[str, tuple[str, tuple[DataFrame, ...]]] = {}
+
+    @staticmethod
+    def _unpersist(dfs: tuple[DataFrame, ...]) -> None:
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # dead session: blocks are already gone
+
+    def get(
+        self, spark: SparkSession, sf_dir: str
+    ) -> tuple[DataFrame, ...] | None:
+        ent = self._entries.get(sf_dir)
+        if ent is None:
+            return None
+        token, dfs = ent
+        if token != content_token(sf_dir, self._table) or any(
+            df.sparkSession is not spark for df in dfs
+        ):
+            del self._entries[sf_dir]
+            self._unpersist(dfs)
+            return None
+        return dfs
+
+    def put(self, sf_dir: str, *dfs: DataFrame) -> tuple[DataFrame, ...]:
+        old = self._entries.pop(sf_dir, None)
+        if old is not None:
+            self._unpersist(old[1])
+        self._entries[sf_dir] = (content_token(sf_dir, self._table), dfs)
+        return dfs

@@ -2874,6 +2874,7 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_at") / (F.col("n_risk") * F.col("n_risk")) * _KM_NANO
         + 0.5
     ).cast("long")
+    # bounded global window: distinct-durations ladder
     wc = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2928,6 +2929,7 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cum_lq",
         F.sum("lq").over(
+            # bounded global window: distinct-durations ladder
             Window.orderBy("dur").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
@@ -3881,6 +3883,7 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
+    # bounded global window: calendar-days ladder
     wo = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5215,6 +5218,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # the whole corpus collapses to ~L rows here
     )
+    # bounded global window: ~L click-count cells (see checkpoint)
     wc = Window.orderBy("clicks").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5714,6 +5718,7 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _NANO
         + 0.5
     ).cast("long")
+    # bounded global window: calendar-days ladder
     wcum = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -6251,6 +6256,7 @@ def pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(
         F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg")
     )
+    # bounded global window: click-count cells, not rows
     wdesc = Window.orderBy(F.col("clicks").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -6296,6 +6302,7 @@ def f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("y")).alias("neg"),
     )
     tot = cells.agg(F.sum("pos").alias("n_pos"))
+    # bounded global window: click-count cells, not rows
     wdesc = Window.orderBy(F.col("clicks").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -6471,6 +6478,7 @@ def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(0)).alias("yt"),
         F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(0)).alias("yc"),
     )
+    # bounded global window: propensity-strata cells, not rows
     wdesc = Window.orderBy(F.col("s").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

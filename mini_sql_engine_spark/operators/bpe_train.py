@@ -41,7 +41,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
+from mini_sql_engine_spark.catalog import (
+    DFMemo,
+    ensure_min_partitions,
+    load_table,
+)
 
 BPE_ROUNDS = 3
 
@@ -132,7 +136,7 @@ def _greedy_apply(t2: DataFrame, best: DataFrame) -> DataFrame:
     return merged
 
 
-_BPE_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_BPE_CACHE = DFMemo()  # content-keyed: regenerated fixtures miss
 
 
 def _bpe_trained(
@@ -142,9 +146,12 @@ def _bpe_trained(
     sf_dir: `ext_bpe_train` and `ext_bpe_apply` both consume the SAME
     training run (4 s each at sf0.1 when each re-trained; the pair was
     the suite's two slowest queries in the round-8 bench). persist()
-    like `_MINHASH_CACHE`, lineage retained."""
-    cached = _BPE_CACHE.get(sf_dir)
-    if cached is not None and cached[0].sparkSession is spark:
+    like `_MINHASH_CACHE`, lineage retained; the DFMemo key carries
+    the documents table's content token, so in-place fixture
+    regeneration invalidates instead of replaying stale state, and
+    superseded entries are unpersisted (round-10 advice)."""
+    cached = _BPE_CACHE.get(spark, sf_dir)
+    if cached is not None:
         return cached
     t = _char_rows(_word_types(spark, sf_dir)).localCheckpoint(eager=False)
     out: DataFrame | None = None
@@ -157,8 +164,7 @@ def _bpe_trained(
         out = row if out is None else out.unionByName(row)
     out = out.persist()
     t = t.persist()
-    _BPE_CACHE[sf_dir] = (out, t)
-    return out, t
+    return _BPE_CACHE.put(sf_dir, out, t)
 
 
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -369,6 +369,8 @@ def spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nrow = docs.agg(F.count(F.lit(1)).alias("n"))
     ranked = docs.crossJoin(F.broadcast(nrow))
+    # bounded global window: runs over each signal's value
+    # HISTOGRAM (distinct counts), never the corpus
     wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     for s in ("n_tokens", "n_chars", "n_types"):
         hist = docs.groupBy(F.col(s).alias("v")).agg(

@@ -40,7 +40,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mini_sql_engine_spark.functions.frames import jvm_rows
-from mini_sql_engine_spark.catalog import ensure_min_partitions, load_table
+from mini_sql_engine_spark.catalog import (
+    DFMemo,
+    ensure_min_partitions,
+    load_table,
+)
 from mini_sql_engine_spark.functions import textfns, vector
 from mini_sql_engine_spark.functions.hashing import (
     SIMHASH_BITS,
@@ -69,7 +73,7 @@ PREFIX_T = 0.5  # Jaccard threshold for the prefix-filter join (num/den below)
 PREFIX_T_NUM, PREFIX_T_DEN = 1, 2  # exact rational form — integer ceil math
 
 
-_SHINGLE_CACHE: dict[str, DataFrame] = {}
+_SHINGLE_CACHE = DFMemo()
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,16 +89,14 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     session to whatever block state survives — the wrong durability
     trade for long-lived shared state. (Short-lived per-query
     localCheckpoints inside one action are unaffected.)"""
-    cached = _SHINGLE_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    cached = _SHINGLE_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     sh = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_distinct(textfns.shingles("text", SHINGLE_K)).alias("sh"),
     )
-    out = sh.persist()
-    _SHINGLE_CACHE[sf_dir] = out
-    return out
+    return _SHINGLE_CACHE.put(sf_dir, sh.persist())[0]
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,8 +148,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIRS_CACHE: dict[str, DataFrame] = {}
-_CLUSTER_CACHE: dict[str, DataFrame] = {}
+_PAIRS_CACHE = DFMemo()
+_CLUSTER_CACHE = DFMemo()
 
 
 def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,17 +161,16 @@ def jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join that builds it is the expensive part they would
     otherwise each re-run. Lineage retained — persist, not
     checkpoint (see `_shingled` for the durability argument)."""
-    cached = _PAIRS_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    cached = _PAIRS_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     out = (
         _jaccard_pairs(spark, sf_dir)
         .filter(F.col("jacc") >= JACCARD_T)
         .select("doc_a", "doc_b", "jacc")
         .persist()
     )
-    _PAIRS_CACHE[sf_dir] = out
-    return out
+    return _PAIRS_CACHE.put(sf_dir, out)[0]
 
 
 FS_ITERS = 3  # EM iterations (fixed unroll — oracle mirrors each step)
@@ -703,8 +704,11 @@ def dup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_CACHE: dict[str, DataFrame] = {}
-_SIMHASH_CACHE: dict[str, DataFrame] = {}
+# content-keyed memos: in-place fixture regeneration invalidates, and
+# superseded entries unpersist (same staleness class as _BPE_CACHE,
+# round-10 advice)
+_MINHASH_CACHE = DFMemo()
+_SIMHASH_CACHE = DFMemo()
 
 
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,9 +724,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits (capture_recapture, the association consumer), each of which
     would otherwise re-run the banded self-join. Lineage retained —
     see `_shingled` for the persist-vs-checkpoint argument."""
-    cached = _MINHASH_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    cached = _MINHASH_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     sh = _shingled(spark, sf_dir)
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
     banded = sig.select(
@@ -753,8 +757,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jacc")
         .persist()
     )
-    _MINHASH_CACHE[sf_dir] = out
-    return out
+    return _MINHASH_CACHE.put(sf_dir, out)[0]
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,9 +765,9 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     persist()ed + memoized per sf_dir — consumed by its own query and
     the blocker audits (see `minhash_lsh_dedup`)."""
-    cached = _SIMHASH_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    cached = _SIMHASH_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(textfns.tokens("text")).alias("t"))
     votes = (
@@ -803,8 +806,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .persist()
     )
-    _SIMHASH_CACHE[sf_dir] = out
-    return out
+    return _SIMHASH_CACHE.put(sf_dir, out)[0]
 
 
 def _emb_plane(band: int, row: int) -> list[float]:
@@ -1164,9 +1166,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     can be bucketed on src so the per-round join never reshuffles edges
     — the same structure as large-scale connected components
     (Hash-to-Min) on any MapReduce-family engine."""
-    cached = _CLUSTER_CACHE.get(sf_dir)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
+    cached = _CLUSTER_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
@@ -1200,8 +1202,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram, modularity and the golden-record merge — would each
     # re-run the whole propagation loop otherwise
     out = labels.selectExpr("node AS doc_id", "label AS cluster_id")
-    _CLUSTER_CACHE[sf_dir] = out
-    return out
+    return _CLUSTER_CACHE.put(sf_dir, out)[0]
 
 
 def cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:

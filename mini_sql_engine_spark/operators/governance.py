@@ -85,18 +85,12 @@ BREAKOUT_LO = 0.5  # value < trailing min * LO  -> collapse
 
 def _stage_token(sf_dir: str, table: str = "documents") -> str:
     """Cache token for tempdir staging keyed on sf_dir CONTENT, not just
-    its path: regenerating testdata in place must invalidate any staged
-    copy, or the audit silently compares stale staged data against a
-    fresh oracle (round-8 advice). Size+mtime of the source parquet is
-    a cheap, stat-only fingerprint — no data read."""
-    import os
+    its path (round-8 advice). Delegates to the canonical
+    :func:`catalog.content_token` — the same fingerprint now also keys
+    the DataFrame memos (DFMemo, round-10 advice)."""
+    from mini_sql_engine_spark.catalog import content_token
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(path)
-        return f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        return sf_dir
+    return content_token(sf_dir, table)
 
 
 def _deletion_variants(name) -> F.Column:

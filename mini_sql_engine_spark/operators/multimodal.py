@@ -5,14 +5,18 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched Pandas UDFs over `mapInPandas`. Decode comes in two
 tiers:
 
-- CODEC-LIBRARY formats (MP3/MP4, and non-baseline JPEG modes) are
-  STUBBED: PIL/librosa/av are not in this container, so `decode_real`
-  raises NotImplementedError and the pipeline uses a DETERMINISTIC
-  FAKE — the payload's raw bytes are "pixels" (numpy frombuffer).
-  Everything around the stub — binary schema, Arrow batch shape,
-  mapInPandas signature, output schema, partition behavior — is real
-  and oracle-checked: payloads are UTF-8 text bytes, so DuckDB can
-  recompute the byte statistics character-wise.
+- Only full audio/video CODEC decode (MP3 subband synthesis, MP4
+  sample decoding, non-baseline JPEG modes) is STUBBED: PIL/librosa/
+  av are not in this container, so `decode_real` raises
+  NotImplementedError and the pipeline uses a DETERMINISTIC FAKE —
+  the payload's raw bytes are "pixels" (numpy frombuffer). The
+  container/frame STRUCTURE tier for those formats is REAL: from-spec
+  MP3 frame-header sync walk (`ext_mm_mp3_header_scan`) and MP4
+  box-tree walk (`ext_mm_mp4_box_scan`). Everything around the stub —
+  binary schema, Arrow batch shape, mapInPandas signature, output
+  schema, partition behavior — is real and oracle-checked: payloads
+  are UTF-8 text bytes, so DuckDB can recompute the byte statistics
+  character-wise.
 - EVERYTHING ELSE is decoded FOR REAL with from-spec pure-Python
   parsers, no codec library: WAV (RIFF + PCM16 via `wave`), 24bpp BMP
   (struct header parse, row padding, bottom-up/BGR), PNG (stdlib zlib
@@ -1931,6 +1935,9 @@ def _mp3_scan_batches(batches):
             sum_kbps = 0
             sr_seen = None
             while pos < len(p):
+                # a truncated stream must fail with the diagnostic
+                # message, not a bare IndexError mid-header
+                assert pos + 4 <= len(p), "lost sync"
                 b0, b1, b2 = p[pos], p[pos + 1], p[pos + 2]
                 assert b0 == 0xFF and (b1 >> 5) == 0b111, "lost sync"
                 assert (b1 >> 3) & 3 == 3, "not MPEG-1"

@@ -1167,6 +1167,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grid, and ~1 s cheaper than the full range-partitioned ladder
     from pyspark.sql import Window
 
+    # bounded global window: sketch summary, <= B*P*K rows (above)
     w = Window.orderBy("val").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
