@@ -1416,9 +1416,34 @@ def _mks_leaf(df: DataFrame) -> DataFrame:
     )
 
 
+_MKS_PH_CACHE: dict[str, F.Column] = {}
+
+
 def _mks_parent_hash() -> F.Column:
     """Aggregate: md5-long over ',' -joined 'bucket:hash' children in
-    bucket order (collect_list sorted by struct order — deterministic)."""
+    bucket order (collect_list sorted by struct order — deterministic).
+
+    The Column is memoized per SparkContext: it is an unresolved,
+    immutable expression tree reused by 3 levels × every micro-batch,
+    and building it via py4j is a measurable slice of merkle's
+    per-batch driver-side plan-construction cost (round-10: construct
+    dropped ~0.3 s/batch with the ladder otherwise unchanged). Keyed
+    by applicationId so a restarted context never sees a stale
+    gateway handle."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    key = spark.sparkContext.applicationId if spark is not None else "_"
+    cached = _MKS_PH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    col = _build_mks_parent_hash()
+    _MKS_PH_CACHE.clear()  # one live context at a time
+    _MKS_PH_CACHE[key] = col
+    return col
+
+
+def _build_mks_parent_hash() -> F.Column:
     return F.conv(
         F.substring(
             F.md5(
@@ -1479,22 +1504,37 @@ def merge_merkle_batch(
     new_levels = []
     lvl = cur.filter(F.col("level") == 0).select("b", "h").unionByName(delta)
     new_levels.append(lvl.select(F.lit(0).cast("long").alias("level"), "b", "h"))
-    # ONE changed-bucket table covering every level — each level's
-    # semi/anti join filters it by level, so the six joins share ONE
-    # canonicalized broadcast subplan and exchange reuse builds it a
-    # single time per write (six per-level broadcasts cost six build
-    # jobs per batch; broadcast builds were ~30 of merkle's 37 jobs)
-    changed_all = None
-    changed = delta.select(F.col("b"))
+    # ONE changed-bucket table covering every level, built with ONE
+    # explode+distinct (round-10: was one distinct per level = 3
+    # shuffles) — each level's semi join filters it by level, so the
+    # joins share ONE canonicalized broadcast subplan and exchange
+    # reuse builds it a single time per write (six per-level
+    # broadcasts cost six build jobs per batch; broadcast builds were
+    # ~30 of merkle's 37 jobs)
+    arms = []
+    fl = F.col("b")
     for k in range(1, MKS_LEVELS + 1):
-        changed = changed.select(F.floor(F.col("b") / MKS_ARITY).alias("b"))
-        part = changed.distinct().select(
-            F.lit(k).cast("long").alias("clevel"), F.col("b").alias("cb")
+        fl = F.floor(fl / MKS_ARITY)
+        arms.append(
+            F.struct(
+                F.lit(k).cast("long").alias("clevel"),
+                fl.cast("long").alias("cb"),
+            )
         )
-        changed_all = (
-            part if changed_all is None else changed_all.unionByName(part)
-        )
-    changed_all = F.broadcast(changed_all)
+    changed_all = F.broadcast(
+        delta.select(F.explode(F.array(*arms)).alias("c"))
+        .select("c.clevel", "c.cb")
+        .distinct()
+    )
+    # ONE anti join covers every level's carried (untouched) rows;
+    # the per-level slices below are plain filters of it (round-10:
+    # was one anti join per level)
+    carried_all = cur.filter(F.col("level") >= 1).join(
+        changed_all,
+        (F.col("level") == F.col("clevel")) & (F.col("b") == F.col("cb")),
+        "left_anti",
+    )
+    ph = _mks_parent_hash()
     for k in range(1, MKS_LEVELS + 1):
         # recompute ONLY the changed parent buckets from level k-1
         recomputed = (
@@ -1505,18 +1545,10 @@ def merge_merkle_batch(
                 "left_semi",
             )
             .groupBy("pb")
-            .agg(_mks_parent_hash().alias("h"))
+            .agg(ph.alias("h"))
             .select(F.col("pb").alias("b"), "h")
         )
-        carried = (
-            cur.filter(F.col("level") == k)
-            .select("b", "h")
-            .join(
-                changed_all,
-                (F.col("b") == F.col("cb")) & (F.col("clevel") == k),
-                "left_anti",
-            )
-        )
+        carried = carried_all.filter(F.col("level") == k).select("b", "h")
         # no per-level materialization: level k+1 re-evaluates level
         # k's (checkpoint-rooted, broadcast-joined) small subplan —
         # cheaper than a separate job per level at these depths
@@ -1640,10 +1672,35 @@ ORACLES["stream_merkle_root"] = f"""
 
 _BND_SENTINEL = -1  # md5_long keys are 60-bit non-negative
 
+# per-stream (band, doc_id) delta handles, keyed by state dir: the
+# merge's localCheckpointed band rows, reused by the final audit
+# instead of a second full-table shingle+hash pass (popped by
+# stream_band_dedup's finally)
+_BND_LOG: dict[str, list[DataFrame]] = {}
+
 
 BND_BANDS = 4
 BND_ROWS = 4
 BND_MOD = 2147483647  # 2^31 - 1 (prime): permutation arithmetic ring
+
+
+def _md5l_sql(x: str, salt: str = "bnd") -> str:
+    """SQL-string form of functions.hashing.md5_long (same bytes)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}:', {x})), 1, 15), "
+        "16, 10) AS BIGINT)"
+    )
+
+
+# SQL-string form of textfns.shingles("text", SHINGLE_K=3) — kept in
+# lockstep with the Column version (tests compare the two paths
+# row-for-row via the band-key symmetric diff in test_streaming).
+_BND_SHINGLES_SQL = (
+    "CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN "
+    "transform(sequence(0, greatest(size(split(text, '\\\\s+')) - 3, 0)), "
+    "i -> concat_ws(' ', slice(split(text, '\\\\s+'), i + 1, 3))) "
+    "ELSE array(concat_ws(' ', split(text, '\\\\s+'))) END"
+)
 
 
 def _doc_bands(df: DataFrame) -> DataFrame:
@@ -1656,49 +1713,45 @@ def _doc_bands(df: DataFrame) -> DataFrame:
     per SCALE.md round-9 notes). The DuckDB oracle replays the exact
     integer arithmetic, so band GROUPS (collisions included) match
     across engines; the final 60-bit md5_long band key fits the
-    integer-only native state format."""
-    from mini_sql_engine_spark.catalog import ensure_min_partitions
-    from mini_sql_engine_spark.functions.hashing import md5_long
-    from mini_sql_engine_spark.functions.textfns import shingles
-    from mini_sql_engine_spark.operators.dedup import SHINGLE_K
+    integer-only native state format.
 
-    # one hash pass over the shingle set, folded into the 31-bit ring
-    h31 = F.transform(
-        F.array_distinct(shingles("text", SHINGLE_K)),
-        lambda sh: md5_long(sh, "bnd") % BND_MOD,
+    Built from SQL strings (three selectExpr calls), not Column
+    lambdas: the 16 permutation transforms plus band md5s cost ~0.4 s
+    of py4j expression construction PER CALL as Column objects vs
+    ~0.05 s as one JVM-side parse — and this runs once per micro-batch
+    plus once for the audit (round-10 measurement; values verified
+    identical to the Column form)."""
+    from mini_sql_engine_spark.catalog import ensure_min_partitions
+
+    comps = [
+        f"coalesce(array_min(transform(_h, h -> "
+        f"(h * {2 * i + 1} + {104729 * i}) % {BND_MOD})), "
+        f"CAST(0 AS BIGINT)) AS c{i}"
+        for i in range(BND_BANDS * BND_ROWS)
+    ]
+    band_keys = ", ".join(
+        _md5l_sql(
+            "concat_ws(',', '" + str(b) + "', "
+            + ", ".join(
+                f"CAST(c{b * BND_ROWS + r} AS STRING)"
+                for r in range(BND_ROWS)
+            )
+            + ")"
+        )
+        for b in range(BND_BANDS)
     )
     # never let per-shingle hashing run on a one-split scan (the
     # micro-batch arrives as files_per_trigger splits, the audit as 1)
-    w = ensure_min_partitions(df).withColumn("_h", h31)
-    comps = [
-        F.coalesce(
-            F.array_min(
-                F.transform(
-                    F.col("_h"),
-                    lambda h: (h * (2 * i + 1) + 104729 * i) % BND_MOD,
-                )
-            ),
-            F.lit(0).cast("long"),
+    w = ensure_min_partitions(df)
+    return (
+        w.selectExpr(
+            "doc_id",
+            f"transform(array_distinct({_BND_SHINGLES_SQL}), "
+            f"sh -> {_md5l_sql('sh')} % {BND_MOD}) AS _h",
         )
-        for i in range(BND_BANDS * BND_ROWS)
-    ]
-    bands = F.array(
-        *[
-            md5_long(
-                F.concat_ws(
-                    ",",
-                    F.lit(str(b)),
-                    *[
-                        comps[b * BND_ROWS + r].cast("string")
-                        for r in range(BND_ROWS)
-                    ],
-                ),
-                "bnd",
-            )
-            for b in range(BND_BANDS)
-        ]
+        .selectExpr("doc_id", *comps)
+        .selectExpr("doc_id", f"explode(array({band_keys})) AS band")
     )
-    return w.select("doc_id", F.explode(bands).alias("band"))
 
 
 def merge_band_batch(
@@ -1712,11 +1765,21 @@ def merge_band_batch(
         spark, data_dir, table, "band long, mn long", "band", "mn",
         _BND_SENTINEL,
     )
-    # one checkpoint: the per-shingle hash expression is this file's
-    # most expensive projection; without it the (band, doc_id) delta
-    # re-evaluates inside every consumer of the write plan (merkle
-    # lesson, SCALE.md round-9: count plan copies, not jobs)
+    # ONE materialization of the per-shingle hash projection — this
+    # file's most expensive expression — serving two readers: the
+    # merge below and the final audit (which would otherwise rehash
+    # the WHOLE table: every document arrives in exactly one batch, so
+    # the union of the batch band-logs IS `_doc_bands(documents)`).
+    # localCheckpoint keeps the blocks executor-local with no file-
+    # committer round trip; the stashed DataFrame handle is how the
+    # audit reaches them (a production registry durably appends the
+    # same rows to a keyed (band, doc_id) posting-list table — same
+    # dataflow, one materialization either way). A replayed batch
+    # stashes a gated-to-empty delta: the audit union is unchanged.
     delta = _gate_delta(_doc_bands(batch_df), last1, batch_id).localCheckpoint()
+    _BND_LOG.setdefault(data_dir, []).append(
+        delta.select("doc_id", "band")
+    )
     merged = (
         cur.select("band", "mn")
         .unionByName(delta.select("band", F.col("doc_id").alias("mn")))
@@ -1773,17 +1836,22 @@ def stream_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        deltas = _BND_LOG.pop(data_dir, [])
     finally:
+        _BND_LOG.pop(data_dir, None)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    from mini_sql_engine_spark.catalog import load_table
-
     registry = _read_state(
         spark, data_dir, "band_registry", schema="band long, mn long"
     ).filter(F.col("band") != _BND_SENTINEL)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # audit input = the per-batch (doc_id, band) deltas the merge
+    # already materialized — their union is exactly the rows
+    # `_doc_bands(documents)` would recompute (every document arrived
+    # in one batch), minus a second full-table reshingle+rehash pass
+    doc_bands = deltas[0]
+    for part in deltas[1:]:
+        doc_bands = doc_bands.unionByName(part)
     flags = (
-        _doc_bands(docs)
-        .join(registry, "band")
+        doc_bands.join(registry, "band")
         .groupBy("doc_id")
         .agg(
             F.max((F.col("mn") < F.col("doc_id")).cast("long")).alias(
