@@ -3362,6 +3362,32 @@ BM25_K1, BM25_B = 1.2, 0.75
 BM25_TOPK = 20
 
 
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One codegen pass over documents: (doc_id, dl, tf_i per query
+    term) — tf by `size(filter(toks))`, dl by `size(toks)`; identical
+    integers to the explode+count formulation, with no explode and no
+    shuffle."""
+    toks = F.split(F.col("text"), r"\s+")
+
+    def _tf(term: str) -> F.Column:
+        # NB: the filter lambda must be UNARY — a second parameter
+        # (even a default-arg capture) selects PySpark's binary
+        # (element, index) form and binds it to the index Column
+        # (same trap as minhash_signature, functions/hashing.py)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    return ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            _tf(term).cast("long").alias(f"tf_{i}")
+            for i, term in enumerate(BM25_QUERY)
+        ],
+    )
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed keyword query — the IR
     scoring the reference-class engines bolt on as FTS extensions,
@@ -3371,34 +3397,57 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsum fixed-point reduction (≤|query| terms, but order-proof on
     principle). Output: top BM25_TOPK docs, tie-broken by doc_id.
 
-    Scale notes (100 TB): the inverted-index probe touches only the
-    query terms' postings (semi-join pushdown on the token column —
-    at scale, a partition/bucket on token makes this a pruned scan);
-    doc lengths and the 3-row term-stats table broadcast. Scoring
-    never scans non-matching docs.
+    Scale notes (100 TB): ONE pass over the corpus computes per doc
+    its length (`size(split)`) and one counter per query term
+    (`size(filter(toks))`) — all inside whole-stage codegen, no
+    explode, no corpus-wide shuffle (the former explode+groupBy doc
+    length table shuffled every token; round-10). The per-term doc
+    frequencies and corpus stats reduce to ONE broadcast row; scoring
+    then touches only docs with a hit. At scale the tf pass is the
+    scan itself; an inverted index/bucketing on token turns it into a
+    pruned probe — the relational shape is unchanged either way.
     """
-    docs = ensure_min_partitions(
-        load_table(spark, sf_dir, "documents")
-    ).select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
-    )
-    dl = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
     )
     postings = (
-        docs.filter(F.col("t").isin(*BM25_QUERY))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.filter(
+            sum(
+                (F.col(f"tf_{i}") > 0).cast("int")
+                for i in range(len(BM25_QUERY))
+            )
+            > 0
+        )
+        .select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("ti"),
+                            F.col(f"tf_{i}").alias("tf"),
+                        )
+                        for i in range(len(BM25_QUERY))
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "dl", "p.ti", "p.tf")
+        .filter(F.col("tf") > 0)
     )
-    df = postings.groupBy("t").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    df_col = F.when(F.col("ti") == 0, F.col("df_0"))
+    for i in range(1, len(BM25_QUERY)):
+        df_col = df_col.when(F.col("ti") == i, F.col(f"df_{i}"))
     scored = (
-        postings.join(F.broadcast(df), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        postings.crossJoin(F.broadcast(stats))
+        .withColumn("df", df_col)
         .select(
             "doc_id",
             (
@@ -3470,19 +3519,19 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_bm25"),
     )
     # second list: rank by raw query-term hit COUNT (coverage-first
-    # lexical overlap — deliberately a different scale/shape)
-    docs = ensure_min_partitions(
-        load_table(spark, sf_dir, "documents")
-    ).select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
-    )
+    # lexical overlap — deliberately a different scale/shape); same
+    # no-explode single-pass counters as bm25_search (round-10)
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n_terms = len(BM25_QUERY)
     cov = (
-        docs.filter(F.col("t").isin(*BM25_QUERY))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("hits"),
-            F.countDistinct("t").alias("terms"),
+        per_doc.select(
+            "doc_id",
+            sum(F.col(f"tf_{i}") for i in range(n_terms)).alias("hits"),
+            sum(
+                (F.col(f"tf_{i}") > 0).cast("long") for i in range(n_terms)
+            ).alias("terms"),
         )
+        .filter(F.col("hits") > 0)
         .orderBy(
             F.col("terms").desc(), F.col("hits").desc(), "doc_id"
         )
@@ -3522,6 +3571,52 @@ HR_K = 5  # diversified picks from the fused list
 HR_Q = 10_000  # quantization steps (rank rel and cosine share scale)
 
 
+def _mmr_greedy_kernel(pool_pdf, sims_pdf):
+    """Greedy λ-MMR selection over the BOUNDED candidate pool (≤
+    RRF_TOPK rows) and its pairwise quantized-cosine table (≤ TOPK²
+    rows) — integer arithmetic only, replicating the join/window
+    formulation pick-for-pick: step 1 maximizes (rel_q, -doc_id);
+    step t maximizes (rel_q·7 − 3·max_{b∈sel} s(a,b), -doc_id) over
+    the unselected, mirroring the inner join on the sims table (a
+    candidate without a sims row to any selected doc is skipped, as
+    the join would drop it)."""
+    import pandas as pd
+
+    pool = [
+        (int(r.doc_id), int(r.fr), int(r.rel_q))
+        for r in pool_pdf.itertuples(index=False)
+    ]
+    smap = {
+        (int(r.a_id), int(r.b_id)): int(r.s)
+        for r in sims_pdf.itertuples(index=False)
+    }
+    rows: list[tuple] = []
+    sel_ids: list[int] = []
+    if pool:
+        did, fr, rel_q = max(pool, key=lambda p: (p[2], -p[0]))
+        rows.append((1, did, fr, rel_q, rel_q * 7))
+        sel_ids.append(did)
+    for t in range(2, HR_K + 1):
+        scored = [
+            (p[2] * 7 - 3 * max(sims), p)
+            for p in pool
+            if p[0] not in sel_ids
+            and (
+                sims := [
+                    smap[(p[0], b)] for b in sel_ids if (p[0], b) in smap
+                ]
+            )
+        ]
+        if not scored:
+            break
+        score, (did, fr, rel_q) = max(scored, key=lambda c: (c[0], -c[1][0]))
+        rows.append((t, did, fr, rel_q, score))
+        sel_ids.append(did)
+    return pd.DataFrame(
+        rows, columns=["step", "doc_id", "fr", "rel_q", "score"]
+    )
+
+
 def hybrid_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end hybrid retrieval in ONE Catalyst plan: BM25 keyword
     ranking + coverage ranking → reciprocal-rank fusion (top
@@ -3539,7 +3634,15 @@ def hybrid_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (postings probe, K-row fusion); the diversification works on ≤
     RRF_TOPK candidates — constant, like ext_mmr_rerank's precision
     stage. The whole pipeline shuffles nothing wider than the
-    inverted-index probe.
+    inverted-index probe. The greedy selection itself is ONE Arrow
+    cogroup kernel over the (pool, pairwise-sims) tables — both
+    bounded at ≤ TOPK / TOPK² rows BY CONSTRUCTION — because greedy
+    MMR is inherently sequential in the picks: the former HR_K-step
+    driver loop of joins+windows rebuilt and ran a multi-stage plan
+    per pick (~2.5 s of fixed cost at any data scale for 10 rows).
+    The pairwise dots stay JVM-side (quantized to exact integers
+    BEFORE the kernel), so Python arithmetic is integer-only and the
+    oracle equivalence is bit-exact.
     """
     from pyspark.sql import Window
 
@@ -3578,59 +3681,19 @@ def hybrid_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cand.select(
         F.col("doc_id").alias("b_id"), F.col("embedding").alias("be")
     )
-    sims = (
-        a.join(b, F.col("a_id") != F.col("b_id"))
-        .select(
-            "a_id", "b_id", q4(vector.dot(F.col("ae"), F.col("be"))).alias("s")
-        )
-        .coalesce(1)
-    ).localCheckpoint(eager=False)
+    sims = a.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id", "b_id", q4(vector.dot(F.col("ae"), F.col("be"))).alias("s")
+    )
     pool = cand.select("doc_id", "fr", "rel_q")
-    # bounded global window: post-limit top-K rows, never the corpus
-    w1 = Window.orderBy(F.col("rel_q").desc(), F.col("doc_id"))
     sel = (
-        pool.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.lit(1).cast("long").alias("step"),
-            "doc_id",
-            "fr",
-            "rel_q",
-            (F.col("rel_q") * 7).alias("score"),
+        pool.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .cogroup(sims.withColumn("g", F.lit(1)).groupBy("g"))
+        .applyInPandas(
+            _mmr_greedy_kernel,
+            "step long, doc_id long, fr long, rel_q long, score long",
         )
     )
-    for t in range(2, HR_K + 1):
-        max_s = (
-            sims.join(
-                F.broadcast(sel.select(F.col("doc_id").alias("b_id"))), "b_id"
-            )
-            .groupBy("a_id")
-            .agg(F.max("s").alias("max_s"))
-        )
-        rem = pool.join(F.broadcast(sel.select("doc_id")), "doc_id", "left_anti")
-        pick = (
-            rem.join(
-                F.broadcast(max_s.withColumnRenamed("a_id", "doc_id")),
-                "doc_id",
-            )
-            .withColumn("score", F.col("rel_q") * 7 - F.col("max_s") * 3)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    # bounded global window: post-limit top-K rows, never the corpus
-                    Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select(
-                F.lit(t).cast("long").alias("step"),
-                "doc_id",
-                "fr",
-                "rel_q",
-                "score",
-            )
-        )
-        sel = sel.unionAll(pick).localCheckpoint(eager=False)
     return sel.select(
         "step",
         "doc_id",

@@ -700,10 +700,14 @@ def test_fifo_allocation_user_keyed_join(spark, sf_dir):
 
 
 def test_bm25_stats_broadcast(spark, sf_dir):
-    """BM25's doc-length/term-stat sides broadcast; no sort-merge
-    join anywhere in the scoring plan."""
+    """BM25's corpus-stats side (1 row: nd, total_len, per-term df)
+    attaches via broadcast; no sort-merge join and no corpus explode
+    anywhere in the scoring plan (the tf/dl counters are per-row
+    array expressions since round 10)."""
     plan = _plan(ALL_QUERIES["ext_bm25_search"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate explode(split" not in plan, plan
 
 
 def test_ks_argmax_is_take_ordered(spark, sf_dir):
