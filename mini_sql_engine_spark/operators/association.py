@@ -409,22 +409,12 @@ def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # consumed by L2 and the candidate joins
     )
     a, b = baskets.alias("a"), baskets.alias("b")
-    fp = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= MIN_SUP)
-        .select("pa", "pb")
-        .localCheckpoint()  # closure-checked three times below
-    )
-    ab = (
+    # ONE materialization of the per-basket pair stream serves both
+    # the support count (fp) and the candidate stream (ab) — the
+    # standard A-priori trade of storing the level-2 stream instead
+    # of re-running the basket self-join per consumer (round-10: the
+    # join ran twice)
+    pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -435,8 +425,16 @@ def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"),
             F.col("b.l_partkey").alias("pb"),
         )
-        .join(F.broadcast(fp), ["pa", "pb"], "left_semi")
+        .localCheckpoint()
     )
+    fp = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= MIN_SUP)
+        .select("pa", "pb")
+        .localCheckpoint()  # closure-checked three times below
+    )
+    ab = pairs.join(F.broadcast(fp), ["pa", "pb"], "left_semi")
     c = baskets.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pc")
     )

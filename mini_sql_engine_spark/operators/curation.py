@@ -446,21 +446,31 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio — see the fixed-point rule in ext_key_skew).
 
     Scale notes (100 TB): the corpus pays ONE map-side-combinable
-    aggregate per pair (the joint histogram); the triangular cell-pair
-    join runs on the broadcast histogram — metadata-sized, independent
-    of corpus row count. Same exact-ranks-without-row-sort argument as
-    spearman_signals; continuous signals would quantize first."""
+    aggregate TOTAL — the joint (n_tokens, n_chars, n_types) value
+    histogram, materialized once — and every pair's joint/marginal
+    histogram re-aggregates that metadata-sized table (round-10: the
+    per-pair formulation re-ran the corpus aggregate for each of the
+    5 histogram consumers × 3 pairs = 15 corpus shuffles); the
+    triangular cell-pair join runs on the broadcast histogram —
+    independent of corpus row count. Same exact-ranks-without-row-sort
+    argument as spearman_signals; continuous signals would quantize
+    first."""
     toks = F.split("text", r"\s+")
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.size(F.array_distinct(toks)).alias("n_types"),
     )
+    hist3 = (
+        docs.groupBy("n_tokens", "n_chars", "n_types")
+        .agg(F.count(F.lit(1)).alias("cnt3"))
+        .localCheckpoint(eager=False)
+    )
     parts = []
     for a, b in SPEAR_PAIRS:
-        hist = docs.groupBy(
+        hist = hist3.groupBy(
             F.col(a).alias("va"), F.col(b).alias("vb")
-        ).agg(F.count(F.lit(1)).alias("cnt"))
+        ).agg(F.sum("cnt3").alias("cnt"))
         h1, h2 = hist.alias("h1"), hist.alias("h2")
         cd = h1.join(F.broadcast(h2), F.col("h1.va") < F.col("h2.va")).agg(
             F.sum(

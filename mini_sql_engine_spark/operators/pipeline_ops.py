@@ -1033,6 +1033,10 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        # thin keeper ids, materialized once: the survivor set feeds
+        # BOTH corpus passes below (round-10: uncheckpointed, the
+        # fingerprint shuffle re-ran per downstream evaluation)
+        .localCheckpoint(eager=False)
     )
     surv = gated.join(keep, "doc_id", "left_semi")
     tok = surv.select(
@@ -1040,18 +1044,24 @@ def select_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (md5_long(F.col("t")) % DSIR_BUCKETS).alias("b")
     )
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE aggregation produces both the raw and target bucket counts
+    # (the target count as a conditional sum — identical integers to
+    # the filtered twin aggregate), materialized at 256 rows: DSIR is
+    # then exactly two corpus passes — estimate ratios, weight docs —
+    # not five (round-10: raw/tgt/tot/lr each re-ran the explode)
+    bc = (
+        tok.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
-        tgt.agg(F.sum("ct").alias("tt"))
-    )
+    tot = bc.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bc.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.floor(

@@ -1116,7 +1116,13 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): the pair set is queries×top-k (constant);
     the expensive part at scale is projecting the CORPUS — one
-    scan-side map (16 dots/vector, codegen-friendly), no shuffle.
+    scan-side map (16 dots/vector, codegen-friendly), no shuffle. The
+    top-k rank runs on THIN (q_id, n_id, cos64) rows — the 64-dim
+    vectors re-join only onto the constant surviving pair set (the
+    oracle's own shape) instead of riding the rank shuffle. The 16×64
+    projection matrix enters as ONE parsed SQL literal: the former
+    per-element `F.lit` construction made 2 000+ py4j calls (~1 s of
+    driver time per run at any data scale; round-10).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1126,36 +1132,55 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(c, F.col("q_id") != F.col("n_id"))
-        .withColumn("cos64", F.round(vector.dot(F.col("qe"), F.col("ne")), 4))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(vector.dot(F.col("qe"), F.col("ne")), 4).alias("cos64"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos64").desc(), F.col("n_id"))
     pairs = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "n_id", "cos64", "qe", "ne")
+        .select("q_id", "n_id", "cos64")
+    )
+    pairs = (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
+            "q_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne")),
+            "n_id",
+        )
     )
 
-    def proj(col: Column, j: int) -> Column:
-        return vector.dot(col, F.array(*[F.lit(v) for v in JL_PLANES[j]]))
+    # D-suffixed literals parse to the same IEEE doubles F.lit made;
+    # the aggregate/zip_with shape mirrors functions.vector.dot, so
+    # every operand and accumulation step is unchanged
+    def proj_sql(col: str, j: int) -> str:
+        plane = "array(" + ", ".join(f"{v!r}D" for v in JL_PLANES[j]) + ")"
+        return (
+            f"aggregate(zip_with({col}, {plane}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
 
-    pa = [proj(F.col("qe"), j) for j in range(JL_DIM)]
-    pb = [proj(F.col("ne"), j) for j in range(JL_DIM)]
-
-    def fold(terms: list[Column]) -> Column:
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
-    dot16 = fold([a * b for a, b in zip(pa, pb)])
-    na = F.sqrt(fold([a * a for a in pa]))
-    nb = F.sqrt(fold([b * b for b in pb]))
-    rows = pairs.select(
-        "q_id",
-        "n_id",
-        "cos64",
-        F.round(dot16 / (na * nb), 6).alias("cos16"),
-    ).localCheckpoint(eager=False)
+    proj_cols = [f"{proj_sql('qe', j)} AS pa{j}" for j in range(JL_DIM)] + [
+        f"{proj_sql('ne', j)} AS pb{j}" for j in range(JL_DIM)
+    ]
+    dot16 = " + ".join(f"pa{j} * pb{j}" for j in range(JL_DIM))
+    na = " + ".join(f"pa{j} * pa{j}" for j in range(JL_DIM))
+    nb = " + ".join(f"pb{j} * pb{j}" for j in range(JL_DIM))
+    rows = (
+        pairs.selectExpr("q_id", "n_id", "cos64", *proj_cols)
+        .selectExpr(
+            "q_id",
+            "n_id",
+            "cos64",
+            f"round(({dot16}) / (sqrt({na}) * sqrt({nb})), 6) AS cos16",
+        )
+        .localCheckpoint(eager=False)
+    )
     err = rows.agg(
         F.sum(
             F.floor(
