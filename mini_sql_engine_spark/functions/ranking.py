@@ -112,6 +112,168 @@ def ntile_expr(rank: str, total: str, buckets: int) -> Column:
     )
 
 
+_MID_OFFSET_BITS = 33  # monotonically_increasing_id: pid*2^33 + offset
+
+
+def _range_rank_fast(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str,
+    total_rows_col: str | None,
+) -> DataFrame:
+    """Exact global row_number with ONE full-table exchange.
+
+    ``repartitionByRange`` puts contiguous key ranges in pid order;
+    ``sortWithinPartitions`` totally orders each partition (order_cols
+    are a unique key); ``monotonically_increasing_id`` then encodes
+    (pid, 0-based offset in iteration order) as pid·2^33 + offset, and
+    iteration order is the sorted order because the id is
+    non-deterministic, so Catalyst may not reorder its Project below
+    the Sort. Global rank = offset + 1 + rows in earlier pids, where
+    the per-pid counts come from a partitions-sized stats table
+    (bounded-grid window) broadcast back — the same stitch as the
+    window ladder, minus its hashpartitioning(_pid) exchange and
+    per-branch sort. The lazy localCheckpoint keeps one physical
+    materialization feeding both consumers (AQE must not re-sample the
+    range boundaries per branch: pids in the stats table and the main
+    output must agree)."""
+    part = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    decoded = part.select(
+        "*",
+        F.shiftright("_mid", _MID_OFFSET_BITS).alias("_pid"),
+        (
+            F.col("_mid").bitwiseAND(F.lit((1 << _MID_OFFSET_BITS) - 1)) + 1
+        ).alias("_loc"),
+    )
+    stats = decoded.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # bounded-grid window: one row per shuffle partition
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off_rows"),
+    ]
+    if total_rows_col is not None:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(
+            F.sum("_cnt").over(w_all).cast("long").alias(total_rows_col)
+        )
+    offsets = stats.select(*off_cols)
+    out = decoded.join(F.broadcast(offsets), "_pid").withColumn(
+        rank_col, (F.col("_loc") + F.col("_off_rows")).cast("long")
+    )
+    return out.drop("_pid", "_loc", "_mid", "_off_rows")
+
+
+def _range_sum_fast(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: tuple[str, ...],
+    rank_col: str,
+    total_rows_col: str | None,
+) -> DataFrame:
+    """Rank + inclusive prefix sums with ONE full-table exchange.
+
+    Same skeleton as :func:`_range_rank_fast`; the per-partition
+    running sums that previously forced a hashpartitioning(_pid)
+    exchange + sort + Window run instead as ONE Arrow ``mapInPandas``
+    cumsum over the already-sorted range partitions (guide §4.2 —
+    vectorized kernel over whole batches, no extra shuffle). The
+    kernel carries the running total across batches from the last
+    emitted cumulative value, so accumulation is strictly sequential
+    in sort order — element-identical to the ordered window running
+    sum it replaces (every caller's sum column is a LONG count/cents
+    value, so this is integer arithmetic; for doubles both forms are
+    the same left-to-right IEEE sequence). Cross-partition offsets
+    ride the same partitions-sized stats table as the window ladder
+    and are added JVM-side. max_cols callers stay on the window path
+    (nullable strict-prefix max does not vectorize exactly)."""
+    import pandas as pd  # noqa: F401 (kernel-side)
+
+    part = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c).asc() for c in order_cols])
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in part.schema.fields
+    )
+    lcum_fields = ", ".join(
+        f"`_lcum_{c}` {df.schema[c].dataType.simpleString()}"
+        for c in sum_cols
+    )
+    out_schema = f"{in_fields}, {lcum_fields}"
+    cols = tuple(sum_cols)
+
+    def cumsum_kernel(batches):
+        run = dict.fromkeys(cols, 0)
+        for pdf in batches:
+            for c in cols:
+                s = pdf[c].cumsum() + run[c]
+                pdf[f"_lcum_{c}"] = s
+                if len(s):
+                    run[c] = s.iloc[-1]
+            yield pdf
+
+    cummed = part.mapInPandas(cumsum_kernel, out_schema)
+
+    pid = F.shiftright("_mid", _MID_OFFSET_BITS)
+    stats = part.groupBy(pid.alias("_pid")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
+    )
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_off_rows"),
+    ]
+    off_cols += [
+        F.coalesce(F.sum(f"_sum_{c}").over(w_prev), F.lit(0)).alias(
+            f"_off_sum_{c}"
+        )
+        for c in sum_cols
+    ]
+    if total_rows_col is not None:
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(
+            F.sum("_cnt").over(w_all).cast("long").alias(total_rows_col)
+        )
+    offsets = stats.select(*off_cols)
+
+    out = (
+        cummed.withColumn("_pid", pid)
+        .withColumn(
+            "_loc",
+            F.col("_mid").bitwiseAND(F.lit((1 << _MID_OFFSET_BITS) - 1)) + 1,
+        )
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_col, (F.col("_loc") + F.col("_off_rows")).cast("long")
+        )
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"_lcum_{c}") + F.col(f"_off_sum_{c}")
+        )
+    drop = ["_pid", "_loc", "_mid", "_off_rows"]
+    drop += [f"_lcum_{c}" for c in sum_cols]
+    drop += [f"_off_sum_{c}" for c in sum_cols]
+    return out.drop(*drop)
+
+
 def range_prefix(
     df: DataFrame,
     order_cols: list[str],
@@ -137,6 +299,23 @@ def range_prefix(
       for rank-arithmetic consumers like exact ntile replay.
     """
     _assert_unique_order(df, order_cols)
+    if not sum_cols and not max_cols:
+        # rank-only fast path (round 10): the window form below needs a
+        # SECOND full-table exchange (hashpartitioning(_pid)) + sort
+        # just to run row_number per partition. Sorting within the
+        # range partitions instead and decoding monotonically_
+        # increasing_id (pid*2^33 + iteration offset, and iteration
+        # order IS the sorted order — the non-deterministic Project
+        # cannot be pushed below the Sort) yields the identical global
+        # rank with ZERO exchanges past the range one: guide §2.4,
+        # "remove shuffles outright". Running prefix columns still need
+        # the ordered window, so sum/max callers keep the ladder.
+        return _range_rank_fast(df, order_cols, rank_col, total_rows_col)
+    if not max_cols:
+        # sum-only callers: Arrow cumsum kernel, same exchange saving
+        return _range_sum_fast(
+            df, order_cols, sum_cols, rank_col, total_rows_col
+        )
     ordered = [F.col(c).asc() for c in order_cols]
     part = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])

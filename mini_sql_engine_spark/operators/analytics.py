@@ -2244,29 +2244,31 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest (`percentile_approx`) instead of exact percentile; the
     assignment side is unchanged.
     """
-    li = (
-        ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
-        .select(
-            F.floor(F.col("l_extendedprice") * 100 + 0.5)
-            .cast("long")
-            .alias("pc")
-        )
-        .localCheckpoint()  # consumed by bounds AND assignment: decode once
+    li = ensure_min_partitions(load_table(spark, sf_dir, "lineitem")).select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("pc")
     )
     # Boundaries WITHOUT the percentile aggregate: Spark's exact
     # percentile buffers the whole column into one reducer (~10×
-    # slower here and memory-bound at scale). Instead: value-
-    # distribution rollup (map-side combined), cumulative counts over
-    # the DISTINCT values, then an 18-row rank lookup. Rank math is
-    # exact integer rational — lo_rank = (n−1)·i div B,
+    # slower here and memory-bound at scale). Round 10: the previous
+    # form aggregated the 583k DISTINCT prices and ran the cumulative
+    # ladder over them — but only 18 ORDER STATISTICS are consumed, so
+    # rank the rows directly through range_prefix's rank-only fast
+    # path (one range exchange, no distinct aggregation, no prefix
+    # sums) and pick the rows whose global rank IS a boundary rank.
+    # The value at a given rank is independent of how ties in pc are
+    # ordered, so a monotonically_increasing_id tiebreak (unique per
+    # materialization — the ladder checkpoints internally) satisfies
+    # the unique-order contract without affecting the output. Rank
+    # math is exact integer rational — lo_rank = (n−1)·i div B,
     # frac = ((n−1)·i mod B)/B — so both engines pick identical order
     # statistics (float (n−1)·q at a divisibility boundary does not).
-    cells = li.groupBy("pc").agg(F.count(F.lit(1)).alias("c"))
-    dist = range_prefix(cells, ["pc"], sum_cols=("c",)).select(
-        "pc",
-        (F.col("cum_c") - F.col("c")).alias("cum_prev"),
-        F.col("cum_c").alias("cum"),
-    )
+    ranked = range_prefix(
+        li.withColumn("_rid", F.monotonically_increasing_id()),
+        ["pc", "_rid"],
+        total_rows_col="_n",
+    ).select("pc", "rnk")
     n = li.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
         spark.range(1, EQD_BUCKETS)
@@ -2289,18 +2291,14 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lo = (
-        dist.join(
-            F.broadcast(ranks),
-            (F.col("cum_prev") <= F.col("lo_r"))
-            & (F.col("lo_r") < F.col("cum")),
+        ranked.join(
+            F.broadcast(ranks), F.col("rnk") == F.col("lo_r") + 1
         )
         .select("i", "frac", F.col("pc").alias("v_lo"))
     )
     hi = (
-        dist.join(
-            F.broadcast(ranks),
-            (F.col("cum_prev") <= F.col("hi_r"))
-            & (F.col("hi_r") < F.col("cum")),
+        ranked.join(
+            F.broadcast(ranks), F.col("rnk") == F.col("hi_r") + 1
         )
         .select(F.col("i").alias("i2"), F.col("pc").alias("v_hi"))
     )
