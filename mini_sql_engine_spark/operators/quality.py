@@ -923,13 +923,26 @@ def pipeline_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = dup_spans(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
-    # s1 feeds the funnel count AND the perplexity join; without the
-    # checkpoint the gate + dup-span subtree re-runs once per branch
-    s1 = gated.join(dups, "doc_id", "left_anti").localCheckpoint(eager=False)
-    nll = bigram_perplexity(spark, sf_dir).select("doc_id", "nll_micro")
-    s1n = s1.join(nll, "doc_id").localCheckpoint(
-        eager=False  # feeds the median agg and the filter
+    nll = bigram_perplexity(spark, sf_dir).select(
+        "doc_id", "nll_micro", F.lit(1).alias("_ppl")
     )
+    # ONE shared checkpoint for every downstream branch (funnel counts,
+    # median, quota). Round 10: this was TWO chained lazy checkpoints
+    # (s1, then s1 ⋈ nll) — but a lazy localCheckpoint's toRdd still
+    # executes all upstream stages under AQE, so the chain SERIALIZED
+    # the two independent heavy subtrees (dup-span mining, bigram LM).
+    # The nll join is LEFT + inner-marker filter so the single
+    # checkpoint carries both s1 (all rows) and s1⋈nll (rows with
+    # _ppl) — identical row sets, and Spark now schedules the dup-span
+    # and LM stages concurrently inside one job (guide §2: fewer,
+    # wider jobs).
+    s1all = (
+        gated.join(dups, "doc_id", "left_anti")
+        .join(nll, "doc_id", "left")
+        .localCheckpoint(eager=False)
+    )
+    s1 = s1all.drop("nll_micro", "_ppl")
+    s1n = s1all.filter(F.col("_ppl").isNotNull()).drop("_ppl")
     med = s1n.agg(F.expr("percentile(nll_micro, 0.5)").alias("m"))
     s2 = s1n.crossJoin(F.broadcast(med)).filter(
         F.col("nll_micro") <= F.col("m")
