@@ -62,11 +62,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SF_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {', '.join(SF_TABLES)}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_event_ts(df)
+    # Round 10: memoize the SCAN PLAN per (session, table, content
+    # fingerprint). `spark.read.parquet` costs ~0.12 s per call warm
+    # (driver-side file listing + footer schema read), and the suite
+    # calls it 1–3× per query — a pure per-query fixed cost at any
+    # scale (guide §1: measure first — this was ~15% of the whole
+    # bench). The memo returns the same immutable DataFrame object:
+    # no data or results are cached (every action still scans the
+    # parquet); the content_token key (size+mtime) invalidates the
+    # entry if the fixture file is regenerated in place.
+    key = (id(spark), name, content_token(sf_dir, name))
+    df = _SCAN_MEMO.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = normalize_event_ts(df)
+        _SCAN_MEMO[key] = df
     return df
+
+
+# (session id, table, content token) -> scan DataFrame. Bounded: ten
+# tables x the handful of sf_dirs a session touches.
+_SCAN_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -93,9 +111,17 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    # Round 10: the split-count probe (`df.rdd.getNumPartitions()`)
+    # physically plans the scan — ~0.05 s per call warm. With
+    # load_table memoized the SAME DataFrame object flows through
+    # here once per query, so pin the decision on the object itself
+    # (lifetime-tied: the note dies with the DataFrame).
+    cached = getattr(df, "_msql_min_parts", None)
+    if cached is not None and cached[0] == n:
+        return cached[1]
+    out = df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    df._msql_min_parts = (n, out)
+    return out
 
 
 def register_sf_tables(

@@ -552,29 +552,45 @@ def unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
     vocab = _uni_vocab(inst)
     words_d = inst.select("word").distinct()
-    edges = None
-    for L in range(1, UNI_MAXP + 1):
-        cand = words_d.filter(F.length("word") >= L).select(
-            "word",
-            F.explode(
-                F.sequence(F.lit(0), F.length("word") - L)
-            ).alias("j"),
-            F.lit(L).alias("L"),
-        )
-        cand = cand.join(
-            F.broadcast(vocab),
-            F.col("word").substr(F.col("j") + 1, F.lit(L))
-            == F.col("piece"),
-        ).select("word", "j", "L", (F.col("score") * 64 - 1).alias("w"))
-        edges = cand if edges is None else edges.unionByName(cand)
+    # Round 10: ONE candidate-span explode + ONE vocab join (was a
+    # 4-branch union, one per piece length — 4 probe passes over the
+    # word types and 4 copies of the distinct subtree in the plan).
+    # sequence(1, least(MAXP, len)) never goes descending, so the
+    # spans are exactly the old per-L branches' union.
+    spans = words_d.select(
+        "word",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(UNI_MAXP), F.length("word")),
+                    ),
+                    lambda L: F.transform(
+                        F.sequence(F.lit(0), F.length("word") - L),
+                        lambda j: F.struct(j.alias("j"), L.alias("L")),
+                    ),
+                )
+            )
+        ).alias("s"),
+    ).select("word", F.col("s.j").alias("j"), F.col("s.L").alias("L"))
+    edges = spans.join(
+        F.broadcast(vocab),
+        F.expr("substr(word, j + 1, L)") == F.col("piece"),
+    ).select("word", "j", "L", (F.col("score") * 64 - 1).alias("w"))
     lattice = edges.groupBy("word").agg(
         F.collect_list(F.struct("j", "L", "w")).alias("edges")
     )
     stats = lattice.mapInPandas(
         _uni_dp_batches, "word string, s_sum long, n_pieces long"
     )
+    # stats is TYPE-sized (bounded by the <=UNI_MAXW-char vocabulary),
+    # so broadcast it: the corpus-sized instance table never shuffles
+    # on word, only the map-side-combined per-doc agg moves (guide
+    # §3.1; at corpora where the type table outgrows the broadcast
+    # limit this reverts to the natural shuffled word join).
     return (
-        inst.join(stats, "word")
+        inst.join(F.broadcast(stats), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -436,6 +436,17 @@ def rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     out: DataFrame | None = None
+    # Round 10: no per-layout checkpoint and no per-column fan-out.
+    # The old shape lazily checkpointed each layout's 1-row aggregate
+    # (so each column row wouldn't re-run the sort) — but a lazy
+    # checkpoint's toRdd executes eagerly, SERIALIZING the two
+    # layouts' range-lag passes. Instead each layout's aggregate is
+    # unpivoted to its per-column rows with ONE in-plan stack() (the
+    # aggregate subtree appears once per layout, not once per column)
+    # and the layouts union into a single plan, so both range-lag
+    # passes schedule concurrently in one job (guide §2: fewer, wider
+    # jobs).
+    stack_args = ", ".join(f"'{c}', runs_{c}" for c in RLE_COLS)
     for layout, keys in RLE_LAYOUTS:
         lagged = range_lag(orders, keys, tuple(RLE_COLS))
         flagged = lagged.select(
@@ -449,24 +460,27 @@ def rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in RLE_COLS
             ]
         )
-        # one window pass per layout: the 1-row aggregate feeds one
-        # output row per measured column — checkpoint it or each row
-        # re-runs the layout's sort
         agg = flagged.agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(f"chg_{c}").alias(f"runs_{c}") for c in RLE_COLS],
-        ).localCheckpoint(eager=False)
-        for c in RLE_COLS:
-            row = agg.select(
-                F.lit(layout).alias("layout"),
-                F.lit(c).alias("column"),
-                "n_rows",
-                F.col(f"runs_{c}").alias("n_runs"),
-                F.round(F.col("n_rows") / F.col(f"runs_{c}"), 4).alias(
-                    "avg_run_len"
-                ),
-            )
-            out = row if out is None else out.unionByName(row)
+        )
+        rows = agg.select(
+            F.lit(layout).alias("layout"),
+            F.col("n_rows"),
+            F.expr(
+                f"stack({len(RLE_COLS)}, {stack_args})"
+                " as (column, n_runs)"
+            ),
+        ).select(
+            "layout",
+            "column",
+            "n_rows",
+            "n_runs",
+            F.round(F.col("n_rows") / F.col("n_runs"), 4).alias(
+                "avg_run_len"
+            ),
+        )
+        out = rows if out is None else out.unionByName(rows)
     assert out is not None
     return out
 

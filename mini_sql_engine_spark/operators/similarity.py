@@ -279,6 +279,52 @@ def _q4(c: Column) -> Column:
     return F.floor(F.round(c, 4) * MMR_Q + 0.5).cast("long")
 
 
+def _mmr_rerank_kernel(pool_pdf, sims_pdf):
+    """Greedy λ-MMR per query over the bounded (pool, pairwise-sims)
+    tables — integer arithmetic only, replicating the unrolled
+    join/window formulation pick-for-pick: step 1 maximizes
+    (r, -n_id); step t maximizes (r·λnum − divnum·max_{b∈sel} s,
+    -n_id) over unselected candidates having a sims row to a selected
+    doc (the inner join would drop the others)."""
+    import pandas as pd
+
+    pool = [
+        (int(r.n_id), int(r.r)) for r in pool_pdf.itertuples(index=False)
+    ]
+    smap = {
+        (int(r.a_id), int(r.b_id)): int(r.s)
+        for r in sims_pdf.itertuples(index=False)
+    }
+    rows: list[tuple] = []
+    sel_ids: list[int] = []
+    if pool:
+        qid = int(pool_pdf["q_id"].iloc[0])
+        nid, rel = max(pool, key=lambda p: (p[1], -p[0]))
+        rows.append((qid, 1, nid, rel, rel * MMR_LAMBDA_NUM))
+        sel_ids.append(nid)
+        for t in range(2, MMR_K + 1):
+            scored = [
+                (rel * MMR_LAMBDA_NUM - MMR_DIV_NUM * max(sims), nid, rel)
+                for nid, rel in pool
+                if nid not in sel_ids
+                and (
+                    sims := [
+                        smap[(nid, b)]
+                        for b in sel_ids
+                        if (nid, b) in smap
+                    ]
+                )
+            ]
+            if not scored:
+                break
+            score, nid, rel = max(scored, key=lambda c: (c[0], -c[1]))
+            rows.append((qid, t, nid, rel, score))
+            sel_ids.append(nid)
+    return pd.DataFrame(
+        rows, columns=["q_id", "step", "n_id", "r", "score"]
+    )
+
+
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k (Carbonell &
     Goldstein 1998): greedily pick MMR_K of the MMR_POOL most-relevant
@@ -289,13 +335,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution: the DISTRIBUTED stage is candidate generation — the
     same broadcast-query scoring scan as brute_force_topk, window
-    top-MMR_POOL per query. The greedy loop then runs as MMR_K
-    unrolled DataFrame steps over (queries × MMR_POOL) rows — a
-    constant-size table, so the unrolled joins are driver-planned but
-    executor-evaluated, never a collect. Scores quantize to integers
-    (1e-4 steps) before any comparison, making the argmax sequence
-    exactly reproducible; ties break on candidate id. The oracle
-    unrolls the identical greedy steps as chained CTEs.
+    top-MMR_POOL per query. The greedy selection then runs as ONE
+    Arrow cogroup kernel per query over the (pool, pairwise-sims)
+    tables — both constant-size (≤ POOL / POOL² rows) by
+    construction — because greedy MMR is inherently sequential in the
+    picks; the former MMR_K-step unrolled join+window loop paid a
+    driver-synchronized multi-stage job per pick (never a collect,
+    but fixed cost at any scale). Scores quantize to integers
+    (1e-4 steps) BEFORE the kernel, so Python arithmetic is
+    integer-only and the argmax sequence exactly reproducible; ties
+    break on candidate id. The oracle unrolls the identical greedy
+    steps as chained CTEs.
 
     100 TB: pool generation is the cost (swap the brute-force scan
     for the ANN path when the corpus outgrows it); the rerank itself
@@ -338,55 +388,30 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q4(vector.dot(F.col("ae"), F.col("be"))).alias("s"),
         )
         .coalesce(1)
-    ).localCheckpoint(eager=False)
+        # cheap (derives from the checkpointed pool) — and severs the
+        # shared-attribute lineage the cogroup below would reject as
+        # an ambiguous self-join
+        .localCheckpoint(eager=False)
+    )
     cand = cand.drop("ne")
 
-    w1 = Window.partitionBy("q_id").orderBy(F.col("r").desc(), F.col("n_id"))
+    # Round 10: the greedy selection runs as ONE Arrow cogroup kernel
+    # per query (the `pipeline_hybrid_retrieval` shape) instead of
+    # MMR_K−1 unrolled join+window steps each behind a lazy
+    # localCheckpoint — a lazy checkpoint's toRdd executes eagerly, so
+    # the old loop paid a driver-synchronized multi-stage job PER PICK
+    # (fixed cost at any scale; the per-step tables are q×POOL ≤ 75
+    # rows). Pool and sims stay bounded by construction and all kernel
+    # arithmetic is the same quantized-integer sequence, so the pick
+    # trajectory is bit-identical (oracle-checked).
     sel = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "q_id",
-            F.lit(1).cast("long").alias("step"),
-            "n_id",
-            "r",
-            (F.col("r") * MMR_LAMBDA_NUM).alias("score"),
+        cand.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(
+            _mmr_rerank_kernel,
+            "q_id long, step long, n_id long, r long, score long",
         )
     )
-    for t in range(2, MMR_K + 1):
-        max_s = (
-            sims.join(
-                F.broadcast(sel.select("q_id", F.col("n_id").alias("b_id"))),
-                ["q_id", "b_id"],
-            )
-            .groupBy("q_id", "a_id")
-            .agg(F.max("s").alias("max_s"))
-        )
-        rem = cand.join(
-            F.broadcast(sel.select("q_id", "n_id")), ["q_id", "n_id"], "left_anti"
-        )
-        step_scored = rem.join(
-            F.broadcast(max_s.withColumnRenamed("a_id", "n_id")),
-            ["q_id", "n_id"],
-        ).withColumn(
-            "score",
-            F.col("r") * MMR_LAMBDA_NUM - F.col("max_s") * MMR_DIV_NUM,
-        )
-        wt = Window.partitionBy("q_id").orderBy(
-            F.col("score").desc(), F.col("n_id")
-        )
-        pick = (
-            step_scored.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") == 1)
-            .select(
-                "q_id", F.lit(t).cast("long").alias("step"), "n_id", "r", "score"
-            )
-        )
-        # truncate lineage each step: without this the step-t plan
-        # nests all prior steps' joins (Catalyst re-optimizes a
-        # 5-deep self-referencing tree — measured 5.2 s at sf0.1;
-        # checkpointed ~1.5 s)
-        sel = sel.unionAll(pick).localCheckpoint(eager=False)
     return sel.select(
         "q_id",
         "step",
@@ -816,10 +841,10 @@ def facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): the (pool × corpus) similarity table is one
     broadcast-scoring scan (|pool| copies of each corpus row — the
     pool is the broadcast side); each greedy step is one join +
-    |pool|-row aggregate over it, with the coverage vector
-    (|corpus| rows) checkpointed per step. Costs FL_K corpus passes —
-    the published lazy-greedy/stochastic variants cut that when pools
-    grow.
+    |pool|-row aggregate over it, recomputing the coverage vector
+    in-plan from the selected set (nothing corpus-sized is ever
+    checkpointed). Costs FL_K corpus passes — the published
+    lazy-greedy/stochastic variants cut that when pools grow.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     pool = emb.filter(F.col("vec_id") < FL_POOL).select(
@@ -832,21 +857,41 @@ def facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c", "v", _q4(vector.dot(F.col("ce"), F.col("ve"))).alias("s"))
         .localCheckpoint(eager=False)
     )
-    cur = corpus.select("v", F.lit(0).cast("long").alias("cur")).localCheckpoint(
-        eager=False
-    )
+    # Round 10: no per-step corpus-sized coverage checkpoint. The
+    # coverage vector after picking S is cur(v) = max(0, max_{c∈S}
+    # s(c, v)) — recomputable per step from the ONE checkpointed sims
+    # table and the (≤ FL_K-row) selected set, inside the same job as
+    # the gain aggregate. The old chain lazily checkpointed cur every
+    # step, and a lazy checkpoint's toRdd executes eagerly — FL_K
+    # serialized corpus-wide materialization jobs of pure fixed cost.
+    # Each step still pays its corpus pass (the published greedy
+    # shape); only the per-step argmax rows are checkpointed (1 row).
     selected: DataFrame | None = None
     for t in range(1, FL_K + 1):
-        g = sims.join(cur, "v").groupBy("c").agg(
-            F.sum(F.greatest(F.col("s") - F.col("cur"), F.lit(0))).alias(
-                "gain"
+        if selected is None:
+            g = sims.groupBy("c").agg(
+                F.sum(F.greatest(F.col("s"), F.lit(0))).alias("gain")
             )
-        )
-        if selected is not None:
-            g = g.join(
-                F.broadcast(selected.select(F.col("vec_id").alias("c"))),
-                "c",
-                "left_anti",
+        else:
+            sel_c = selected.select(F.col("vec_id").alias("c"))
+            cur = (
+                sims.join(F.broadcast(sel_c), "c")
+                .groupBy("v")
+                .agg(
+                    F.greatest(F.max("s"), F.lit(0).cast("long")).alias(
+                        "cur"
+                    )
+                )
+            )
+            g = (
+                sims.join(cur, "v")
+                .groupBy("c")
+                .agg(
+                    F.sum(
+                        F.greatest(F.col("s") - F.col("cur"), F.lit(0))
+                    ).alias("gain")
+                )
+                .join(F.broadcast(sel_c), "c", "left_anti")
             )
         best = (
             g.withColumn(
@@ -863,19 +908,6 @@ def facility_location_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gain",
             )
         ).localCheckpoint(eager=False)
-        upd = sims.join(
-            F.broadcast(best.select(F.col("vec_id").alias("c"))), "c"
-        ).select("v", "s")
-        cur = (
-            cur.join(upd, "v", "left")
-            .select(
-                "v",
-                F.greatest(
-                    F.col("cur"), F.coalesce(F.col("s"), F.lit(0))
-                ).alias("cur"),
-            )
-            .localCheckpoint(eager=False)
-        )
         selected = best if selected is None else selected.unionAll(best)
     assert selected is not None
     return selected.select(

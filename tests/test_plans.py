@@ -543,15 +543,16 @@ def test_compaction_plan_never_touches_data_rows(spark, sf_dir):
     assert "l_quantity" not in plan, plan
     # positive column-pruning pin: every materialized-RDD scan must
     # carry EXACTLY the thin stats columns (zone key, zone row count,
-    # range-partition id) — if checkpoint-time pruning regressed, extra
-    # lineitem columns would ride the RDD and show up here
+    # raw monotonic id — decoded to a partition id post-checkpoint) —
+    # if checkpoint-time pruning regressed, extra lineitem columns
+    # would ride the RDD and show up here
     import re
 
     scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
     assert scans, plan
     for cols in scans:
         names = {c.split("#")[0].strip() for c in cols.split(",")}
-        assert names == {"zone", "n_rows", "_pid"}, (names, plan)
+        assert names == {"zone", "n_rows", "_mid"}, (names, plan)
 
 
 def test_zorder_beats_linear_sort_on_secondary_dim(spark, sf_dir):
