@@ -349,7 +349,21 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingled(spark, sf_dir)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
+    # Round 10 (guide §2.3): signatures only exist for docs that occur
+    # in a true pair — restrict FIRST, so the K-hash-per-shingle
+    # signature expression runs over the pair members (a small
+    # fraction of the corpus), and checkpoint so the a/b self-join
+    # sides don't each recompute it.
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sig = (
+        sh.join(F.broadcast(members), "doc_id", "left_semi")
+        .withColumn("sig", minhash_signature(F.col("sh"), MINHASH_K))
+        .localCheckpoint(eager=False)
+    )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

@@ -87,6 +87,9 @@ def _merge_round(t: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.sum("freq").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "sym1", "sym2")
         .limit(1)
+        # 1-row lazy checkpoint: the argmax subtree otherwise runs
+        # twice (merge input + the output row)
+        .localCheckpoint(eager=False)
     )
     return best, _greedy_apply(t2, best)
 
@@ -96,33 +99,41 @@ def _greedy_apply(t2: DataFrame, best: DataFrame) -> DataFrame:
     in the lead-annotated table ``t2``; positions renumbered. Shared
     by the BPE (count argmax) and WordPiece (likelihood argmax)
     trainers — the merge mechanics are scorer-independent."""
+    # Round 10 (guide §2.4): the whole leftmost-greedy merge is ONE
+    # window-pass chain over t2 — no matches/kept side tables, no
+    # joins back. Every window partitions by word (the (word, island)
+    # head-min only re-sorts, never re-exchanges: hashing by word
+    # already clusters it), so the round costs a single exchange.
+    # Equivalence to the old join formulation:
+    #   - rank-among-matches = running count of matches (positions are
+    #     the consecutive 1..n of the per-round renumber), so
+    #     island = pos − cum_matches matches the old filtered
+    #     row_number; unmatched rows can collide with a run's island,
+    #     hence the conditional min for the run head.
+    #   - a row is dropped iff the PREVIOUS position merged, i.e.
+    #     lag(is_merge) — again because positions are consecutive.
     w = Window.partitionBy("word").orderBy("pos")
-    matches = t2.join(
-        F.broadcast(best),
-        (t2["sym"] == best["sym1"]) & (t2["s2"] == best["sym2"]),
-    ).select("word", "pos")
-    # leftmost-greedy: in a run of consecutive match positions only the
-    # even offsets from the run head actually merge
-    wm = Window.partitionBy("word").orderBy("pos")
-    isl = matches.withColumn(
-        "island", F.col("pos") - F.row_number().over(wm)
-    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wi = Window.partitionBy("word", "island")
-    kept = (
-        isl.withColumn("head", F.min("pos").over(wi))
-        .filter((F.col("pos") - F.col("head")) % 2 == 0)
-        .select("word", "pos")
+    ann = (
+        t2.crossJoin(F.broadcast(best.select("sym1", "sym2")))
+        .withColumn(
+            "m", (F.col("sym") == F.col("sym1")) & (F.col("s2") == F.col("sym2"))
+        )
+        .withColumn(
+            "island",
+            F.col("pos") - F.sum(F.col("m").cast("int")).over(wcum),
+        )
+    )
+    ann = ann.withColumn(
+        "head", F.min(F.when(F.col("m"), F.col("pos"))).over(wi)
+    ).withColumn(
+        "is_merge",
+        F.col("m") & ((F.col("pos") - F.col("head")) % 2 == 0),
     )
     merged = (
-        t2.join(kept.withColumn("is_merge", F.lit(True)), ["word", "pos"], "left")
-        .join(
-            kept.select(
-                "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("is_drop")
-            ),
-            ["word", "pos"],
-            "left",
-        )
-        .filter(F.col("is_drop").isNull())
+        ann.withColumn("is_drop", F.lag("is_merge").over(w))
+        .filter(~F.coalesce(F.col("is_drop"), F.lit(False)))
         .select(
             "word",
             "freq",
@@ -234,6 +245,8 @@ def _wp_round(t: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .orderBy(F.desc("score_scaled"), "sym1", "sym2")
         .limit(1)
+        # 1-row lazy checkpoint, same reason as _merge_round
+        .localCheckpoint(eager=False)
     )
     return best, _greedy_apply(t2, best)
 

@@ -1014,14 +1014,20 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     ).localCheckpoint(eager=False)
-    s2 = s1.join(s2_drop, "doc_id", "left_anti").localCheckpoint(eager=False)
+    # Round 10: s2 and s3_drop are NOT checkpointed — each lazy
+    # checkpoint executes eagerly (toRdd), so the old 5-deep chain paid
+    # five serialized driver-synchronized jobs. s2 is a cheap anti-join
+    # of two already-materialized id sets (evaluated twice inline) and
+    # s3_drop has one consumer (the counts row), so only the genuinely
+    # multi-consumer tables (s1, s2_drop, counts) materialize: 3 jobs.
+    s2 = s1.join(s2_drop, "doc_id", "left_anti")
     ep = embedding_dedup(spark, sf_dir).select("vec_a", "vec_b")
     s3_drop = (
         ep.join(s2.withColumnRenamed("doc_id", "vec_a"), "vec_a", "left_semi")
         .join(s2.withColumnRenamed("doc_id", "vec_b"), "vec_b", "left_semi")
         .select(F.col("vec_b").alias("doc_id"))
         .distinct()
-    ).localCheckpoint(eager=False)
+    )
     counts = (
         docs.agg(F.count(F.lit(1)).alias("n0"))
         .crossJoin(F.broadcast(s1_drop.agg(F.count(F.lit(1)).alias("d1"))))
@@ -1263,13 +1269,18 @@ def cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mins = nbrs.groupBy("c").agg(F.min("n").alias("mn"))
         m = F.least(F.col("mn"), F.col("c"))
+        # Round 10: no eager checkpoint between the two half-rounds —
+        # the small-star consumes the large-star subtree twice, but the
+        # two references share identical subplans (ReusedExchange), so
+        # one checkpoint per FULL round halves the driver-synchronized
+        # materializations (guide §1.3 fixed cost; the per-round edge
+        # table is candidate-pair-sized either way).
         e = (
             nbrs.join(mins, "c")
             .filter(F.col("n") > F.col("c"))
             .select(F.col("n").alias("hi"), m.alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
         )
         # small-star: center c sees its ≤-neighbors; that closed set
         # (center included) rewires to its minimum

@@ -163,6 +163,24 @@ def decode_real(payload: bytes, media_type: str):
     return _codec_decode(module, payload, media_type)
 
 
+def _fuse(synth, decode):
+    """Compose two mapInPandas generator bodies into ONE Python stage.
+
+    Round 10 (guide §4): the decoders used to chain
+    mapInPandas(synth) → mapInPandas(decode), which plans two Python
+    runners — every synthesized payload crossed Arrow back to the JVM
+    just to re-enter Python. Composing the generators keeps both
+    functions intact (the decode still parses real container bytes)
+    while the payload never leaves the worker: one MapInPandas node,
+    half the Arrow traffic (plan-pinned by
+    test_container_decode_is_shuffle_free_arrow_map)."""
+
+    def fused(batches):
+        return decode(synth(batches))
+
+    return fused
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: fake-decode each payload to byte 'pixels'."""
     import numpy as np
@@ -441,7 +459,13 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_payload(load_table(spark, sf_dir, "documents")).filter(
         F.length("payload") >= F.col("meta.width")  # ≥ 1 full raster row
     ).select("doc_id", "payload", F.col("meta.width").alias("w"))
-    sig = mm.mapInPandas(_phash_batches, schema=_PHASH_SCHEMA)
+    # Round 10: the banded self-join consumes sig on BOTH sides — without
+    # a checkpoint the raster synth + Python dHash ran twice (guide §4:
+    # the Python boundary is the expensive part). sig is 5 thin columns
+    # per doc, far smaller than the rasters it digests.
+    sig = mm.mapInPandas(_phash_batches, schema=_PHASH_SCHEMA).localCheckpoint(
+        eager=False
+    )
     banded = sig.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.explode(
@@ -621,10 +645,9 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize valid PCM16 WAV containers, then REALLY decode them
     (stdlib `wave`) — per-doc sample-rate/amplitude statistics."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    wavs = docs.mapInPandas(
-        _wav_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_wav_synth_batches, _wav_decode_batches), schema=WAV_SCHEMA
     )
-    return wavs.mapInPandas(_wav_decode_batches, schema=WAV_SCHEMA)
 
 
 def _bmp_bytes(doc_id: int) -> bytes:
@@ -699,10 +722,9 @@ def bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (struct header parse, padding/bottom-up/BGR handling) — per-doc
     channel sums."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    bmps = docs.mapInPandas(
-        _bmp_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_bmp_synth_batches, _bmp_decode_batches), schema=BMP_SCHEMA
     )
-    return bmps.mapInPandas(_bmp_decode_batches, schema=BMP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -894,10 +916,9 @@ def png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row), then REALLY decode them — CRC-checked chunk walk, zlib
     inflate, 5-filter scanline reconstruction — per-doc channel sums."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pngs = docs.mapInPandas(
-        _png_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_png_synth_batches, _png_decode_batches), schema=PNG_SCHEMA
     )
-    return pngs.mapInPandas(_png_decode_batches, schema=PNG_SCHEMA)
 
 
 QUERIES["ext_mm_wav_decode"] = wav_decode
@@ -1169,10 +1190,9 @@ def gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them — header/palette parse, sub-block reassembly,
     variable-width LZW decompression — per-doc channel sums."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    gifs = docs.mapInPandas(
-        _gif_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_gif_synth_batches, _gif_decode_batches), schema=GIF_SCHEMA
     )
-    return gifs.mapInPandas(_gif_decode_batches, schema=GIF_SCHEMA)
 
 
 QUERIES["ext_mm_gif_decode"] = gif_decode
@@ -1602,10 +1622,9 @@ def jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them — Huffman entropy decode, dequant, IDCT — reporting
     entropy-exact coefficient stats and pixel-exact flat-block sums."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    jpgs = docs.mapInPandas(
-        _jpeg_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_jpeg_synth_batches, _jpeg_decode_batches), schema=JPEG_SCHEMA
     )
-    return jpgs.mapInPandas(_jpeg_decode_batches, schema=JPEG_SCHEMA)
 
 
 QUERIES["ext_mm_jpeg_decode"] = jpeg_decode
@@ -1807,10 +1826,9 @@ def tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode them (IFD walk, offset resolution, strip reassembly) —
     per-doc channel sums. See the section comment above."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    tiffs = docs.mapInPandas(
-        _tiff_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_tiff_synth_batches, _tiff_decode_batches), schema=TIFF_SCHEMA
     )
-    return tiffs.mapInPandas(_tiff_decode_batches, schema=TIFF_SCHEMA)
 
 
 QUERIES["ext_mm_tiff_decode"] = tiff_decode
@@ -1983,10 +2001,9 @@ def mp3_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     column read via `binaryFile`/`format("minisql")`; the walk is
     O(n_frames) per file with constant memory."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    mp3s = docs.mapInPandas(
-        _mp3_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_mp3_synth_batches, _mp3_scan_batches), schema=MP3_SCHEMA
     )
-    return mp3s.mapInPandas(_mp3_scan_batches, schema=MP3_SCHEMA)
 
 
 QUERIES["ext_mm_mp3_header_scan"] = mp3_header_scan
@@ -2175,10 +2192,9 @@ def mp4_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     few KB of each object (moov-at-front layouts) so the scan cost is
     per-FILE, not per-byte."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    mp4s = docs.mapInPandas(
-        _mp4_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_mp4_synth_batches, _mp4_scan_batches), schema=MP4_SCHEMA
     )
-    return mp4s.mapInPandas(_mp4_scan_batches, schema=MP4_SCHEMA)
 
 
 QUERIES["ext_mm_mp4_box_scan"] = mp4_box_scan
@@ -2310,10 +2326,9 @@ def gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    gz = docs.mapInPandas(
-        _gzip_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_gzip_synth_batches, _gzip_decode_batches), schema=GZIP_SCHEMA
     )
-    return gz.mapInPandas(_gzip_decode_batches, schema=GZIP_SCHEMA)
 
 
 QUERIES["ext_mm_gzip_decode"] = gzip_decode
@@ -2474,10 +2489,9 @@ def zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     to plan member extraction, so listing cost is per-ARCHIVE while
     extraction parallelizes per member."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    zips = docs.mapInPandas(
-        _zip_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_zip_synth_batches, _zip_scan_batches), schema=ZIP_SCHEMA
     )
-    return zips.mapInPandas(_zip_scan_batches, schema=ZIP_SCHEMA)
 
 
 QUERIES["ext_mm_zip_scan"] = zip_scan
@@ -2654,10 +2668,9 @@ def zstd_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    z = docs.mapInPandas(
-        _zstd_synth_batches, schema="doc_id long, payload binary"
+    return docs.mapInPandas(
+        _fuse(_zstd_synth_batches, _zstd_decode_batches), schema=ZSTD_SCHEMA
     )
-    return z.mapInPandas(_zstd_decode_batches, schema=ZSTD_SCHEMA)
 
 
 QUERIES["ext_mm_zstd_decode"] = zstd_frame_decode

@@ -144,8 +144,12 @@ def next_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_cnt = pairs.groupBy("ctx", "nxt").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
-    ctx_cnt = pairs.groupBy("ctx").agg(F.count(F.lit(1)).alias("ctx_total"))
+        # bigram-type-sized; feeds both the context rollup and the
+        # scored join — one corpus explode instead of two (round 10)
+    ).localCheckpoint(eager=False)
+    # ctx_total = Σ_nxt cnt by definition — roll up the type table,
+    # never the corpus again
+    ctx_cnt = pair_cnt.groupBy("ctx").agg(F.sum("cnt").alias("ctx_total"))
     top_ctx = (
         ctx_cnt.orderBy(F.col("ctx_total").desc(), "ctx")
         .limit(CTX_N)
@@ -238,7 +242,10 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("w"),
-    )
+        # vocab-sized; consumed by ranges, tot and (via tot) every
+        # crossJoin below — without this the corpus tokenize+agg
+        # subtree re-ran ~5x (round 10, guide §2.4)
+    ).localCheckpoint(eager=False)
     # vocab-scaled cumulative ranges via range_prefix — no
     # single-partition window over the type table
     ranges = range_prefix(weighted, ["t"], sum_cols=("w",)).select(
@@ -271,15 +278,50 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h")
         )
     )
+    # Round 10 (guide §3.3): the pure range condition planned a
+    # broadcast NESTED-LOOP join — every draw scanned the whole vocab
+    # range table (O(draws × vocab) comparisons, the query's entire
+    # cost). Bucketizing makes it a broadcast HASH join: each range
+    # explodes into the fixed-width buckets it overlaps (S = ceil of
+    # tw/2^16, so the expansion is ~vocab + 2^16 rows and each draw's
+    # bucket holds ~avg-width/S ≈ O(1) candidate ranges), the join is
+    # bucket-equality, and the original lo ≤ h < hi re-checks as the
+    # residual — same matches exactly (ranges partition [0, tw), w ≥
+    # NEG_RES > 0 keeps every bucket sequence ascending).
+    _NB = 1 << 16
+    bucketed = (
+        ranges.crossJoin(F.broadcast(tot))
+        .withColumn("_s", F.expr(f"(tw + {_NB} - 1) div {_NB}"))
+        .select(
+            "t",
+            "w",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr("lo div _s"), F.expr("(hi - 1) div _s")
+                )
+            ).alias("bkt"),
+        )
+    )
+    draws_b = draws.crossJoin(F.broadcast(tot)).select(
+        "h", F.expr(f"h div ((tw + {_NB} - 1) div {_NB})").alias("dbkt")
+    )
     drawn = (
-        draws.join(
-            F.broadcast(ranges),
-            (F.col("lo") <= F.col("h")) & (F.col("h") < F.col("hi")),
+        draws_b.join(
+            F.broadcast(bucketed),
+            (F.col("dbkt") == F.col("bkt"))
+            & (F.col("lo") <= F.col("h"))
+            & (F.col("h") < F.col("hi")),
         )
         .groupBy("t", "w")
         .agg(F.count(F.lit(1)).alias("n_drawn"))
     )
-    n_draws = draws.agg(F.count(F.lit(1)).alias("nd"))
+    drawn = drawn.localCheckpoint(eager=False)  # feeds output + nd
+    # every draw lands in EXACTLY one range (they partition [0, tw)),
+    # so the draw count is the sum of per-type counts — no second
+    # evaluation of the draws subtree
+    n_draws = drawn.agg(F.sum("n_drawn").alias("nd"))
     return (
         drawn.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(n_draws))
@@ -389,6 +431,12 @@ def _winnow_parts(
         .orderBy("pos")
         .rowsBetween(-(WINNOW_W - 1), 0)
     )
+    # Round 10: both sketch tables lazily checkpoint — winnowing_pairs
+    # consumes doc_hashes FOUR times (df count, both self-join sides,
+    # per-doc sketch size) and fingerprints twice; without the
+    # checkpoints each consumer re-ran the gram hash + window-min
+    # pipeline (guide §2.4). Both tables are winnowed-sketch-sized
+    # (~2/(W+1) of the gram stream), far below the corpus.
     fps = (
         keyed.select(
             "doc_id", "pos", F.min("key").over(w).alias("sel")
@@ -396,10 +444,15 @@ def _winnow_parts(
         .filter(F.col("pos") >= WINNOW_W - 1)
         .select("doc_id", "sel")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    doc_hashes = fps.select(
-        "doc_id", F.expr(f"sel div {1 << _POS_BITS}").alias("fp")
-    ).distinct()
+    doc_hashes = (
+        fps.select(
+            "doc_id", F.expr(f"sel div {1 << _POS_BITS}").alias("fp")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     return keyed, fps, doc_hashes
 
 

@@ -143,7 +143,11 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"mem_{uuid.uuid4().hex[:12]}"
     chk = os.path.join(tempfile.gettempdir(), f"chk_{name}")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # bounded micro-batches, statically planned — AQE only adds a
+    # per-exchange stage round-trip per batch (see stream_to_df)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         q = (
             tumbling_counts(events_stream(spark, sf_dir))
@@ -157,6 +161,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()  # AvailableNow self-terminates when drained
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return spark.table(name)
 
 

@@ -330,7 +330,16 @@ def stream_to_df(
     # partitions beat 32 stores' open/commit overhead; a production
     # long-lived stream would size this to key cardinality instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Round 10 (same rule as the merkle/band streams): every shuffle in
+    # these replays is bounded by the micro-batch and the state is
+    # 8-partition by construction, so AQE only adds a per-exchange
+    # stage-materialization round-trip PER BATCH — pure fixed cost.
+    # Restored in finally; production long-lived streams keep AQE off
+    # for streaming plans anyway (Spark ignores AQE in continuous
+    # stateful stages) — this pins the same behavior for the replay.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         q = (
             streaming_df.writeStream.format("memory")
@@ -345,6 +354,7 @@ def stream_to_df(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     out = spark.table(name)
     if dedupe_keys and order_col:
         from pyspark.sql import Window

@@ -873,13 +873,14 @@ def test_dup_weight_ops_ride_broadcasts(spark, sf_dir):
 
 def test_container_decode_is_shuffle_free_arrow_map(spark, sf_dir):
     """The PNG/GIF decode pipelines are pure fused maps: scan →
-    Arrow-batched synth → Arrow-batched decode, with NO exchange —
-    at 100 TB of media the decode adds zero shuffle, only a pipelined
-    Python stage."""
+    ONE Arrow-batched Python stage (synth composed with decode inside
+    the worker — the payload never crosses Arrow back to the JVM),
+    with NO exchange — at 100 TB of media the decode adds zero
+    shuffle, only a pipelined Python stage."""
     for name in ("ext_mm_png_decode", "ext_mm_gif_decode", "ext_mm_jpeg_decode"):
         plan = _plan(ALL_QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
-        assert plan.count("MapInPandas") == 2, (name, plan)
+        assert plan.count("MapInPandas") == 1, (name, plan)
 
 
 def test_literal_frames_are_jvm_local_relations(spark, sf_dir):
