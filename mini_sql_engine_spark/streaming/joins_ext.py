@@ -144,10 +144,17 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = os.path.join(tempfile.gettempdir(), f"chk_{name}")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     # bounded micro-batches, statically planned — AQE only adds a
     # per-exchange stage round-trip per batch (see stream_to_df)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # complete mode re-emits the full aggregate every batch, so the
+    # final no-data batch recomputes an identical table (stream_to_df
+    # docstring) — skip its full zero-row trigger
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             tumbling_counts(events_stream(spark, sf_dir))
@@ -162,6 +169,9 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table(name)
 
 

@@ -44,6 +44,13 @@ from mini_sql_engine_spark import oracle_shared
 from mini_sql_engine_spark.catalog import load_table, normalize_event_ts
 
 
+# (session id, table, content token) -> raw parquet schema. The footer
+# schema read costs ~0.1 s of driver time per call (same fixed cost the
+# batch catalog memoizes in _SCAN_MEMO); every stream entry re-derives
+# the identical schema, so memoize it keyed exactly like the scan memo.
+_STREAM_SCHEMA_MEMO: dict[tuple[int, str, str], object] = {}
+
+
 def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """File-source readStream over one testdata parquet table.
 
@@ -52,8 +59,14 @@ def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     a stable digest of (sf_dir, table) so every process maps the same
     source to the same staging dir (PYTHONHASHSEED makes hash()
     per-process)."""
+    from mini_sql_engine_spark.catalog import content_token
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    raw_schema = spark.read.parquet(src).schema
+    skey = (id(spark), table, content_token(sf_dir, table))
+    raw_schema = _STREAM_SCHEMA_MEMO.get(skey)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(src).schema
+        _STREAM_SCHEMA_MEMO[skey] = raw_schema
     digest = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"{table}_stream_{digest}")
     os.makedirs(stage, exist_ok=True)
@@ -275,7 +288,10 @@ def session_counts_dynamic(stream: DataFrame) -> DataFrame:
 
 def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(
-        spark, session_counts_dynamic(events_stream(spark, sf_dir)), "complete"
+        spark,
+        session_counts_dynamic(events_stream(spark, sf_dir)),
+        "complete",
+        final_nodata=False,  # complete mode: see stream_tumbling
     )
 
 
@@ -319,10 +335,24 @@ def stream_to_df(
     output_mode: str,
     dedupe_keys: list[str] | None = None,
     order_col: str | None = None,
+    final_nodata: bool = True,
 ) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     result table. In update mode with multiple batches, keep only the
-    last emission per key (`dedupe_keys` + monotonic `order_col`)."""
+    last emission per key (`dedupe_keys` + monotonic `order_col`).
+
+    ``final_nodata=False`` disables no-data micro-batches
+    (`spark.sql.streaming.noDataMicroBatches.enabled`) for this query.
+    The final no-data batch exists to advance the watermark and FLUSH
+    state whose emission waits on it — append-mode windowed aggregates
+    and outer-join null rows. A query whose every output row is emitted
+    in the batch that produced it (inner joins, complete-mode
+    aggregates that re-emit full state each batch, stateful operators
+    with NoTimeout, streaming dedup) gets nothing from that batch and
+    pays a full zero-row trigger for it — measured ~1.1 s per replay at
+    8 state partitions (state-store load/commit × partitions + plan +
+    task rounds, data-independent). Callers assert the semantic
+    property, the oracle sweep pins the results."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     chk = os.path.join(tempfile.gettempdir(), f"chk_{name}")
     # state-store count = shuffle partitions at query START (fixed for
@@ -331,6 +361,9 @@ def stream_to_df(
     # long-lived stream would size this to key cardinality instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     # Round 10 (same rule as the merkle/band streams): every shuffle in
     # these replays is bounded by the micro-batch and the state is
@@ -340,6 +373,10 @@ def stream_to_df(
     # for streaming plans anyway (Spark ignores AQE in continuous
     # stateful stages) — this pins the same behavior for the replay.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if not final_nodata:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     try:
         q = (
             streaming_df.writeStream.format("memory")
@@ -355,6 +392,9 @@ def stream_to_df(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     out = spark.table(name)
     if dedupe_keys and order_col:
         from pyspark.sql import Window
@@ -372,20 +412,33 @@ def stream_to_df(
 
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # complete mode re-emits full state every batch: the final
+    # no-data batch recomputes an identical table — skip it
     return stream_to_df(
-        spark, tumbling_counts(events_stream(spark, sf_dir)), "complete"
+        spark,
+        tumbling_counts(events_stream(spark, sf_dir)),
+        "complete",
+        final_nodata=False,
     )
 
 
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandasWithState with NoTimeout emits only on input rows;
+    # a no-data batch invokes no groups — skip it
     return stream_to_df(
-        spark, stateful_user_totals(events_stream(spark, sf_dir)), "update"
+        spark,
+        stateful_user_totals(events_stream(spark, sf_dir)),
+        "update",
+        final_nodata=False,
     )
 
 
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(
-        spark, session_counts(events_stream(spark, sf_dir)), "complete"
+        spark,
+        session_counts(events_stream(spark, sf_dir)),
+        "complete",
+        final_nodata=False,  # complete mode: see stream_tumbling
     )
 
 
@@ -394,12 +447,23 @@ def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    return stream_to_df(spark, click_purchase_join(clicks, purchases), "append")
+    # INNER join emits each match in the batch that completes it; the
+    # no-data batch only evicts state, emitting nothing — skip it
+    # (the outer joins in joins_ext.py NEED it: null rows flush there)
+    return stream_to_df(
+        spark,
+        click_purchase_join(clicks, purchases),
+        "append",
+        final_nodata=False,
+    )
 
 
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_to_df(
-        spark, sliding_counts(events_stream(spark, sf_dir)), "complete"
+        spark,
+        sliding_counts(events_stream(spark, sf_dir)),
+        "complete",
+        final_nodata=False,  # complete mode: see stream_tumbling
     )
 
 
@@ -431,7 +495,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
-    return stream_to_df(spark, enriched, "complete")
+    return stream_to_df(
+        spark, enriched, "complete", final_nodata=False
+    )  # complete mode: see stream_tumbling
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +512,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     use dropDuplicatesWithinWatermark to bound state by event time.
     """
     s = events_stream(spark, sf_dir).select("user_id", "event_type")
-    return stream_to_df(spark, s.dropDuplicates(["user_id", "event_type"]), "append")
+    # dropDuplicates emits each key on first sight, within its batch;
+    # the no-data batch emits nothing — skip it
+    return stream_to_df(
+        spark,
+        s.dropDuplicates(["user_id", "event_type"]),
+        "append",
+        final_nodata=False,
+    )
 
 
 def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +541,10 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         return stream_to_df(
-            spark, tws_user_totals(events_stream(spark, sf_dir)), "update"
+            spark,
+            tws_user_totals(events_stream(spark, sf_dir)),
+            "update",
+            final_nodata=False,  # NoTimeout: see stream_user_totals
         )
     finally:
         spark.conf.set(key, prev)
@@ -487,12 +563,16 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver checks it against the same oracle.
     """
     s = events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    # dropDuplicatesWithinWatermark also emits first-sight rows in
+    # their own batch (the watermark only bounds retained state) — the
+    # no-data batch merely evicts, emitting nothing; skip it
     return stream_to_df(
         spark,
         s.withWatermark("ts", "60 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type"),
         "append",
+        final_nodata=False,
     )
 
 
