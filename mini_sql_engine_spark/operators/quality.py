@@ -56,6 +56,32 @@ from mini_sql_engine_spark.operators.dedup import (
 )
 from mini_sql_engine_spark.operators.similarity import CENTROIDS
 
+# The centroid-assignment argmax shared by SemDeDup, cluster_sample and
+# knn_graph_ann, built ONCE as SQL text (SCALE.md round-10 rule 1: above
+# ~100 nodes, generate SQL). The Column-comprehension form cost ~1.2 s
+# of py4j PER CALL at any data scale (8 centroids × 64 F.lit doubles +
+# 16 lambda closures); one F.expr parse is a single round trip. The
+# `D`-suffixed literals parse to the same IEEE doubles F.lit produced
+# (repr round-trip), and the lambda bodies mirror functions.vector.dot
+# exactly — left-to-right aggregate over zip_with products — so the
+# scored structs are bit-identical (oracles re-verified at 3 SFs).
+_CENTROID_SCORED_SQL = (
+    "array("
+    + ", ".join(
+        "struct(-aggregate(zip_with(embedding, array("
+        + ", ".join(f"{v!r}D" for v in c)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        f"(acc, v) -> acc + v) AS neg_score, {i} AS cidx)"
+        for i, c in enumerate(CENTROIDS)
+    )
+    + ")"
+)
+
+
+def _centroid_scored() -> F.Column:
+    """Parsed (neg_score, cidx) struct array over the `embedding` col."""
+    return F.expr(_CENTROID_SCORED_SQL)
+
 # Gopher-style rule thresholds, tuned so each rule discriminates on the
 # synthetic fixture (words/doc spans 10–99, mean word length 3.69–5.08,
 # stopword ratio 0–0.33, distinct-token ratio 0.28–1.0).
@@ -279,16 +305,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot; see `_cell_pairs` for the oracle-exactness contract.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = F.array(
-        *[
-            F.struct(
-                (-vector.dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])))
-                .alias("neg_score"),
-                F.lit(i).alias("cidx"),
-            )
-            for i, c in enumerate(CENTROIDS)
-        ]
-    )
+    scored = _centroid_scored()  # one parsed expr, not 8x64 F.lit
     assigned = emb.select(
         "vec_id",
         "embedding",
@@ -817,16 +834,7 @@ def cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents → domains, vectors → cells).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = F.array(
-        *[
-            F.struct(
-                (-vector.dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])))
-                .alias("neg_score"),
-                F.lit(i).alias("cidx"),
-            )
-            for i, c in enumerate(CENTROIDS)
-        ]
-    )
+    scored = _centroid_scored()  # one parsed expr, not 8x64 F.lit
     pr = hashing.md5_long(F.col("vec_id").cast("string"), "cell")
     w = Window.partitionBy("cidx").orderBy("pr", "vec_id")
     return (
@@ -993,16 +1001,7 @@ def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = F.array(
-        *[
-            F.struct(
-                (-vector.dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])))
-                .alias("neg_score"),
-                F.lit(i).alias("cidx"),
-            )
-            for i, c in enumerate(CENTROIDS)
-        ]
-    )
+    scored = _centroid_scored()  # one parsed expr, not 8x64 F.lit
     assigned = emb.select(
         "vec_id",
         "embedding",

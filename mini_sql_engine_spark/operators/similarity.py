@@ -80,12 +80,34 @@ def _dot_const(emb: Column, plane: list[float]) -> Column:
     return vector.dot(emb, F.array(*[F.lit(v) for v in plane]))
 
 
-def bucket_expr(emb: Column) -> Column:
-    """Random-hyperplane LSH bucket id (sign-bit signature)."""
-    out = F.lit(0)
-    for p, plane in enumerate(PLANES):
-        out = out + F.when(_dot_const(emb, plane) >= 0, F.lit(1 << p)).otherwise(0)
-    return out
+def _dot_const_sql(col: str, plane: list[float]) -> str:
+    """SQL-text twin of `_dot_const` — same zip_with/aggregate
+    left-to-right evaluation, `D`-suffixed literals parse to the same
+    IEEE doubles `F.lit` produced (repr round-trip)."""
+    vals = ", ".join(f"{v!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({col}, array({vals}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def bucket_expr(emb: Column, col_name: str = "embedding") -> Column:
+    """Random-hyperplane LSH bucket id (sign-bit signature).
+
+    Built as ONE SQL string (SCALE.md round-10 rule 1): the Column
+    comprehension cost ~0.4 s of py4j PER CALL (4 planes × 64 F.lit
+    doubles + 8 lambda closures) and five registry entries pay it —
+    value-identical by the same argument as quality._centroid_scored
+    (oracles re-verified at 3 SFs). `emb` is kept for signature
+    compatibility; the parsed expression references `col_name`."""
+    del emb  # the SQL text binds by name; callers pass F.col(col_name)
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_const_sql(col_name, plane)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(PLANES)
+    )
+    return F.expr(f"0 + {terms}")
 
 
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
