@@ -468,9 +468,18 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for a, b in SPEAR_PAIRS:
-        hist = hist3.groupBy(
-            F.col(a).alias("va"), F.col(b).alias("vb")
-        ).agg(F.sum("cnt3").alias("cnt"))
+        # materialize the (tiny, value-domain-sized) per-pair histogram:
+        # four consumers below (cd both join sides, totals, ta, tb)
+        # re-embed it, and Catalyst re-analyzes the whole checkpointed-
+        # hist3 regroup subtree once per reference — measured 3.7 →
+        # 2.3 s warm for the entry with values identical (round 10:
+        # analysis depth × reference count is a driver fixed cost, the
+        # same axis as the py4j rule in SCALE.md)
+        hist = (
+            hist3.groupBy(F.col(a).alias("va"), F.col(b).alias("vb"))
+            .agg(F.sum("cnt3").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
         h1, h2 = hist.alias("h1"), hist.alias("h2")
         cd = h1.join(F.broadcast(h2), F.col("h1.va") < F.col("h2.va")).agg(
             F.sum(
