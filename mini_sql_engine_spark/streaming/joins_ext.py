@@ -73,7 +73,7 @@ def stream_click_nopurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return stream_to_df(
-        spark, click_nopurchase_join(clicks, purchases), "append"
+        spark, click_nopurchase_join(clicks, purchases), "append", parts=4
     )
 
 
@@ -119,7 +119,7 @@ def stream_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return stream_to_df(
-        spark, click_purchase_full_join(clicks, purchases), "append"
+        spark, click_purchase_full_join(clicks, purchases), "append", parts=4
     )
 
 
@@ -147,7 +147,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled"
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # JVM stateful
     # bounded micro-batches, statically planned — AQE only adds a
     # per-exchange stage round-trip per batch (see stream_to_df)
     spark.conf.set("spark.sql.adaptive.enabled", "false")

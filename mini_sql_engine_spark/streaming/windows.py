@@ -292,6 +292,7 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_counts_dynamic(events_stream(spark, sf_dir)),
         "complete",
         final_nodata=False,  # complete mode: see stream_tumbling
+        parts=4,
     )
 
 
@@ -336,6 +337,7 @@ def stream_to_df(
     dedupe_keys: list[str] | None = None,
     order_col: str | None = None,
     final_nodata: bool = True,
+    parts: int = 8,
 ) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     result table. In update mode with multiple batches, keep only the
@@ -364,7 +366,7 @@ def stream_to_df(
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled"
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     # Round 10 (same rule as the merkle/band streams): every shuffle in
     # these replays is bounded by the micro-batch and the state is
     # 8-partition by construction, so AQE only adds a per-exchange
@@ -419,6 +421,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts(events_stream(spark, sf_dir)),
         "complete",
         final_nodata=False,
+        parts=4,  # JVM stateful: see stream_to_df
     )
 
 
@@ -439,6 +442,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_counts(events_stream(spark, sf_dir)),
         "complete",
         final_nodata=False,  # complete mode: see stream_tumbling
+        parts=4,
     )
 
 
@@ -455,6 +459,7 @@ def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_purchase_join(clicks, purchases),
         "append",
         final_nodata=False,
+        parts=4,  # JVM stateful: see stream_to_df
     )
 
 
@@ -464,6 +469,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_counts(events_stream(spark, sf_dir)),
         "complete",
         final_nodata=False,  # complete mode: see stream_tumbling
+        parts=4,
     )
 
 
@@ -496,7 +502,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stream_to_df(
-        spark, enriched, "complete", final_nodata=False
+        spark, enriched, "complete", final_nodata=False, parts=4
     )  # complete mode: see stream_tumbling
 
 
@@ -519,6 +525,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.dropDuplicates(["user_id", "event_type"]),
         "append",
         final_nodata=False,
+        parts=4,  # JVM stateful: see stream_to_df
     )
 
 
@@ -573,6 +580,7 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type"),
         "append",
         final_nodata=False,
+        parts=4,  # JVM stateful: see stream_to_df
     )
 
 
@@ -687,7 +695,9 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
-    return stream_to_df(spark, agg, "append")
+    return stream_to_df(
+        spark, agg, "append", parts=4  # JVM stateful: see stream_to_df
+    )
 
 
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
