@@ -603,7 +603,7 @@ def stream_bitmap_distinct_counts(
     data_dir = tempfile.mkdtemp(prefix="minisql_bitmap_")
     chk = tempfile.mkdtemp(prefix="chk_bitmap_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4: JVM merge ladder, see stream_to_df
     try:
         q = (
             _multi_file_events(
@@ -728,7 +728,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = tempfile.mkdtemp(prefix="minisql_psi_")
     chk = tempfile.mkdtemp(prefix="chk_psi_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4: JVM merge ladder, see stream_to_df
     try:
         q = (
             _multi_file_events(
@@ -1136,7 +1136,7 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = tempfile.mkdtemp(prefix="minisql_qsk_")
     chk = tempfile.mkdtemp(prefix="chk_qsk_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4: JVM merge ladder, see stream_to_df
     try:
         q = (
             _multi_file_events(spark, sf_dir)
@@ -1600,7 +1600,7 @@ def stream_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = tempfile.mkdtemp(prefix="chk_mks_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4: JVM merge ladder, see stream_to_df
     # Static planning for the ladder (round 10): every shuffle in the
     # per-batch ladder is bounded by the MICRO-BATCH (only buckets the
     # batch touches are regrouped — O(batch·arity) rows, never state
@@ -1835,7 +1835,7 @@ def stream_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = tempfile.mkdtemp(prefix="chk_bnd_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4: JVM merge ladder, see stream_to_df
     # Static planning (round 10, same argument as stream_merkle_root):
     # the per-batch merge shuffles O(batch·bands) thin rows with a
     # map-side-combined min and the audit joins the batch-bounded
