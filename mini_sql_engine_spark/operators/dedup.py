@@ -512,23 +512,19 @@ def prefix_filter_dedup(
         f"cast(n - ((n * {t_num} + {t_den} - 1) "
         f"div {t_den}) + 1 as int)"
     )
-    # Round 10: the per-doc rank window runs on the df>=2 SLICE only,
-    # not the full exploded corpus. Every df=1 shingle sorts strictly
-    # before every df>=2 shingle in the (df, shingle) rarest-first
-    # order, so a df>=2 shingle's global position is
-    # (n - n2) + (rank among the doc's df>=2 shingles) — and df=1 rows
-    # were discarded right after ranking anyway (a shared shingle has
-    # df>=2 by definition). In a mostly-unique corpus this shrinks the
-    # window shuffle from all shingle instances to the duplicated
-    # slice (guide §2.2: shuffle fewer bytes — here ~10x fewer rows).
+    # Round 11: round 10's df>=2 window-slice rewrite (rank the slice,
+    # reconstruct the global rank as (n - n2) + rn2 with a second
+    # count-window) REGRESSED 20-25% in the driver bench and lost every
+    # isolated min-of-3 A/B this round (slice variants 2.8-3.0 s vs
+    # 2.4-2.8 s without; the added Window node + rank arithmetic cost
+    # more than the row savings buy at any measured SF) — reverted to
+    # the single-window form per VERDICT r10 item 1.
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    wcnt = Window.partitionBy("doc_id")
     px = (
-        ex.join(F.broadcast(freq2), F.xxhash64("shingle") == freq2.hsh)
-        .withColumn("rn2", F.row_number().over(wdoc))
-        .withColumn("n2", F.count(F.lit(1)).over(wcnt))
-        .withColumn("rn", F.col("n") - F.col("n2") + F.col("rn2"))
-        .filter(F.col("rn") <= F.expr(prefix_len))
+        ex.join(F.broadcast(freq2), F.xxhash64("shingle") == freq2.hsh, "left")
+        .withColumn("df", F.coalesce("df", F.lit(1)))
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter((F.col("rn") <= F.expr(prefix_len)) & (F.col("df") >= 2))
         .select("doc_id", "n", "rn", "shingle")
     )
     a, b = px.alias("a"), px.alias("b")
